@@ -17,13 +17,51 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Relational.q1Agg _)
+    "q1_agg"            -> (Relational.q1Agg _),
+    "q2_selective_agg"  -> (Relational.q2SelectiveAgg _),
+    "q3_join_topk"      -> (Relational.q3JoinTopk _),
+    "q4_semi_join"      -> (Relational.q4SemiJoin _),
+    "q5_anti_join"      -> (Relational.q5AntiJoin _),
+    "q6_multi_join"     -> (Relational.q6MultiJoin _),
+    "q7_broadcast_join" -> (Relational.q7BroadcastJoin _),
+    "q8_window_rank"    -> (Relational.q8WindowRank _),
+    "q9_window_running" -> (Relational.q9WindowRunning _),
+    "q10_topk"          -> (Relational.q10TopK _),
+    "q11_setops"        -> (Relational.q11SetOps _),
+    "q12_rollup"        -> (Relational.q12Rollup _),
+    "q13_cube"          -> (Relational.q13Cube _),
+    "q14_distinct_agg"  -> (Relational.q14DistinctAgg _),
+    "q15_scalar"        -> (Relational.q15Scalar _),
+    "q16_date_parts"    -> (Relational.q16DateParts _),
+    "q17_json"          -> (Relational.q17Json _),
+    "q18_asof"          -> (Relational.q18AsOf _),
+    "q19_event_window"  -> (Relational.q19EventWindow _)
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> Relational.q1AggSql
+    "q1_agg"            -> Relational.q1AggSql,
+    "q2_selective_agg"  -> Relational.q2SelectiveAggSql,
+    "q3_join_topk"      -> Relational.q3JoinTopkSql,
+    "q4_semi_join"      -> Relational.q4SemiJoinSql,
+    "q5_anti_join"      -> Relational.q5AntiJoinSql,
+    "q6_multi_join"     -> Relational.q6MultiJoinSql,
+    "q7_broadcast_join" -> Relational.q7BroadcastJoinSql,
+    "q8_window_rank"    -> Relational.q8WindowRankSql,
+    "q9_window_running" -> Relational.q9WindowRunningSql,
+    "q10_topk"          -> Relational.q10TopKSql,
+    "q11_setops"        -> Relational.q11SetOpsSql,
+    "q12_rollup"        -> Relational.q12RollupSql,
+    "q13_cube"          -> Relational.q13CubeSql,
+    "q14_distinct_agg"  -> Relational.q14DistinctAggSql,
+    "q15_scalar"        -> Relational.q15ScalarSql,
+    "q16_date_parts"    -> Relational.q16DatePartsSql,
+    "q17_json"          -> Relational.q17JsonSql,
+    "q18_asof"          -> Relational.q18AsOfSql,
+    "q19_event_window"  -> Relational.q19EventWindowSql
   )
 
   /** Headline subset used by Bench (keep it representative, not exhaustive). */
-  def benchQueries: Seq[String] = Seq("q1_agg")
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "q2_selective_agg", "q3_join_topk", "q6_multi_join",
+    "q7_broadcast_join", "q9_window_running", "q14_distinct_agg", "q18_asof")
 }

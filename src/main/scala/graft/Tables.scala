@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided TPC-H-ish parquet fixtures
   * (TESTDATA.md). One function per table; every operator in the engine
@@ -18,9 +19,33 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame = load(s, dir, "events")
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
+    * natively (PARQUET_TYPE_ILLEGAL). We read nanos as a long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and expose both:
+    *   - `ts_us`: epoch microseconds (long) — the canonical event time,
+    *     matches DuckDB's `epoch_ns(ts)//1000` exactly;
+    *   - `ts`: TIMESTAMP at microsecond precision for time operators
+    *     (window(), session_window(), watermarks).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** DuckDB-side twin of [[events]]: a CTE normalizing ts to epoch-µs.
+    * Prepend to any oracle SQL that touches events. */
+  val eventsCteSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value, props,
+      |         epoch_ns(ts)//1000 AS ts_us,
+      |         make_timestamp(epoch_ns(ts)//1000) AS ts
+      |  FROM events
+      |)""".stripMargin
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -8,38 +9,35 @@ import graft.Tables
   *
   * The reference engine (natedob/GoLang_MapReduce) has no relational
   * operators at all — each job is a single-input map→shuffle→reduce
-  * pipeline (see SURVEY.md §2.4, reference `mr/coordinator.go:337-339`).
+  * pipeline (SURVEY.md §2.4; reference `mr/coordinator.go:337-339`).
   * This file provides the relational surface the extended engine needs,
   * expressed declaratively so Catalyst handles pushdown, pruning, join
   * strategy, and AQE at scale.
   *
-  * Numeric parity note: every money aggregate is computed in exact
-  * DECIMAL arithmetic and cast back to DOUBLE at the end, in both the
-  * Spark plan and the DuckDB oracle SQL. Double summation order differs
-  * between engines (and between partitionings of the same engine), so
-  * summing doubles directly can never hash-match; decimal sums are
-  * order-independent and exact.
+  * Determinism rules (driver hash-compares vs DuckDB):
+  *  - money/quantity aggregates go through exact DECIMAL arithmetic in
+  *    BOTH engines, cast back to DOUBLE at the end — double summation
+  *    order is partitioning-dependent and can never hash-match;
+  *  - every LIMIT/top-k has a total-order tiebreaker;
+  *  - event time is epoch-µs longs (see [[graft.Tables.events]]).
   */
 object Relational {
 
-  /** Exact decimal view of a 2-dp money/quantity double column. */
-  private def dec(c: String) = col(c).cast("decimal(18,2)")
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+  private def one: Column = lit(1).cast("decimal(18,2)")
+  private def ts(s: String): Column = lit(s).cast("timestamp")
 
-  /** q1_agg — TPC-H Q1-style pricing summary.
-    * Scale notes: single scan of lineitem, partial aggregation map-side
-    * (hash agg with 6 narrow agg buffers), one shuffle on a 2-column
-    * low-cardinality key. At 100 TB this is the ideal shape: no join,
-    * pushdown of the shipdate filter to parquet, AQE coalesces the tiny
-    * post-shuffle partitions.
-    */
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-style pricing summary. Single lineitem scan, map-side
+    * partial agg, one shuffle on a low-cardinality 2-col key. */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .where(col("l_shipdate") <= ts("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec("l_quantity")).cast("double").as("sum_qty"),
         sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        sum(dec("l_extendedprice") * (one - dec("l_discount")))
           .cast("double").as("sum_disc_price"),
         (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
@@ -56,4 +54,410 @@ object Relational {
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** TPC-H Q6-style selective scan-aggregate: predicate + column
+    * pruning must reach the parquet reader (PushedFilters). */
+  def q2SelectiveAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= ts("1997-01-01") &&
+             col("l_shipdate") < ts("1998-01-01") &&
+             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+             col("l_quantity") < 24)
+      .agg(
+        sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q2SelectiveAggSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(1) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** TPC-H Q3-style shipping-priority top-k: 3-way join, agg, total-order
+    * top 10. customer is broadcast-small; orders⋈lineitem shuffles on
+    * orderkey (the natural co-partitioning key at scale). */
+  def q3JoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).where(col("o_orderdate") < ts("1998-01-01"))
+    val l = Tables.lineitem(s, dir).where(col("l_shipdate") > ts("1998-01-05"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-05'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** Semi join (EXISTS): orders having at least one heavy lineitem.
+    * left_semi never duplicates and never widens the row — at scale it
+    * beats JOIN+DISTINCT by skipping the dedup shuffle. */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(s, dir).where(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q4SemiJoinSql: String =
+    """SELECT o_orderpriority, COUNT(1) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Anti join (NOT EXISTS): customers with no URGENT order, counted per
+    * market segment. */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val q5AntiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(1) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** TPC-H Q5-style multi-join: big fact tables shuffle on their join
+    * keys; all dimensions (supplier, customer, nation, region) are
+    * broadcast. Revenue per nation for one region/year. */
+  def q6MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+                          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  val q6MultiJoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** Broadcast join fact→dim: per-brand demand. part is tiny relative to
+    * lineitem at every SF → explicit broadcast(), no shuffle of the fact
+    * side beyond the final agg. */
+  def q7BroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"))
+
+  val q7BroadcastJoinSql: String =
+    """SELECT p_brand, COUNT(1) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** Ranking window: top-3 customers by balance per nation. row_number
+    * with a total-order tiebreaker; partition-local sort after one
+    * shuffle on nationkey. */
+  def q8WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+  }
+
+  val q8WindowRankSql: String =
+    """SELECT n_name, c_custkey, c_acctbal, rnk
+      |FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) t
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rnk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** Running-total window frame: cumulative customer spend over time.
+    * DECIMAL running sum (frame-ordered, engine-independent) + lag. */
+  def q9WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("running_spend",
+        sum(dec("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1, -1.0).over(w))
+      .withColumn("order_rank", row_number().over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("running_spend"),
+              col("prev_price"), col("order_rank"))
+  }
+
+  val q9WindowRunningSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+      |  LAG(o_totalprice, 1, -1.0) OVER w AS prev_price,
+      |  ROW_NUMBER() OVER w AS order_rank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // --------------------------------------------------------------- q10
+  /** Global top-k with total order: TakeOrderedAndProject — never a full
+    * sort at scale, each partition keeps k rows then the driver merges. */
+  def q10TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(20)
+
+  val q10TopKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q11
+  /** Set operators: customers ordering in 1996 vs 1998 — INTERSECT /
+    * EXCEPT both directions, tagged and unioned. */
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def buyers(y0: String, y1: String): DataFrame =
+      o.where(col("o_orderdate") >= ts(y0) && col("o_orderdate") < ts(y1))
+        .select(col("o_custkey")).distinct()
+    val a = buyers("1996-01-01", "1997-01-01")
+    val b = buyers("1998-01-01", "1999-01-01")
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1996")))
+      .unionByName(b.except(a).withColumn("tag", lit("only_1998")))
+  }
+
+  val q11SetOpsSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT o_custkey, 'only_1998' AS tag FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)""".stripMargin
+
+  // --------------------------------------------------------------- q12
+  /** ROLLUP: nation × segment hierarchy with subtotals and grand total.
+    * COALESCE the grouping columns so NULL-vs-subtotal is unambiguous. */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(dec("c_acctbal")).cast("double").as("sum_bal"))
+      .select(
+        coalesce(col("n_name"), lit("<all>")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("<all>")).as("segment"),
+        col("n_customers"), col("sum_bal"))
+
+  val q12RollupSql: String =
+    """SELECT COALESCE(n_name, '<all>') AS nation,
+      |       COALESCE(c_mktsegment, '<all>') AS segment,
+      |       COUNT(1) AS n_customers,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin
+
+  // --------------------------------------------------------------- q13
+  /** CUBE over order status × priority. */
+  def q13Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec("o_totalprice")).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("n_orders"), col("sum_price"))
+
+  val q13CubeSql: String =
+    """SELECT COALESCE(o_orderstatus, '<all>') AS status,
+      |       COALESCE(o_orderpriority, '<all>') AS priority,
+      |       COUNT(1) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // --------------------------------------------------------------- q14
+  /** Exact multi-distinct aggregation (Catalyst expands to one pass per
+    * distinct key via Expand — still no driver-side work). */
+  def q14DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      count(lit(1)).as("n_rows"))
+
+  val q14DistinctAggSql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps,
+      |       COUNT(DISTINCT l_orderkey) AS n_orders,
+      |       COUNT(1) AS n_rows
+      |FROM lineitem""".stripMargin
+
+  // --------------------------------------------------------------- q15
+  /** Scalar function library: string/math expressions, all codegen'd
+    * built-ins (no UDFs). */
+  def q15Scalar(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      length(col("p_name")).as("name_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      substring(col("p_type"), 1, 4).as("type4"),
+      element_at(split(col("p_name"), " "), 1).as("first_word"),
+      floor(col("p_retailprice")).cast("long").as("price_floor"),
+      (col("p_size") % 7).cast("int").as("size_mod7"))
+
+  val q15ScalarSql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_brand) AS brand_u,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len,
+      |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+      |  SUBSTRING(p_type, 1, 4) AS type4,
+      |  STRING_SPLIT(p_name, ' ')[1] AS first_word,
+      |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+      |  CAST(p_size % 7 AS INT) AS size_mod7
+      |FROM part""".stripMargin
+
+  // --------------------------------------------------------------- q16
+  /** Date-part grouping: monthly order volume. year()/month() keep the
+    * group key integer-typed (identical across engines, unlike
+    * date_trunc whose return type differs). */
+  def q16DateParts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+               month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec("o_totalprice")).cast("double").as("sum_price"))
+
+  val q16DatePartsSql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+      |       CAST(MONTH(o_orderdate) AS INT) AS o_month,
+      |       COUNT(1) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q17
+  /** JSON extraction from the events props column + aggregation. */
+  def q17Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"))
+
+  val q17JsonSql: String =
+    Tables.eventsCteSql +
+    """
+      |SELECT event_type, COUNT(1) AS n_events,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM ev
+      |GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q18
+  /** As-of join composed from built-ins: for every purchase event, the
+    * most recent preceding signup of the same user. One shuffle on
+    * user_id + a frame-bounded running MAX — this is the scalable
+    * pattern (no range-join explosion). */
+  def q18AsOf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("last_signup_us",
+        max(when(col("event_type") === "signup", col("ts_us"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+              col("ts_us").as("purchase_us"),
+              coalesce(col("last_signup_us"), lit(-1L)).as("last_signup_us"))
+  }
+
+  val q18AsOfSql: String =
+    Tables.eventsCteSql +
+    """
+      |SELECT event_id, user_id, ts_us AS purchase_us,
+      |       COALESCE(MAX(CASE WHEN event_type = 'signup' THEN ts_us END)
+      |                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_signup_us
+      |FROM ev
+      |QUALIFY event_type = 'purchase'""".stripMargin
+
+  // --------------------------------------------------------------- q19
+  /** Tumbling-window batch aggregation over event time (hourly buckets
+    * as epoch-µs integers — the batch twin of the streaming query). */
+  def q19EventWindow(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    Tables.events(s, dir)
+      .groupBy(expr(s"(ts_us div $hourUs) * $hourUs").as("hour_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec("value")).cast("double").as("sum_value"))
+  }
+
+  val q19EventWindowSql: String =
+    Tables.eventsCteSql +
+    """
+      |SELECT (ts_us // 3600000000) * 3600000000 AS hour_us, event_type,
+      |       COUNT(1) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM ev
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -35,7 +35,12 @@ object SparkEntry {
     "q16_date_parts"    -> (Relational.q16DateParts _),
     "q17_json"          -> (Relational.q17Json _),
     "q18_asof"          -> (Relational.q18AsOf _),
-    "q19_event_window"  -> (Relational.q19EventWindow _)
+    "q19_event_window"  -> (Relational.q19EventWindow _),
+    "mr_wc"             -> (MrQueries.mrWc _),
+    "mr_indexer"        -> (MrQueries.mrIndexer _),
+    "mr_doc_tokens"     -> (MrQueries.mrDocTokens _),
+    "mr_metadata"       -> (MrQueries.mrMetadata _),
+    "mr_compat_wc"      -> (MrQueries.mrCompatWc _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -57,7 +62,12 @@ object SparkEntry {
     "q16_date_parts"    -> Relational.q16DatePartsSql,
     "q17_json"          -> Relational.q17JsonSql,
     "q18_asof"          -> Relational.q18AsOfSql,
-    "q19_event_window"  -> Relational.q19EventWindowSql
+    "q19_event_window"  -> Relational.q19EventWindowSql,
+    "mr_wc"             -> MrQueries.mrWcSql,
+    "mr_indexer"        -> MrQueries.mrIndexerSql,
+    "mr_doc_tokens"     -> MrQueries.mrDocTokensSql,
+    "mr_metadata"       -> MrQueries.mrMetadataSql,
+    "mr_compat_wc"      -> MrQueries.mrCompatWcSql
   )
 
   /** Headline subset used by Bench (keep it representative, not exhaustive). */

@@ -40,7 +40,11 @@ object SparkEntry {
     "mr_indexer"        -> (MrQueries.mrIndexer _),
     "mr_doc_tokens"     -> (MrQueries.mrDocTokens _),
     "mr_metadata"       -> (MrQueries.mrMetadata _),
-    "mr_compat_wc"      -> (MrQueries.mrCompatWc _)
+    "mr_compat_wc"      -> (MrQueries.mrCompatWc _),
+    "ta_quality"        -> (TextAnalysis.taQuality _),
+    "ta_token_count"    -> (TextAnalysis.taTokenCount _),
+    "ta_lang_id"        -> (TextAnalysis.taLangId _),
+    "ta_fingerprint"    -> (TextAnalysis.taFingerprint _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -67,7 +71,11 @@ object SparkEntry {
     "mr_indexer"        -> MrQueries.mrIndexerSql,
     "mr_doc_tokens"     -> MrQueries.mrDocTokensSql,
     "mr_metadata"       -> MrQueries.mrMetadataSql,
-    "mr_compat_wc"      -> MrQueries.mrCompatWcSql
+    "mr_compat_wc"      -> MrQueries.mrCompatWcSql,
+    "ta_quality"        -> TextAnalysis.taQualitySql,
+    "ta_token_count"    -> TextAnalysis.taTokenCountSql,
+    "ta_lang_id"        -> TextAnalysis.taLangIdSql,
+    "ta_fingerprint"    -> TextAnalysis.taFingerprintSql
   )
 
   /** Headline subset used by Bench (keep it representative, not exhaustive). */

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for an LLM training-data pipeline: quality
+  * scoring, tokenizer statistics, heuristic language ID, and document
+  * fingerprinting. All per-document, single-scan, codegen'd built-ins —
+  * the shape that streams through 100 TB without a shuffle (the only
+  * shuffle here is lang-ID's per-doc token aggregation).
+  *
+  * Cross-engine determinism: ratios/scores use only single IEEE-754
+  * double ops on identical integer inputs (no transcendentals, whose
+  * libm implementations differ per engine), so DuckDB hash-matches.
+  */
+object TextAnalysis {
+
+  /** chars removed when counting a character class: n = len - len(strip). */
+  private def classCount(c: Column, cls: String): Column =
+    (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+
+  // ---------------------------------------------------------- quality
+  /** Per-document quality statistics + composite score
+    * (length / punctuation / letter ratios — the classic cheap filters
+    * applied before expensive dedup/model scoring). */
+  def taQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("long")
+    val nLetters = classCount(t, "[^\\p{L}]")
+    val nPunct = classCount(t, "[^,.;:!?]")
+    val nDigits = classCount(t, "[^0-9]")
+    val nWs = size(regexp_extract_all(t, lit("\\S+"), lit(0))).cast("long")
+    val letterRatio = nLetters.cast("double") / nChars.cast("double")
+    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    val lenScore = least(lit(1.0), nWs.cast("double") / lit(100.0))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nLetters.as("n_letters"),
+      nPunct.as("n_punct"),
+      nDigits.as("n_digits"),
+      nWs.as("n_ws_tokens"),
+      letterRatio.as("letter_ratio"),
+      (lit(0.5) * letterRatio + lit(0.2) * (lit(1.0) - punctRatio)
+        + lit(0.3) * lenScore).as("quality_score"))
+  }
+
+  val taQualitySql: String =
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS BIGINT) AS n_letters,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^,.;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+      |  (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) AS letter_ratio,
+      |  (0.5 * (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE))
+      |   + 0.2 * (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^,.;:!?]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE))
+      |   + 0.3 * LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0)) AS quality_score
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------ token_count
+  /** Tokenizer battery: whitespace tokens, letter-run words, and a
+    * BPE-ish regex segmentation (letter runs | digit runs | single
+    * non-space symbol — the pre-tokenizer shape GPT-style BPE uses). */
+  def taTokenCount(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit("\\S+"), lit(0))).cast("long").as("n_ws"),
+      size(regexp_extract_all(t, lit("[\\p{L}]+"), lit(0))).cast("long").as("n_words"),
+      size(regexp_extract_all(t, lit("[\\p{L}]+|[0-9]+|[^\\s\\p{L}0-9]"), lit(0)))
+        .cast("long").as("n_bpe"))
+  }
+
+  val taTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}]+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]')) AS BIGINT) AS n_bpe
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- lang_id
+  /** Heuristic language ID: marker-stopword votes per language, argmax
+    * with a fixed precedence for ties. One explode + one per-doc agg —
+    * the distributed shape; a real model would swap in richer n-gram
+    * tables, the plumbing stays identical. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "los", "una", "que", "por", "con"),
+    "fr" -> Seq("le", "les", "et", "est", "dans", "pour"),
+    "zh" -> Seq("de", "shi", "bu", "zai", "you"))
+
+  def taLangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "[^\\p{L}]+")).as("w"))
+      .where(col("w") =!= "")
+    val scores = markers.map { case (l, ws) =>
+      sum(when(col("w").isInCollection(ws), 1L).otherwise(0L)).as(s"s_$l")
+    }
+    val sc = toks.groupBy(col("doc_id"), col("lang")).agg(scores.head, scores.tail: _*)
+    val Seq(en, de, es, fr, zh) = markers.map(m => col(s"s_${m._1}"))
+    sc.select(col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"), zh.as("s_zh"),
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh").as("predicted_lang"))
+  }
+
+  val taLangIdSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    val m = markers.toMap
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS w
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |    CAST(SUM(CASE WHEN w IN (${inList(m("en"))}) THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+       |    CAST(SUM(CASE WHEN w IN (${inList(m("de"))}) THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+       |    CAST(SUM(CASE WHEN w IN (${inList(m("es"))}) THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+       |    CAST(SUM(CASE WHEN w IN (${inList(m("fr"))}) THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+       |    CAST(SUM(CASE WHEN w IN (${inList(m("zh"))}) THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
+       |  FROM toks WHERE w <> '' GROUP BY doc_id, lang)
+       |SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es, s_fr, s_zh,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS predicted_lang
+       |FROM sc""".stripMargin
+  }
+
+  // ------------------------------------------------------ fingerprint
+  /** Document fingerprints: md5 of the whitespace-normalized text
+    * (exact-dup key) and md5 of the sorted distinct token bag
+    * (reorder-invariant dup key). MD5 is bit-identical across engines,
+    * making fingerprints portable join keys between systems. */
+  def normalized(t: Column): Column =
+    trim(regexp_replace(lower(t), "[^\\p{L}]+", " "))
+
+  def taFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(normalized(t)).as("fp_norm"),
+      md5(array_join(array_sort(array_distinct(
+        split(normalized(t), " "))), " ")).as("fp_bag"))
+  }
+
+  val taFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g'))) AS fp_norm,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' '))), ' ')) AS fp_bag
+      |FROM documents""".stripMargin
+}

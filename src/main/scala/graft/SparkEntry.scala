@@ -44,7 +44,12 @@ object SparkEntry {
     "ta_quality"        -> (TextAnalysis.taQuality _),
     "ta_token_count"    -> (TextAnalysis.taTokenCount _),
     "ta_lang_id"        -> (TextAnalysis.taLangId _),
-    "ta_fingerprint"    -> (TextAnalysis.taFingerprint _)
+    "ta_fingerprint"    -> (TextAnalysis.taFingerprint _),
+    "dedup_exact"       -> (Dedup.dedupExact _),
+    "dedup_ngram"       -> (Dedup.dedupNgram _),
+    "dedup_minhash"     -> (Dedup.dedupMinhash _),
+    "dedup_simhash"     -> (Dedup.dedupSimhash _),
+    "dedup_embedding"   -> (Dedup.dedupEmbedding _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -75,7 +80,12 @@ object SparkEntry {
     "ta_quality"        -> TextAnalysis.taQualitySql,
     "ta_token_count"    -> TextAnalysis.taTokenCountSql,
     "ta_lang_id"        -> TextAnalysis.taLangIdSql,
-    "ta_fingerprint"    -> TextAnalysis.taFingerprintSql
+    "ta_fingerprint"    -> TextAnalysis.taFingerprintSql,
+    "dedup_exact"       -> Dedup.dedupExactSql,
+    "dedup_ngram"       -> Dedup.dedupNgramSql,
+    "dedup_minhash"     -> Dedup.dedupMinhashSql,
+    "dedup_simhash"     -> Dedup.dedupSimhashSql,
+    "dedup_embedding"   -> Dedup.dedupEmbeddingSql
   )
 
   /** Headline subset used by Bench (keep it representative, not exhaustive). */

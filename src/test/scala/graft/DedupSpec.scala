@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Planted-duplicate tests: the fixture corpus is random text that may
+  * contain no near-duplicates at all, so these specs build a corpus
+  * where ground truth is known and assert each detector finds it.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    val near = base.replace("tonight", "today") // 1-token edit
+    val reorder = base.split(' ').reverse.mkString(" ")
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong),          // exact dup of 0
+      (2L, near, "en", "src1", near.length.toLong),          // near dup of 0
+      (3L, "completely different words about spark engines shuffling partitions with columnar vectors", "en", "src2", 90L),
+      (4L, reorder, "en", "src3", reorder.length.toLong),    // bag-dup of 0
+      (5L, "tiny doc", "en", "src4", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    def vec(seed: Int, eps: Float): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(8)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n + eps)
+    }
+    Seq(
+      (0L, vec(1, 0f), 0), (1L, vec(1, 0.001f), 0), // 1 ≈ 0
+      (2L, vec(7, 0f), 1), (3L, vec(13, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val m = Dedup.dedupExact(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(m(0L) == (0L, 0))
+    assert(m(1L) == (0L, 1))       // doc 1 is a dup with canonical 0
+    assert(m(3L) == (3L, 0))
+  }
+
+  test("ngram jaccard finds exact and near duplicates") {
+    val m = Dedup.dedupNgram(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(0L)._1 == 1L && m(0L)._2 == 1.0)  // identical docs: J=1
+    assert(m(2L)._1 == 0L || m(2L)._1 == 1L)   // near-dup points at base
+    assert(m(2L)._2 > 0.5)
+    assert(m(3L)._2 == 0.0 && m(3L)._1 == -1L) // unrelated: no candidates
+  }
+
+  test("minhash LSH surfaces exact and near duplicates") {
+    val m = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(0L)._1 == 1L && m(0L)._2 == 1.0)  // identical signatures
+    assert(m(2L)._2 > 0.3)                     // near-dup caught by a band
+    assert(m(3L)._1 == -1L)                    // unrelated: no band collision
+  }
+
+  test("simhash: identical docs agree; reordered bag-dup agrees; distinct differs") {
+    val m = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == m(1L))
+    assert(m(0L) == m(4L))                     // simhash is order-invariant
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(0L), m(2L)) < hamming(m(0L), m(3L)),
+      "near-dup must be closer in hamming space than unrelated doc")
+  }
+
+  test("embedding nearest neighbor pairs the planted twins") {
+    val m = Dedup.dedupEmbedding(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(m(0L)._1 == 1L && m(0L)._2 > 0.99)
+    assert(m(1L)._1 == 0L)
+  }
+}

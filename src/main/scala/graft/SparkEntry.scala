@@ -49,7 +49,9 @@ object SparkEntry {
     "dedup_ngram"       -> (Dedup.dedupNgram _),
     "dedup_minhash"     -> (Dedup.dedupMinhash _),
     "dedup_simhash"     -> (Dedup.dedupSimhash _),
-    "dedup_embedding"   -> (Dedup.dedupEmbedding _)
+    "dedup_embedding"   -> (Dedup.dedupEmbedding _),
+    "sim_topk"          -> (Similarity.simTopk _),
+    "sim_lsh_topk"      -> (Similarity.simLshTopk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -85,7 +87,9 @@ object SparkEntry {
     "dedup_ngram"       -> Dedup.dedupNgramSql,
     "dedup_minhash"     -> Dedup.dedupMinhashSql,
     "dedup_simhash"     -> Dedup.dedupSimhashSql,
-    "dedup_embedding"   -> Dedup.dedupEmbeddingSql
+    "dedup_embedding"   -> Dedup.dedupEmbeddingSql,
+    "sim_topk"          -> Similarity.simTopkSql,
+    "sim_lsh_topk"      -> Similarity.simLshTopkSql
   )
 
   /** Headline subset used by Bench (keep it representative, not exhaustive). */

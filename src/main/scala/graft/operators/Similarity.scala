@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  *  - simTopk:    exact brute-force top-k for a query subset — the
+  *                correctness baseline (O(Q·N) dot products).
+  *  - simLshTopk: random-hyperplane LSH — every vector gets a bit
+  *                signature from the SIGN of integer hyperplane dots;
+  *                candidates come only from band-key collisions, then
+  *                exact re-ranking. At 100 TB this is a bucket-join
+  *                (shuffle on band key) instead of a cross join.
+  *
+  * All arithmetic is integer (embeddings scaled ×10⁶, hyperplanes are
+  * small deterministic ints), so Spark and DuckDB agree bit-for-bit —
+  * both queries are fully oracle-checked, including the approximate one.
+  */
+object Similarity {
+
+  /** Embeddings with elements scaled to exact integers (×10⁶). */
+  private[operators] def scaled(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
+
+  private[operators] def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** DuckDB twin of [[scaled]], flattened to (vec_id, i, e) rows. */
+  private val evSql =
+    """ev AS (
+      |  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS e
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t)""".stripMargin
+
+  // --------------------------------------------------------- sim_topk
+  val NQueries = 10
+  val TopK = 5
+
+  def simTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = scaled(s, dir)
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qv"))
+    q.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotCol(col("qv"), col("ev")).as("dot_scaled"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dot_scaled").desc, col("neighbor_id"))))
+      .where(col("rank") <= TopK)
+      .withColumn("cos_sim", col("dot_scaled").cast("double") / lit(1e12))
+  }
+
+  val simTopkSql: String =
+    s"""WITH $evSql,
+       |dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         CAST(SUM(a.e * b.e) AS BIGINT) AS dot_scaled
+       |  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < $NQueries AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dot_scaled,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY dot_scaled DESC, neighbor_id) AS rank
+       |  FROM dots)
+       |SELECT query_id, neighbor_id, dot_scaled, CAST(rank AS INT) AS rank,
+       |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  // ----------------------------------------------------- sim_lsh_topk
+  /** H integer hyperplanes over the embedding dimension; w(j,i) is a
+    * fixed LCG-style formula so both engines derive identical planes. */
+  val H = 16
+  val LshBands = 2 // 2 bands × 8 bits
+  val LshTopK = 3
+
+  private def wFormula(j: String, i: String): String =
+    s"((1103515245 * ($j + 1) + 12345 * ($i + 1)) % 997) - 498"
+
+  def simLshTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.embeddings(s, dir).select(size(col("embedding"))).first().getInt(0)
+    val planes = (for { j <- 0 until H; i <- 0 until dim } yield
+      (j, i, ((1103515245L * (j + 1) + 12345L * (i + 1)) % 997L) - 498L))
+      .toDF("j", "i", "w")
+    val e = scaled(s, dir)
+    val flat = e.select(col("vec_id"), posexplode(col("ev")).as(Seq("i", "e")))
+    // sign bits per hyperplane → two 8-bit band keys per vector
+    val sig = flat.join(broadcast(planes), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("e") * col("w")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("j") < 8 && col("d") >= 0,
+          expr("shiftleft(1, j)")).otherwise(0)).as("b0"),
+        sum(when(col("j") >= 8 && col("d") >= 0,
+          expr("shiftleft(1, j - 8)")).otherwise(0)).as("b1"))
+    val bands = sig.selectExpr("vec_id", "stack(2, 'p0', b0, 'p1', b1) as (band_id, band_key)")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    cand
+      .join(e.as("ea"), col("query_id") === col("ea.vec_id"))
+      .join(e.as("eb"), col("neighbor_id") === col("eb.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotCol(col("ea.ev"), col("eb.ev")).as("dot_scaled"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dot_scaled").desc, col("neighbor_id"))))
+      .where(col("rank") <= LshTopK)
+      .withColumn("cos_sim", col("dot_scaled").cast("double") / lit(1e12))
+  }
+
+  val simLshTopkSql: String =
+    s"""WITH $evSql,
+       |planes AS (
+       |  SELECT j, i, ${wFormula("j", "i")} AS w
+       |  FROM (SELECT unnest(generate_series(0, ${H - 1})) AS j),
+       |       LATERAL (SELECT unnest(generate_series(0, (SELECT MAX(i) FROM ev) - 1)) AS i) t),
+       |dots AS (
+       |  SELECT ev.vec_id, planes.j, SUM(ev.e * planes.w) AS d
+       |  FROM ev JOIN planes ON ev.i = planes.i + 1
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN j < 8 AND d >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS b0,
+       |    CAST(SUM(CASE WHEN j >= 8 AND d >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS BIGINT) AS b1
+       |  FROM dots GROUP BY vec_id),
+       |bands AS (
+       |  SELECT vec_id, 'p0' AS band_id, b0 AS band_key FROM sig
+       |  UNION ALL SELECT vec_id, 'p1', b1 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id <> b.vec_id),
+       |exact AS (
+       |  SELECT c.query_id, c.neighbor_id, CAST(SUM(ea.e * eb.e) AS BIGINT) AS dot_scaled
+       |  FROM cand c
+       |  JOIN ev ea ON ea.vec_id = c.query_id
+       |  JOIN ev eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dot_scaled,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY dot_scaled DESC, neighbor_id) AS rank
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, dot_scaled, CAST(rank AS INT) AS rank,
+       |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
+       |FROM ranked WHERE rank <= $LshTopK""".stripMargin
+}

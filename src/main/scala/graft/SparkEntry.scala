@@ -51,7 +51,11 @@ object SparkEntry {
     "dedup_simhash"     -> (Dedup.dedupSimhash _),
     "dedup_embedding"   -> (Dedup.dedupEmbedding _),
     "sim_topk"          -> (Similarity.simTopk _),
-    "sim_lsh_topk"      -> (Similarity.simLshTopk _)
+    "sim_lsh_topk"      -> (Similarity.simLshTopk _),
+    "stream_sliding"    -> (graft.streaming.EventStreams.qStreamSliding _),
+    "stream_session"    -> (graft.streaming.EventStreams.qStreamSession _),
+    "stream_user_stats" -> (graft.streaming.EventStreams.qStreamUserStats _),
+    "mm_features"       -> (graft.multimodal.Media.mmFeatures _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -89,7 +93,11 @@ object SparkEntry {
     "dedup_simhash"     -> Dedup.dedupSimhashSql,
     "dedup_embedding"   -> Dedup.dedupEmbeddingSql,
     "sim_topk"          -> Similarity.simTopkSql,
-    "sim_lsh_topk"      -> Similarity.simLshTopkSql
+    "sim_lsh_topk"      -> Similarity.simLshTopkSql,
+    "stream_sliding"    -> graft.streaming.EventStreams.qStreamSlidingSql,
+    "stream_session"    -> graft.streaming.EventStreams.qStreamSessionSql,
+    "stream_user_stats" -> graft.streaming.EventStreams.qStreamUserStatsSql,
+    "mm_features"       -> graft.multimodal.Media.mmFeaturesSql
   )
 
   /** Headline subset used by Bench (keep it representative, not exhaustive). */

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Event-time streaming operators (no reference counterpart — the
+  * reference is strictly batch with a hard map→reduce barrier, SURVEY.md
+  * §2.4). Built on Structured Streaming primitives; every transform is
+  * written against a plain DataFrame so the SAME code runs on
+  * `readStream` (incremental, stateful) and on a batch frame (the
+  * driver's oracle gate runs the batch side; StreamingSpec runs the
+  * streaming side and checks they agree).
+  */
+object EventStreams {
+
+  /** Normalize a raw events frame (ts already µs timestamp + ts_us long,
+    * as produced by [[graft.Tables.events]] or the streaming schema). */
+
+  /** Tumbling 1-hour windows per event type: counts + exact value sums. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour windows hopping every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+              col("event_type"), col("n_events"))
+
+  /** Session windows per user with a 30-minute inactivity gap.
+    * Spark semantics: a session's end is last-event-ts + gap; a new
+    * session starts when the next event is >= gap away. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("session_start_us"),
+              unix_micros(col("session_window.end")).as("session_end_us"),
+              col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------- custom state ----
+  case class UserEvent(user_id: Long, ts_us: Long, event_id: Long,
+                       event_type: String, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_cents: Long,
+                       total_value: Double, last_event_type: String)
+
+  /** Per-user lifetime stats via flatMapGroupsWithState — the custom
+    * stateful-operator surface (KeyValueGroupedDataset). Money is
+    * accumulated in integer cents so results are exact and identical
+    * between engines and between batch/streaming execution. */
+  def userStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0L, 0.0, ""))
+          // iterator order is not guaranteed → sort for determinism
+          val evs = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val cents = prev.total_cents + evs.map(e => math.round(e.value * 100)).sum
+            val next = UserStats(user, prev.n_events + evs.size, cents,
+              cents / 100.0, evs.last.event_type)
+            state.update(next)
+            Iterator.single(next)
+          }
+      }
+  }
+
+  // ------------------------- batch twins (driver oracle gate) --------
+
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame =
+    sliding(Tables.events(s, dir))
+
+  val qStreamSlidingSql: String =
+    Tables.eventsCteSql +
+    """
+      |SELECT ((ts_us // 900000000) - k) * 900000000 AS w_start_us,
+      |       event_type, COUNT(1) AS n_events
+      |FROM ev, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) t
+      |GROUP BY 1, 2""".stripMargin
+
+  def qStreamSession(s: SparkSession, dir: String): DataFrame =
+    sessions(Tables.events(s, dir))
+
+  val qStreamSessionSql: String =
+    Tables.eventsCteSql +
+    """,
+      |o AS (SELECT user_id, ts_us, event_id, value,
+      |             LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      |      FROM ev),
+      |m AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+      |SELECT user_id,
+      |       MIN(ts_us) AS session_start_us,
+      |       MAX(ts_us) + 1800000000 AS session_end_us,
+      |       COUNT(1) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
+  def qStreamUserStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+              col("event_type"), col("value")).as[UserEvent]
+    userStats(evs).toDF()
+  }
+
+  val qStreamUserStatsSql: String =
+    Tables.eventsCteSql +
+    """,
+      |c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents, ts_us, event_id, event_type
+      |      FROM ev),
+      |last AS (SELECT user_id, event_type,
+      |                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+      |         FROM c)
+      |SELECT c.user_id,
+      |       COUNT(1) AS n_events,
+      |       CAST(SUM(c.cents) AS BIGINT) AS total_cents,
+      |       CAST(SUM(c.cents) AS DOUBLE) / 100.0 AS total_value,
+      |       MAX(l.event_type) AS last_event_type
+      |FROM c JOIN (SELECT user_id, event_type FROM last WHERE rn = 1) l
+      |  ON c.user_id = l.user_id
+      |GROUP BY c.user_id""".stripMargin
+}

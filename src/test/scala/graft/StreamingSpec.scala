@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Drives the SAME transforms once through Structured Streaming (real
+  * readStream + memory sink) and once in batch, asserting identical
+  * results — plus a watermark test showing late data is dropped.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the fixture events (ns→µs normalized like
+    * Tables.events). */
+  private def streamEvents() = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  private def runComplete(df: org.apache.spark.sql.DataFrame, name: String) = {
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling windows == batch tumbling windows") {
+    val streamed = runComplete(EventStreams.tumbling(streamEvents()), "t_tumbling")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.tumbling(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming session windows == batch session windows") {
+    val streamed = runComplete(EventStreams.sessions(streamEvents()), "t_sessions")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.sessions(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)] // (epoch_us, type)
+    val events = mem.toDF().toDF("ts_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("value", lit(1.0))
+    val agg = EventStreams.tumbling(events)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("t_late").start()
+
+    def hour(h: Long, m: Long = 0): Long = (h * 3600 + m * 60) * 1000000L
+    mem.addData((hour(10, 10), "click"), (hour(10, 20), "click"))
+    q.processAllAvailable()
+    // advance watermark far past hour 10 → the 10:00 window closes
+    mem.addData((hour(14), "view"))
+    q.processAllAvailable()
+    val after = spark.table("t_late").where(col("hour_us") === hour(10))
+      .select("n_events").collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(2), "10:00 window must be finalized with 2 events")
+
+    // a LATE event for the already-closed 10:00 window must be dropped
+    mem.addData((hour(10, 30), "click"))
+    q.processAllAvailable()
+    val fin = spark.table("t_late").where(col("hour_us") === hour(10))
+      .select("n_events").collect().map(_.getLong(0)).toSeq
+    assert(fin == Seq(2), "late event must not reopen or duplicate the window")
+    q.stop()
+  }
+
+  test("stateful userStats agrees between typed pipeline and SQL aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val typed = EventStreams.qStreamUserStats(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val sqlSide = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("total_cents"))
+      .withColumn("total_value", col("total_cents").cast("double") / 100.0)
+    val joined = EventStreams.qStreamUserStats(spark, dir).as("a")
+      .join(sqlSide.as("b"), Seq("user_id"))
+      .where(col("a.n_events") =!= col("b.n_events") ||
+             col("a.total_cents") =!= col("b.total_cents"))
+    assert(typed.size == sqlSide.count())
+    assert(joined.count() == 0)
+  }
+}

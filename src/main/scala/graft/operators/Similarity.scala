@@ -40,18 +40,9 @@ object Similarity {
   val NQueries = 10
   val TopK = 5
 
-  def simTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = scaled(s, dir)
-    val q = e.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("ev").as("qv"))
-    q.join(e, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dotCol(col("qv"), col("ev")).as("dot_scaled"))
-      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("dot_scaled").desc, col("neighbor_id"))))
-      .where(col("rank") <= TopK)
+  def simTopk(s: SparkSession, dir: String): DataFrame =
+    VecKernel.bruteTopk(s, dir, k = TopK, probeFilter = _ < NQueries)
       .withColumn("cos_sim", col("dot_scaled").cast("double") / lit(1e12))
-  }
 
   val simTopkSql: String =
     s"""WITH $evSql,
@@ -80,23 +71,7 @@ object Similarity {
     s"((1103515245 * ($j + 1) + 12345 * ($i + 1)) % 997) - 498"
 
   def simLshTopk(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val dim = Tables.embeddings(s, dir).select(size(col("embedding"))).first().getInt(0)
-    val planes = (for { j <- 0 until H; i <- 0 until dim } yield
-      (j, i, ((1103515245L * (j + 1) + 12345L * (i + 1)) % 997L) - 498L))
-      .toDF("j", "i", "w")
-    val e = scaled(s, dir)
-    val flat = e.select(col("vec_id"), posexplode(col("ev")).as(Seq("i", "e")))
-    // sign bits per hyperplane → two 8-bit band keys per vector
-    val sig = flat.join(broadcast(planes), "i")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("e") * col("w")).as("d"))
-      .groupBy(col("vec_id"))
-      .agg(
-        sum(when(col("j") < 8 && col("d") >= 0,
-          expr("shiftleft(1, j)")).otherwise(0)).as("b0"),
-        sum(when(col("j") >= 8 && col("d") >= 0,
-          expr("shiftleft(1, j - 8)")).otherwise(0)).as("b1"))
+    val sig = VecKernel.signatures(s, dir, H)
     val bands = sig.selectExpr("vec_id", "stack(2, 'p0', b0, 'p1', b1) as (band_id, band_key)")
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -105,11 +80,7 @@ object Similarity {
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
       .distinct()
-    cand
-      .join(e.as("ea"), col("query_id") === col("ea.vec_id"))
-      .join(e.as("eb"), col("neighbor_id") === col("eb.vec_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        dotCol(col("ea.ev"), col("eb.ev")).as("dot_scaled"))
+    VecKernel.pairDots(s, dir, cand)
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("dot_scaled").desc, col("neighbor_id"))))
       .where(col("rank") <= LshTopK)

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Primitive-array kernels for embedding math.
+  *
+  * Catalyst's higher-order functions (zip_with/aggregate) are
+  * interpreted, not codegen'd — an all-pairs dot product through them
+  * allocates a boxed array per pair and is ~30× slower than a tight
+  * loop. Vector scoring is genuine per-partition imperative logic, so
+  * these operators broadcast one side as primitive arrays and stream
+  * the other through mapPartitions (the standard distributed shape for
+  * brute-force scoring: corpus broadcast, probes partitioned).
+  *
+  * Determinism is preserved exactly: elements are the same ×10⁶-scaled
+  * longs, summed in index order.
+  */
+object VecKernel {
+
+  /** (vec_id ascending, scaled elements) for the whole table —
+    * broadcastable: N×dim longs (e.g. 1M vectors × 64 dims = 512 MB…
+    * at that size switch the probe side or shard the corpus; fixture
+    * scales are far below). */
+  private[operators] def collectScaled(s: SparkSession, dir: String): (Array[Long], Array[Array[Long]]) = {
+    val rows = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val arr = r.getSeq[Float](1).toArray
+        val ev = new Array[Long](arr.length)
+        var i = 0
+        while (i < arr.length) { ev(i) = math.round(arr(i).toDouble * 1000000.0); i += 1 }
+        (id, ev)
+      }
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Exact top-k neighbors by dot product for each probe id (probes
+    * partitioned, corpus broadcast). Output: (query_id, neighbor_id,
+    * dot_scaled, rank 1..k) with (dot desc, neighbor asc) total order. */
+  def bruteTopk(s: SparkSession, dir: String, k: Int,
+                probeFilter: Long => Boolean): DataFrame = {
+    import s.implicits._
+    val (ids, vecs) = collectScaled(s, dir)
+    val bc = s.sparkContext.broadcast((ids, vecs))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.embeddings(s, dir).select(col("vec_id")).as[Long]
+      .filter(probeFilter)
+      .repartition(nPart)
+      .mapPartitions { probes =>
+        val (ids, vecs) = bc.value
+        val idx = ids.zipWithIndex.toMap
+        probes.flatMap { q =>
+          val qv = vecs(idx(q))
+          // bounded selection: (dot desc, id asc) — k·N, no full sort
+          val top = new Array[(Long, Long)](k) // (dot, id), worst last
+          var filled = 0
+          var j = 0
+          while (j < ids.length) {
+            if (ids(j) != q) {
+              val d = dot(qv, vecs(j))
+              val cand = (d, ids(j))
+              if (filled < k || better(cand, top(filled - 1))) {
+                var p = math.min(filled, k - 1)
+                top(p) = cand
+                while (p > 0 && better(top(p), top(p - 1))) {
+                  val t = top(p); top(p) = top(p - 1); top(p - 1) = t; p -= 1
+                }
+                if (filled < k) filled += 1
+              }
+            }
+            j += 1
+          }
+          (0 until filled).map(r => (q, top(r)._2, top(r)._1, r + 1))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "dot_scaled", "rank")
+  }
+
+  /** (dot desc, id asc) ordering. */
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  /** Sign-bit LSH signatures: for each vector, H hyperplane dots →
+    * band keys of 8 bits each. Planes are computed from the same
+    * integer formula as the oracle SQL. Output: (vec_id, b0, b1). */
+  def signatures(s: SparkSession, dir: String, h: Int): DataFrame = {
+    import s.implicits._
+    val dim = Tables.embeddings(s, dir).select(size(col("embedding"))).first().getInt(0)
+    val planes: Array[Array[Long]] = Array.tabulate(h, dim)((j, i) =>
+      ((1103515245L * (j + 1) + 12345L * (i + 1)) % 997L) - 498L)
+    val bc = s.sparkContext.broadcast(planes)
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val planes = bc.value
+        rows.map { case (id, emb) =>
+          val ev = new Array[Long](emb.length)
+          var i = 0
+          while (i < ev.length) { ev(i) = math.round(emb(i).toDouble * 1000000.0); i += 1 }
+          var b0 = 0L; var b1 = 0L
+          var j = 0
+          while (j < planes.length) {
+            if (dot(ev, planes(j)) >= 0) {
+              if (j < 8) b0 |= (1L << j) else b1 |= (1L << (j - 8))
+            }
+            j += 1
+          }
+          (id, b0, b1)
+        }
+      }
+      .toDF("vec_id", "b0", "b1")
+  }
+
+  /** Exact dots for an explicit candidate-pair frame (corpus broadcast,
+    * pairs partitioned). */
+  def pairDots(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val (ids, vecs) = collectScaled(s, dir)
+    val bc = s.sparkContext.broadcast((ids, vecs))
+    pairs.select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val (ids, vecs) = bc.value
+        val idx = ids.zipWithIndex.toMap
+        it.map { case (q, n) => (q, n, dot(vecs(idx(q)), vecs(idx(n)))) }
+      }
+      .toDF("query_id", "neighbor_id", "dot_scaled")
+  }
+}

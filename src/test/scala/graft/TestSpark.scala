@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[8]")
+      .master("local[8, 4]") // 4 task-failure retries: chaos tests inject failures
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

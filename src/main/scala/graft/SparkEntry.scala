@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_embedding"   -> (Dedup.dedupEmbedding _),
     "sim_topk"          -> (Similarity.simTopk _),
     "sim_lsh_topk"      -> (Similarity.simLshTopk _),
+    "sim_ivf_topk"      -> (Similarity.simIvfTopk _),
     "stream_sliding"    -> (graft.streaming.EventStreams.qStreamSliding _),
     "stream_session"    -> (graft.streaming.EventStreams.qStreamSession _),
     "stream_user_stats" -> (graft.streaming.EventStreams.qStreamUserStats _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "dedup_embedding"   -> Dedup.dedupEmbeddingSql,
     "sim_topk"          -> Similarity.simTopkSql,
     "sim_lsh_topk"      -> Similarity.simLshTopkSql,
+    "sim_ivf_topk"      -> Similarity.simIvfTopkSql,
     "stream_sliding"    -> graft.streaming.EventStreams.qStreamSlidingSql,
     "stream_session"    -> graft.streaming.EventStreams.qStreamSessionSql,
     "stream_user_stats" -> graft.streaming.EventStreams.qStreamUserStatsSql,
@@ -103,5 +105,6 @@ object SparkEntry {
   /** Headline subset used by Bench (keep it representative, not exhaustive). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q2_selective_agg", "q3_join_topk", "q6_multi_join",
-    "q7_broadcast_join", "q9_window_running", "q14_distinct_agg", "q18_asof")
+    "q7_broadcast_join", "q9_window_running", "q14_distinct_agg", "q18_asof",
+    "mr_wc", "dedup_exact", "dedup_minhash", "sim_lsh_topk", "stream_session")
 }

@@ -70,6 +70,64 @@ object Similarity {
   private def wFormula(j: String, i: String): String =
     s"((1103515245 * ($j + 1) + 12345 * ($i + 1)) % 997) - 498"
 
+  // ----------------------------------------------------- sim_ivf_topk
+  /** IVF (inverted-file) ANN: C coarse cells (deterministic "training":
+    * the first C vectors serve as centroids — swap in k-means offline
+    * at scale), every vector assigned to its nearest cell, queries
+    * probe their `NProbe` nearest cells and re-rank exactly. At 100 TB
+    * the candidate join shuffles on cell id — each query touches
+    * NProbe/C of the corpus instead of all of it. */
+  val NCentroids = 16
+  val NProbe = 2
+  val IvfTopK = 3
+
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val cells = VecKernel.ivfCells(s, dir, NCentroids, NProbe).persist()
+    val assign = cells.select(col("vec_id"), col("cell"))
+    val probes = cells.select(col("vec_id").as("query_id"),
+      explode(col("probes")).as("cell"))
+    val cand = probes.join(assign, "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    VecKernel.pairDots(s, dir, cand)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dot_scaled").desc, col("neighbor_id"))))
+      .where(col("rank") <= IvfTopK)
+      .withColumn("cos_sim", col("dot_scaled").cast("double") / lit(1e12))
+  }
+
+  val simIvfTopkSql: String =
+    s"""WITH $evSql,
+       |cent AS (SELECT vec_id AS c_id, i, e FROM ev WHERE vec_id < $NCentroids),
+       |cdots AS (
+       |  SELECT a.vec_id, c.c_id, CAST(SUM(a.e * c.e) AS BIGINT) AS d
+       |  FROM ev a JOIN cent c ON a.i = c.i
+       |  GROUP BY 1, 2),
+       |ranked_c AS (
+       |  SELECT vec_id, c_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c_id) AS rn
+       |  FROM cdots),
+       |assign AS (SELECT vec_id, c_id AS cell FROM ranked_c WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked_c WHERE rn <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       |exact AS (
+       |  SELECT c.query_id, c.neighbor_id, CAST(SUM(ea.e * eb.e) AS BIGINT) AS dot_scaled
+       |  FROM cand c
+       |  JOIN ev ea ON ea.vec_id = c.query_id
+       |  JOIN ev eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dot_scaled,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY dot_scaled DESC, neighbor_id) AS rank
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, dot_scaled, CAST(rank AS INT) AS rank,
+       |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
+       |FROM ranked WHERE rank <= $IvfTopK""".stripMargin
+
   def simLshTopk(s: SparkSession, dir: String): DataFrame = {
     val sig = VecKernel.signatures(s, dir, H)
     val bands = sig.selectExpr("vec_id", "stack(2, 'p0', b0, 'p1', b1) as (band_id, band_key)")

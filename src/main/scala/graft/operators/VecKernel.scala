@@ -122,6 +122,33 @@ object VecKernel {
       .toDF("vec_id", "b0", "b1")
   }
 
+  /** IVF cell assignment + query probes in one pass: each vector's
+    * nearest centroid (assignment) and its `nprobe` nearest centroids
+    * (probe list), by exact integer dot against a broadcast centroid
+    * set. Ties break to the smaller centroid id. Output:
+    * (vec_id, cell, probes array). */
+  def ivfCells(s: SparkSession, dir: String, nCentroids: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val (ids, vecs) = collectScaled(s, dir)
+    val centroids: Array[(Long, Array[Long])] =
+      ids.zip(vecs).filter(_._1 < nCentroids)
+    val bc = s.sparkContext.broadcast(centroids)
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cents = bc.value
+        rows.map { case (id, emb) =>
+          val ev = new Array[Long](emb.length)
+          var i = 0
+          while (i < ev.length) { ev(i) = math.round(emb(i).toDouble * 1000000.0); i += 1 }
+          val scored = cents.map { case (cid, cv) => (dot(ev, cv), cid) }
+          val ranked = scored.sortBy { case (d, cid) => (-d, cid) }
+          (id, ranked.head._2, ranked.take(nprobe).map(_._2).toSeq)
+        }
+      }
+      .toDF("vec_id", "cell", "probes")
+  }
+
   /** Exact dots for an explicit candidate-pair frame (corpus broadcast,
     * pairs partitioned). */
   def pairDots(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Physical-plan quality gates: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, partial aggregation, top-k
+  * short-circuit) asserted on the actual Catalyst output, so a
+  * regression in plan shape fails CI even while results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    plan(df).collect { case f: FileSourceScanExec => f }
+
+  test("q2: filters push down to the parquet scan; columns pruned") {
+    val sc = scans(Relational.q2SelectiveAgg(spark, dir))
+    assert(sc.nonEmpty)
+    val meta = sc.head.metadata
+    assert(meta("PushedFilters").contains("l_shipdate"),
+      s"shipdate filter must reach parquet: ${meta("PushedFilters")}")
+    assert(meta("PushedFilters").contains("l_quantity"))
+    val readSchema = meta("ReadSchema")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"unused columns must be pruned: $readSchema")
+  }
+
+  test("q1: aggregation is partial (map-side) before the shuffle") {
+    val aggs = plan(Relational.q1Agg(spark, dir))
+      .collect { case h: HashAggregateExec => h }
+    assert(aggs.size >= 2, "expect partial+final HashAggregate pair")
+  }
+
+  test("q7: dimension join is broadcast, not shuffled") {
+    val p = plan(Relational.q7BroadcastJoin(spark, dir))
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "part table must broadcast")
+  }
+
+  test("q6: all four dimension tables broadcast") {
+    val p = plan(Relational.q6MultiJoin(spark, dir))
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 4)
+  }
+
+  test("q10: global top-k plans as TakeOrderedAndProject, not full sort") {
+    val p = plan(Relational.q10TopK(spark, dir))
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+  }
+
+  test("q3: only needed lineitem columns are read") {
+    val sc = scans(Relational.q3JoinTopk(spark, dir))
+      .filter(_.metadata("Location").contains("lineitem"))
+    assert(sc.nonEmpty)
+    val readSchema = sc.head.metadata("ReadSchema")
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_tax"),
+      s"q3 must not read unused lineitem columns: $readSchema")
+  }
+}

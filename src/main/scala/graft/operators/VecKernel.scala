@@ -149,18 +149,21 @@ object VecKernel {
       .toDF("vec_id", "cell", "probes")
   }
 
-  /** Exact dots for an explicit candidate-pair frame (corpus broadcast,
-    * pairs partitioned). */
+  /** Exact dots for an explicit candidate-pair frame: joins the scaled
+    * vectors to both pair sides and scores with the codegen'd
+    * [[graft.functions.DotProductI64]] expression — a pure declarative
+    * plan (shuffle/broadcast joins chosen by Catalyst), no driver-side
+    * vector collection, so it scales to corpora that don't fit on the
+    * driver. */
   def pairDots(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
-    import s.implicits._
-    val (ids, vecs) = collectScaled(s, dir)
-    val bc = s.sparkContext.broadcast((ids, vecs))
-    pairs.select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
-      .mapPartitions { it =>
-        val (ids, vecs) = bc.value
-        val idx = ids.zipWithIndex.toMap
-        it.map { case (q, n) => (q, n, dot(vecs(idx(q)), vecs(idx(n)))) }
-      }
-      .toDF("query_id", "neighbor_id", "dot_scaled")
+    graft.functions.DotProductI64.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
+    pairs
+      .join(e.as("ea"), col("query_id") === col("ea.vec_id"))
+      .join(e.as("eb"), col("neighbor_id") === col("eb.vec_id"))
+      .selectExpr("query_id", "neighbor_id",
+        "dot_i64(ea.ev, eb.ev) as dot_scaled")
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{DotProductI64, GraftExtensions}
+
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("dot_i64: exact value via SQL registration") {
+    DotProductI64.register(spark)
+    val r = spark.sql(
+      "SELECT dot_i64(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head().getLong(0)
+    assert(r == 4 + 10 + 18)
+  }
+
+  test("dot_i64 == interpreted zip_with/aggregate on real embeddings") {
+    DotProductI64.register(spark)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
+    val both = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .selectExpr(
+        "dot_i64(a.ev, b.ev) as fast",
+        "aggregate(zip_with(a.ev, b.ev, (x, y) -> x * y), 0L, (acc, v) -> acc + v) as slow")
+    assert(both.where(col("fast") =!= col("slow")).count() == 0)
+    assert(both.count() == 50 * 49 / 2)
+  }
+
+  test("dot_i64 handles nulls and length mismatch") {
+    DotProductI64.register(spark)
+    val r = spark.sql(
+      "SELECT dot_i64(array(1L, 2L), array(3L)) AS d, dot_i64(cast(null as array<bigint>), array(1L)) AS n")
+    val row = r.head()
+    assert(row.getLong(0) == 3)   // min-length semantics
+    assert(row.isNullAt(1))       // null in → null out
+  }
+
+  test("GraftExtensions wires dot_i64 into a session built with it") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; injection list accepts it
+  }
+}

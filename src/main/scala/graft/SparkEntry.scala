@@ -56,7 +56,9 @@ object SparkEntry {
     "stream_sliding"    -> (graft.streaming.EventStreams.qStreamSliding _),
     "stream_session"    -> (graft.streaming.EventStreams.qStreamSession _),
     "stream_user_stats" -> (graft.streaming.EventStreams.qStreamUserStats _),
-    "mm_features"       -> (graft.multimodal.Media.mmFeatures _)
+    "stream_join"       -> (graft.streaming.EventStreams.qStreamJoin _),
+    "mm_features"       -> (graft.multimodal.Media.mmFeatures _),
+    "sql_direct"        -> (SqlSurface.qSqlDirect _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -99,7 +101,9 @@ object SparkEntry {
     "stream_sliding"    -> graft.streaming.EventStreams.qStreamSlidingSql,
     "stream_session"    -> graft.streaming.EventStreams.qStreamSessionSql,
     "stream_user_stats" -> graft.streaming.EventStreams.qStreamUserStatsSql,
-    "mm_features"       -> graft.multimodal.Media.mmFeaturesSql
+    "stream_join"       -> graft.streaming.EventStreams.qStreamJoinSql,
+    "mm_features"       -> graft.multimodal.Media.mmFeaturesSql,
+    "sql_direct"        -> SqlSurface.sqlDirect
   )
 
   /** Headline subset used by Bench (keep it representative, not exhaustive). */

@@ -82,7 +82,40 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream join: each purchase joined to every
+    * signup of the same user in the preceding hour. The event-time
+    * range bound is what lets Spark expire join state — without it a
+    * stream-stream join buffers forever. Works unchanged on batch
+    * frames (watermarks are no-ops there). */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+              col("ts").as("p_ts"), col("ts_us").as("p_us"))
+      .withWatermark("p_ts", "1 hour")
+    val g = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("g_user"), col("ts").as("g_ts"),
+              col("ts_us").as("g_us"))
+      .withWatermark("g_ts", "2 hours")
+    p.join(g,
+      col("user_id") === col("g_user") &&
+      col("g_ts") <= col("p_ts") &&
+      col("g_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("user_id"), col("p_us"), col("g_us"))
+  }
+
   // ------------------------- batch twins (driver oracle gate) --------
+
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame =
+    purchaseAttribution(Tables.events(s, dir))
+
+  val qStreamJoinSql: String =
+    Tables.eventsCteSql +
+    """
+      |SELECT p.event_id AS p_id, p.user_id, p.ts_us AS p_us, g.ts_us AS g_us
+      |FROM ev p JOIN ev g
+      |  ON p.user_id = g.user_id
+      | AND p.event_type = 'purchase' AND g.event_type = 'signup'
+      | AND g.ts_us <= p.ts_us AND g.ts_us >= p.ts_us - 3600000000""".stripMargin
 
   def qStreamSliding(s: SparkSession, dir: String): DataFrame =
     sliding(Tables.events(s, dir))

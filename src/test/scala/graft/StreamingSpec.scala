@@ -84,6 +84,19 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream join (purchase attribution) == batch join") {
+    val streamed = {
+      val df = EventStreams.purchaseAttribution(streamEvents())
+      val q = df.writeStream.outputMode("append")
+        .format("memory").queryName("t_ssjoin").start()
+      q.processAllAvailable(); q.stop()
+      spark.table("t_ssjoin").collect().map(_.toSeq).toSet
+    }
+    val batch = EventStreams.purchaseAttribution(
+      Tables.events(spark, "/root/testdata/sf0.001")).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful userStats agrees between typed pipeline and SQL aggregate") {
     val dir = "/root/testdata/sf0.001"
     val typed = EventStreams.qStreamUserStats(spark, dir)

@@ -36,6 +36,7 @@ object SparkEntry {
     "q17_json"          -> (Relational.q17Json _),
     "q18_asof"          -> (Relational.q18AsOf _),
     "q19_event_window"  -> (Relational.q19EventWindow _),
+    "q20_approx_distinct" -> (Relational.q20ApproxDistinct _),
     "mr_wc"             -> (MrQueries.mrWc _),
     "mr_indexer"        -> (MrQueries.mrIndexer _),
     "mr_doc_tokens"     -> (MrQueries.mrDocTokens _),

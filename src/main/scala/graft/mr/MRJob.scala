@@ -63,6 +63,17 @@ object MRJob {
     runKV(input, mapf, reducef, nReduce).map(kv => s"${kv.key} ${kv.value}")
   }
 
+  /** End-to-end job matching the reference's user workflow: point the
+    * engine at a bucket/directory of text files, give it (Map, Reduce),
+    * get `mr-out` text files (reference `main/mrcoordinator.go` +
+    * `mrworker.go` invocation: files + nReduce + plugin fns). The
+    * coordinator/worker/RPC machinery in between (≈500 LoC of the
+    * reference) is Spark's scheduler. */
+  def runFiles(spark: SparkSession, inputGlob: String, outPath: String,
+               mapf: MapF, reducef: ReduceF, nReduce: Int = 10): Unit =
+    run(WholeFiles.read(spark, inputGlob), mapf, reducef, nReduce)
+      .write.mode("overwrite").text(outPath)
+
   /** Single-threaded sequential oracle mirroring the reference's
     * `main/mrsequential.go:25-87`: map everything, global sort by key,
     * group-adjacent, reduce. Used by differential tests. */

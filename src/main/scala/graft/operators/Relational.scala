@@ -349,6 +349,17 @@ object Relational {
       |       COUNT(1) AS n_rows
       |FROM lineitem""".stripMargin
 
+  // --------------------------------------------------------------- q20
+  /** Sketch-based distinct (HyperLogLog++): the 100 TB answer to
+    * COUNT(DISTINCT) — constant memory, mergeable, no Expand blow-up.
+    * No DuckDB oracle (HLL implementations differ across engines);
+    * FunctionsSpec bounds the error against the exact count. */
+  def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+
   // --------------------------------------------------------------- q15
   /** Scalar function library: string/math expressions, all codegen'd
     * built-ins (no UDFs). */

@@ -39,6 +39,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.isNullAt(1))       // null in → null out
   }
 
+  test("approx_count_distinct lands within its error bound") {
+    val r = graft.operators.Relational
+      .q20ApproxDistinct(spark, "/root/testdata/sf0.001").head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("GraftExtensions wires dot_i64 into a session built with it") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; injection list accepts it

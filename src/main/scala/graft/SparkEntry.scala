@@ -42,6 +42,7 @@ object SparkEntry {
     "mr_doc_tokens"     -> (MrQueries.mrDocTokens _),
     "mr_metadata"       -> (MrQueries.mrMetadata _),
     "mr_compat_wc"      -> (MrQueries.mrCompatWc _),
+    "mr_compat_indexer" -> (MrQueries.mrCompatIndexer _),
     "ta_quality"        -> (TextAnalysis.taQuality _),
     "ta_token_count"    -> (TextAnalysis.taTokenCount _),
     "ta_lang_id"        -> (TextAnalysis.taLangId _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "mr_doc_tokens"     -> MrQueries.mrDocTokensSql,
     "mr_metadata"       -> MrQueries.mrMetadataSql,
     "mr_compat_wc"      -> MrQueries.mrCompatWcSql,
+    "mr_compat_indexer" -> MrQueries.mrCompatIndexerSql,
     "ta_quality"        -> TextAnalysis.taQualitySql,
     "ta_token_count"    -> TextAnalysis.taTokenCountSql,
     "ta_lang_id"        -> TextAnalysis.taLangIdSql,

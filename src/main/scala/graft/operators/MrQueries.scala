@@ -121,4 +121,20 @@ object MrQueries {
   }
 
   val mrCompatWcSql: String = mrWcSql
+
+  /** Inverted index through the compat façade; the reference reduce
+    * emits `"<n> <docs,comma>"` as one string (`mrapps/indexer.go:38`),
+    * parsed back to columns to share mrIndexer's oracle. */
+  def mrCompatIndexer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val input = Tables.documents(s, dir)
+      .select(docName.as("_1"), col("text").as("_2"))
+      .as[(String, String)]
+    MRJob.runKV(input, Apps.indexerMap, Apps.indexerReduce)
+      .select(col("key").as("word"),
+        substring_index(col("value"), " ", 1).cast("long").as("n_docs"),
+        expr("substring(value, instr(value, ' ') + 1)").as("docs"))
+  }
+
+  val mrCompatIndexerSql: String = mrIndexerSql
 }

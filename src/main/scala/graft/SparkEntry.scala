@@ -47,6 +47,7 @@ object SparkEntry {
     "ta_token_count"    -> (TextAnalysis.taTokenCount _),
     "ta_lang_id"        -> (TextAnalysis.taLangId _),
     "ta_fingerprint"    -> (TextAnalysis.taFingerprint _),
+    "ta_chunk_fp"       -> (TextAnalysis.taChunkFp _),
     "dedup_exact"       -> (Dedup.dedupExact _),
     "dedup_ngram"       -> (Dedup.dedupNgram _),
     "dedup_minhash"     -> (Dedup.dedupMinhash _),

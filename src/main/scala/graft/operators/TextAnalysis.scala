@@ -152,6 +152,62 @@ object TextAnalysis {
         split(normalized(t), " "))), " ")).as("fp_bag"))
   }
 
+  // --------------------------------------------- rolling-hash chunks
+  /** Content-defined chunking via a Rabin-style rolling hash: a chunk
+    * boundary falls wherever the rolling hash of the last [[ChunkWin]]
+    * bytes hits 0 mod [[ChunkMod]] (expected chunk ≈ ChunkMod bytes).
+    * Chunk fingerprints survive insertions/deletions elsewhere in the
+    * document — the primitive for partial-duplicate detection at scale
+    * (dedup storage, diff-aware pipelines). Per-partition kernel work;
+    * no shuffle. Rows-only driver check; ChunkingSpec asserts the CDC
+    * properties (boundary stability under prefix edits).
+    */
+  val ChunkWin = 16
+  val ChunkMod = 64
+  private val RollBase = 257L
+  private val RollMod = 1000000007L
+
+  def chunkFingerprints(text: String): Seq[Long] = {
+    val bytes = text.getBytes("UTF-8")
+    if (bytes.isEmpty) return Seq.empty
+    // precompute base^(win-1) for the rolling removal
+    var pow = 1L
+    for (_ <- 1 until ChunkWin) pow = pow * RollBase % RollMod
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var roll = 0L
+    var chunkHash = 1469598103934665603L // FNV-64 offset basis: chunk fp
+    var chunkLen = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      // drop the byte leaving the window (coefficient base^(win-1))
+      // BEFORE shifting, so `roll` is always the window's poly hash
+      if (i >= ChunkWin)
+        roll = (roll - (bytes(i - ChunkWin) & 0xff) * pow % RollMod + RollMod) % RollMod
+      roll = (roll * RollBase + b) % RollMod
+      chunkHash = (chunkHash ^ b) * 1099511628211L // FNV-64 prime
+      chunkLen += 1
+      if ((i >= ChunkWin - 1 && roll % ChunkMod == 0) || i == bytes.length - 1) {
+        out += (chunkHash & Long.MaxValue)
+        chunkHash = 1469598103934665603L
+        chunkLen = 0
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  def taChunkFp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val fps = chunkFingerprints(text)
+        (id, fps.length.toLong, fps)
+      })
+      .toDF("doc_id", "n_chunks", "chunk_fps")
+  }
+
   val taFingerprintSql: String =
     """SELECT doc_id,
       |  md5(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g'))) AS fp_norm,

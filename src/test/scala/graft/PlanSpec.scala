@@ -55,6 +55,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
   }
 
+  test("q4: semi join plans as LeftSemi (no dedup shuffle)") {
+    val txt = plan(Relational.q4SemiJoin(spark, dir)).toString
+    assert(txt.contains("LeftSemi"), s"expected LeftSemi join:\n$txt")
+  }
+
+  test("mr_wc: token count aggregates partially before the shuffle") {
+    val aggs = plan(MrQueries.mrWc(spark, dir))
+      .collect { case h: HashAggregateExec => h }
+    assert(aggs.size >= 2, "explode->count must partial-aggregate map-side")
+  }
+
+  test("dedup_exact: exactly one shuffle (window on fp)") {
+    val p = plan(graft.operators.Dedup.dedupExact(spark, dir))
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 1, s"linear dedup must not multi-shuffle:\n$p")
+  }
+
   test("q3: only needed lineitem columns are read") {
     val sc = scans(Relational.q3JoinTopk(spark, dir))
       .filter(_.metadata("Location").contains("lineitem"))

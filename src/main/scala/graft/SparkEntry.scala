@@ -37,6 +37,7 @@ object SparkEntry {
     "q18_asof"          -> (Relational.q18AsOf _),
     "q19_event_window"  -> (Relational.q19EventWindow _),
     "q20_approx_distinct" -> (Relational.q20ApproxDistinct _),
+    "q21_arrays"        -> (Relational.q21Arrays _),
     "mr_wc"             -> (MrQueries.mrWc _),
     "mr_indexer"        -> (MrQueries.mrIndexer _),
     "mr_doc_tokens"     -> (MrQueries.mrDocTokens _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q17_json"          -> Relational.q17JsonSql,
     "q18_asof"          -> Relational.q18AsOfSql,
     "q19_event_window"  -> Relational.q19EventWindowSql,
+    "q21_arrays"        -> Relational.q21ArraysSql,
     "mr_wc"             -> MrQueries.mrWcSql,
     "mr_indexer"        -> MrQueries.mrIndexerSql,
     "mr_doc_tokens"     -> MrQueries.mrDocTokensSql,

@@ -360,6 +360,28 @@ object Relational {
       countDistinct(col("l_partkey")).as("exact_parts"),
       approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
 
+  // --------------------------------------------------------------- q21
+  /** Array functions over grouped data: per-order part list (sorted,
+    * sliced, probed) — collect_list/sort_array/slice/array_contains,
+    * the array manipulation surface. */
+  def q21Arrays(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+           sort_array(collect_list(col("l_partkey"))).as("parts"))
+      .select(col("l_orderkey"), col("n_items"),
+        slice(col("parts"), 1, 3).as("first_parts"),
+        array_contains(col("parts"), 1L).cast("int").as("has_part_1"),
+        element_at(col("parts"), -1).as("max_part"))
+
+  val q21ArraysSql: String =
+    """SELECT l_orderkey, COUNT(1) AS n_items,
+      |       list_sort(array_agg(l_partkey))[1:3] AS first_parts,
+      |       CAST(list_contains(list_sort(array_agg(l_partkey)), 1) AS INT) AS has_part_1,
+      |       list_sort(array_agg(l_partkey))[-1] AS max_part
+      |FROM lineitem
+      |GROUP BY l_orderkey""".stripMargin
+
   // --------------------------------------------------------------- q15
   /** Scalar function library: string/math expressions, all codegen'd
     * built-ins (no UDFs). */

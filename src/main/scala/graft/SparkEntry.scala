@@ -38,6 +38,7 @@ object SparkEntry {
     "q19_event_window"  -> (Relational.q19EventWindow _),
     "q20_approx_distinct" -> (Relational.q20ApproxDistinct _),
     "q21_arrays"        -> (Relational.q21Arrays _),
+    "q23_stats"         -> (Relational.q23Stats _),
     "mr_wc"             -> (MrQueries.mrWc _),
     "mr_indexer"        -> (MrQueries.mrIndexer _),
     "mr_doc_tokens"     -> (MrQueries.mrDocTokens _),
@@ -62,7 +63,8 @@ object SparkEntry {
     "stream_user_stats" -> (graft.streaming.EventStreams.qStreamUserStats _),
     "stream_join"       -> (graft.streaming.EventStreams.qStreamJoin _),
     "mm_features"       -> (graft.multimodal.Media.mmFeatures _),
-    "sql_direct"        -> (SqlSurface.qSqlDirect _)
+    "sql_direct"        -> (SqlSurface.qSqlDirect _),
+    "q22_grouping_sets" -> (SqlSurface.qGroupingSets _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -86,6 +88,7 @@ object SparkEntry {
     "q18_asof"          -> Relational.q18AsOfSql,
     "q19_event_window"  -> Relational.q19EventWindowSql,
     "q21_arrays"        -> Relational.q21ArraysSql,
+    "q23_stats"         -> Relational.q23StatsSql,
     "mr_wc"             -> MrQueries.mrWcSql,
     "mr_indexer"        -> MrQueries.mrIndexerSql,
     "mr_doc_tokens"     -> MrQueries.mrDocTokensSql,
@@ -109,7 +112,8 @@ object SparkEntry {
     "stream_user_stats" -> graft.streaming.EventStreams.qStreamUserStatsSql,
     "stream_join"       -> graft.streaming.EventStreams.qStreamJoinSql,
     "mm_features"       -> graft.multimodal.Media.mmFeaturesSql,
-    "sql_direct"        -> SqlSurface.sqlDirect
+    "sql_direct"        -> SqlSurface.sqlDirect,
+    "q22_grouping_sets" -> SqlSurface.sqlGroupingSets
   )
 
   /** Headline subset used by Bench (keep it representative, not exhaustive). */

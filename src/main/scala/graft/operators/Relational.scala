@@ -360,6 +360,34 @@ object Relational {
       countDistinct(col("l_partkey")).as("exact_parts"),
       approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
 
+  // --------------------------------------------------------------- q23
+  /** Order statistics: exact median/quartiles (selection, not
+    * summation — safe on doubles across engines), min/max ranges.
+    * Exact percentile sorts per group; at 100 TB prefer
+    * approx_percentile's mergeable KLL-style sketch (rows-only check,
+    * like q20). */
+  def q23Stats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"))
+
+  val q23StatsSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price,
+      |  COUNT(1) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- q21
   /** Array functions over grouped data: per-order part list (sorted,
     * sliced, probed) — collect_list/sort_array/slice/array_contains,

@@ -32,4 +32,20 @@ object SqlSurface {
     registerViews(s, dir)
     s.sql(sqlDirect)
   }
+
+  /** GROUPING SETS — arbitrary grouping combinations in one pass
+    * (Expand + single shuffle), the general form of rollup/cube.
+    * Same string runs in both engines. */
+  val sqlGroupingSets: String =
+    """SELECT COALESCE(n_name, '<all>') AS nation,
+      |       COALESCE(c_mktsegment, '<all>') AS segment,
+      |       COUNT(1) AS n_customers,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin
+
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(sqlGroupingSets)
+  }
 }

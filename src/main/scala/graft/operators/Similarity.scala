@@ -74,15 +74,22 @@ object Similarity {
   /** IVF (inverted-file) ANN: C coarse cells (deterministic "training":
     * the first C vectors serve as centroids — swap in k-means offline
     * at scale), every vector assigned to its nearest cell, queries
-    * probe their `NProbe` nearest cells and re-rank exactly. At 100 TB
-    * the candidate join shuffles on cell id — each query touches
-    * NProbe/C of the corpus instead of all of it. */
-  val NCentroids = 16
+    * probe their `NProbe` nearest cells and re-rank exactly.
+    *
+    * C SCALES WITH THE CORPUS: candidate volume is N²·nprobe/C, so a
+    * fixed C is quadratic — C = 2·⌈√N⌉ keeps it at O(N^1.5) (the 10×
+    * scale rehearsal measured the fixed-C version at 100× the pairs).
+    * The same formula is computed inside the oracle SQL. */
   val NProbe = 2
   val IvfTopK = 3
 
+  /** 2·⌈√N⌉, floored at 16. */
+  def nCentroids(n: Long): Int =
+    math.max(16, 2 * math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val cells = VecKernel.ivfCells(s, dir, NCentroids, NProbe).persist()
+    val c = nCentroids(Tables.embeddings(s, dir).count())
+    val cells = VecKernel.ivfCells(s, dir, c, NProbe).persist()
     val assign = cells.select(col("vec_id"), col("cell"))
     val probes = cells.select(col("vec_id").as("query_id"),
       explode(col("probes")).as("cell"))
@@ -99,7 +106,9 @@ object Similarity {
 
   val simIvfTopkSql: String =
     s"""WITH $evSql,
-       |cent AS (SELECT vec_id AS c_id, i, e FROM ev WHERE vec_id < $NCentroids),
+       |nc AS (SELECT GREATEST(16, 2 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS c
+       |       FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, i, e FROM ev WHERE vec_id < (SELECT c FROM nc)),
        |cdots AS (
        |  SELECT a.vec_id, c.c_id, CAST(SUM(a.e * c.e) AS BIGINT) AS d
        |  FROM ev a JOIN cent c ON a.i = c.i

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** 10× scale rehearsal: replicates the sf0.1 fixtures with shifted keys
+  * into a scratch directory (≈6M lineitem rows, 50k docs/vectors, 1M
+  * events) and times the headline operators there. The point is not the
+  * absolute numbers — it's catching operators whose cost or memory
+  * curves are super-linear before a real cluster does.
+  *
+  * Usage: scripts/run.sh graft.tools.ScaleRehearsal [outDir]
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val copies = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(table: String, shifts: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val union = (0 until copies).map { i =>
+        shifts.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(i * stride))
+        }
+      }.reduce(_ unionByName _)
+      union.write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      // dims stay as-is (shared, broadcast-size); facts shift their keys
+      // so per-entity relationships replicate without collapsing
+      Seq("region", "nation", "supplier", "part").foreach(t => replicate(t, Map.empty))
+      replicate("customer", Map("c_custkey" -> 10000000L))
+      replicate("orders", Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L))
+      replicate("lineitem", Map("l_orderkey" -> 1000000000L))
+      replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+      replicate("documents", Map("doc_id" -> 10000000L))
+      replicate("embeddings", Map("vec_id" -> 10000000L))
+      println(s"[rehearsal] built ${copies}x fixtures at $out")
+    }
+
+    val names = Seq("q1_agg", "q2_selective_agg", "q3_join_topk", "q6_multi_join",
+      "q7_broadcast_join", "q9_window_running", "q14_distinct_agg", "q18_asof",
+      "mr_wc", "ta_quality", "dedup_exact", "dedup_minhash", "dedup_simhash",
+      "sim_lsh_topk", "sim_ivf_topk", "stream_session", "stream_user_stats")
+    names.foreach { n => // warmup pass then timed pass
+      SparkEntry.queries(n)(spark, out).count()
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, out).count()
+      println(f"[rehearsal] $n%-22s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($rows rows)")
+    }
+    spark.stop()
+  }
+}

@@ -39,6 +39,13 @@ object SparkEntry {
     "q20_approx_distinct" -> (Relational.q20ApproxDistinct _),
     "q21_arrays"        -> (Relational.q21Arrays _),
     "q23_stats"         -> (Relational.q23Stats _),
+    "q24_pivot"         -> (Relational2.q24Pivot _),
+    "q25_correlated"    -> (Relational2.q25Correlated _),
+    "q26_posexplode"    -> (Relational2.q26PosExplode _),
+    "q27_maps"          -> (Relational2.q27Maps _),
+    "q28_regex"         -> (Relational2.q28Regex _),
+    "q29_window_battery" -> (Relational2.q29WindowBattery _),
+    "q30_range_join"    -> (Relational2.q30RangeJoin _),
     "mr_wc"             -> (MrQueries.mrWc _),
     "mr_indexer"        -> (MrQueries.mrIndexer _),
     "mr_doc_tokens"     -> (MrQueries.mrDocTokens _),
@@ -62,6 +69,7 @@ object SparkEntry {
     "stream_session"    -> (graft.streaming.EventStreams.qStreamSession _),
     "stream_user_stats" -> (graft.streaming.EventStreams.qStreamUserStats _),
     "stream_join"       -> (graft.streaming.EventStreams.qStreamJoin _),
+    "stream_dedup"      -> (graft.streaming.EventStreams.qStreamDedup _),
     "mm_features"       -> (graft.multimodal.Media.mmFeatures _),
     "sql_direct"        -> (SqlSurface.qSqlDirect _),
     "q22_grouping_sets" -> (SqlSurface.qGroupingSets _)
@@ -89,6 +97,13 @@ object SparkEntry {
     "q19_event_window"  -> Relational.q19EventWindowSql,
     "q21_arrays"        -> Relational.q21ArraysSql,
     "q23_stats"         -> Relational.q23StatsSql,
+    "q24_pivot"         -> Relational2.q24PivotSql,
+    "q25_correlated"    -> Relational2.q25CorrelatedSql,
+    "q26_posexplode"    -> Relational2.q26PosExplodeSql,
+    "q27_maps"          -> Relational2.q27MapsSql,
+    "q28_regex"         -> Relational2.q28RegexSql,
+    "q29_window_battery" -> Relational2.q29WindowBatterySql,
+    "q30_range_join"    -> Relational2.q30RangeJoinSql,
     "mr_wc"             -> MrQueries.mrWcSql,
     "mr_indexer"        -> MrQueries.mrIndexerSql,
     "mr_doc_tokens"     -> MrQueries.mrDocTokensSql,
@@ -111,6 +126,7 @@ object SparkEntry {
     "stream_session"    -> graft.streaming.EventStreams.qStreamSessionSql,
     "stream_user_stats" -> graft.streaming.EventStreams.qStreamUserStatsSql,
     "stream_join"       -> graft.streaming.EventStreams.qStreamJoinSql,
+    "stream_dedup"      -> graft.streaming.EventStreams.qStreamDedupSql,
     "mm_features"       -> graft.multimodal.Media.mmFeaturesSql,
     "sql_direct"        -> SqlSurface.sqlDirect,
     "q22_grouping_sets" -> SqlSurface.sqlGroupingSets

@@ -398,13 +398,15 @@ object Relational {
       .agg(count(lit(1)).as("n_items"),
            sort_array(collect_list(col("l_partkey"))).as("parts"))
       .select(col("l_orderkey"), col("n_items"),
-        slice(col("parts"), 1, 3).as("first_parts"),
+        // serialized (not ArrayType) so the result is hashable by any
+        // row-compare harness; the array ops still run distributed
+        array_join(slice(col("parts"), 1, 3), ",").as("first_parts"),
         array_contains(col("parts"), 1L).cast("int").as("has_part_1"),
         element_at(col("parts"), -1).as("max_part"))
 
   val q21ArraysSql: String =
     """SELECT l_orderkey, COUNT(1) AS n_items,
-      |       list_sort(array_agg(l_partkey))[1:3] AS first_parts,
+      |       array_to_string(list_sort(array_agg(l_partkey))[1:3], ',') AS first_parts,
       |       CAST(list_contains(list_sort(array_agg(l_partkey)), 1) AS INT) AS has_part_1,
       |       list_sort(array_agg(l_partkey))[-1] AS max_part
       |FROM lineitem

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second relational battery: pivot, subquery decorrelation, lateral
+  * explode-with-position, map-typed columns, regex functions, ranking
+  * window functions, and a bucketed time-range join.
+  *
+  * Like [[Relational]], none of this exists in the reference engine
+  * (SURVEY.md §2.4 — the reference has no multi-input or windowed
+  * operators; reference `mr/coordinator.go:337-339` gives each job
+  * exactly one input set). Everything here is declarative DataFrame
+  * code so Catalyst picks the physical plan; scale notes per query.
+  */
+object Relational2 {
+
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+
+  // --------------------------------------------------------------- q24
+  /** Pivot: order counts per priority × status. Spark's `pivot` with an
+    * explicit value list compiles to a single-pass conditional
+    * aggregation (no extra shuffle vs a plain groupBy; values are listed
+    * so no driver-side distinct pre-pass runs). Output stays 5×3 at any
+    * scale — the aggregation is the reduction. */
+  def q24Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  val q24PivotSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- q25
+  /** Correlated scalar subquery, decorrelated: customers with
+    * above-nation-average balance. Expressed as a single window pass
+    * (one shuffle on c_nationkey) instead of a per-row subquery — the
+    * plan Catalyst's decorrelation would aim for, written directly.
+    * The comparison is kept in exact DECIMAL arithmetic
+    * (bal·n > Σbal avoids division) so it is order-independent and
+    * engine-identical. */
+  def q25Correlated(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+    Tables.customer(s, dir)
+      .withColumn("n_nat", count(lit(1)).over(w))
+      .withColumn("sum_nat", sum(dec("c_acctbal")).over(w))
+      .where(dec("c_acctbal") * col("n_nat") > col("sum_nat"))
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val q25CorrelatedSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c3
+      |       WHERE c3.c_nationkey = c.c_nationkey)""".stripMargin
+
+  // --------------------------------------------------------------- q26
+  /** Lateral/positional explode: leading tokens of each document with
+    * their 1-based position, aggregated to (token, position) counts.
+    * `posexplode` is a Generator — it pipelines inside the scan stage
+    * (no shuffle until the final groupBy), so fan-out cost is linear in
+    * tokens regardless of document count. */
+  def q26PosExplode(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("tok"), (col("pos0") + 1).cast("long").as("pos"))
+      .where(col("pos") <= 5)
+      .groupBy(col("tok"), col("pos"))
+      .agg(count(lit(1)).as("n"))
+
+  val q26PosExplodeSql: String =
+    """SELECT tok, pos, COUNT(1) AS n FROM (
+      |  SELECT unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+      |) WHERE pos <= 5
+      |GROUP BY tok, pos""".stripMargin
+
+  // --------------------------------------------------------------- q27
+  /** Map-typed columns: build a map from part attributes, extend it
+    * with map_concat, look up a key, then explode entries back to rows.
+    * The map never leaves the executors and the output is all scalar
+    * columns (hashable by any row-compare harness). */
+  def q27Maps(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .withColumn("m", map(lit("brand"), col("p_brand"), lit("type"), col("p_type")))
+      .withColumn("m2", map_concat(col("m"), map(lit("size"), col("p_size").cast("string"))))
+      .select(col("p_partkey"),
+        element_at(col("m2"), "brand").as("brand"),
+        size(col("m2")).cast("long").as("m_size"),
+        explode(col("m2")).as(Seq("attr", "val")))
+
+  val q27MapsSql: String =
+    """SELECT p_partkey, p_brand AS brand, CAST(3 AS BIGINT) AS m_size, k AS attr, v AS val
+      |FROM (SELECT p_partkey, p_brand, p_brand AS brand, p_type AS type,
+      |             CAST(p_size AS VARCHAR) AS size FROM part)
+      |UNPIVOT (v FOR k IN (brand, type, size))""".stripMargin
+
+  // --------------------------------------------------------------- q28
+  /** Regex battery: extract, replace-all, and match-test — all codegen'd
+    * built-ins (no UDFs). Patterns stay in the portable common subset of
+    * Java regex and RE2 (character classes, anchors, alternation) so any
+    * conforming engine produces identical results. */
+  def q28Regex(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)$", 1).as("adj"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("noun"),
+      regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_masked"),
+      col("p_name").rlike("^(red|blue)").cast("int").as("is_rb"))
+
+  val q28RegexSql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 1) AS adj,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+      |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
+      |  CAST(regexp_matches(p_name, '^(red|blue)') AS INT) AS is_rb
+      |FROM part""".stripMargin
+
+  // --------------------------------------------------------------- q29
+  /** Ranking-window battery: ntile / percent_rank / cume_dist /
+    * first_value / nth_value per nation, ordered by (acctbal, suppkey)
+    * so the order is total and every function is deterministic.
+    * percent_rank and cume_dist are exact rationals computed the same
+    * way in both engines, so doubles compare bit-identical. */
+  def q29WindowBattery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+    Tables.supplier(s, dir).select(
+      col("s_suppkey"), col("s_nationkey"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cdist"),
+      first(col("s_suppkey")).over(w).as("first_sk"),
+      nth_value(col("s_suppkey"), 2).over(w).as("second_sk"))
+  }
+
+  val q29WindowBatterySql: String =
+    """SELECT s_suppkey, s_nationkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist,
+      |  first_value(s_suppkey) OVER w AS first_sk,
+      |  nth_value(s_suppkey, 2) OVER w AS second_sk
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)""".stripMargin
+
+  // --------------------------------------------------------------- q30
+  /** Time-range join without an equi key: for every click, count the
+    * purchases (any user) in the following 5 minutes.
+    *
+    * A naive theta-join is a cross product — O(clicks × purchases).
+    * The scale pattern used here buckets both sides by
+    * ⌊ts / window⌋: a purchase inside (c.ts, c.ts + W] lands in the
+    * click's bucket or the next one, so exploding each click into those
+    * two buckets turns the theta-join into an equi-join on the bucket id
+    * (hash-partitionable, AQE-skew-splittable) followed by the exact
+    * range predicate. Candidate pairs per click stay O(events within
+    * 2W), independent of total data size. */
+  def q30RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = 300000000L // 5 minutes in µs
+    val ev = Tables.events(s, dir)
+    val bkt = expr(s"ts_us div $W") // exact integer division (no double rounding)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts_us"),
+        explode(array(bkt, bkt + 1)).as("bucket"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts_us").as("p_ts"),
+              bkt.as("p_bucket"))
+    clicks
+      .join(purchases,
+        col("bucket") === col("p_bucket") &&
+        col("p_ts") > col("ts_us") && col("p_ts") <= col("ts_us") + W,
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("p_id")).as("n_purch"))
+  }
+
+  val q30RangeJoinSql: String =
+    graft.Tables.eventsCteSql +
+    """
+      |SELECT c.event_id, COUNT(p.event_id) AS n_purch
+      |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+      |  ON p.ts_us > c.ts_us AND p.ts_us <= c.ts_us + 300000000
+      |GROUP BY c.event_id""".stripMargin
+}

@@ -203,7 +203,9 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val fps = chunkFingerprints(text)
-        (id, fps.length.toLong, fps)
+        // serialized fingerprint list (not ArrayType) keeps the output
+        // hashable by row-compare harnesses; chunking runs distributed
+        (id, fps.length.toLong, fps.mkString(","))
       })
       .toDF("doc_id", "n_chunks", "chunk_fps")
   }

@@ -103,7 +103,26 @@ object EventStreams {
       .select(col("p_id"), col("user_id"), col("p_us"), col("g_us"))
   }
 
+  /** Streaming exact dedup: first-seen (user_id, event_type) pairs.
+    * Keys-only projection makes the result set identical to batch
+    * DISTINCT regardless of which duplicate arrives first. State is one
+    * entry per distinct key — bounded by key cardinality, not stream
+    * length; for time-bounded duplicate bursts,
+    * `dropDuplicatesWithinWatermark` caps state by the watermark delay
+    * instead (exercised in StreamingSpec). */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type")).dropDuplicates()
+
   // ------------------------- batch twins (driver oracle gate) --------
+
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    dedupKeys(Tables.events(s, dir))
+
+  val qStreamDedupSql: String =
+    Tables.eventsCteSql +
+    """
+      |SELECT DISTINCT user_id, event_type FROM ev""".stripMargin
+
 
   def qStreamJoin(s: SparkSession, dir: String): DataFrame =
     purchaseAttribution(Tables.events(s, dir))

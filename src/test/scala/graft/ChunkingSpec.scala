@@ -29,13 +29,14 @@ class ChunkingSpec extends AnyFunSuite {
     assert(a.toSet != b.toSet, "the edited chunk itself must differ")
   }
 
-  test("distributed operator emits one row per doc with chunk arrays") {
+  test("distributed operator emits one row per doc with serialized chunk fps") {
     val d = java.nio.file.Files.createTempDirectory("graft-cdc").toString
     Seq((0L, base, "en", "s", 1L), (1L, "INSERTED " + base, "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     val rows = TextAnalysis.taChunkFp(spark, d).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong).toSeq)
+      .toMap
     assert(rows.size == 2)
     assert(rows(0L).toSet.intersect(rows(1L).toSet).size >= rows(0L).size - 2)
   }

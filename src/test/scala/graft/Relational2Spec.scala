@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational2
+
+/** Semantic checks for the second relational battery (q24–q30), plus
+  * plan gates for the shapes that matter at scale: the range join must
+  * never plan as a cartesian/nested-loop product, and pivot must stay a
+  * single partial+final aggregation pass.
+  */
+class Relational2Spec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.sparkPlan
+
+  test("q24 pivot: cell counts re-add to the orders total") {
+    val piv = Relational2.q24Pivot(spark, dir)
+    val cells = piv.agg(sum(col("n_f") + col("n_o") + col("n_p"))).as[Long].head()
+    val total = Tables.orders(spark, dir).count()
+    assert(piv.count() == 5 && cells == total)
+  }
+
+  test("q24 pivot plans as one partial+final aggregate (no distinct pre-pass)") {
+    val aggs = plan(Relational2.q24Pivot(spark, dir))
+      .collect { case h: HashAggregateExec => h }
+    assert(aggs.size >= 2, "expect partial+final HashAggregate pair")
+  }
+
+  test("q25 decorrelated window == join-with-aggregate formulation") {
+    val c = Tables.customer(spark, dir)
+    val avgNat = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"), count(lit(1)).as("n"))
+    val expected = c.join(avgNat, col("c_nationkey") === col("nk"))
+      .where(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))
+      .select("c_custkey").as[Long].collect().toSet
+    val got = Relational2.q25Correlated(spark, dir)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q26 posexplode: position-1 tokens count every document once") {
+    val df = Relational2.q26PosExplode(spark, dir).cache()
+    val nDocs = Tables.documents(spark, dir).count()
+    val pos1 = df.where(col("pos") === 1).agg(sum("n")).as[Long].head()
+    val posRange = df.agg(min("pos"), max("pos")).as[(Long, Long)].head()
+    assert(pos1 == nDocs && posRange == ((1L, 5L)))
+    df.unpersist()
+  }
+
+  test("q27 maps: three entries per part, brand lookup matches source") {
+    val df = Relational2.q27Maps(spark, dir).cache()
+    val nParts = Tables.part(spark, dir).count()
+    assert(df.count() == 3 * nParts)
+    assert(df.select("attr").distinct().as[String].collect().toSet ==
+      Set("brand", "type", "size"))
+    val mismatch = df.where(col("attr") === "brand" && col("val") =!= col("brand"))
+    assert(mismatch.count() == 0)
+    df.unpersist()
+  }
+
+  test("q28 regex: extraction reconstructs p_name; replace masks all vowels") {
+    val joined = Relational2.q28Regex(spark, dir)
+      .join(Tables.part(spark, dir), "p_partkey")
+    assert(joined.where(concat_ws(" ", col("adj"), col("noun")) =!= col("p_name"))
+      .count() == 0)
+    assert(joined.where(col("type_masked").rlike("[AEIOU]")).count() == 0)
+  }
+
+  test("q29 window battery: quartiles bounded, first_value is the partition min") {
+    val df = Relational2.q29WindowBattery(spark, dir).cache()
+    assert(df.where(col("quartile") < 1 || col("quartile") > 4).count() == 0)
+    assert(df.where(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
+    val s = Tables.supplier(spark, dir)
+    val firsts = s.groupBy("s_nationkey")
+      .agg(min(struct(col("s_acctbal"), col("s_suppkey"))).as("m"))
+      .select(col("s_nationkey").as("nk"), col("m.s_suppkey").as("expect_first"))
+    assert(df.join(firsts, col("s_nationkey") === col("nk"))
+      .where(col("first_sk") =!= col("expect_first")).count() == 0)
+    df.unpersist()
+  }
+
+  test("q30 bucketed range join == naive theta join") {
+    val ev = Tables.events(spark, dir)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts_us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+    val naive = c.join(p, col("p_ts") > col("ts_us") &&
+        col("p_ts") <= col("ts_us") + 300000000L, "left")
+      .groupBy("event_id").agg(count(col("p_id")).as("n_purch"))
+      .as[(Long, Long)].collect().toMap
+    val got = Relational2.q30RangeJoin(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("q30 never plans as cartesian or nested-loop product") {
+    val p = plan(Relational2.q30RangeJoin(spark, dir))
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+}

@@ -97,6 +97,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming dropDuplicates (keys-only) == batch DISTINCT") {
+    val streamed = {
+      val df = EventStreams.dedupKeys(streamEvents())
+      val q = df.writeStream.outputMode("append")
+        .format("memory").queryName("t_dedup").start()
+      q.processAllAvailable(); q.stop()
+      spark.table("t_dedup").collect().map(_.toSeq).toSet
+    }
+    val batch = EventStreams.dedupKeys(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark: bounded state, same key coverage") {
+    // Watermark-bounded dedup may re-emit a key after the delay expires
+    // (that's the state-size contract, not a bug): the emitted multiset
+    // sits between DISTINCT and the raw stream, and must cover exactly
+    // the batch-distinct key set.
+    val streamed = {
+      val df = streamEvents().withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      val q = df.writeStream.outputMode("append")
+        .format("memory").queryName("t_dedup_wm").start()
+      q.processAllAvailable(); q.stop()
+      spark.table("t_dedup_wm").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    }
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val distinctKeys = EventStreams.dedupKeys(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed.toSet == distinctKeys)
+    assert(streamed.length >= distinctKeys.size && streamed.length <= ev.count())
+  }
+
   test("stateful userStats agrees between typed pipeline and SQL aggregate") {
     val dir = "/root/testdata/sf0.001"
     val typed = EventStreams.qStreamUserStats(spark, dir)

@@ -24,16 +24,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> str:
-    df = df.reindex(sorted(df.columns), axis=1)
+    # Driver-faithful: the round gate sorts rows with pandas sort_values
+    # over all columns, which raises TypeError on unhashable cells
+    # (numpy arrays from ArrayType/MapType output columns). Replicate
+    # that so non-hashable outputs fail HERE, not at the round boundary.
+    cols = sorted(df.columns)
+    df = df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
         if isinstance(v, float):
             return repr(v)
-        if hasattr(v, "tolist"):  # numpy arrays / lists
-            return json.dumps([cell(x) for x in v.tolist()])
         return str(v)
-    rows = sorted("\x01".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    rows = ["\x01".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
     return hashlib.sha256("\x02".join(rows).encode()).hexdigest()[:16]
 
 

@@ -95,6 +95,7 @@ object SparkEntry {
     "q17_json"          -> Relational.q17JsonSql,
     "q18_asof"          -> Relational.q18AsOfSql,
     "q19_event_window"  -> Relational.q19EventWindowSql,
+    "q20_approx_distinct" -> Relational.q20ApproxDistinctSql,
     "q21_arrays"        -> Relational.q21ArraysSql,
     "q23_stats"         -> Relational.q23StatsSql,
     "q24_pivot"         -> Relational2.q24PivotSql,

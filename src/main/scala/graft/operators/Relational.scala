@@ -355,10 +355,29 @@ object Relational {
     * No DuckDB oracle (HLL implementations differ across engines);
     * FunctionsSpec bounds the error against the exact count. */
   def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-      countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+    Tables.lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("a_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("a_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      // HLL++ is deterministic for fixed data, so "estimate within 5% of
+      // exact" is a stable boolean the DuckDB oracle can assert as a
+      // constant — upgrading this query from rows-only to hash-checked
+      // without demanding cross-engine sketch-identical estimates.
+      .select(
+        col("exact_parts"), col("exact_orders"),
+        (abs(col("a_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).cast("int").as("parts_within_tol"),
+        (abs(col("a_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.05).cast("int").as("orders_within_tol"))
+
+  val q20ApproxDistinctSql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |       CAST(1 AS INT) AS parts_within_tol,
+      |       CAST(1 AS INT) AS orders_within_tol
+      |FROM lineitem""".stripMargin
 
   // --------------------------------------------------------------- q23
   /** Order statistics: exact median/quartiles (selection, not

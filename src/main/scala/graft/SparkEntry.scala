@@ -62,6 +62,10 @@ object SparkEntry {
     "dedup_minhash"     -> (Dedup.dedupMinhash _),
     "dedup_simhash"     -> (Dedup.dedupSimhash _),
     "dedup_embedding"   -> (Dedup.dedupEmbedding _),
+    "dedup_cc"          -> (Dedup.dedupCc _),
+    "ta_tfidf"          -> (CorpusOps.taTfidf _),
+    "ta_bigrams"        -> (CorpusOps.taBigrams _),
+    "sample_stratified" -> (CorpusOps.sampleStratified _),
     "sim_topk"          -> (Similarity.simTopk _),
     "sim_lsh_topk"      -> (Similarity.simLshTopk _),
     "sim_ivf_topk"      -> (Similarity.simIvfTopk _),
@@ -120,6 +124,10 @@ object SparkEntry {
     "dedup_minhash"     -> Dedup.dedupMinhashSql,
     "dedup_simhash"     -> Dedup.dedupSimhashSql,
     "dedup_embedding"   -> Dedup.dedupEmbeddingSql,
+    "dedup_cc"          -> Dedup.dedupCcSql,
+    "ta_tfidf"          -> CorpusOps.taTfidfSql,
+    "ta_bigrams"        -> CorpusOps.taBigramsSql,
+    "sample_stratified" -> CorpusOps.sampleStratifiedSql,
     "sim_topk"          -> Similarity.simTopkSql,
     "sim_lsh_topk"      -> Similarity.simLshTopkSql,
     "sim_ivf_topk"      -> Similarity.simIvfTopkSql,

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level operators for an LLM training-data pipeline: term
+  * weighting (TF-IDF), n-gram language-model counts, and deterministic
+  * stratified sampling. These complement the per-document operators in
+  * [[TextAnalysis]] — each one is a corpus-wide aggregation whose
+  * shuffle keys (term / n-gram / stratum) are the natural partitioning
+  * at 100 TB.
+  *
+  * Cross-engine determinism: scores are single IEEE-754 divisions of
+  * exact integer products (no transcendentals — libm log() differs per
+  * engine, ULP flips would reorder near-tied ranks); sampling buckets
+  * derive from md5, bit-identical everywhere.
+  */
+object CorpusOps {
+
+  import TextAnalysis.normalized
+
+  /** Non-empty normalized tokens, one row per occurrence. */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(normalized(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+
+  private val tokensCteSql: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' ')) AS term
+      |  FROM documents)""".stripMargin
+
+  // ----------------------------------------------------------- ta_tfidf
+  /** Top terms kept per document. */
+  val TfidfTopK = 5
+
+  /** Top-[[TfidfTopK]] characteristic terms per document by TF-IDF.
+    *
+    * The idf factor is the raw rarity ratio N/df rather than its log:
+    * score = tf·N/df is one IEEE division of exact integers — bit-equal
+    * in any engine — and ranks identically to tf·(N/df) under any
+    * monotone transform of the second factor per fixed tf. (log-damped
+    * variants put near-equal scores at the mercy of libm ULP
+    * differences, which flip ranks across engines.)
+    *
+    * Plan shape: one token scan feeds both tf (groupBy doc,term) and df
+    * (distinct doc,term → groupBy term); N is a broadcast scalar; the
+    * tf⋈df join shuffles on `term`. At 100 TB df/N are small side
+    * tables (vocabulary-sized) — the join broadcasts.
+    */
+  def taTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = tokens(s, dir)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist() // feeds df AND the scored join; O(distinct doc×term)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+          .as("score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .where(col("rnk") <= TfidfTopK)
+  }
+
+  val taTfidfSql: String =
+    s"""WITH $tokensCteSql,
+       |tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(1) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT * FROM r WHERE rnk <= $TfidfTopK""".stripMargin
+
+  // --------------------------------------------------------- ta_bigrams
+  /** Corpus bigram rows kept (count-desc, bigram-asc tiebreak). */
+  val BigramTopN = 100
+
+  /** Corpus-wide bigram frequency table (top-[[BigramTopN]]) — the
+    * n-gram counting pass of language-model training data prep. One
+    * occurrence per adjacent token pair (NOT distinct-per-doc: LM
+    * counts weigh by frequency). The groupBy shuffles on the bigram
+    * itself; top-N is a TakeOrdered over partial per-partition tops, no
+    * global sort materialization. */
+  def taBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(split(normalized(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .selectExpr(
+        """explode(transform(
+          |  sequence(0, size(w) - 2),
+          |  i -> concat_ws(' ', w[i], w[i+1]))) as bigram""".stripMargin)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(BigramTopN)
+
+  val taBigramsSql: String =
+    s"""WITH docs AS (
+       |  SELECT string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ') AS w
+       |  FROM documents),
+       |bg AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1])) AS bigram
+       |  FROM docs WHERE len(w) >= 2)
+       |SELECT bigram, COUNT(1) AS cnt FROM bg GROUP BY bigram
+       |ORDER BY cnt DESC, bigram LIMIT $BigramTopN""".stripMargin
+
+  // ------------------------------------------------- sample_stratified
+  /** Per-stratum keep-rate in percent. */
+  val SampleRatePct = 20
+
+  /** Deterministic stratified sampling: keep [[SampleRatePct]]% of
+    * documents per (lang, source) stratum, selected by an md5-derived
+    * bucket of the doc id. Hash sampling beats RNG sampling at scale:
+    * no seed coordination across executors, stable under retries and
+    * re-partitioning, and the SAME rows are kept on every engine — which
+    * is also what makes it oracle-checkable. The filter is a pure
+    * per-row predicate (no shuffle); the stratum columns just come
+    * along for audit. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)") % 100)
+          .as("bucket"))
+      .where(col("bucket") < SampleRatePct)
+
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, source,
+       |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+       |FROM documents
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $SampleRatePct""".stripMargin
+}

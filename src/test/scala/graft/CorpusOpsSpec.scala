@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CorpusOps, Dedup}
+
+/** Ground-truth corpus tests for the corpus-level operators (TF-IDF,
+  * bigram counts, stratified sampling) and near-dup connected
+  * components. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Corpus with a planted 3-doc near-dup chain (0≈1, 1≈2 — but 0 and 2
+    * still share most shingles) + distinct docs, for CC transitivity. */
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    val v1 = base.replace("tonight", "today")
+    val v2 = base.replace("quick", "swift")
+    Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, v1, "en", "srcA", v1.length.toLong),
+      (2L, v2, "en", "srcB", v2.length.toLong),
+      (3L, "completely different words about spark engines shuffling partitions with columnar vectors", "en", "srcB", 90L),
+      (4L, "zebra yak xylophone walrus viper unicorn tiger snake rabbit quail", "de", "srcC", 66L),
+      (5L, "pepper pepper pepper salt salt sugar", "de", "srcC", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dedup_cc clusters the near-dup chain transitively with one canonical id") {
+    val rows = Dedup.dedupCc(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(rows.size === 6)
+    // 0,1,2 one cluster, canonical = min id = 0
+    assert(rows(0L) === ((0L, 3L, 1)))
+    assert(rows(1L) === ((0L, 3L, 0)))
+    assert(rows(2L) === ((0L, 3L, 0)))
+    // 3,4,5 singletons, each its own canonical
+    Seq(3L, 4L, 5L).foreach { id => assert(rows(id) === ((id, 1L, 1))) }
+  }
+
+  test("ta_tfidf scores tf·N/df and ranks deterministically") {
+    val all = CorpusOps.taTfidf(spark, dir).collect()
+    // doc 5: pepper×3, salt×2, sugar×1, all df=1 (unique to doc 5) →
+    // scores 18/12/6 with N=6, ranks 1/2/3; fewer terms than TopK keeps all 3
+    val d5 = all.filter(_.getLong(0) == 5L)
+      .map(r => (r.getInt(r.fieldIndex("rnk")), r.getString(r.fieldIndex("term")),
+        r.getDouble(r.fieldIndex("score")))).sortBy(_._1).toSeq
+    assert(d5 === Seq((1, "pepper", 18.0), (2, "salt", 12.0), (3, "sugar", 6.0)))
+    // docs with >TopK distinct terms are capped at TopK rows
+    assert(all.count(_.getLong(0) == 0L) === CorpusOps.TfidfTopK)
+  }
+
+  test("ta_bigrams counts occurrences (not per-doc distinct) with deterministic order") {
+    val rows = CorpusOps.taBigrams(spark, dir).collect()
+    val cnt = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "pepper pepper" occurs twice inside doc 5 alone
+    assert(cnt("pepper pepper") === 2L)
+    // "the lazy" occurs once in each of docs 0,1,2
+    assert(cnt("the lazy") === 3L)
+    // sorted by cnt desc then bigram asc
+    val sorted = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(sorted === sorted.sorted)
+  }
+
+  test("sample_stratified is a deterministic md5 filter") {
+    val a = CorpusOps.sampleStratified(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    val b = CorpusOps.sampleStratified(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // buckets are in [0, SampleRatePct)
+    val buckets = CorpusOps.sampleStratified(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("bucket")))
+    assert(buckets.forall(x => x >= 0 && x < CorpusOps.SampleRatePct))
+  }
+}

@@ -145,5 +145,6 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q2_selective_agg", "q3_join_topk", "q6_multi_join",
     "q7_broadcast_join", "q9_window_running", "q14_distinct_agg", "q18_asof",
-    "mr_wc", "dedup_exact", "dedup_minhash", "sim_lsh_topk", "stream_session")
+    "mr_wc", "dedup_exact", "dedup_minhash", "dedup_cc", "ta_tfidf",
+    "sim_lsh_topk", "stream_session")
 }

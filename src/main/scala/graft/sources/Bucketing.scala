@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table layout: the co-located-join strategy for repeated
+  * large⋈large joins at 100 TB.
+  *
+  * A shuffle join on fact⋈fact (e.g. lineitem⋈orders on orderkey at
+  * ~100 TB) moves BOTH sides across the network every query. Writing
+  * each table bucketed by the join key — `bucketBy(n, key)` hash-splits
+  * every output file set into n buckets using Spark's Murmur3, the same
+  * hash the shuffle would use — lets the planner prove both sides are
+  * already co-partitioned and plan a SortMergeJoin with ZERO Exchange
+  * nodes: the dominant cost of the join is paid once at write time,
+  * then amortized over every subsequent query.
+  *
+  * Sizing rule: pick n so each bucket ≈ 128–512 MB at the target scale
+  * (100 TB / 256 MB ≈ 400k buckets is too many files per write task —
+  * in practice bucket count trades off against partitionBy dims, e.g.
+  * date-partitioned + 4k buckets ⇒ ~25 GB per date-bucket at 100 TB/d).
+  * `sortBy(key)` additionally pre-sorts inside each bucket so the SMJ's
+  * per-bucket sort is a no-op on one side.
+  *
+  * Bucketed tables need a table catalog (bucket metadata lives in the
+  * metastore, not in parquet footers), hence saveAsTable rather than a
+  * path write.
+  */
+object Bucketing {
+
+  /** Write df as a bucketed+sorted managed table (replacing any
+    * previous version). */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, key: String,
+                    moreKeys: String*): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Count Exchange (shuffle) operators in df's final physical plan —
+    * the assertion surface for co-location tests. */
+  def exchangeCount(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan
+    var n = 0
+    plan.foreach { node =>
+      if (node.getClass.getSimpleName.startsWith("ShuffleExchange")) n += 1
+    }
+    n
+  }
+}

@@ -42,9 +42,12 @@ class FunctionsSpec extends AnyFunSuite {
   test("approx_count_distinct lands within its error bound") {
     val r = graft.operators.Relational
       .q20ApproxDistinct(spark, "/root/testdata/sf0.001").head()
-    val (approx, exact) = (r.getLong(0), r.getLong(1))
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"approx=$approx exact=$exact")
+    assert(r.getLong(r.fieldIndex("exact_parts")) > 0)
+    assert(r.getLong(r.fieldIndex("exact_orders")) > 0)
+    // the within-5% flags ARE the error-bound check (and what the
+    // DuckDB oracle asserts as constant 1)
+    assert(r.getInt(r.fieldIndex("parts_within_tol")) === 1)
+    assert(r.getInt(r.fieldIndex("orders_within_tol")) === 1)
   }
 
   test("GraftExtensions wires dot_i64 into a session built with it") {

@@ -117,6 +117,36 @@ object CorpusOps {
        |SELECT bigram, COUNT(1) AS cnt FROM bg GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $BigramTopN""".stripMargin
 
+  // ----------------------------------------------------- emb_centroids
+  /** Per-label embedding centroids — the vector aggregation primitive
+    * (k-means update step / IVF codebook training / class prototypes).
+    * One posexplode → groupBy(label, dim) pass: the shuffle key is
+    * (label, dim), so even a single giant label spreads over dim
+    * partitions — no per-label skew. Elements are scaled to exact
+    * integers (×10⁶, round — same convention as the similarity
+    * kernels); the centroid is ONE IEEE division of exact ints, so
+    * engines agree bitwise. At 100 TB this is a map-side-combined
+    * partial agg per partition (64·#labels longs) before the shuffle.
+    */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("label"), col("dim"),
+        expr("cast(round(cast(e as double) * 1000000.0) as bigint)").as("se"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("se")).as("s"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        (col("s").cast("double") / col("n_vecs").cast("double")).as("centroid"))
+
+  val embCentroidsSql: String =
+    """WITH ev AS (
+      |  SELECT label, i - 1 AS dim,
+      |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS se
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t)
+      |SELECT label, dim, COUNT(1) AS n_vecs,
+      |       CAST(SUM(se) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS centroid
+      |FROM ev GROUP BY label, dim""".stripMargin
+
   // ------------------------------------------------- sample_stratified
   /** Per-stratum keep-rate in percent. */
   val SampleRatePct = 20
@@ -141,4 +171,36 @@ object CorpusOps {
        |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
        |FROM documents
        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $SampleRatePct""".stripMargin
+
+  // --------------------------------------------------- sample_fixed_k
+  /** Rows kept per stratum. */
+  val SampleK = 3
+
+  /** Exactly-k-per-stratum sample: the first [[SampleK]] docs per
+    * (lang, source) in md5-of-id order — a deterministic bottom-k-by-
+    * hash sketch, i.e. a uniform without-replacement sample that is
+    * mergeable (min-k of a union = min-k of mins) and identical under
+    * any partitioning/retry. Spark plans the row_number filter as
+    * WindowGroupLimit: each partition keeps ≤ k rows per stratum BEFORE
+    * the shuffle, so the exchange moves O(k·strata), not the corpus. */
+  def sampleFixedK(s: SparkSession, dir: String): DataFrame = {
+    val h = expr("md5(cast(doc_id as string))")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), h.as("hkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("hkey"), col("doc_id"))))
+      .where(col("rn") <= SampleK)
+      .select(col("doc_id"), col("lang"), col("source"), col("rn"))
+  }
+
+  val sampleFixedKSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS hkey
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, source,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY hkey, doc_id) AS INT) AS rn
+       |  FROM h)
+       |SELECT doc_id, lang, source, rn FROM r WHERE rn <= $SampleK""".stripMargin
 }

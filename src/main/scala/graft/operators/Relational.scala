@@ -407,6 +407,32 @@ object Relational {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q31
+  /** Mergeable percentile sketch: approx_percentile's KLL-style digest
+    * is the 100 TB path (q23's exact percentile sorts per group).
+    * Oracle strategy mirrors q20: output the EXACT percentile plus a
+    * deterministic within-2% flag for the sketch estimate — the sketch
+    * is deterministic for fixed data, DuckDB asserts the flag as a
+    * constant without needing sketch-identical estimates. */
+  def q31ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a_med"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_median"), col("n"),
+        (abs(col("a_med") - col("exact_median")) <=
+          col("exact_median") * 0.02).cast("int").as("median_within_tol"))
+
+  val q31ApproxPercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_median,
+      |  COUNT(1) AS n,
+      |  CAST(1 AS INT) AS median_within_tol
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- q21
   /** Array functions over grouped data: per-order part list (sorted,
     * sliced, probed) — collect_list/sort_array/slice/array_contains,

@@ -48,4 +48,35 @@ object SqlSurface {
     registerViews(s, dir)
     s.sql(sqlGroupingSets)
   }
+
+  /** CTE + scalar subqueries + EXISTS + IN in one ANSI statement both
+    * engines parse identically. The above-average predicate is written
+    * shuffle-free of float folklore: `price × N > Σprice` compares an
+    * IEEE product of exact inputs against an exact DECIMAL sum cast to
+    * DOUBLE — no AVG whose rounding differs per engine at the
+    * comparison boundary. Catalyst decorrelates the EXISTS to a
+    * semi-join and the scalar subqueries to broadcast singletons. */
+  val sqlCte: String =
+    """WITH big_orders AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice
+      |  FROM orders
+      |  WHERE o_totalprice * (SELECT COUNT(1) FROM orders)
+      |        > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+      |),
+      |active_cust AS (
+      |  SELECT c_custkey, c_name
+      |  FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM big_orders b WHERE b.o_custkey = c_custkey)
+      |    AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+      |)
+      |SELECT c.c_custkey, c.c_name,
+      |       COUNT(1) AS n_big,
+      |       CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM active_cust c JOIN big_orders b ON b.o_custkey = c.c_custkey
+      |GROUP BY c.c_custkey, c.c_name""".stripMargin
+
+  def qSqlCte(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(sqlCte)
+  }
 }

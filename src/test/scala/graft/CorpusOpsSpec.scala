@@ -66,6 +66,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(sorted === sorted.sorted)
   }
 
+  test("sample_fixed_k keeps at most K per stratum, deterministically") {
+    val rows = CorpusOps.sampleFixedK(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getInt(3)))
+    val perStratum = rows.groupBy(t => (t._1, t._2))
+    assert(perStratum.values.forall(_.length <= CorpusOps.SampleK))
+    // rn is 1..k within each stratum
+    perStratum.values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length).toSeq)
+    }
+    val again = CorpusOps.sampleFixedK(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getInt(3)))
+    assert(rows.sortBy(_._3).toSeq === again.sortBy(_._3).toSeq)
+  }
+
+  test("emb_centroids averages scaled-int vectors per (label, dim)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.operators.CorpusOps.embCentroids(spark, sf).collect()
+    val dims = out.map(_.getInt(out.head.fieldIndex("dim"))).distinct.length
+    val labels = out.map(_.getInt(out.head.fieldIndex("label"))).distinct.length
+    assert(out.length === dims * labels)
+    // n_vecs is constant across dims within a label (every vector has
+    // every dimension)
+    out.groupBy(_.getInt(out.head.fieldIndex("label"))).values.foreach { g =>
+      assert(g.map(_.getLong(g.head.fieldIndex("n_vecs"))).distinct.length === 1)
+    }
+  }
+
   test("sample_stratified is a deterministic md5 filter") {
     val a = CorpusOps.sampleStratified(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
     val b = CorpusOps.sampleStratified(spark, dir).collect().map(_.getLong(0)).sorted.toSeq

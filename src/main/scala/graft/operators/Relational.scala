@@ -407,6 +407,47 @@ object Relational {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q33
+  /** Covariance/correlation per group WITHOUT the built-in corr/covar
+    * aggregates: their streaming update formulas accumulate doubles in
+    * partition order, which never hash-matches across engines. Instead:
+    * exact DECIMAL sums (Σx, Σy, Σxy, Σx², Σy² — order-independent),
+    * then the closed forms in doubles. Every double op is an IEEE
+    * correctly-rounded operation (+,−,×,÷,sqrt) on identical inputs, so
+    * the results agree bitwise. Same one-pass shuffle profile as the
+    * built-ins. */
+  def q33CovCorr(s: SparkSession, dir: String): DataFrame = {
+    val (x, y) = (dec("l_quantity"), dec("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .selectExpr("l_returnflag", "n",
+        "(cast(sxy as double) - cast(sx as double) * cast(sy as double) / n) / n as cov_pop",
+        """((cast(sxy as double) - cast(sx as double) * cast(sy as double) / n) / n)
+          | / (sqrt((cast(sxx as double) - cast(sx as double) * cast(sx as double) / n) / n)
+          |    * sqrt((cast(syy as double) - cast(sy as double) * cast(sy as double) / n) / n))
+          |   as corr""".stripMargin)
+  }
+
+  val q33CovCorrSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, COUNT(1) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n AS cov_pop,
+      |  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n)
+      |   / (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+      |      * sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n)) AS corr
+      |FROM a""".stripMargin
+
   // --------------------------------------------------------------- q31
   /** Mergeable percentile sketch: approx_percentile's KLL-style digest
     * is the 100 TB path (q23's exact percentile sorts per group).

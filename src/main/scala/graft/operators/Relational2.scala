@@ -196,4 +196,31 @@ object Relational2 {
       |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
       |  ON p.ts_us > c.ts_us AND p.ts_us <= c.ts_us + 300000000
       |GROUP BY c.event_id""".stripMargin
+
+  // --------------------------------------------------------------- q32
+  /** Value-based RANGE frame: 5-minute trailing sum per user ordered by
+    * event time (µs longs). RANGE frames differ from ROWS frames (q9)
+    * in peer handling — all rows within the value bound join the frame
+    * regardless of count — and are the window analog of the q30 range
+    * join. Sum in DECIMAL for cross-engine exactness. */
+  def q32RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-300000000L, 0L)
+    graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("rolling_5m_value"),
+        count(lit(1)).over(w).as("n_5m"))
+  }
+
+  val q32RangeFrameSql: String =
+    graft.Tables.eventsCteSql +
+    """
+      |SELECT event_id, user_id, ts_us,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_5m_value,
+      |       COUNT(1) OVER w AS n_5m
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin
 }

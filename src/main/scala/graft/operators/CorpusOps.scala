@@ -83,6 +83,81 @@ object CorpusOps {
        |  FROM scored)
        |SELECT * FROM r WHERE rnk <= $TfidfTopK""".stripMargin
 
+  // ------------------------------------------------------------ ta_bm25
+  /** BM25 length-normalization parameters (standard values). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Query terms scored against every document. */
+  val Bm25Query: Seq[String] = Seq("model", "data", "learning")
+
+  /** BM25 retrieval scoring of a fixed term query against the corpus —
+    * the search/relevance counterpart of [[taTfidf]]. Standard BM25 tf
+    * saturation ((tf·(k1+1)) / (tf + k1·(1−b+b·len/avglen))) with a
+    * RATIONAL idf, (N−df+0.5)/(df+0.5), in place of its log: the log is
+    * monotone, so per-term score ordering is preserved, and the chain
+    * stays IEEE +,−,×,÷ on exact inputs — bit-equal across engines
+    * (libm log is not). Plan: tokens → per-doc tf for query terms only
+    * (predicate pushes into the scan of the exploded stream), df/avglen
+    * are broadcast scalars, final score is one shuffle on doc_id. */
+  def taBm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(s, dir).where(col("term").isin(Bm25Query: _*))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lens = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(normalized(col("text")), " ")).cast("long").as("dlen"))
+    val stats = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs")).crossJoin(
+        lens.agg(sum(col("dlen")).as("total_len")))
+    val scored = tf.join(df, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        // avglen = total_len/n_docs (IEEE div of exact longs); the whole
+        // chain below is the same expression tree on both engines
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * col("dlen") /
+              (col("total_len").cast("double") / col("n_docs").cast("double")))))
+          .as("bm25"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        // per-term scores are bit-identical; the 1-3 element sum is
+        // ordered by sort_array so addition order matches the oracle's
+        expr("aggregate(sort_array(collect_list(bm25)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("bm25_total"))
+  }
+
+  val taBm25Sql: String = {
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH $tokensCteSql,
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(1) AS tf FROM toks
+       |  WHERE term IN ($inList) GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+       |lens AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ')) AS BIGINT) AS dlen
+       |  FROM documents),
+       |stats AS (
+       |  SELECT (SELECT COUNT(1) FROM documents) AS n_docs,
+       |         (SELECT SUM(dlen) FROM lens) AS total_len),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    (stats.n_docs - df.df + 0.5e0) / (df.df + 0.5e0) *
+       |    (tf.tf * ${Bm25K1 + 1.0}e0) /
+       |    (tf.tf + ${Bm25K1}e0 * (${1.0 - Bm25B}e0 +
+       |      ${Bm25B}e0 * lens.dlen /
+       |        (CAST(stats.total_len AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS bm25
+       |  FROM tf JOIN df USING (term) JOIN lens ON tf.doc_id = lens.doc_id
+       |  CROSS JOIN stats)
+       |SELECT doc_id, COUNT(1) AS n_terms_hit,
+       |       list_aggregate(list_sort(list(bm25)), 'sum') AS bm25_total
+       |FROM scored GROUP BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------- ta_bigrams
   /** Corpus bigram rows kept (count-desc, bigram-asc tiebreak). */
   val BigramTopN = 100

@@ -70,6 +70,17 @@ object Similarity {
   private def wFormula(j: String, i: String): String =
     s"((1103515245 * ($j + 1) + 12345 * ($i + 1)) % 997) - 498"
 
+  /** Max members considered per (band, bucket): with b-bit band keys,
+    * bucket occupancy grows O(N/2^b) and candidate pairs O(N²/2^b) —
+    * unbounded LSH buckets turn quadratic on large or duplicate-heavy
+    * corpora (the 10× rehearsal measured 45 s → the cap brings the
+    * worst case to buckets·cap²). Members are kept deterministically
+    * (first by vec_id); overfull buckets lose recall — the honest LSH
+    * tradeoff, FAISS-style probe limits do the same. Buckets at the
+    * driver SFs stay under the cap, so small-scale results are
+    * unchanged. */
+  val MaxBucket = 64
+
   // ----------------------------------------------------- sim_ivf_topk
   /** IVF (inverted-file) ANN: C coarse cells (deterministic "training":
     * the first C vectors serve as centroids — swap in k-means offline
@@ -139,7 +150,12 @@ object Similarity {
 
   def simLshTopk(s: SparkSession, dir: String): DataFrame = {
     val sig = VecKernel.signatures(s, dir, H)
-    val bands = sig.selectExpr("vec_id", "stack(2, 'p0', b0, 'p1', b1) as (band_id, band_key)")
+    val bands = sig
+      .selectExpr("vec_id", "stack(2, 'p0', b0, 'p1', b1) as (band_id, band_key)")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band_id"), col("band_key")).orderBy(col("vec_id"))))
+      .where(col("rn") <= MaxBucket)
+      .drop("rn")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -169,9 +185,14 @@ object Similarity {
        |    CAST(SUM(CASE WHEN j < 8 AND d >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS b0,
        |    CAST(SUM(CASE WHEN j >= 8 AND d >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS BIGINT) AS b1
        |  FROM dots GROUP BY vec_id),
-       |bands AS (
+       |bands0 AS (
        |  SELECT vec_id, 'p0' AS band_id, b0 AS band_key FROM sig
        |  UNION ALL SELECT vec_id, 'p1', b1 FROM sig),
+       |bands AS (
+       |  SELECT vec_id, band_id, band_key FROM (
+       |    SELECT vec_id, band_id, band_key,
+       |           ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY vec_id) AS rn
+       |    FROM bands0) WHERE rn <= $MaxBucket),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM bands a JOIN bands b

@@ -149,20 +149,35 @@ object VecKernel {
       .toDF("vec_id", "cell", "probes")
   }
 
+  /** Vector count up to which the scaled-embedding table is broadcast
+    * in [[pairDots]]: 200k × 64 dims × 8 B ≈ 100 MB, comfortably inside
+    * executor memory. */
+  private val BroadcastVecCeiling = 200000L
+
   /** Exact dots for an explicit candidate-pair frame: joins the scaled
     * vectors to both pair sides and scores with the codegen'd
     * [[graft.functions.DotProductI64]] expression — a pure declarative
-    * plan (shuffle/broadcast joins chosen by Catalyst), no driver-side
-    * vector collection, so it scales to corpora that don't fit on the
-    * driver. */
+    * plan, no driver-side vector collection, so it scales to corpora
+    * that don't fit on the driver.
+    *
+    * The vector table is ~0.5 KB/row, far above the 10 MB
+    * auto-broadcast threshold long before the corpus is actually big —
+    * and letting it default to a shuffle join moves (pairs × 1 KB) over
+    * the network (the 10× rehearsal measured 55 s for 11M candidate
+    * pairs). Below [[BroadcastVecCeiling]] vectors we force a broadcast
+    * hash join (candidate pairs stream against an in-memory map, zero
+    * pair shuffle); above it, the shuffle join is genuinely the right
+    * plan (per-side data exceeds executor memory). */
   def pairDots(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     graft.functions.DotProductI64.register(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
+    val ej = if (Tables.embeddings(s, dir).count() <= BroadcastVecCeiling)
+      broadcast(e) else e
     pairs
-      .join(e.as("ea"), col("query_id") === col("ea.vec_id"))
-      .join(e.as("eb"), col("neighbor_id") === col("eb.vec_id"))
+      .join(ej.as("ea"), col("query_id") === col("ea.vec_id"))
+      .join(ej.as("eb"), col("neighbor_id") === col("eb.vec_id"))
       .selectExpr("query_id", "neighbor_id",
         "dot_i64(ea.ev, eb.ev) as dot_scaled")
   }

@@ -113,6 +113,17 @@ object EventStreams {
   def dedupKeys(events: DataFrame): DataFrame =
     events.select(col("user_id"), col("event_type")).dropDuplicates()
 
+  /** Idempotent foreachBatch parquet sink — the exactly-once recipe for
+    * non-transactional sinks: each micro-batch overwrites its own
+    * `batch_id=<id>` directory, so an epoch replayed after a failure
+    * mid-commit lands on the same path instead of appending duplicates.
+    * (Checkpointed offsets give at-least-once delivery of batches;
+    * (batchId → deterministic path, overwrite) upgrades the sink to
+    * exactly-once.) Readers see the sink as one partitioned parquet
+    * table. */
+  def idempotentParquetSink(out: String)(df: DataFrame, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+
   // ------------------------- batch twins (driver oracle gate) --------
 
   def qStreamDedup(s: SparkSession, dir: String): DataFrame =

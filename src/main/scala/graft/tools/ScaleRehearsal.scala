@@ -53,7 +53,10 @@ object ScaleRehearsal {
 
     val names = Seq("q1_agg", "q2_selective_agg", "q3_join_topk", "q6_multi_join",
       "q7_broadcast_join", "q9_window_running", "q14_distinct_agg", "q18_asof",
-      "mr_wc", "ta_quality", "dedup_exact", "dedup_minhash", "dedup_simhash",
+      "q32_range_frame", "q33_cov_corr",
+      "mr_wc", "ta_quality", "ta_tfidf", "ta_bigrams", "sample_fixed_k",
+      "emb_centroids", "dedup_exact", "dedup_minhash", "dedup_simhash",
+      "dedup_cc", "dedup_edit",
       "sim_lsh_topk", "sim_ivf_topk", "stream_session", "stream_user_stats")
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()

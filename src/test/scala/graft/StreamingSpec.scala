@@ -148,4 +148,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(typed.size == sqlSide.count())
     assert(joined.count() == 0)
   }
+
+  test("foreachBatch idempotent sink: batch replay does not duplicate rows") {
+    val out = Files.createTempDirectory("graft-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = streamEvents()
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.idempotentParquetSink(out) _)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val once = spark.read.parquet(out)
+    val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(once.count() === expected)
+    // simulate an epoch replay after a failure mid-commit: re-invoke the
+    // sink for an already-committed batch id — same path, overwrite ⇒
+    // the table is unchanged, not doubled
+    val batchIds = once.select(col("batch_id")).distinct()
+      .collect().map(_.getInt(0).toLong)
+    // materialize the batch first (a real replay re-derives it from the
+    // SOURCE; reading lazily from the sink dir being overwritten would
+    // race the overwrite)
+    val prior = spark.read.parquet(out)
+      .where(col("batch_id") === batchIds.head).drop("batch_id")
+    val replayed = spark.createDataFrame(
+      java.util.Arrays.asList(prior.collect(): _*), prior.schema)
+    EventStreams.idempotentParquetSink(out)(replayed, batchIds.head)
+    assert(spark.read.parquet(out).count() === expected)
+  }
 }

@@ -93,6 +93,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_bm25 hits only query terms and saturates with tf") {
+    val sf = "/root/testdata/sf0.001"
+    val out = CorpusOps.taBm25(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val hits = r.getLong(r.fieldIndex("n_terms_hit"))
+      assert(hits >= 1 && hits <= CorpusOps.Bm25Query.length)
+      assert(r.getDouble(r.fieldIndex("bm25_total")) > 0.0)
+    }
+  }
+
   test("sample_stratified is a deterministic md5 filter") {
     val a = CorpusOps.sampleStratified(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
     val b = CorpusOps.sampleStratified(spark, dir).collect().map(_.getLong(0)).sorted.toSeq

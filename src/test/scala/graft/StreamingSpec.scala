@@ -177,4 +177,42 @@ class StreamingSpec extends AnyFunSuite {
     EventStreams.idempotentParquetSink(out)(replayed, batchIds.head)
     assert(spark.read.parquet(out).count() === expected)
   }
+
+  test("checkpointed restart processes only new files (incremental pipeline)") {
+    val src = Files.createTempDirectory("graft-inc-src")
+    val out = Files.createTempDirectory("graft-inc-out").toString
+    val ckpt = Files.createTempDirectory("graft-inc-ckpt").toString
+    import spark.implicits._
+    def run(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(EventStreams.idempotentParquetSink(out) _)
+        .start()
+      q.awaitTermination()
+    }
+    // the file source lists plain files, so land each batch as ONE
+    // parquet file (write.parquet creates a directory)
+    def addFile(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-inc-tmp")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    addFile(Seq((1L, "alpha"), (2L, "beta")), "f1.parquet")
+    run()
+    assert(spark.read.parquet(out).count() === 2)
+    // second launch with the SAME checkpoint: only the new file flows
+    addFile(Seq((3L, "gamma")), "f2.parquet")
+    run()
+    val all = spark.read.parquet(out)
+    assert(all.count() === 3) // f1 not reprocessed, f2 appended
+    assert(all.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+  }
 }

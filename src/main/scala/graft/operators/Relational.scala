@@ -407,6 +407,72 @@ object Relational {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q34
+  /** Fixed-width histogram of l_extendedprice in [0, 120000) — binning
+    * + count, the profiling primitive. The bucket index floor(x/w) is
+    * one IEEE division+floor (identical everywhere); fixed bounds (not
+    * data-driven min/max) so bucket edges don't depend on a prior
+    * aggregation. One groupBy on ≤ NBuckets keys — partial aggs absorb
+    * everything map-side. */
+  val HistBuckets = 24
+  val HistWidth = 5000.0
+
+  def q34Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(least(floor(col("l_extendedprice") / HistWidth),
+        lit(HistBuckets - 1)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"), (col("bucket") * HistWidth).as("lo"), col("cnt"))
+
+  val q34HistogramSql: String =
+    s"""SELECT bucket, bucket * ${HistWidth}e0 AS lo, COUNT(1) AS cnt
+       |FROM (SELECT CAST(LEAST(FLOOR(l_extendedprice / ${HistWidth}e0),
+       |                        ${HistBuckets - 1}) AS INT) AS bucket
+       |      FROM lineitem)
+       |GROUP BY bucket""".stripMargin
+
+  // --------------------------------------------------------------- q35
+  /** Data-quality audit in one pass per table: null counts, primary-key
+    * duplicate count, and referential orphans (anti-join shape) — the
+    * constraint checks a pipeline runs before trusting a batch. Each
+    * check is an aggregate over one scan; orphans use a broadcast
+    * semi/anti join against the parent keys. Output: one row per check.
+    */
+  def q35DqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val liNulls = li.agg(
+      sum(col("l_orderkey").isNull.cast("long")).as("v"))
+      .select(lit("lineitem_null_orderkey").as("check"), col("v"))
+    val ordDupPk = ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).agg(count(lit(1)).as("v"))
+      .select(lit("orders_dup_pk").as("check"), col("v"))
+    val ordOrphans = ord.join(cust,
+        ord("o_custkey") === cust("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("orders_orphan_custkey").as("check"), col("v"))
+    val liOrphans = li.join(ord,
+        li("l_orderkey") === ord("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("lineitem_orphan_orderkey").as("check"), col("v"))
+    liNulls.union(ordDupPk).union(ordOrphans).union(liOrphans)
+  }
+
+  val q35DqChecksSql: String =
+    """SELECT 'lineitem_null_orderkey' AS check,
+      |       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders_dup_pk', COUNT(1)
+      |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(1) > 1)
+      |UNION ALL
+      |SELECT 'orders_orphan_custkey', COUNT(1)
+      |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |UNION ALL
+      |SELECT 'lineitem_orphan_orderkey', COUNT(1)
+      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
+
   // --------------------------------------------------------------- q33
   /** Covariance/correlation per group WITHOUT the built-in corr/covar
     * aggregates: their streaming update formulas accumulate doubles in

@@ -197,6 +197,77 @@ object Relational2 {
       |  ON p.ts_us > c.ts_us AND p.ts_us <= c.ts_us + 300000000
       |GROUP BY c.event_id""".stripMargin
 
+  // --------------------------------------------------------------- q36
+  /** Funnel conversion: per user, first click → earliest purchase
+    * strictly after it, with conversion flag and time-to-convert. The
+    * conditional "first event after" shape (join on user + time
+    * inequality, then min) is the building block of funnel analytics;
+    * all values are epoch-µs longs, so the result is exact. Join is a
+    * shuffle on user_id; the purchase side is pre-filtered before the
+    * join so the inequality never drives a cartesian. */
+  def q36Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_click"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+    clicks
+      .join(purch, col("user_id") === col("p_user") &&
+        col("p_ts") > col("first_click"), "left")
+      .groupBy(col("user_id"), col("first_click"))
+      .agg(min(col("p_ts")).as("first_purch"))
+      .select(col("user_id"), col("first_click"),
+        coalesce(col("first_purch"), lit(-1L)).as("first_purch"),
+        col("first_purch").isNotNull.cast("int").as("converted"),
+        coalesce(col("first_purch") - col("first_click"), lit(-1L))
+          .as("convert_lag_us"))
+  }
+
+  val q36FunnelSql: String =
+    graft.Tables.eventsCteSql +
+    """,
+      |clicks AS (
+      |  SELECT user_id, MIN(ts_us) AS first_click
+      |  FROM ev WHERE event_type = 'click' GROUP BY user_id),
+      |conv AS (
+      |  SELECT c.user_id, c.first_click, MIN(p.ts_us) AS first_purch
+      |  FROM clicks c LEFT JOIN ev p
+      |    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |   AND p.ts_us > c.first_click
+      |  GROUP BY c.user_id, c.first_click)
+      |SELECT user_id, first_click,
+      |       COALESCE(first_purch, -1) AS first_purch,
+      |       CAST(first_purch IS NOT NULL AS INT) AS converted,
+      |       COALESCE(first_purch - first_click, -1) AS convert_lag_us
+      |FROM conv""".stripMargin
+
+  // --------------------------------------------------------------- q37
+  /** Cohort retention: users grouped by first-active day, counted per
+    * activity-day offset — the classic retention triangle. Day ids are
+    * integer division of epoch-µs (exact); distinct (user, day) pairs
+    * shrink the input before the cohort join; the final count-distinct
+    * groups on (cohort_day, offset). */
+  def q37Cohort(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val days = graft.Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val q37CohortSql: String =
+    graft.Tables.eventsCteSql +
+    """,
+      |days AS (SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM ev),
+      |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+      |       COUNT(DISTINCT d.user_id) AS n_users
+      |FROM days d JOIN cohort c ON d.user_id = c.user_id
+      |GROUP BY c.cohort_day, day_offset""".stripMargin
+
   // --------------------------------------------------------------- q32
   /** Value-based RANGE frame: 5-minute trailing sum per user ordered by
     * event time (µs longs). RANGE frames differ from ROWS frames (q9)

@@ -104,6 +104,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_cc and sample_fixed_k are invariant to shuffle partitioning") {
+    val conf = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(conf)
+    def snap(): (Seq[(Long, Long)], Seq[Long]) = (
+      Dedup.dedupCc(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq,
+      CorpusOps.sampleFixedK(spark, dir).collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    try {
+      spark.conf.set(conf, "3")
+      val a = snap()
+      spark.conf.set(conf, "13")
+      val b = snap()
+      assert(a === b)
+    } finally spark.conf.set(conf, old)
+  }
+
   test("sample_stratified is a deterministic md5 filter") {
     val a = CorpusOps.sampleStratified(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
     val b = CorpusOps.sampleStratified(spark, dir).collect().map(_.getLong(0)).sorted.toSeq

@@ -39,7 +39,11 @@ object Bench {
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // each run re-persists its own intermediates; clearing between
+        // runs keeps measurements independent and caches from piling up
+        spark.catalog.clearCache()
+        dt
       }
       name -> times.min
     }

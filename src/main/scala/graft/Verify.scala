@@ -28,6 +28,12 @@ object Verify {
         System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // operators persist internal intermediates (e.g. MinHash
+        // signatures) whose lineage is only released after the terminal
+        // action — drop them so caches don't accumulate across the
+        // 70-query run
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

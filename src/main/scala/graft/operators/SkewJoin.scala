@@ -19,10 +19,22 @@ object SkewJoin {
 
   /** Inner-join `big ⋈ small` on `bigKey === smallKey`, salted `n`
     * ways. `small` is replicated n× (keep it broadcast-small or n
-    * modest). */
+    * modest).
+    *
+    * The salt is `pmod(hash(<all big columns>), n)` — a pure function
+    * of the row, so it is stable under repartitioning, input reordering
+    * and task retry (a `rand`-based salt depends on upstream partition
+    * layout: a retried or differently-partitioned run would re-salt
+    * rows differently, which breaks any downstream logic keyed on the
+    * physical distribution and makes runs non-reproducible). Hashing
+    * the whole row (not just the key — every row of a hot key shares
+    * the key's hash!) spreads a hot key across salts; only fully
+    * identical rows co-locate, which is the floor any deterministic
+    * scheme has. */
   def salted(big: DataFrame, small: DataFrame,
              bigKey: Column, smallKey: Column, n: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt", (rand(seed = 7) * n).cast("int"))
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(big(_)).toIndexedSeq: _*), lit(n)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedBig.join(saltedSmall,

@@ -154,43 +154,60 @@ object TextAnalysis {
 
   // --------------------------------------------- rolling-hash chunks
   /** Content-defined chunking via a Rabin-style rolling hash: a chunk
-    * boundary falls wherever the rolling hash of the last [[ChunkWin]]
-    * bytes hits 0 mod [[ChunkMod]] (expected chunk ≈ ChunkMod bytes).
-    * Chunk fingerprints survive insertions/deletions elsewhere in the
-    * document — the primitive for partial-duplicate detection at scale
-    * (dedup storage, diff-aware pipelines). Per-partition kernel work;
-    * no shuffle. Rows-only driver check; ChunkingSpec asserts the CDC
-    * properties (boundary stability under prefix edits).
+    * boundary falls wherever the rolling polynomial hash of the last
+    * [[ChunkWin]] code points hits 0 mod [[ChunkMod]] (expected chunk
+    * ≈ ChunkMod code points). Chunk fingerprints survive insertions /
+    * deletions elsewhere in the document — the primitive for
+    * partial-duplicate detection at scale (dedup storage, diff-aware
+    * pipelines). Per-partition kernel work; no shuffle.
+    *
+    * The unit is the UNICODE CODE POINT (not the UTF-8 byte) and the
+    * chunk fingerprint is md5 of the chunk's comma-joined decimal code
+    * points — both choices make the operator exactly reproducible in
+    * SQL engines (no byte access, no 64-bit wraparound), so the DuckDB
+    * oracle hash-checks the full output: the window hash is rewritten
+    * as a plain windowed SUM via modular inverses
+    * (roll(i) = Σ_{j=i-15..i} cp_j·257^(i-j)
+    *          = 257^i · Σ cp_j·257^(-j)  mod M),
+    * needing only a powers table (one-row-per-level recursive CTE).
+    * ChunkingSpec asserts the CDC properties (boundary re-sync after a
+    * prefix edit).
     */
   val ChunkWin = 16
   val ChunkMod = 64
   private val RollBase = 257L
   private val RollMod = 1000000007L
+  /** 257⁻¹ mod M — lets the oracle turn the position-dependent window
+    * polynomial into a prefix-summable series. */
+  private val RollInv: Long =
+    BigInt(RollBase).modPow(BigInt(RollMod - 2), BigInt(RollMod)).toLong
 
-  def chunkFingerprints(text: String): Seq[Long] = {
-    val bytes = text.getBytes("UTF-8")
-    if (bytes.isEmpty) return Seq.empty
+  def chunkFingerprints(text: String): Seq[String] = {
+    val cps: Array[Int] = text.codePoints().toArray
+    if (cps.isEmpty) return Seq.empty
     // precompute base^(win-1) for the rolling removal
     var pow = 1L
     for (_ <- 1 until ChunkWin) pow = pow * RollBase % RollMod
-    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val chunk = new StringBuilder
     var roll = 0L
-    var chunkHash = 1469598103934665603L // FNV-64 offset basis: chunk fp
-    var chunkLen = 0
     var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      // drop the byte leaving the window (coefficient base^(win-1))
-      // BEFORE shifting, so `roll` is always the window's poly hash
+    while (i < cps.length) {
+      val c = cps(i).toLong
+      // drop the code point leaving the window (coefficient
+      // base^(win-1)) BEFORE shifting, so `roll` is always the
+      // window's polynomial hash
       if (i >= ChunkWin)
-        roll = (roll - (bytes(i - ChunkWin) & 0xff) * pow % RollMod + RollMod) % RollMod
-      roll = (roll * RollBase + b) % RollMod
-      chunkHash = (chunkHash ^ b) * 1099511628211L // FNV-64 prime
-      chunkLen += 1
-      if ((i >= ChunkWin - 1 && roll % ChunkMod == 0) || i == bytes.length - 1) {
-        out += (chunkHash & Long.MaxValue)
-        chunkHash = 1469598103934665603L
-        chunkLen = 0
+        roll = (roll - cps(i - ChunkWin) * pow % RollMod + RollMod) % RollMod
+      roll = (roll * RollBase + c) % RollMod
+      if (chunk.nonEmpty) chunk.append(',')
+      chunk.append(c)
+      if ((i >= ChunkWin - 1 && roll % ChunkMod == 0) || i == cps.length - 1) {
+        md.reset()
+        out += md.digest(chunk.toString.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        chunk.clear()
       }
       i += 1
     }
@@ -209,6 +226,58 @@ object TextAnalysis {
       })
       .toDF("doc_id", "n_chunks", "chunk_fps")
   }
+
+  /** DuckDB twin of [[taChunkFp]]. Per (doc, position) grid over code
+    * points; roll(i) = windowed SUM of cp_j·257⁻ʲ, re-multiplied by
+    * 257ⁱ (see [[chunkFingerprints]] doc); boundary positions close
+    * chunks; chunk fp = md5 of the comma-joined code points. All
+    * intermediates < 2⁶³ (window sum ≤ 16·M; (sum mod M)·powᵢ < M²). */
+  val taChunkFpSql: String =
+    s"""WITH RECURSIVE chars AS (
+       |  SELECT doc_id, regexp_extract_all(text, '.', 0, 's') AS cs FROM documents),
+       |maxlen AS (SELECT COALESCE(MAX(len(cs)), 0) AS ml FROM chars),
+       |powers(i, p, ip) AS (
+       |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT i + 1, (p * $RollBase) % $RollMod, (ip * $RollInv) % $RollMod
+       |  FROM powers WHERE i < (SELECT ml FROM maxlen)),
+       |grid AS (
+       |  SELECT doc_id, i, unicode(cs[i]) AS cp, len(cs) AS n
+       |  FROM chars, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) t),
+       |cser AS (
+       |  SELECT g.doc_id, g.i, g.n, g.cp, (g.cp * powers.ip) % $RollMod AS cmod
+       |  FROM grid g JOIN powers ON powers.i = g.i - 1),
+       |w AS (
+       |  SELECT doc_id, i, n, cp,
+       |    SUM(cmod) OVER (PARTITION BY doc_id ORDER BY i
+       |                    ROWS BETWEEN ${ChunkWin - 1} PRECEDING AND CURRENT ROW) AS wsum
+       |  FROM cser),
+       |r AS (
+       |  SELECT w.doc_id, w.i, w.n, w.cp,
+       |    ((w.wsum % $RollMod) * powers.p) % $RollMod AS roll
+       |  FROM w JOIN powers ON powers.i = w.i - 1),
+       |b AS (
+       |  SELECT doc_id, i, cp,
+       |    CASE WHEN (i >= $ChunkWin AND roll % $ChunkMod = 0) OR i = n
+       |         THEN 1 ELSE 0 END AS is_b
+       |  FROM r),
+       |cid AS (
+       |  SELECT doc_id, i, cp, is_b,
+       |    COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM b),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    md5(string_agg(CAST(cp AS VARCHAR), ',' ORDER BY i)) AS fp
+       |  FROM cid GROUP BY doc_id, chunk_idx),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |    string_agg(fp, ',' ORDER BY chunk_idx) AS chunk_fps
+       |  FROM chunks GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_chunks, 0) AS n_chunks,
+       |  COALESCE(p.chunk_fps, '') AS chunk_fps
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
 
   val taFingerprintSql: String =
     """SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -19,13 +19,19 @@ import graft.Tables
   */
 object VecKernel {
 
-  /** (vec_id ascending, scaled elements) for the whole table —
-    * broadcastable: N×dim longs (e.g. 1M vectors × 64 dims = 512 MB…
-    * at that size switch the probe side or shard the corpus; fixture
-    * scales are far below). */
-  private[operators] def collectScaled(s: SparkSession, dir: String): (Array[Long], Array[Array[Long]]) = {
-    val rows = Tables.embeddings(s, dir)
+  /** (vec_id ascending, scaled elements), optionally restricted by a
+    * predicate PUSHED INTO THE SCAN (shows up as PushedFilters on the
+    * parquet source) — callers that need only a subset (e.g. the O(√N)
+    * IVF centroid set) must pass it here so driver traffic is the
+    * subset, never the corpus. The unfiltered form is broadcastable
+    * only for the brute-force baseline: N×dim longs (e.g. 1M vectors ×
+    * 64 dims = 512 MB… at that size switch the probe side or shard the
+    * corpus; fixture scales are far below). */
+  private[operators] def collectScaled(s: SparkSession, dir: String,
+                                       where: Option[Column] = None): (Array[Long], Array[Array[Long]]) = {
+    val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
+    val rows = where.fold(base)(base.where(_))
       .collect()
       .map { r =>
         val id = r.getLong(0)
@@ -129,9 +135,11 @@ object VecKernel {
     * (vec_id, cell, probes array). */
   def ivfCells(s: SparkSession, dir: String, nCentroids: Int, nprobe: Int): DataFrame = {
     import s.implicits._
-    val (ids, vecs) = collectScaled(s, dir)
-    val centroids: Array[(Long, Array[Long])] =
-      ids.zip(vecs).filter(_._1 < nCentroids)
+    // only the C = O(√N) centroid rows ever reach the driver — the
+    // predicate is pushed into the parquet scan (a full-corpus collect
+    // here would be a guaranteed driver OOM at 100× scale)
+    val (ids, vecs) = collectScaled(s, dir, Some(col("vec_id") < nCentroids))
+    val centroids: Array[(Long, Array[Long])] = ids.zip(vecs)
     val bc = s.sparkContext.broadcast(centroids)
     Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -149,10 +157,11 @@ object VecKernel {
       .toDF("vec_id", "cell", "probes")
   }
 
-  /** Vector count up to which the scaled-embedding table is broadcast
-    * in [[pairDots]]: 200k × 64 dims × 8 B ≈ 100 MB, comfortably inside
-    * executor memory. */
-  private val BroadcastVecCeiling = 200000L
+  /** Scan size (bytes, from catalog/file statistics) up to which the
+    * scaled-embedding table is broadcast in [[pairDots]]: 64 MB of
+    * float32 parquet ≈ 200k × 64-dim vectors ≈ 100 MB of scaled longs
+    * in memory, comfortably inside executor memory. */
+  private val BroadcastVecBytes = 64L << 20
 
   /** Exact dots for an explicit candidate-pair frame: joins the scaled
     * vectors to both pair sides and scores with the codegen'd
@@ -164,17 +173,21 @@ object VecKernel {
     * auto-broadcast threshold long before the corpus is actually big —
     * and letting it default to a shuffle join moves (pairs × 1 KB) over
     * the network (the 10× rehearsal measured 55 s for 11M candidate
-    * pairs). Below [[BroadcastVecCeiling]] vectors we force a broadcast
+    * pairs). Below [[BroadcastVecBytes]] of scan we force a broadcast
     * hash join (candidate pairs stream against an in-memory map, zero
     * pair shuffle); above it, the shuffle join is genuinely the right
-    * plan (per-side data exceeds executor memory). */
+    * plan (per-side data exceeds executor memory). The decision reads
+    * plan STATISTICS (file sizes) — an earlier version ran a count()
+    * action at DataFrame-construction time, which forced a full table
+    * scan even on plan-only paths like explain(). */
   def pairDots(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     graft.functions.DotProductI64.register(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
-    val ej = if (Tables.embeddings(s, dir).count() <= BroadcastVecCeiling)
-      broadcast(e) else e
+    val scanBytes = Tables.embeddings(s, dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val ej = if (scanBytes <= BroadcastVecBytes) broadcast(e) else e
     pairs
       .join(ej.as("ea"), col("query_id") === col("ea.vec_id"))
       .join(ej.as("eb"), col("neighbor_id") === col("eb.vec_id"))

@@ -35,7 +35,7 @@ class ChunkingSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     val rows = TextAnalysis.taChunkFp(spark, d).collect()
-      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong).toSeq)
+      .map(r => r.getLong(0) -> r.getString(2).split(",").toSeq)
       .toMap
     assert(rows.size == 2)
     assert(rows(0L).toSet.intersect(rows(1L).toSet).size >= rows(0L).size - 2)

@@ -361,16 +361,20 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("a_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
-      // HLL++ is deterministic for fixed data, so "estimate within 5% of
-      // exact" is a stable boolean the DuckDB oracle can assert as a
-      // constant — upgrading this query from rows-only to hash-checked
-      // without demanding cross-engine sketch-identical estimates.
+      // HLL++ is deterministic for fixed data, so "estimate within
+      // tolerance" is a stable boolean the DuckDB oracle can assert as
+      // a constant — upgrading this query from rows-only to
+      // hash-checked without demanding cross-engine sketch-identical
+      // estimates. Tolerance = 5σ of the configured rsd (0.02): at 5%
+      // (2.5σ) a legitimately drifting sketch at an untested scale
+      // factor would surface as an opaque hash mismatch instead of a
+      // tolerance failure.
       .select(
         col("exact_parts"), col("exact_orders"),
         (abs(col("a_parts") - col("exact_parts")) <=
-          col("exact_parts") * 0.05).cast("int").as("parts_within_tol"),
+          col("exact_parts") * 0.10).cast("int").as("parts_within_tol"),
         (abs(col("a_orders") - col("exact_orders")) <=
-          col("exact_orders") * 0.05).cast("int").as("orders_within_tol"))
+          col("exact_orders") * 0.10).cast("int").as("orders_within_tol"))
 
   val q20ApproxDistinctSql: String =
     """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
@@ -528,9 +532,12 @@ object Relational {
         expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a_med"),
         count(lit(1)).as("n"))
+      // accuracy=10000 bounds RANK error at n/10000 (≈6 ranks at sf0.01)
+      // — a 5% VALUE tolerance is many sigma of headroom at any SF while
+      // still catching a broken sketch outright
       .select(col("l_returnflag"), col("exact_median"), col("n"),
         (abs(col("a_med") - col("exact_median")) <=
-          col("exact_median") * 0.02).cast("int").as("median_within_tol"))
+          col("exact_median") * 0.05).cast("int").as("median_within_tol"))
 
   val q31ApproxPercentileSql: String =
     """SELECT l_returnflag,

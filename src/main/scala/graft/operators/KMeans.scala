@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Lloyd-iteration k-means over the embeddings table — the "real"
+  * IVF training step that [[Similarity.simIvfTopk]]'s first-C-vectors
+  * seeding stands in for (its scaladoc promises to "swap in k-means
+  * offline at scale"; this is that operator).
+  *
+  * Distributed shape per iteration (the only shape that works at
+  * 100 TB):
+  *  - ASSIGN: centroids (C×dim longs, ~KB) broadcast; one
+  *    mapPartitions pass scores every vector against all C and emits
+  *    (cell, dim, element) triples — no shuffle of vectors, no driver
+  *    traffic.
+  *  - UPDATE: hash aggregation on (cell, dim) — C×dim distinct keys, so
+  *    map-side partial aggregation caps shuffle volume at
+  *    partitions × C × dim regardless of corpus size; the C×dim
+  *    centroid table collected to the driver is O(KB).
+  * Iterations are a driver loop over broadcasts — same round structure
+  * GraphX/MLlib k-means uses.
+  *
+  * Exact cross-engine determinism (hash-checked oracle, rare for an
+  * iterative ML op): elements are ×10⁶-scaled longs; dots are exact
+  * integer sums; the centroid mean is TRUNCATING integer division
+  * (Spark `div`; mirrored in DuckDB with an explicit sign-handling
+  * floor-division wrapper since `//` floors); assignment ties break to
+  * the smaller cell id; empty cells keep their previous centroid. The
+  * oracle unrolls the [[KmIters]] iterations as a CTE chain.
+  */
+object KMeans {
+
+  /** Cell count (also the seed vectors: cell j starts at vec_id j). */
+  val KmC = 16
+  /** Lloyd iterations (assign→update); one final assignment after. */
+  val KmIters = 2
+
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** argmax-dot cell for one vector; ties to the smaller cell id. */
+  private def bestCell(ev: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = 0; var bestD = Long.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val d = dot(ev, cents(c))
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def embKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaled = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
+      .as[(Long, Seq[Long])]
+
+    // seed: first C vectors, pushed-down scan, O(C·dim) driver traffic
+    val (seedIds, seedVecs) =
+      VecKernel.collectScaled(s, dir, Some(col("vec_id") < KmC))
+    require(seedIds.length == KmC, s"need $KmC seed vectors, got ${seedIds.length}")
+    var cents: Array[Array[Long]] = seedVecs
+
+    for (_ <- 1 to KmIters) {
+      val bc = s.sparkContext.broadcast(cents)
+      // one pass: assign + emit (cell, dim, element) for the update agg
+      val contrib = scaled.mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (_, emb) =>
+          val ev = emb.toArray
+          val cell = bestCell(ev, cs)
+          ev.iterator.zipWithIndex.map { case (e, i) => (cell, i, e) }
+        }
+      }.toDF("cell", "i", "e")
+      val upd = contrib.groupBy(col("cell"), col("i"))
+        .agg(sum(col("e")).as("sum_e"), count(lit(1)).as("n"))
+        .selectExpr("cell", "i", "sum_e div n as e") // truncating int div
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep old centroid
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      cents = next
+      bc.destroy()
+    }
+
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = scaled.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { case (id, emb) => (id, bestCell(emb.toArray, cs).toLong) }
+    }.toDF("vec_id", "cell")
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    assigned.join(broadcast(sizes), "cell")
+      .select(col("vec_id"), col("cell"), col("n_members"))
+  }
+
+  /** DuckDB twin: [[KmIters]] unrolled assign/update rounds. `tdiv` =
+    * truncating division mirroring Spark's `div` (DuckDB `//` floors,
+    * which differs on negative sums). */
+  val embKmeansSql: String = {
+    def assign(cte: String, cents: String): String =
+      s"""$cte AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT ev.vec_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+         |                              ORDER BY SUM(ev.e * c.e) DESC, c.cell) AS rn
+         |    FROM ev JOIN $cents c ON ev.i = c.i
+         |    GROUP BY ev.vec_id, c.cell)
+         |  WHERE rn = 1)""".stripMargin
+    def update(cte: String, prevAssign: String, prevCents: String): String =
+      s"""$cte AS (
+         |  SELECT p.cell, p.i,
+         |         COALESCE(CASE WHEN u.s >= 0 THEN u.s // u.n
+         |                       ELSE 0 - ((0 - u.s) // u.n) END, p.e) AS e
+         |  FROM $prevCents p LEFT JOIN (
+         |    SELECT a.cell, ev.i, SUM(ev.e) AS s, COUNT(1) AS n
+         |    FROM $prevAssign a JOIN ev ON ev.vec_id = a.vec_id
+         |    GROUP BY a.cell, ev.i) u
+         |  ON u.cell = p.cell AND u.i = p.i)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS e
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+       |c0 AS (SELECT vec_id AS cell, i, e FROM ev WHERE vec_id < $KmC),
+       |${assign("a1", "c0")},
+       |${update("c1", "a1", "c0")},
+       |${assign("a2", "c1")},
+       |${update("c2", "a2", "c1")},
+       |${assign("af", "c2")},
+       |sizes AS (SELECT cell, CAST(COUNT(1) AS BIGINT) AS n_members FROM af GROUP BY cell)
+       |SELECT af.vec_id, af.cell, sizes.n_members
+       |FROM af JOIN sizes ON af.cell = sizes.cell""".stripMargin
+  }
+}

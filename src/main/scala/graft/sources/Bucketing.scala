@@ -28,10 +28,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write df as a bucketed+sorted managed table (replacing any
-    * previous version). */
+    * previous version — including one left by a PREVIOUS session: the
+    * in-memory catalog forgets tables across JVMs while their files
+    * still occupy the warehouse location, and saveAsTable refuses a
+    * non-empty location (LOCATION_ALREADY_EXISTS), so the stale
+    * directory is removed explicitly). */
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int, key: String,
                     moreKeys: String*): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, key, moreKeys: _*)
       .sortBy(key, moreKeys: _*)

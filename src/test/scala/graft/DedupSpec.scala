@@ -83,4 +83,31 @@ class DedupSpec extends AnyFunSuite {
     assert(m(0L)._1 == 1L && m(0L)._2 > 0.99)
     assert(m(1L)._1 == 0L)
   }
+
+  test("band cap bounds candidate pairs on a degenerate all-duplicates corpus") {
+    // 200 identical docs = one clique sharing every band key — the
+    // worst case for LSH banding. Uncapped: C(200,2) = 19900 candidate
+    // pairs (O(N²)); the deterministic per-bucket cap keeps the first
+    // MaxBucket doc_ids per (band, key) ⇒ exactly C(64,2) = 2016.
+    val d = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    (0L until 200L).map(i => (i, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val (mh, est) = Dedup.minhashEst(spark, d)
+    val nPairs = est.count()
+    mh.unpersist()
+    val cap = Dedup.MaxBucket.toLong
+    assert(nPairs == cap * (cap - 1) / 2,
+      s"expected C($cap,2) capped pairs, got $nPairs")
+
+    // every doc still gets an output row; docs inside the cap pair up
+    // (the overflow docs' recall loss is the documented LSH tradeoff —
+    // a real pipeline runs dedup_exact first to collapse such cliques)
+    val rows = Dedup.dedupMinhash(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 200)
+    assert((0L until cap).forall(rows(_) != -1L))
+  }
 }

@@ -103,6 +103,33 @@ object EventStreams {
       .select(col("p_id"), col("user_id"), col("p_us"), col("g_us"))
   }
 
+  /** Watermarked LEFT OUTER stream-stream join: every click, paired
+    * with each purchase by the same user within the following 30
+    * minutes — or NULLs if none. Outer stream-stream joins are the
+    * harder variant: matched rows emit immediately, but a NULL row can
+    * only emit once the watermark proves no matching purchase can still
+    * arrive (global watermark > click_ts + 30 min), which is exactly
+    * the state-eviction bound that keeps the join finite on an
+    * unbounded stream. Unchanged on batch frames (the oracle gate runs
+    * the batch side; StreamingSpec checks streamed == batch on the
+    * watermark-closed region). */
+  def clickConversion(events: DataFrame): DataFrame = {
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+              col("ts").as("c_ts"), col("ts_us").as("c_us"))
+      .withWatermark("c_ts", "1 hour")
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+              col("ts").as("p_ts"), col("ts_us").as("p_us"))
+      .withWatermark("p_ts", "2 hours")
+    c.join(p,
+        col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("c_id"), col("user_id"), col("c_us"), col("p_id"), col("p_us"))
+  }
+
   /** Streaming exact dedup: first-seen (user_id, event_type) pairs.
     * Keys-only projection makes the result set identical to batch
     * DISTINCT regardless of which duplicate arrives first. State is one
@@ -146,6 +173,20 @@ object EventStreams {
       |  ON p.user_id = g.user_id
       | AND p.event_type = 'purchase' AND g.event_type = 'signup'
       | AND g.ts_us <= p.ts_us AND g.ts_us >= p.ts_us - 3600000000""".stripMargin
+
+  def qStreamLeftJoin(s: SparkSession, dir: String): DataFrame =
+    clickConversion(Tables.events(s, dir))
+
+  val qStreamLeftJoinSql: String =
+    Tables.eventsCteSql +
+    """
+      |SELECT c.event_id AS c_id, c.user_id, c.ts_us AS c_us,
+      |       p.event_id AS p_id, p.ts_us AS p_us
+      |FROM ev c LEFT JOIN ev p
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase'
+      | AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 1800000000
+      |WHERE c.event_type = 'click'""".stripMargin
 
   def qStreamSliding(s: SparkSession, dir: String): DataFrame =
     sliding(Tables.events(s, dir))

@@ -46,4 +46,75 @@ class SourcesSpec extends AnyFunSuite {
       s"partition filter must prune: ${scan.metadata("PartitionFilters")}")
     assert(df.count() > 0)
   }
+
+  private def scanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val matching = df.collect().length.toLong
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("ThanOrEqual") ||
+           scan.metadata("PushedFilters").contains("LessThan"),
+      s"predicate must reach the reader: ${scan.metadata("PushedFilters")}")
+    (scan.metrics("numOutputRows").value, matching)
+  }
+
+  test("range-sorted write enables row-group (zone-map) pruning; unsorted reads everything") {
+    // The 100 TB layout lesson: sort-on-write gives every parquet file /
+    // row group a narrow min-max envelope on the sort column, so a
+    // selective time predicate skips whole row groups in the reader —
+    // the same scan over a hash-shuffled layout decodes ~everything
+    // (every row group spans the full value range). Measured via the
+    // scan node's numOutputRows (rows the reader actually decoded).
+    // The sort column is epoch-µs BIGINT — see the companion test for
+    // why it must not be TIMESTAMP_NTZ.
+    val dir = Files.createTempDirectory("graft-zonemap").toString
+    val li = Tables.lineitem(spark, fixtures)
+      .select(col("l_orderkey"),
+        (col("l_shipdate").cast("timestamp").cast("long") * 1000000L).as("ship_us"),
+        col("l_quantity"))
+    li.repartitionByRange(8, col("ship_us"))
+      .sortWithinPartitions(col("ship_us"))
+      .write.mode("overwrite").parquet(s"$dir/sorted")
+    li.repartition(8, col("l_orderkey")) // date-oblivious layout
+      .write.mode("overwrite").parquet(s"$dir/unsorted")
+
+    val total = li.count()
+    val (lo, hi) = (883612800000000L, 891388800000000L) // 1998 Q1
+    def q(path: String) = spark.read.parquet(path)
+      .where(col("ship_us") >= lo && col("ship_us") < hi)
+      .select(col("l_quantity"))
+    val (sortedScan, m1) = scanned(q(s"$dir/sorted"))
+    val (unsortedScan, m2) = scanned(q(s"$dir/unsorted"))
+    assert(m1 == m2 && m1 > 0, "both layouts must return identical results")
+    // sorted layout: only the row group(s) overlapping Q1-1998 decode
+    assert(sortedScan < total / 4,
+      s"zone maps must skip most row groups: scanned $sortedScan of $total")
+    // unsorted layout: every row group overlaps the range — no skipping
+    assert(unsortedScan > total / 2,
+      s"hash layout should decode ~everything, got $unsortedScan of $total")
+  }
+
+  test("TIMESTAMP_NTZ sort column defeats row-group pruning (store epoch longs instead)") {
+    // Same sorted layout, but keyed on the raw timestamp_ntz column:
+    // the range predicate appears in PushedFilters yet the parquet
+    // reader does not evaluate it against row-group stats for NTZ —
+    // the scan decodes every row. This is WHY the engine carries event
+    // time as epoch-µs BIGINT (ts_us) end to end; pinned here so a
+    // future Spark that fixes NTZ pruning shows up as a failing assert.
+    val dir = Files.createTempDirectory("graft-zonemap-ntz").toString
+    val li = Tables.lineitem(spark, fixtures)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+    assert(li.schema("l_shipdate").dataType.typeName == "timestamp_ntz")
+    li.repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/sorted")
+    val df = spark.read.parquet(s"$dir/sorted")
+      .where(col("l_shipdate") >= "1998-01-01" && col("l_shipdate") < "1998-04-01")
+      .select(col("l_quantity"))
+    val (scanRows, matching) = scanned(df)
+    assert(matching > 0)
+    assert(scanRows == li.count(),
+      s"NTZ scan was expected to decode everything (got $scanRows) — " +
+        "if Spark now prunes NTZ row groups, update SCALE.md and prefer the native column")
+  }
 }

@@ -97,6 +97,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("left-outer stream-stream join == batch on the watermark-closed region") {
+    val streamed = {
+      val df = EventStreams.clickConversion(streamEvents())
+      val q = df.writeStream.outputMode("append")
+        .format("memory").queryName("t_ssleft").start()
+      q.processAllAvailable(); q.stop()
+      spark.table("t_ssleft").collect().map(_.toSeq).toSet
+    }
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = EventStreams.clickConversion(ev).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+
+    // matched rows emit immediately — the full inner subset must agree
+    val sMatched = streamed.filter(_(3) != null)
+    val bMatched = batch.filter(_(3) != null)
+    assert(sMatched == bMatched)
+
+    // NULL rows emit only once the global watermark passes
+    // click_ts + 30 min; after end-of-stream that watermark is
+    // min(max click ts − 1 h, max purchase ts − 2 h). Inside the closed
+    // region streamed must equal batch exactly.
+    import org.apache.spark.sql.functions._
+    def maxTs(t: String) = ev.where(col("event_type") === t)
+      .agg(max(col("ts_us"))).first().getLong(0)
+    val wmUs = math.min(maxTs("click") - 3600000000L,
+                        maxTs("purchase") - 7200000000L)
+    def closed(rows: Set[Seq[Any]]) =
+      rows.filter(r => r(2).asInstanceOf[Long] + 1800000000L < wmUs)
+    assert(closed(streamed) == closed(batch))
+    assert(closed(batch).exists(_(3) == null),
+      "closed region must contain unconverted clicks for the test to bite")
+  }
+
   test("streaming dropDuplicates (keys-only) == batch DISTINCT") {
     val streamed = {
       val df = EventStreams.dedupKeys(streamEvents())

@@ -100,6 +100,39 @@ object Media {
         md5(col("bytes")).as("checksum"),
         expr("cast(octet_length(bytes) div 256 as int)").as("size_class"))
 
+  /** Frame sampling as a gate query: documents-as-binary payloads run
+    * through [[sampleFrames]] (every 2nd 64-byte "frame"), emitting the
+    * sampled ordinal, length, and md5 per frame. The fixture corpus is
+    * ASCII, so the DuckDB twin can slice by character position
+    * (char == byte there; a real media lake slices decoded frames, not
+    * bytes — that swap lives entirely inside [[StubCodec]]). */
+  val FrameSize = 64
+  val FrameEvery = 2
+
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) => MediaFile(id, "text/utf-8", b, 0, 0, 0) }
+    sampleFrames(media, FrameSize, FrameEvery)
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        col("frame_bytes_len").cast("long").as("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
+  }
+
+  val mmFramesSql: String =
+    s"""WITH chunks AS (
+       |  SELECT doc_id AS media_id, i,
+       |         substr(text, i * $FrameSize + 1, $FrameSize) AS frame
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(generate_series(0,
+       |         CAST(CEIL(LENGTH(text) / ${FrameSize.toDouble}) AS BIGINT) - 1)) AS i) t)
+       |SELECT media_id, i // $FrameEvery AS frame_no,
+       |       CAST(LENGTH(frame) AS BIGINT) AS frame_len,
+       |       md5(frame) AS frame_md5
+       |FROM chunks WHERE i % $FrameEvery = 0""".stripMargin
+
   val mmFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  'text/utf-8' AS kind,

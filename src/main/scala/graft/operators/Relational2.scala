@@ -294,4 +294,58 @@ object Relational2 {
       |FROM ev
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
       |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // --------------------------------------------------------------- q40
+  /** 15-minute bucket width in µs. */
+  private val GapBucketUs = 900000000L
+
+  /** Time-series resampling with gap fill: per user, a dense 15-minute
+    * grid from first to last observed bucket; empty buckets carry the
+    * last observed bucket value forward (LOCF via `last(_, ignoreNulls)`
+    * over an unbounded-preceding frame). The grid is generated
+    * DISTRIBUTED (`sequence` + explode per user — grid length is
+    * time-range/width, independent of event volume) and the fill is one
+    * partition-local window after the per-bucket shuffle — the shape
+    * that resamples a 100 TB event table without ever densifying raw
+    * events. Bucket sums in DECIMAL; LOCF copies (never re-adds)
+    * values, so determinism is inherited. */
+  def q40GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"(ts_us div $GapBucketUs) * $GapBucketUs").as("b"),
+        col("value"))
+    val perBucket = ev.groupBy(col("user_id"), col("b"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("bucket_value"))
+    val grid = perBucket.groupBy(col("user_id"))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"), lit(GapBucketUs))).as("b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(perBucket, Seq("user_id", "b"), "left")
+      .select(col("user_id"), col("b").as("bucket_us"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("bucket_value"), ignoreNulls = true).over(w).as("locf_value"))
+  }
+
+  val q40GapFillSql: String =
+    graft.Tables.eventsCteSql +
+    s""",
+      |pb AS (
+      |  SELECT user_id, (ts_us // $GapBucketUs) * $GapBucketUs AS b,
+      |         CAST(COUNT(1) AS BIGINT) AS n_obs,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+      |  FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM pb GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(b0, b1, $GapBucketUs)) AS b
+      |  FROM bounds)
+      |SELECT g.user_id, g.b AS bucket_us,
+      |       COALESCE(pb.n_obs, 0) AS n_obs,
+      |       last_value(pb.bucket_value IGNORE NULLS)
+      |         OVER (PARTITION BY g.user_id ORDER BY g.b
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+      |FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b""".stripMargin
 }

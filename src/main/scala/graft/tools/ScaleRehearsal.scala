@@ -57,12 +57,17 @@ object ScaleRehearsal {
       "mr_wc", "ta_quality", "ta_tfidf", "ta_bigrams", "sample_fixed_k",
       "emb_centroids", "dedup_exact", "dedup_minhash", "dedup_simhash",
       "dedup_cc", "dedup_edit",
-      "sim_lsh_topk", "sim_ivf_topk", "stream_session", "stream_user_stats")
+      "sim_lsh_topk", "sim_ivf_topk", "stream_session", "stream_user_stats",
+      // r3 operators
+      "dedup_cc_star", "dedup_simhash_pairs", "ta_heavy_hitters",
+      "q38_bucketed_join", "q39_full_outer", "q40_gapfill", "emb_kmeans",
+      "stream_left_join", "pipeline_clean")
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, out).count()
       println(f"[rehearsal] $n%-22s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($rows rows)")
+      spark.catalog.clearCache() // no cross-query cache accumulation
     }
     spark.stop()
   }

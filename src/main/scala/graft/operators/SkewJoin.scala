@@ -31,10 +31,13 @@ object SkewJoin {
     * the key's hash!) spreads a hot key across salts; only fully
     * identical rows co-locate, which is the floor any deterministic
     * scheme has. */
+  /** The deterministic per-row salt in [0, n). */
+  private[graft] def saltCol(df: DataFrame, n: Int): Column =
+    pmod(hash(df.columns.map(df(_)).toIndexedSeq: _*), lit(n))
+
   def salted(big: DataFrame, small: DataFrame,
              bigKey: Column, smallKey: Column, n: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(big(_)).toIndexedSeq: _*), lit(n)))
+    val saltedBig = big.withColumn("__salt", saltCol(big, n))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedBig.join(saltedSmall,

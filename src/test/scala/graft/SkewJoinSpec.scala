@@ -23,6 +23,24 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("salt is a pure row function: stable under repartitioning and spread over buckets") {
+    val big = (1 to 5000).map(i => (1L, i.toLong)).toDF("k", "v") // one hot key
+    def salts(parts: Int): Map[Long, Int] = {
+      val df = big.repartition(parts)
+      df.withColumn("s", SkewJoin.saltCol(df, 8))
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    }
+    val a = salts(2)
+    val b = salts(31)
+    // a rand()-based salt changes with the physical partitioning; the
+    // row-hash salt must not (retry/speculation-proof distribution)
+    assert(a == b)
+    // and it actually spreads the hot key across all n salt buckets
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 8 && sizes.min > 300,
+      s"hot key must spread over all 8 salts, got bucket sizes $sizes")
+  }
+
   test("runFiles: whole-file job end to end to mr-out text files") {
     val in = java.nio.file.Files.createTempDirectory("graft-e2e-in")
     val out = java.nio.file.Files.createTempDirectory("graft-e2e-out").toString + "/result"

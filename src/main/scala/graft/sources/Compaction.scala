@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction — the unglamorous operation that keeps a
+  * 100 TB lake queryable. Streaming sinks, incremental ingestion, and
+  * high-parallelism writes leave directories with thousands of KB-sized
+  * files; every subsequent scan then pays per-file open/footer/listing
+  * costs that dwarf the data read (and overwhelms driver listing at
+  * millions of files).
+  *
+  * `compact` rewrites a parquet directory into ⌈bytes/target⌉ files of
+  * ~target size via `repartition(n)` (round-robin — even output sizes
+  * without assuming any column distribution), writing to a temp sibling
+  * and atomically swapping directories so readers never observe a
+  * half-compacted state (rename is atomic on HDFS/posix; on object
+  * stores use a manifest/table format instead — documented tradeoff).
+  */
+object Compaction {
+
+  /** Returns the number of output files written. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBytes = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(dataBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(path.getParent, s".${path.getName}.compact-tmp")
+    spark.read.parquet(dir)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(path.getParent, s".${path.getName}.compact-old")
+    fs.delete(old, true)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old, true)
+    n
+  }
+}

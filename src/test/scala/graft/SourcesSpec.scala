@@ -47,6 +47,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("compaction rewrites a many-small-files directory into few target-size files, losslessly") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/li"
+    val li = Tables.lineitem(spark, fixtures).select(col("l_orderkey"), col("l_quantity"))
+    li.repartition(64).write.mode("overwrite").parquet(dir) // the small-file mess
+    def files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 64)
+    val expected = li.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+    val n = graft.sources.Compaction.compact(spark, dir, targetBytes = 64L << 20)
+    assert(n == 1 && files.length == 1, s"6k rows fit one 64 MB target file, got $n")
+    val back = spark.read.parquet(dir).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(back == expected, "compaction must preserve the exact row multiset")
+  }
+
   private def scanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
     val matching = df.collect().length.toLong
     val scan = df.queryExecution.executedPlan.collect {

@@ -23,7 +23,12 @@ object Compaction {
   def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataBytes = fs.listStatus(path)
+    val entries = fs.listStatus(path)
+    // a flat rewrite of a PARTITIONED layout would silently drop the
+    // partitioning (and its pruning) — compact each leaf dir instead
+    require(!entries.exists(e => e.isDirectory && e.getPath.getName.contains("=")),
+      s"$dir is a partitioned layout; compact its leaf directories individually")
+    val dataBytes = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val n = math.max(1, math.ceil(dataBytes.toDouble / targetBytes).toInt)

@@ -99,6 +99,57 @@ object KMeans {
       .select(col("vec_id"), col("cell"), col("n_members"))
   }
 
+  // ------------------------------------------------------ emb_quantize
+  /** Int8 scalar quantization of the embedding store — the 4×
+    * compression step a 100 TB vector lake applies before ANN indexing
+    * (each dimension affine-mapped to 0..255 by its corpus-wide
+    * min/max). Shapes: one flatten pass → a 64-row per-dimension
+    * range table (broadcast back) → per-vector re-aggregation; nothing
+    * grows with corpus size except the two linear scans.
+    *
+    * Everything is exact integer arithmetic on the ×10⁶-scaled
+    * elements: q = (e−min)·255 div (max−min) (non-negative, so
+    * truncation == floor in both engines), reconstruction
+    * r = min + q·(max−min) div 255, and the per-vector distortion
+    * Σ(e−r)² is an exact BIGINT — so even the lossy-compression
+    * operator hash-checks against DuckDB. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        round(col("x").cast("double") * lit(1000000.0)).cast("long").as("e"))
+    val ranges = flat.groupBy(col("i"))
+      .agg(min(col("e")).as("mn"), max(col("e")).as("mx"))
+    val q = flat.join(broadcast(ranges), "i")
+      .withColumn("q", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(expr("((e - mn) * 255) div (mx - mn)")))
+      .withColumn("r", col("mn") + expr("(q * (mx - mn)) div 255"))
+    q.groupBy(col("vec_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("i"), col("q")))),
+          x => x.getField("q").cast("string")), ",").as("q_csv"),
+        sum(expr("(e - r) * (e - r)")).as("sq_err"),
+        count(lit(1)).as("dim"))
+  }
+
+  val embQuantizeSql: String =
+    """WITH ev AS (
+      |  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS e
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+      |ranges AS (SELECT i, MIN(e) AS mn, MAX(e) AS mx FROM ev GROUP BY i),
+      |q AS (
+      |  SELECT ev.vec_id, ev.i, ev.e,
+      |         CASE WHEN r.mx = r.mn THEN 0
+      |              ELSE ((ev.e - r.mn) * 255) // (r.mx - r.mn) END AS q,
+      |         r.mn, r.mx
+      |  FROM ev JOIN ranges r ON ev.i = r.i),
+      |qr AS (SELECT vec_id, i, e, q, mn + (q * (mx - mn)) // 255 AS rec FROM q)
+      |SELECT vec_id,
+      |       string_agg(CAST(q AS VARCHAR), ',' ORDER BY i) AS q_csv,
+      |       CAST(SUM((e - rec) * (e - rec)) AS BIGINT) AS sq_err,
+      |       CAST(COUNT(1) AS BIGINT) AS dim
+      |FROM qr GROUP BY vec_id""".stripMargin
+
   /** DuckDB twin: [[KmIters]] unrolled assign/update rounds. `tdiv` =
     * truncating division mirroring Spark's `div` (DuckDB `//` floors,
     * which differs on negative sums). */

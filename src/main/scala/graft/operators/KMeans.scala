@@ -86,7 +86,11 @@ object KMeans {
       val next = cents.map(_.clone()) // empty cells keep old centroid
       upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
       cents = next
-      bc.destroy()
+      // non-blocking: destroy() blocks on a cleaner RPC round (default
+      // ask timeout 120 s) and can stall the whole query if the
+      // BlockManager is busy; async unpersist drops executor copies and
+      // the ContextCleaner reclaims the rest once the ref is GC'd
+      bc.unpersist(blocking = false)
     }
 
     val bc = s.sparkContext.broadcast(cents)

@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextAnalysis.normalized
+
+/** Corpus-cleaning operators for an LLM training-data pipeline: PII
+  * masking/pseudonymization, denylist scrubbing, benchmark
+  * decontamination, repetition filtering, and sequence packing — the
+  * steps between raw crawl and tokenizer that the dedup/quality family
+  * (Dedup, TextAnalysis) doesn't cover.
+  *
+  * All five are single-scan or bounded-shuffle shapes that survive
+  * 100 TB: per-row regex/arithmetic (pii_mask, ta_denylist_scrub),
+  * per-(doc, gram) aggregation whose key cardinality is bounded by
+  * document length (ta_repetition), a broadcast semi-join against an
+  * always-small benchmark set (ta_decontaminate), and a per-stream
+  * running sum (ta_pack_chunks).
+  */
+object Cleaning {
+
+  // ----------------------------------------------------------- pii_mask
+  /** PII masking + pseudonymization over a structured table: digit runs
+    * in the identifying column are masked for display, and a
+    * deterministic md5-derived surrogate key replaces the identifier so
+    * downstream joins still line up after the scrub (the standard
+    * pseudonymization contract: same input → same surrogate, no way
+    * back). Pure per-row expressions — linear, shuffle-free, codegen'd.
+    */
+  def piiMask(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+      expr("conv(substr(md5(c_name), 1, 15), 16, 10)")
+        .cast("long").as("pseudonym"),
+      (length(col("c_name")) -
+        length(regexp_replace(col("c_name"), "[0-9]", "")))
+        .cast("long").as("n_redacted"))
+
+  val piiMaskSql: String =
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+      |  CAST(('0x' || substr(md5(c_name), 1, 15)) AS BIGINT) AS pseudonym,
+      |  CAST(LENGTH(c_name) - LENGTH(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_redacted
+      |FROM customer""".stripMargin
+
+  // -------------------------------------------------- ta_denylist_scrub
+  /** Term-denylist scrubbing: replace every whole-word occurrence of a
+    * denied term with a redaction token and count the hits (the cheap
+    * filter pass for licensed/sensitive terms). One regex per row,
+    * shuffle-free. At 100 TB a large denylist compiles into one
+    * alternation (or an Aho-Corasick UDF); the per-row cost stays
+    * independent of corpus size either way. */
+  val Denylist: Seq[String] = Seq("spark", "customer", "vector")
+
+  def taDenylistScrub(s: SparkSession, dir: String): DataFrame = {
+    val pat = s"\\b(${Denylist.mkString("|")})\\b"
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_replace(col("text"), pat, "[REDACTED]").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as("n_hits"))
+  }
+
+  val taDenylistScrubSql: String = {
+    val pat = s"\\b(${Denylist.mkString("|")})\\b"
+    s"""SELECT doc_id,
+       |  regexp_replace(text, '$pat', '[REDACTED]', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_hits
+       |FROM documents""".stripMargin
+  }
+
+  // -------------------------------------------------- ta_decontaminate
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one [[DecontGram]]-gram with the held-out benchmark set
+    * (docs with doc_id % [[BenchMod]] == 0 stand in for the eval set;
+    * a real pipeline reads it from a second table — the operator shape
+    * is identical).
+    *
+    * Scale shape: the benchmark is small BY DEFINITION (eval sets are
+    * thousands of docs, not billions), so its distinct grams broadcast
+    * and the corpus-side probe is a map-side semi-join — the 100 TB
+    * corpus is never shuffled, unlike the symmetric all-pairs dedup
+    * family. Per-doc distinct grams keep the hit count a per-doc
+    * constant multiple of doc length. */
+  val DecontGram = 5
+  val BenchMod = 97
+
+  def taDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
+      .where(size(col("w")) >= DecontGram)
+      .selectExpr("doc_id",
+        s"""explode(array_distinct(transform(
+           |  sequence(0, size(w) - $DecontGram),
+           |  i -> concat_ws(' ', ${(0 until DecontGram).map(k => s"w[i+$k]").mkString(", ")})))) as g""".stripMargin)
+    val bench = grams.where(col("doc_id") % BenchMod === 0)
+      .select(col("g")).distinct()
+    val hits = grams.where(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n")) // grams are distinct per doc already
+    Tables.documents(s, dir).select(col("doc_id"))
+      .where(col("doc_id") % BenchMod =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  val taDecontaminateSql: String = {
+    val gram = (0 until DecontGram).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ') AS w
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - ${DecontGram - 1}), i -> $gram))) AS g
+       |  FROM docs WHERE len(w) >= $DecontGram),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
+       |hits AS (
+       |  SELECT gr.doc_id, COUNT(1) AS n
+       |  FROM grams gr JOIN bench b ON gr.g = b.g
+       |  WHERE gr.doc_id % $BenchMod <> 0
+       |  GROUP BY gr.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+       |  CAST(COALESCE(h.n, 0) > 0 AS INT) AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id % $BenchMod <> 0""".stripMargin
+  }
+
+  // ----------------------------------------------------- ta_repetition
+  /** Repetition signals (the MassiveText/Gopher filter family): per-doc
+    * type-token ratio, most-frequent-bigram mass, and duplicate-trigram
+    * mass. Low-TTR / high-repetition documents are boilerplate or
+    * degenerate generations and get dropped before training.
+    *
+    * Shapes: word stats are pure array expressions (no shuffle);
+    * bigram/trigram duplicate counting aggregates on (doc_id, gram) —
+    * key cardinality is bounded by document length, so there is no
+    * corpus-scale hotspot and partial aggregation absorbs the
+    * duplicates map-side. Ratios are single IEEE divisions on exact
+    * integer counts (cross-engine hash-safe). */
+  def taRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
+    def gramStats(n: Int) = docs
+      .where(size(col("w")) >= n)
+      .selectExpr("doc_id",
+        s"""explode(transform(
+           |  sequence(0, size(w) - $n),
+           |  i -> concat_ws(' ', ${(0 until n).map(k => s"w[i+$k]").mkString(", ")}))) as g""".stripMargin)
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val bs = gramStats(2).groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bi"), max(col("c")).as("max_bi"))
+    val ts = gramStats(3).groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tri"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_tri"))
+    docs.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"))
+      .join(bs, Seq("doc_id"), "left")
+      .join(ts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        (col("n_distinct_words").cast("double") /
+          col("n_words").cast("double")).as("ttr"),
+        when(coalesce(col("n_bi"), lit(0L)) > 0,
+          col("max_bi").cast("double") / col("n_bi").cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        when(coalesce(col("n_tri"), lit(0L)) > 0,
+          col("dup_tri").cast("double") / col("n_tri").cast("double"))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"))
+  }
+
+  val taRepetitionSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM docs WHERE len(w) >= 2),
+      |bc AS (SELECT doc_id, g, COUNT(1) AS c FROM bi GROUP BY doc_id, g),
+      |bs AS (SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS max_bi FROM bc GROUP BY doc_id),
+      |tri AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM docs WHERE len(w) >= 3),
+      |tc AS (SELECT doc_id, g, COUNT(1) AS c FROM tri GROUP BY doc_id, g),
+      |ts AS (SELECT doc_id, SUM(c) AS n_tri,
+      |         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_tri
+      |       FROM tc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(d.w) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(d.w)) AS BIGINT) AS n_distinct_words,
+      |  CAST(len(list_distinct(d.w)) AS DOUBLE) / CAST(len(d.w) AS DOUBLE) AS ttr,
+      |  CASE WHEN COALESCE(bs.n_bi, 0) > 0
+      |       THEN CAST(bs.max_bi AS DOUBLE) / CAST(bs.n_bi AS DOUBLE)
+      |       ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+      |  CASE WHEN COALESCE(ts.n_tri, 0) > 0
+      |       THEN CAST(ts.dup_tri AS DOUBLE) / CAST(ts.n_tri AS DOUBLE)
+      |       ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
+      |FROM docs d
+      |LEFT JOIN bs ON d.doc_id = bs.doc_id
+      |LEFT JOIN ts ON d.doc_id = ts.doc_id""".stripMargin
+
+  // ---------------------------------------------------- ta_pack_chunks
+  /** Sequence-packing manifest (the concat-and-chunk step of LLM
+    * pretraining): documents are concatenated per language stream in
+    * doc_id order and cut every [[ChunkTokens]] tokens; each document
+    * reports the chunk range it lands in. A running sum over the
+    * (lang, doc_id) window — integer-exact, so it hash-checks.
+    *
+    * Scale note: one window partition per language limits parallelism
+    * to #langs; at 100 TB the stream key is (lang, shard) — the packer
+    * is embarrassingly parallel across shards because chunk ids only
+    * need to be unique per stream, not globally dense. */
+  val ChunkTokens = 256
+
+  def taPackChunks(s: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("cb", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cb div $ChunkTokens").as("first_chunk"),
+        expr(s"(cb + n_tokens - 1) div $ChunkTokens").as("last_chunk"),
+        (expr(s"(cb + n_tokens - 1) div $ChunkTokens")
+          - expr(s"cb div $ChunkTokens") + 1).as("n_chunks"))
+  }
+
+  val taPackChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens,
+       |  cb // $ChunkTokens AS first_chunk,
+       |  (cb + n_tokens - 1) // $ChunkTokens AS last_chunk,
+       |  (cb + n_tokens - 1) // $ChunkTokens - cb // $ChunkTokens + 1 AS n_chunks
+       |FROM c""".stripMargin
+}

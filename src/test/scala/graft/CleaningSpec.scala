@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Cleaning
+
+class CleaningSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // doc 0 (doc_id % 97 == 0) is the benchmark doc for decontamination;
+  // doc 1 shares a 5-gram with it, doc 2 is clean but hits the denylist,
+  // doc 3 is degenerate-repetitive and long enough to straddle a
+  // 256-token chunk boundary, doc 4 is short and diverse.
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 58L),
+      (1L, "prefix words alpha beta gamma delta epsilon suffix tail", "en", "s", 56L),
+      (2L, "the spark customer query runs a totally different sentence here", "en", "s", 64L),
+      (3L, ("spam ham " * 150).trim, "en", "s", 1350L),
+      (4L, "one two three four five six", "de", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq(
+      (0L, "Customer#000000000", 1, 100.0, "BUILDING"),
+      (1L, "Customer#000000001", 2, 200.0, "MACHINERY"),
+      (2L, "Customer#000000000", 3, 300.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    d
+  }
+
+  test("pii_mask: digits masked, surrogate deterministic, redaction counted") {
+    val rows = Cleaning.piiMask(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.values.forall(!_._1.exists(_.isDigit)), "mask left digits behind")
+    assert(rows(0L)._1 == "Customer##########")
+    assert(rows(0L)._3 == 9) // nine digits redacted
+    // same source name -> same pseudonym (joinability survives the scrub);
+    // different name -> different pseudonym
+    assert(rows(0L)._2 == rows(2L)._2)
+    assert(rows(0L)._2 != rows(1L)._2)
+  }
+
+  test("denylist scrub: whole-word hits replaced and counted, clean docs untouched") {
+    val m = Cleaning.taDenylistScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m(2L)._2 == 2) // "spark" + "customer"
+    val pat = s"\\b(${Cleaning.Denylist.mkString("|")})\\b".r
+    assert(pat.findFirstIn(m(2L)._1).isEmpty, s"scrubbed text still matches: ${m(2L)._1}")
+    assert(m(2L)._1.contains("[REDACTED] [REDACTED] query"))
+    assert(m(0L)._2 == 0 && m(0L)._1 == "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+  }
+
+  test("decontaminate: benchmark overlap flags, benchmark docs excluded") {
+    val out = Cleaning.taDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(!out.contains(0L), "benchmark doc must not appear in the training corpus")
+    assert(out(1L)._2 == 1 && out(1L)._1 >= 1, "doc sharing a 5-gram must flag")
+    assert(out(2L)._2 == 0 && out(2L)._1 == 0)
+    assert(out(3L)._2 == 0)
+  }
+
+  test("repetition: degenerate doc separates from diverse doc on every signal") {
+    val m = Cleaning.taRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (ttrRep, topBiRep, dupTriRep) = m(3L)
+    val (ttrDiv, topBiDiv, dupTriDiv) = m(4L)
+    assert(ttrRep < 0.01 && ttrDiv == 1.0)
+    // "spam ham spam ham ...": bigrams alternate between two values
+    assert(topBiRep > 0.49 && topBiRep <= 0.51, s"got $topBiRep")
+    assert(topBiDiv < 0.5)
+    assert(dupTriRep == 1.0, s"every trigram repeats, got $dupTriRep")
+    assert(dupTriDiv == 0.0)
+  }
+
+  test("pack_chunks: per-stream running sum, straddling doc spans chunks") {
+    val m = Cleaning.taPackChunks(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // first doc of each lang stream starts at chunk 0
+    assert(m(0L)._3 == 0 && m(4L)._3 == 0)
+    // en stream: 10 + 9 + 10 = 29 tokens before doc 3; doc 3 has 300
+    // tokens -> occupies chunks floor(29/256)=0 .. floor(328/256)=1
+    assert(m(3L)._2 == 300)
+    assert(m(3L)._3 == 0 && m(3L)._4 == 1 && m(3L)._5 == 2)
+    // chunk ids are per-stream: the de doc ignores the en stream's sums
+    assert(m(4L)._4 == 0)
+  }
+}

@@ -208,6 +208,46 @@ object Cleaning {
       |LEFT JOIN bs ON d.doc_id = bs.doc_id
       |LEFT JOIN ts ON d.doc_id = ts.doc_id""".stripMargin
 
+  // ------------------------------------------------ dedup_incremental
+  /** Incremental snapshot dedup — the daily-crawl shape: an incoming
+    * batch is checked against the EXISTING corpus snapshot by
+    * normalized content fingerprint, and only unseen documents survive.
+    * (doc_id % [[IncomingMod]] == 0 stands in for the incoming batch; a
+    * real pipeline reads batch and snapshot from separate tables — the
+    * operator shape is identical.)
+    *
+    * Scale shape: a LEFT ANTI-flavored join on the md5 fingerprint.
+    * Both sides shuffle on the fp hash — linear, skew-free (md5 keys
+    * are uniform). When the incoming batch is small relative to a
+    * 100 TB snapshot (the normal case), Spark broadcasts the batch side
+    * and the snapshot streams map-side; a Bloom filter on batch fps
+    * (df.stat.bloomFilter) can pre-filter the snapshot scan when even
+    * that broadcast is too big. Unlike [[Dedup.dedupExact]], the
+    * snapshot is never windowed or grouped — it is read-only. */
+  val IncomingMod = 3
+
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(normalized(col("text"))).as("fp_norm"))
+    val snapshot = fp.where(col("doc_id") % IncomingMod =!= 0)
+      .select(col("fp_norm")).distinct()
+    val incoming = fp.where(col("doc_id") % IncomingMod === 0)
+    incoming.join(snapshot.withColumn("seen", lit(1)), Seq("fp_norm"), "left")
+      .select(col("doc_id"), col("fp_norm"),
+        (col("seen").isNull).cast("int").as("is_new"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))) AS fp_norm
+       |  FROM documents),
+       |snapshot AS (SELECT DISTINCT fp_norm FROM fp WHERE doc_id % $IncomingMod <> 0)
+       |SELECT f.doc_id, f.fp_norm,
+       |  CAST(s.fp_norm IS NULL AS INT) AS is_new
+       |FROM fp f LEFT JOIN snapshot s ON f.fp_norm = s.fp_norm
+       |WHERE f.doc_id % $IncomingMod = 0""".stripMargin
+
   // ---------------------------------------------------- ta_pack_chunks
   /** Sequence-packing manifest (the concat-and-chunk step of LLM
     * pretraining): documents are concatenated per language stream in

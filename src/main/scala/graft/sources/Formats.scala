@@ -39,6 +39,16 @@ object Formats {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
       .json(path)
 
+  /** ORC: the other columnar lake format Spark ships natively —
+    * same predicate-pushdown/column-pruning surface as parquet
+    * (PushedFilters reach ORC's stripe/row-group stats), self-
+    * describing schema, so no declared schema needed on read. */
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partitioned parquet sink — the lake layout: one directory level
     * per partition column enables partition pruning on read. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =

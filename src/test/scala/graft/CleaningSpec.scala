@@ -20,7 +20,10 @@ class CleaningSpec extends AnyFunSuite {
       (1L, "prefix words alpha beta gamma delta epsilon suffix tail", "en", "s", 56L),
       (2L, "the spark customer query runs a totally different sentence here", "en", "s", 64L),
       (3L, ("spam ham " * 150).trim, "en", "s", 1350L),
-      (4L, "one two three four five six", "de", "s", 27L))
+      (4L, "one two three four five six", "de", "s", 27L),
+      // 5 (snapshot) and 6 (incoming, % 3 == 0) are exact duplicates
+      (5L, "identical snapshot duplicate text payload", "en", "s", 41L),
+      (6L, "identical snapshot duplicate text payload", "en", "s", 41L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     Seq(
@@ -75,6 +78,14 @@ class CleaningSpec extends AnyFunSuite {
     assert(topBiDiv < 0.5)
     assert(dupTriRep == 1.0, s"every trigram repeats, got $dupTriRep")
     assert(dupTriDiv == 0.0)
+  }
+
+  test("incremental dedup: batch doc duplicating the snapshot is not new") {
+    val m = Cleaning.dedupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(m.keySet == Set(0L, 3L, 6L), "output must be exactly the incoming batch")
+    assert(m(0L) == 1 && m(3L) == 1, "unseen content is new")
+    assert(m(6L) == 0, "content already in the snapshot must be flagged seen")
   }
 
   test("pack_chunks: per-stream running sum, straddling doc spans chunks") {

@@ -84,6 +84,26 @@ class DedupSpec extends AnyFunSuite {
     assert(m(1L)._1 == 0L)
   }
 
+  test("band operating points form a refinement chain: finer bands only add candidates") {
+    // (2,8) ⊆ (4,4) ⊆ (8,2) ⊆ (16,1): a band of 2r rows matching implies
+    // both constituent r-row bands match, so coarsening (r↑) can only
+    // DROP candidates — the precision/recall dial a pipeline turns as N
+    // grows (r must rise ~log N to keep per-bucket population bounded).
+    val mh = Dedup.minhashSignatures(spark, dir).persist()
+    def pairs(b: Int, r: Int): Set[(Long, Long)] =
+      Dedup.bandCandidates(mh, bands = b, rowsPerBand = r, maxBucket = 10000)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val p28 = pairs(2, 8); val p44 = pairs(4, 4)
+    val p82 = pairs(8, 2); val p161 = pairs(16, 1)
+    mh.unpersist()
+    assert(p28.subsetOf(p44) && p44.subsetOf(p82) && p82.subsetOf(p161),
+      s"refinement chain broken: ${p28.size}/${p44.size}/${p82.size}/${p161.size}")
+    // exact dup (0,1) collides at EVERY operating point; at the loosest
+    // point the near-dup is also caught
+    assert(p28.contains((0L, 1L)))
+    assert(p161.contains((0L, 2L)), "near-dup must surface at r=1")
+  }
+
   test("band cap bounds candidate pairs on a degenerate all-duplicates corpus") {
     // 200 identical docs = one clique sharing every band key — the
     // worst case for LSH banding. Uncapped: C(200,2) = 19900 candidate

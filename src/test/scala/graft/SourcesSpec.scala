@@ -29,6 +29,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
   }
 
+  test("ORC round-trip preserves values; filters push into the ORC scan") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    val orig = Tables.lineitem(spark, fixtures)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    Formats.writeOrc(orig, s"$dir/li_orc")
+    val back = Formats.readOrc(spark, s"$dir/li_orc")
+    assert(back.schema == orig.schema)
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+    // predicate pushdown reaches the ORC scan like it does parquet
+    val plan = Formats.readOrc(spark, s"$dir/li_orc")
+      .where(col("l_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)"), plan)
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-src").toString
     Formats.writePartitioned(

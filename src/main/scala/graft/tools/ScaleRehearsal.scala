@@ -61,7 +61,10 @@ object ScaleRehearsal {
       // r3 operators
       "dedup_cc_star", "dedup_simhash_pairs", "ta_heavy_hitters",
       "q38_bucketed_join", "q39_full_outer", "q40_gapfill", "emb_kmeans",
-      "stream_left_join", "pipeline_clean")
+      "stream_left_join", "pipeline_clean",
+      // r4 operators
+      "pii_mask", "ta_denylist_scrub", "ta_decontaminate", "ta_repetition",
+      "ta_pack_chunks", "dedup_incremental")
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()
       val t0 = System.nanoTime()

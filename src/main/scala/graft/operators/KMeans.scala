@@ -103,6 +103,87 @@ object KMeans {
       .select(col("vec_id"), col("cell"), col("n_members"))
   }
 
+  // ------------------------------------------------------------ emb_pq
+  /** Product-quantization encode — the ANN-index compression step that
+    * follows scalar quantization: the vector is split into [[PqM]]
+    * subspaces and each subvector is replaced by the id of its nearest
+    * codebook centroid, storing M bytes per vector instead of dim
+    * floats. Codebooks here are seeded from the first [[PqC]] vectors
+    * (codebook TRAINING is [[embKmeans]]'s job — at scale you run Lloyd
+    * per subspace offline; the encode operator is identical either way).
+    *
+    * Distributed shape: codebooks are C×dim longs (~KB) broadcast; one
+    * mapPartitions pass encodes every vector — shuffle-free, linear,
+    * O(C·dim) work per row. Exact integer L2 on ×10⁶-scaled elements
+    * (ties to the smaller centroid id), so codes AND total distortion
+    * hash-check against DuckDB. */
+  val PqM = 4
+  val PqC = 8
+
+  def embPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaled = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
+      .as[(Long, Seq[Long])]
+    // codebook: first C vectors, filter pushed into the scan
+    val (cbIds, cb) = VecKernel.collectScaled(s, dir, Some(col("vec_id") < PqC))
+    require(cbIds.nonEmpty, "empty codebook")
+    require(cb(0).length % PqM == 0,
+      s"dim ${cb(0).length} not divisible into $PqM subspaces")
+    val bc = s.sparkContext.broadcast(cb)
+    scaled.mapPartitions { rows =>
+      val cents = bc.value
+      val dsub = cents(0).length / PqM
+      rows.map { case (id, emb) =>
+        val ev = emb.toArray
+        val codes = new Array[Int](PqM)
+        var distortion = 0L
+        var m = 0
+        while (m < PqM) {
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0L; var k = m * dsub; val end = (m + 1) * dsub
+            while (k < end) {
+              val diff = ev(k) - cents(c)(k); d += diff * diff; k += 1
+            }
+            if (d < bestD) { bestD = d; best = c } // strict < : ties keep smaller id
+            c += 1
+          }
+          codes(m) = best; distortion += bestD; m += 1
+        }
+        (id, codes(0), codes(1), codes(2), codes(3), distortion)
+      }
+    }.toDF("vec_id", "code_0", "code_1", "code_2", "code_3", "distortion")
+  }
+
+  /** DuckDB twin: per-(vector, subspace, centroid) exact integer L2,
+    * argmin by ROW_NUMBER (d, cell) — same tie rule as the kernel. */
+  val embPqSql: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, i,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS e,
+       |    (i - 1) // (len(embedding) // $PqM) AS sub
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+       |cb AS (SELECT vec_id AS cell, i, e FROM ev WHERE vec_id < $PqC),
+       |d AS (
+       |  SELECT v.vec_id, v.sub, c.cell, SUM((v.e - c.e) * (v.e - c.e)) AS d2
+       |  FROM ev v JOIN cb c ON v.i = c.i
+       |  GROUP BY v.vec_id, v.sub, c.cell),
+       |best AS (
+       |  SELECT vec_id, sub, cell, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS rn
+       |  FROM d)
+       |SELECT vec_id,
+       |  CAST(MAX(CASE WHEN sub = 0 THEN cell END) AS INT) AS code_0,
+       |  CAST(MAX(CASE WHEN sub = 1 THEN cell END) AS INT) AS code_1,
+       |  CAST(MAX(CASE WHEN sub = 2 THEN cell END) AS INT) AS code_2,
+       |  CAST(MAX(CASE WHEN sub = 3 THEN cell END) AS INT) AS code_3,
+       |  CAST(SUM(d2) AS BIGINT) AS distortion
+       |FROM best WHERE rn = 1
+       |GROUP BY vec_id""".stripMargin
+
   // ------------------------------------------------------ emb_quantize
   /** Int8 scalar quantization of the embedding store — the 4×
     * compression step a 100 TB vector lake applies before ANN indexing

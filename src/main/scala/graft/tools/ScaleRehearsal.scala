@@ -64,7 +64,7 @@ object ScaleRehearsal {
       "stream_left_join", "pipeline_clean",
       // r4 operators
       "pii_mask", "ta_denylist_scrub", "ta_decontaminate", "ta_repetition",
-      "ta_pack_chunks", "dedup_incremental")
+      "ta_pack_chunks", "dedup_incremental", "emb_pq")
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()
       val t0 = System.nanoTime()

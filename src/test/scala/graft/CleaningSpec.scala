@@ -88,6 +88,30 @@ class CleaningSpec extends AnyFunSuite {
     assert(m(6L) == 0, "content already in the snapshot must be flagged seen")
   }
 
+  test("emb_pq: codebook members self-encode at zero distortion; clones inherit codes") {
+    val d = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextGaussian().toFloat)
+    }
+    val v0 = vec(1)
+    (Seq((0L, v0, 0), (1L, vec(2), 0), (2L, vec(3), 1), (3L, vec(4), 1),
+      (10L, v0, 2), // exact clone of codebook vector 0
+      (11L, v0.updated(0, v0.head + 5.0f), 2))) // far in subspace 0 only
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val m = graft.operators.KMeans.embPq(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)), r.getLong(5))).toMap
+    for (id <- 0L to 3L)
+      assert(m(id) == ((id.toInt, id.toInt, id.toInt, id.toInt), 0L),
+        s"codebook vector $id must self-encode: ${m(id)}")
+    assert(m(10L) == ((0, 0, 0, 0), 0L), "exact clone must inherit vector 0's codes")
+    val ((c0, c1, c2, c3), dist) = m(11L)
+    assert((c1, c2, c3) == ((0, 0, 0)), "untouched subspaces still match vector 0")
+    assert(dist > 0L, "perturbed subspace must contribute distortion")
+  }
+
   test("pack_chunks: per-stream running sum, straddling doc spans chunks") {
     val m = Cleaning.taPackChunks(spark, dir).collect()
       .map(r => r.getLong(0) ->

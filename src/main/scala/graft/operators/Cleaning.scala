@@ -25,9 +25,12 @@ object Cleaning {
   /** PII masking + pseudonymization over a structured table: digit runs
     * in the identifying column are masked for display, and a
     * deterministic md5-derived surrogate key replaces the identifier so
-    * downstream joins still line up after the scrub (the standard
-    * pseudonymization contract: same input → same surrogate, no way
-    * back). Pure per-row expressions — linear, shuffle-free, codegen'd.
+    * downstream joins still line up after the scrub (same input → same
+    * surrogate). The surrogate is PSEUDONYMOUS, not anonymous: an
+    * unsalted hash of a low-entropy identifier is reversible by
+    * dictionary — a production pipeline must derive it with a keyed
+    * HMAC whose secret lives outside the dataset. Pure per-row
+    * expressions — linear, shuffle-free, codegen'd.
     */
   def piiMask(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(
@@ -74,10 +77,11 @@ object Cleaning {
 
   // -------------------------------------------------- ta_decontaminate
   /** Benchmark decontamination: flag every training document sharing at
-    * least one [[DecontGram]]-gram with the held-out benchmark set
-    * (docs with doc_id % [[BenchMod]] == 0 stand in for the eval set;
-    * a real pipeline reads it from a second table — the operator shape
-    * is identical).
+    * least one [[DecontGram]]-gram with the held-out benchmark set.
+    * [[taDecontaminateVs]] is the genuine two-input operator (corpus
+    * table vs benchmark table); the gate query feeds it the
+    * doc_id % [[BenchMod]] split of `documents` as a deterministic
+    * stand-in for the second table.
     *
     * Scale shape: the benchmark is small BY DEFINITION (eval sets are
     * thousands of docs, not billions), so its distinct grams broadcast
@@ -88,26 +92,39 @@ object Cleaning {
   val DecontGram = 5
   val BenchMod = 97
 
-  def taDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
-      .where(size(col("w")) >= DecontGram)
-      .selectExpr("doc_id",
-        s"""explode(array_distinct(transform(
-           |  sequence(0, size(w) - $DecontGram),
-           |  i -> concat_ws(' ', ${(0 until DecontGram).map(k => s"w[i+$k]").mkString(", ")})))) as g""".stripMargin)
-    val bench = grams.where(col("doc_id") % BenchMod === 0)
-      .select(col("g")).distinct()
-    val hits = grams.where(col("doc_id") % BenchMod =!= 0)
-      .join(broadcast(bench), "g")
+  /** Distinct [[DecontGram]]-grams per document of a (doc_id, text)
+    * frame. */
+  private def decontGrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
+    .where(size(col("w")) >= DecontGram)
+    .selectExpr("doc_id",
+      s"""explode(array_distinct(transform(
+         |  sequence(0, size(w) - $DecontGram),
+         |  i -> concat_ws(' ', ${(0 until DecontGram).map(k => s"w[i+$k]").mkString(", ")})))) as g""".stripMargin)
+
+  /** TWO-TABLE form — the real operator shape: the training `corpus`
+    * is flagged against an explicit `bench` DataFrame (both
+    * (doc_id, text, ...)), e.g. the eval-set table of a production
+    * pipeline. The gate query routes through this with the
+    * doc_id % [[BenchMod]] split as the two inputs. */
+  def taDecontaminateVs(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val benchGrams = decontGrams(bench).select(col("g")).distinct()
+    val hits = decontGrams(corpus)
+      .join(broadcast(benchGrams), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n")) // grams are distinct per doc already
-    Tables.documents(s, dir).select(col("doc_id"))
-      .where(col("doc_id") % BenchMod =!= 0)
+    corpus.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("n_shared_grams"),
         (coalesce(col("n"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  def taDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    taDecontaminateVs(
+      docs.where(col("doc_id") % BenchMod =!= 0),
+      docs.where(col("doc_id") % BenchMod === 0))
   }
 
   val taDecontaminateSql: String = {
@@ -212,29 +229,64 @@ object Cleaning {
   /** Incremental snapshot dedup — the daily-crawl shape: an incoming
     * batch is checked against the EXISTING corpus snapshot by
     * normalized content fingerprint, and only unseen documents survive.
-    * (doc_id % [[IncomingMod]] == 0 stands in for the incoming batch; a
-    * real pipeline reads batch and snapshot from separate tables — the
-    * operator shape is identical.)
+    * [[dedupIncrementalVs]] is the genuine two-input operator (batch
+    * table vs snapshot table); the gate query feeds it the
+    * doc_id % [[IncomingMod]] split of `documents` as a deterministic
+    * stand-in for the second table.
     *
     * Scale shape: a LEFT ANTI-flavored join on the md5 fingerprint.
     * Both sides shuffle on the fp hash — linear, skew-free (md5 keys
     * are uniform). When the incoming batch is small relative to a
     * 100 TB snapshot (the normal case), Spark broadcasts the batch side
-    * and the snapshot streams map-side; a Bloom filter on batch fps
-    * (df.stat.bloomFilter) can pre-filter the snapshot scan when even
-    * that broadcast is too big. Unlike [[Dedup.dedupExact]], the
+    * and the snapshot streams map-side; when even the batch is too big
+    * to broadcast, [[dedupIncrementalBloom]] pre-filters the snapshot
+    * scan with a Bloom filter. Unlike [[Dedup.dedupExact]], the
     * snapshot is never windowed or grouped — it is read-only. */
   val IncomingMod = 3
+
+  /** TWO-TABLE form: each `incoming` row (doc_id, fp_norm) is flagged
+    * `is_new` unless its fingerprint exists in `snapshot` (fp_norm). */
+  def dedupIncrementalVs(incoming: DataFrame, snapshot: DataFrame): DataFrame = {
+    val snapFp = snapshot.select(col("fp_norm")).distinct()
+    incoming.join(snapFp.withColumn("seen", lit(1)), Seq("fp_norm"), "left")
+      .select(col("doc_id"), col("fp_norm"),
+        (col("seen").isNull).cast("int").as("is_new"))
+  }
+
+  /** Bloom-filter escalation of [[dedupIncrementalVs]], for when BOTH
+    * sides are shuffle-join-sized (a multi-TB batch vs a 100 TB
+    * snapshot): a Bloom filter over the batch's fingerprints
+    * (`df.stat.bloomFilter` — built distributed, merged on the driver,
+    * a few MB at any fpp) broadcasts to every executor and pre-filters
+    * the snapshot scan down to probable matches before the exact join,
+    * so the snapshot side of the shuffle carries only ~fpp·|snapshot|
+    * non-matching rows instead of everything. Bloom filters have NO
+    * false negatives, so no snapshot match is lost, and the exact join
+    * clears the false positives — CleaningSpec pins bit-identical
+    * output vs the exact path. The probe is a UDF by necessity: the
+    * public sketch has no registered SQL twin (bloom_filter_agg /
+    * might_contain are optimizer-internal, absent from the public
+    * registry), and the probe body is one murmur hash + bitset lookup
+    * per row — constant work, no corpus-size term. */
+  def dedupIncrementalBloom(incoming: DataFrame, snapshot: DataFrame,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame =
+    // a zero-row batch aggregates to a bit-less sketch whose probe NPEs
+    // — and nothing can match an empty batch anyway
+    if (incoming.isEmpty) dedupIncrementalVs(incoming, snapshot.limit(0))
+    else {
+      val s = incoming.sparkSession
+      val bloom = incoming.stat.bloomFilter("fp_norm", expectedItems, fpp)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+      dedupIncrementalVs(incoming, snapshot.where(mightContain(col("fp_norm"))))
+    }
 
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(s, dir)
       .select(col("doc_id"), md5(normalized(col("text"))).as("fp_norm"))
-    val snapshot = fp.where(col("doc_id") % IncomingMod =!= 0)
-      .select(col("fp_norm")).distinct()
-    val incoming = fp.where(col("doc_id") % IncomingMod === 0)
-    incoming.join(snapshot.withColumn("seen", lit(1)), Seq("fp_norm"), "left")
-      .select(col("doc_id"), col("fp_norm"),
-        (col("seen").isNull).cast("int").as("is_new"))
+    dedupIncrementalVs(
+      fp.where(col("doc_id") % IncomingMod === 0),
+      fp.where(col("doc_id") % IncomingMod =!= 0))
   }
 
   val dedupIncrementalSql: String =
@@ -250,31 +302,53 @@ object Cleaning {
 
   // ---------------------------------------------------- ta_pack_chunks
   /** Sequence-packing manifest (the concat-and-chunk step of LLM
-    * pretraining): documents are concatenated per language stream in
-    * doc_id order and cut every [[ChunkTokens]] tokens; each document
-    * reports the chunk range it lands in. A running sum over the
-    * (lang, doc_id) window — integer-exact, so it hash-checks.
+    * pretraining): documents are concatenated per STREAM in doc_id
+    * order and cut every [[ChunkTokens]] tokens; each document reports
+    * the chunk range it lands in. A running sum over the per-stream
+    * window — integer-exact, so it hash-checks.
     *
-    * Scale note: one window partition per language limits parallelism
-    * to #langs; at 100 TB the stream key is (lang, shard) — the packer
-    * is embarrassingly parallel across shards because chunk ids only
-    * need to be unique per stream, not globally dense. */
+    * The stream key is (lang, shard) with shard = pmod(hash(doc_id),
+    * nShards): chunk ids only need to be unique PER STREAM, not
+    * globally dense, so the packer is embarrassingly parallel across
+    * shards — at 100 TB you size nShards to the cluster (one window
+    * partition per stream) instead of serializing each language
+    * through one task. nShards = 1 reproduces the single-stream-per-
+    * language manifest (the oracle-checked gate query); CleaningSpec
+    * pins that every sharded stream is byte-identical to packing that
+    * stream's documents alone.
+    *
+    * Zero-token documents occupy no chunk: they report an EMPTY span
+    * (n_chunks = 0, last_chunk = first_chunk − 1, first_chunk = the
+    * cursor position) rather than claiming a chunk they contribute
+    * nothing to. */
   val ChunkTokens = 256
 
-  def taPackChunks(s: SparkSession, dir: String): DataFrame = {
-    val win = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+  /** General sharded packer; output includes the `shard` stream key. */
+  def packChunks(s: SparkSession, dir: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val win = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
           .cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)).cast("long"))
       .withColumn("cb", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
         expr(s"cb div $ChunkTokens").as("first_chunk"),
-        expr(s"(cb + n_tokens - 1) div $ChunkTokens").as("last_chunk"),
-        (expr(s"(cb + n_tokens - 1) div $ChunkTokens")
-          - expr(s"cb div $ChunkTokens") + 1).as("n_chunks"))
+        when(col("n_tokens") === 0, expr(s"cb div $ChunkTokens - 1"))
+          .otherwise(expr(s"(cb + n_tokens - 1) div $ChunkTokens"))
+          .as("last_chunk"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr(s"(cb + n_tokens - 1) div $ChunkTokens")
+            - expr(s"cb div $ChunkTokens") + 1)
+          .as("n_chunks"))
   }
+
+  /** Gate query: the single-stream-per-language operating point. */
+  def taPackChunks(s: SparkSession, dir: String): DataFrame =
+    packChunks(s, dir, nShards = 1).drop("shard")
 
   val taPackChunksSql: String =
     s"""WITH t AS (
@@ -288,7 +362,9 @@ object Cleaning {
        |  FROM t)
        |SELECT doc_id, lang, n_tokens,
        |  cb // $ChunkTokens AS first_chunk,
-       |  (cb + n_tokens - 1) // $ChunkTokens AS last_chunk,
-       |  (cb + n_tokens - 1) // $ChunkTokens - cb // $ChunkTokens + 1 AS n_chunks
+       |  CASE WHEN n_tokens = 0 THEN cb // $ChunkTokens - 1
+       |       ELSE (cb + n_tokens - 1) // $ChunkTokens END AS last_chunk,
+       |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE (cb + n_tokens - 1) // $ChunkTokens - cb // $ChunkTokens + 1 END AS n_chunks
        |FROM c""".stripMargin
 }

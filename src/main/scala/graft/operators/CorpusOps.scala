@@ -52,9 +52,12 @@ object CorpusOps {
     * tables (vocabulary-sized) — the join broadcasts.
     */
   def taTfidf(s: SparkSession, dir: String): DataFrame = {
+    // tf feeds df AND the scored join; the aggregate's shuffle exchange
+    // is canonically identical in both subtrees, so ReuseExchange
+    // materializes the token pipeline once in shuffle files — shared
+    // like a persist but with nothing left cached after the action
     val tf = tokens(s, dir)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist() // feeds df AND the scored join; O(distinct doc×term)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))

@@ -120,19 +120,51 @@ object KMeans {
   val PqM = 4
   val PqC = 8
 
-  def embPq(s: SparkSession, dir: String): DataFrame = {
+  /** The oracle's `cell = vec_id` twin and the positional codes rely on
+    * codebook ids being dense and 0-based; a sparse or 1-based id space
+    * would silently shift every code. */
+  private def requirePqCodebook(cbIds: Array[Long], cb: Array[Array[Long]]): Unit = {
+    require(cbIds.sameElements(0L until cbIds.length.toLong),
+      s"pq codebook expects dense 0-based vec_ids, got [${cbIds.mkString(",")}]")
+    require(PqM == 4,
+      s"pq output row is built for exactly 4 subspace codes, got PqM=$PqM")
+    require(cb(0).length % PqM == 0,
+      s"dim ${cb(0).length} not divisible into $PqM subspaces")
+  }
+
+  /** Exact integer L2 argmin of subspace `m` of `ev` over the packed
+    * codebook (ties to the smaller cell id). Returns (cell, distance). */
+  private def bestPqCell(ev: Array[Long], cents: Array[Array[Long]],
+      m: Int, dsub: Int): (Int, Long) = {
+    var best = 0; var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0L; var k = m * dsub; val end = (m + 1) * dsub
+      while (k < end) {
+        val diff = ev(k) - cents(c)(k); d += diff * diff; k += 1
+      }
+      if (d < bestD) { bestD = d; best = c } // strict < : ties keep smaller id
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** ×10⁶-scaled embeddings as a typed Dataset. */
+  private def scaledDs(s: SparkSession, dir: String) = {
     import s.implicits._
-    val scaled = Tables.embeddings(s, dir).select(col("vec_id"),
+    Tables.embeddings(s, dir).select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
       .as[(Long, Seq[Long])]
-    // codebook: first C vectors, filter pushed into the scan
-    val (cbIds, cb) = VecKernel.collectScaled(s, dir, Some(col("vec_id") < PqC))
-    require(cbIds.nonEmpty, "empty codebook")
-    require(cb(0).length % PqM == 0,
-      s"dim ${cb(0).length} not divisible into $PqM subspaces")
-    val bc = s.sparkContext.broadcast(cb)
-    scaled.mapPartitions { rows =>
+  }
+
+  /** Shuffle-free encode pass against a broadcast packed codebook
+    * (cents(c)(k) holds subspace sub(k)'s centroid c at dimension k). */
+  private def pqEncode(s: SparkSession, dir: String,
+      packed: Array[Array[Long]]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(packed)
+    scaledDs(s, dir).mapPartitions { rows =>
       val cents = bc.value
       val dsub = cents(0).length / PqM
       rows.map { case (id, emb) =>
@@ -141,21 +173,121 @@ object KMeans {
         var distortion = 0L
         var m = 0
         while (m < PqM) {
-          var best = 0; var bestD = Long.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            var d = 0L; var k = m * dsub; val end = (m + 1) * dsub
-            while (k < end) {
-              val diff = ev(k) - cents(c)(k); d += diff * diff; k += 1
-            }
-            if (d < bestD) { bestD = d; best = c } // strict < : ties keep smaller id
-            c += 1
-          }
+          val (best, bestD) = bestPqCell(ev, cents, m, dsub)
           codes(m) = best; distortion += bestD; m += 1
         }
         (id, codes(0), codes(1), codes(2), codes(3), distortion)
       }
     }.toDF("vec_id", "code_0", "code_1", "code_2", "code_3", "distortion")
+  }
+
+  def embPq(s: SparkSession, dir: String): DataFrame = {
+    // codebook: first C vectors, filter pushed into the scan
+    val (cbIds, cb) = VecKernel.collectScaled(s, dir, Some(col("vec_id") < PqC))
+    requirePqCodebook(cbIds, cb)
+    pqEncode(s, dir, cb)
+  }
+
+  // ----------------------------------------------------- emb_pq_trained
+  /** Per-subspace Lloyd iterations for the PQ training step. */
+  val PqIters = 2
+
+  /** Product quantization with TRAINED codebooks — the full PQ recipe:
+    * [[PqIters]] rounds of per-subspace Lloyd (assign each subvector to
+    * its nearest codebook entry by exact integer L2, recenter each
+    * entry on the truncating integer mean of its members), then the
+    * same shuffle-free encode as [[embPq]]. All [[PqM]] subspaces train
+    * in ONE distributed pass per round: the contribution triples key on
+    * (cell, dim) and dim determines the subspace, so the update
+    * aggregation has C×dim distinct keys and map-side partial
+    * aggregation caps shuffle volume exactly as in [[embKmeans]].
+    * Empty (subspace, cell) pairs keep their previous centroid;
+    * assignment ties break to the smaller cell id; the truncating
+    * integer mean mirrors the oracle's sign-handling wrapper — so
+    * trained codes AND total distortion hash-check against the
+    * [[PqIters]]-unrolled DuckDB CTE chain. */
+  def embPqTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaled = scaledDs(s, dir)
+    val (cbIds, cb0) = VecKernel.collectScaled(s, dir, Some(col("vec_id") < PqC))
+    requirePqCodebook(cbIds, cb0)
+    var packed: Array[Array[Long]] = cb0.map(_.clone())
+    for (_ <- 1 to PqIters) {
+      val bc = s.sparkContext.broadcast(packed)
+      val contrib = scaled.mapPartitions { rows =>
+        val cents = bc.value
+        val dsub = cents(0).length / PqM
+        rows.flatMap { case (_, emb) =>
+          val ev = emb.toArray
+          (0 until PqM).iterator.flatMap { m =>
+            val (cell, _) = bestPqCell(ev, cents, m, dsub)
+            (m * dsub until (m + 1) * dsub).iterator.map(k => (cell, k, ev(k)))
+          }
+        }
+      }.toDF("cell", "i", "e")
+      val upd = contrib.groupBy(col("cell"), col("i"))
+        .agg(sum(col("e")).as("sum_e"), count(lit(1)).as("n"))
+        .selectExpr("cell", "i", "sum_e div n as e") // truncating int div
+        .collect()
+      val next = packed.map(_.clone()) // empty (sub, cell)s keep old centroid
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      packed = next
+      bc.unpersist(blocking = false) // non-blocking, per embKmeans note
+    }
+    pqEncode(s, dir, packed)
+  }
+
+  /** DuckDB twin of [[embPqTrained]]: [[PqIters]] unrolled per-subspace
+    * assign/update rounds, then the encode argmin. The update joins the
+    * assignment back on (vec_id, sub) so each centroid dimension
+    * averages only its own subspace's members; `//` is wrapped for
+    * truncating (not flooring) division exactly as in [[embKmeansSql]]. */
+  val embPqTrainedSql: String = {
+    def assign(cte: String, cents: String): String =
+      s"""$cte AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT v.vec_id, v.sub, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+         |                              ORDER BY SUM((v.e - c.e) * (v.e - c.e)), c.cell) AS rn
+         |    FROM ev v JOIN $cents c ON v.i = c.i
+         |    GROUP BY v.vec_id, v.sub, c.cell)
+         |  WHERE rn = 1)""".stripMargin
+    def update(cte: String, prevAssign: String, prevCents: String): String =
+      s"""$cte AS (
+         |  SELECT p.cell, p.i, p.sub,
+         |         COALESCE(CASE WHEN u.s >= 0 THEN u.s // u.n
+         |                       ELSE 0 - ((0 - u.s) // u.n) END, p.e) AS e
+         |  FROM $prevCents p LEFT JOIN (
+         |    SELECT a.cell, ev.i, SUM(ev.e) AS s, COUNT(1) AS n
+         |    FROM $prevAssign a JOIN ev ON ev.vec_id = a.vec_id AND ev.sub = a.sub
+         |    GROUP BY a.cell, ev.i) u
+         |  ON u.cell = p.cell AND u.i = p.i)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT vec_id, i,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS e,
+       |    (i - 1) // (len(embedding) // $PqM) AS sub
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+       |c0 AS (SELECT vec_id AS cell, i, e, sub FROM ev WHERE vec_id < $PqC),
+       |${assign("a1", "c0")},
+       |${update("c1", "a1", "c0")},
+       |${assign("a2", "c1")},
+       |${update("c2", "a2", "c1")},
+       |dfin AS (
+       |  SELECT vec_id, sub, cell, d2 FROM (
+       |    SELECT v.vec_id, v.sub, c.cell,
+       |           SUM((v.e - c.e) * (v.e - c.e)) AS d2,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |                              ORDER BY SUM((v.e - c.e) * (v.e - c.e)), c.cell) AS rn
+       |    FROM ev v JOIN c2 c ON v.i = c.i
+       |    GROUP BY v.vec_id, v.sub, c.cell)
+       |  WHERE rn = 1)
+       |SELECT vec_id,
+       |  CAST(MAX(CASE WHEN sub = 0 THEN cell END) AS INT) AS code_0,
+       |  CAST(MAX(CASE WHEN sub = 1 THEN cell END) AS INT) AS code_1,
+       |  CAST(MAX(CASE WHEN sub = 2 THEN cell END) AS INT) AS code_2,
+       |  CAST(MAX(CASE WHEN sub = 3 THEN cell END) AS INT) AS code_3,
+       |  CAST(SUM(d2) AS BIGINT) AS distortion
+       |FROM dfin GROUP BY vec_id""".stripMargin
   }
 
   /** DuckDB twin: per-(vector, subspace, centroid) exact integer L2,

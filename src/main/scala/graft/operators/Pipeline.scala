@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -73,4 +74,80 @@ object Pipeline {
        |JOIN (SELECT doc_id FROM (${Dedup.dedupCcSql}) WHERE is_canonical = 1) cc
        |  ON q.doc_id = cc.doc_id
        |WHERE q.quality_score >= 0.5e0""".stripMargin
+
+  /** Repetition ceiling for [[pipelineFull]] survivors: documents whose
+    * duplicate-trigram mass reaches this fraction are degenerate
+    * boilerplate and dropped (MassiveText drops at 0.30; the fixture
+    * corpus is a 40-word synthetic vocabulary, so a looser cut keeps
+    * the gate populated while still exercising the filter). */
+  val FullDupTriMax = 0.5
+
+  /** The raw-crawl → tokenizer-manifest CAPSTONE over the round-4
+    * cleaning stages (the dedup-side capstone is [[pipelineClean]]):
+    *  1. denylist scrub ([[Cleaning.taDenylistScrub]]) — training text
+    *     is the SCRUBBED text from here on,
+    *  2. benchmark decontamination ([[Cleaning.taDecontaminate]]) —
+    *     contaminated docs (and the benchmark split itself) drop,
+    *  3. repetition filter ([[Cleaning.taRepetition]]) — degenerate
+    *     docs (duplicate-trigram mass ≥ [[FullDupTriMax]]) drop,
+    *  4. sequence packing ([[Cleaning.packChunks]]'s manifest shape) —
+    *     survivors are concatenated per language stream and cut every
+    *     [[Cleaning.ChunkTokens]] tokens, counting the scrubbed tokens.
+    * Output: the per-document chunk manifest you would hand a
+    * tokenizer, with the scrub hit count carried through. Every stage
+    * is an already-verified operator, so the composition inherits their
+    * scale shapes (per-row regex, broadcast semi-join, bounded-key agg,
+    * per-stream window); the oracle composes the same DuckDB
+    * subqueries. */
+  def pipelineFull(s: SparkSession, dir: String): DataFrame = {
+    val keepDecont = Cleaning.taDecontaminate(s, dir)
+      .where(col("contaminated") === 0).select(col("doc_id"))
+    val keepRep = Cleaning.taRepetition(s, dir)
+      .where(col("dup_trigram_frac") < FullDupTriMax).select(col("doc_id"))
+    val scrubbed = Cleaning.taDenylistScrub(s, dir)
+    val surv = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(keepDecont, "doc_id")
+      .join(keepRep, "doc_id")
+      .join(scrubbed, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_hits").as("n_denylist_hits"),
+        size(regexp_extract_all(col("scrubbed"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+    val win = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ct = Cleaning.ChunkTokens
+    surv
+      .withColumn("cb", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_denylist_hits"),
+        expr(s"cb div $ct").as("first_chunk"),
+        when(col("n_tokens") === 0, expr(s"cb div $ct - 1"))
+          .otherwise(expr(s"(cb + n_tokens - 1) div $ct")).as("last_chunk"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr(s"(cb + n_tokens - 1) div $ct")
+            - expr(s"cb div $ct") + 1).as("n_chunks"))
+  }
+
+  val pipelineFullSql: String = {
+    val ct = Cleaning.ChunkTokens
+    s"""WITH surv AS (
+       |  SELECT d.doc_id, d.lang, s.n_hits AS n_denylist_hits,
+       |         CAST(len(regexp_extract_all(s.scrubbed, '\\S+')) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  JOIN (SELECT doc_id FROM (${Cleaning.taDecontaminateSql})
+       |        WHERE contaminated = 0) dc ON d.doc_id = dc.doc_id
+       |  JOIN (SELECT doc_id FROM (${Cleaning.taRepetitionSql})
+       |        WHERE dup_trigram_frac < ${FullDupTriMax}e0) r ON d.doc_id = r.doc_id
+       |  JOIN (${Cleaning.taDenylistScrubSql}) s ON d.doc_id = s.doc_id),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens, n_denylist_hits,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM surv)
+       |SELECT doc_id, lang, n_tokens, n_denylist_hits,
+       |  cb // $ct AS first_chunk,
+       |  CASE WHEN n_tokens = 0 THEN cb // $ct - 1
+       |       ELSE (cb + n_tokens - 1) // $ct END AS last_chunk,
+       |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE (cb + n_tokens - 1) // $ct - cb // $ct + 1 END AS n_chunks
+       |FROM c""".stripMargin
+  }
 }

@@ -64,7 +64,8 @@ object Similarity {
   /** H integer hyperplanes over the embedding dimension; w(j,i) is a
     * fixed LCG-style formula so both engines derive identical planes. */
   val H = 16
-  val LshBands = 2 // 2 bands × 8 bits
+  val LshBands = 2    // gate operating point: 2 bands × 8 bits
+  val LshBandBits = 8
   val LshTopK = 3
 
   private def wFormula(j: String, i: String): String =
@@ -100,7 +101,12 @@ object Similarity {
 
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val c = nCentroids(Tables.embeddings(s, dir).count())
-    val cells = VecKernel.ivfCells(s, dir, c, NProbe).persist()
+    // the cell table is referenced twice (assignment + probe explode);
+    // it roots in a mapPartitions kernel with no exchange, so a
+    // deliberate repartition gives ReuseExchange a node to share — the
+    // kernel runs once at shuffle write and nothing stays persisted
+    // after the action (DedupSpec pins getPersistentRDDs)
+    val cells = VecKernel.ivfCells(s, dir, c, NProbe).repartition(col("vec_id"))
     val assign = cells.select(col("vec_id"), col("cell"))
     val probes = cells.select(col("vec_id").as("query_id"),
       explode(col("probes")).as("cell"))
@@ -148,21 +154,40 @@ object Similarity {
        |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
        |FROM ranked WHERE rank <= $IvfTopK""".stripMargin
 
-  def simLshTopk(s: SparkSession, dir: String): DataFrame = {
-    val sig = VecKernel.signatures(s, dir, H)
-    val bands = sig
-      .selectExpr("vec_id", "stack(2, 'p0', b0, 'p1', b1) as (band_id, band_key)")
+  /** Banding stage over the H-bit sign signature, parameterized by the
+    * (bands, bitsPerBand) operating point — the vector-side mirror of
+    * [[Dedup.bandCandidates]]. Band b's key is bits
+    * [b·w, (b+1)·w) of the signature, so at larger corpus sizes the
+    * band WIDTH can grow (~log₂ N, SCALE.md) to keep expected bucket
+    * population N/2^w bounded without recomputing signatures. Coarser
+    * points are strict refinements: a (b, 2w)-band collision forces
+    * both of its (2b, w)-halves to collide, so every coarse candidate
+    * survives at the finer point (DedupSpec pins the inclusion chain).
+    * Buckets capped deterministically per [[MaxBucket]]. */
+  private[graft] def vecBandCandidates(sig: DataFrame, bands: Int = LshBands,
+      bitsPerBand: Int = LshBandBits, maxBucket: Int = MaxBucket): DataFrame = {
+    require(bands * bitsPerBand <= H,
+      s"bands ($bands) x bitsPerBand ($bitsPerBand) exceeds the $H-bit signature")
+    val stackArgs = (0 until bands).map { b =>
+      s"'p$b', shiftright(sig, ${b * bitsPerBand}) & ${(1L << bitsPerBand) - 1}"
+    }.mkString(", ")
+    val banded = sig
+      .selectExpr("vec_id", s"stack($bands, $stackArgs) as (band_id, band_key)")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("band_id"), col("band_key")).orderBy(col("vec_id"))))
-      .where(col("rn") <= MaxBucket)
+      .where(col("rn") <= maxBucket)
       .drop("rn")
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    banded.as("a")
+      .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
       .distinct()
+  }
+
+  def simLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val cand = vecBandCandidates(VecKernel.signatures(s, dir, H))
     VecKernel.pairDots(s, dir, cand)
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("dot_scaled").desc, col("neighbor_id"))))

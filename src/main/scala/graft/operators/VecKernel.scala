@@ -97,11 +97,15 @@ object VecKernel {
   private def better(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  /** Sign-bit LSH signatures: for each vector, H hyperplane dots →
-    * band keys of 8 bits each. Planes are computed from the same
-    * integer formula as the oracle SQL. Output: (vec_id, b0, b1). */
+  /** Sign-bit LSH signatures: for each vector, one H-bit signature long
+    * whose bit j is the SIGN of the dot against hyperplane j. Planes
+    * are computed from the same integer formula as the oracle SQL. The
+    * (bands, bitsPerBand) operating point is NOT baked in here — band
+    * keys are sliced out of the signature by
+    * [[Similarity.vecBandCandidates]]. Output: (vec_id, sig). */
   def signatures(s: SparkSession, dir: String, h: Int): DataFrame = {
     import s.implicits._
+    require(h <= 63, s"signature must fit one long, got h=$h")
     val dim = Tables.embeddings(s, dir).select(size(col("embedding"))).first().getInt(0)
     val planes: Array[Array[Long]] = Array.tabulate(h, dim)((j, i) =>
       ((1103515245L * (j + 1) + 12345L * (i + 1)) % 997L) - 498L)
@@ -114,18 +118,16 @@ object VecKernel {
           val ev = new Array[Long](emb.length)
           var i = 0
           while (i < ev.length) { ev(i) = math.round(emb(i).toDouble * 1000000.0); i += 1 }
-          var b0 = 0L; var b1 = 0L
+          var sig = 0L
           var j = 0
           while (j < planes.length) {
-            if (dot(ev, planes(j)) >= 0) {
-              if (j < 8) b0 |= (1L << j) else b1 |= (1L << (j - 8))
-            }
+            if (dot(ev, planes(j)) >= 0) sig |= (1L << j)
             j += 1
           }
-          (id, b0, b1)
+          (id, sig)
         }
       }
-      .toDF("vec_id", "b0", "b1")
+      .toDF("vec_id", "sig")
   }
 
   /** IVF cell assignment + query probes in one pass: each vector's

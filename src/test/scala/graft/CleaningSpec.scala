@@ -125,4 +125,78 @@ class CleaningSpec extends AnyFunSuite {
     // chunk ids are per-stream: the de doc ignores the en stream's sums
     assert(m(4L)._4 == 0)
   }
+
+  test("pack_chunks: every sharded stream equals packing that stream's docs alone") {
+    val nShards = 4
+    val rows = Cleaning.packChunks(spark, dir, nShards).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // sharding partitions the corpus: every doc in exactly one stream
+    assert(rows.map(_._1).sorted.toSeq == (0L to 6L).toSeq)
+    // shard-invariance: each (lang, shard) stream's chunk ranges are
+    // exactly what a single-stream packer produces on that stream's
+    // docs — shards never see each other's cursors
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((lang, shard), members) =>
+      var cursor = 0L
+      members.sortBy(_._1).foreach { case (id, _, _, nt, first, last, nc) =>
+        val expFirst = cursor / Cleaning.ChunkTokens
+        if (nt == 0)
+          assert(first == expFirst && last == expFirst - 1 && nc == 0,
+            s"empty doc $id in ($lang,$shard): ($first,$last,$nc)")
+        else {
+          val expLast = (cursor + nt - 1) / Cleaning.ChunkTokens
+          assert(first == expFirst && last == expLast && nc == expLast - expFirst + 1,
+            s"doc $id in ($lang,$shard): got ($first,$last,$nc), want ($expFirst,$expLast)")
+        }
+        cursor += nt
+      }
+    }
+  }
+
+  test("decontaminate: two-table form flags against a genuine external benchmark") {
+    // a benchmark table that is NOT a doc_id-split of the corpus
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Cleaning.taDecontaminateVs(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out.keySet == (0L to 6L).toSet, "all corpus docs appear (no split filter)")
+    assert(out(0L) == 1, "doc 0 shares 'alpha beta gamma delta epsilon'")
+    assert(out(1L) == 1, "doc 1 shares the same 5-gram mid-sentence")
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(out(_) == 0))
+  }
+
+  test("incremental dedup: bloom pre-filter output is bit-identical to the exact path") {
+    val fp = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("fp_norm"))
+    val incoming = fp.where(col("doc_id") % 3 === 0)
+    val snapshot = fp.where(col("doc_id") % 3 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val exact = rows(Cleaning.dedupIncrementalVs(incoming, snapshot))
+    // tiny capacity + high fpp forces Bloom false positives through the
+    // pre-filter — the exact join must still clear them (and Bloom's
+    // no-false-negative guarantee means no match is ever lost)
+    val bloomed = rows(Cleaning.dedupIncrementalBloom(incoming, snapshot,
+      expectedItems = 8, fpp = 0.3))
+    assert(bloomed == exact, s"bloom path diverged: $bloomed vs $exact")
+    assert(exact.exists(_._3 == 0) && exact.exists(_._3 == 1),
+      "fixture must exercise both seen and new outcomes")
+    // empty batch: null bloom aggregate must not NPE — nothing matches
+    assert(Cleaning.dedupIncrementalBloom(incoming.limit(0), snapshot).count() == 0)
+  }
+
+  test("pack_chunks: zero-token doc reports an empty span and advances no cursor") {
+    val d = java.nio.file.Files.createTempDirectory("graft-pack0").toString
+    Seq((0L, "one two three", "en", "s", 13L),
+        (1L, "", "en", "s", 0L), // zero tokens
+        (2L, "four five", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = Cleaning.taPackChunks(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(m(1L) == ((0L, 0L, -1L, 0L)),
+      s"empty doc must claim no chunk (empty span), got ${m(1L)}")
+    assert(m(2L)._2 == 0L && m(0L)._2 == 0L, "cursor unaffected by the empty doc")
+  }
 }

@@ -130,4 +130,35 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.size == 200)
     assert((0L until cap).forall(rows(_) != -1L))
   }
+
+  test("vector-LSH operating points form a refinement chain") {
+    import graft.operators.{Similarity, VecKernel}
+    val sig = VecKernel.signatures(spark, dir, Similarity.H)
+    def pairs(b: Int, w: Int): Set[(Long, Long)] =
+      Similarity.vecBandCandidates(sig, bands = b, bitsPerBand = w, maxBucket = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1x16 = pairs(1, 16); val p2x8 = pairs(2, 8); val p4x4 = pairs(4, 4)
+    assert(p1x16.subsetOf(p2x8) && p2x8.subsetOf(p4x4),
+      s"refinement chain broken: ${p1x16.size}/${p2x8.size}/${p4x4.size}")
+    // vectors 0 and 1 are near-identical: same sign on all 16 planes,
+    // so they collide even at the strictest (single 16-bit band) point
+    assert(p1x16.contains((0L, 1L)))
+  }
+
+  test("single-action operators leave nothing newly persisted after their action") {
+    // the minhash/fingerprint/cell tables are shared through exchange
+    // reuse (shuffle files, reclaimed automatically), NOT persist —
+    // a long interactive session running these repeatedly must not
+    // accumulate cached RDDs (r4 verdict: dedupMinhash/dedupEdit leaked
+    // the persisted signature table)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.dedupMinhash(spark, dir).count()
+    Dedup.dedupEdit(spark, dir).count()
+    Dedup.dedupNgram(spark, dir).count()
+    Dedup.dedupSimhashPairs(spark, dir).count()
+    graft.operators.CorpusOps.taTfidf(spark, dir).count()
+    graft.operators.Similarity.simIvfTopk(spark, dir).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"newly persisted RDD ids after actions: $leaked")
+  }
 }

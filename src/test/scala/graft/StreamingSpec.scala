@@ -211,6 +211,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === expected)
   }
 
+  test("output finality: first-visible output is unchanged by later launches (A3 intent)") {
+    // reference 6.5840/src/main/test-mr.sh:225-280 (early_exit): output
+    // captured when the first worker exits must equal the final output.
+    // Spark analog with the commit protocol: sink content committed by
+    // an earlier launch is FINAL — a later launch resuming from the
+    // same checkpoint appends new batches but never rewrites or
+    // perturbs already-visible ones.
+    val src = Files.createTempDirectory("graft-fin-src")
+    val out = Files.createTempDirectory("graft-fin-out").toString
+    val ckpt = Files.createTempDirectory("graft-fin-ckpt").toString
+    import spark.implicits._
+    def run(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(EventStreams.idempotentParquetSink(out) _)
+        .start()
+      q.awaitTermination()
+    }
+    def addFile(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-fin-tmp")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def sinkFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    addFile(Seq((1L, "alpha"), (2L, "beta")), "f1.parquet")
+    run() // "first worker exits": launch 1 commits its batches and stops
+    val firstVisibleRows = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    val firstVisibleFiles = sinkFiles()
+    assert(firstVisibleRows.nonEmpty)
+    // more input lands; a new launch resumes from the same checkpoint
+    addFile(Seq((3L, "gamma"), (4L, "delta")), "f2.parquet")
+    run()
+    val finalRows = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    assert(firstVisibleRows.subsetOf(finalRows),
+      "rows visible after launch 1 must appear unchanged in the final output")
+    firstVisibleFiles.foreach { case (path, len) =>
+      val f = new java.io.File(path)
+      assert(f.exists() && f.length() == len,
+        s"committed sink file perturbed by the second launch: $path")
+    }
+    // and the final output equals the one-shot batch result on all input
+    val batchAll = spark.read.schema("doc_id LONG, text STRING")
+      .parquet(src.toString).collect().map(_.toSeq).toSet
+    assert(finalRows.map(r => r.take(2)) == batchAll)
+  }
+
   test("checkpointed restart processes only new files (incremental pipeline)") {
     val src = Files.createTempDirectory("graft-inc-src")
     val out = Files.createTempDirectory("graft-inc-out").toString

@@ -16,12 +16,15 @@ import org.apache.spark.sql.SparkSession
   * recorded a 145 s emb_kmeans and r4 a 69 s sim_lsh_topk that way,
   * both re-measured at ~1 s in a calm window. Per-query numbers are
   * only meaningful when trivial scans sit at their known floors, so at
-  * the standard sf0.1 dir the bench first measures the floor queries
-  * and, if they are above floor, waits and retries (up to
-  * [[Bench.MaxGateAttempts]]) before recording anything. The gate
-  * outcome ships inside the JSON line ("floor_gate") so a number
-  * recorded from a degraded session is self-labeled as such.
-  * SPARK_GRAFT_NO_FLOOR_GATE=1 disables the wait loop.
+  * the standard sf0.1 dir the bench measures the floor queries BEFORE
+  * (wait-and-retry until calm, up to [[Bench.MaxGateAttempts]]) and
+  * AFTER the measured run (a stall that begins mid-run voids the whole
+  * record, which is discarded and re-measured, up to 3 full attempts).
+  * The gate outcome ships inside the JSON line ("floor_gate") so a
+  * number recorded from a degraded session is self-labeled as such.
+  * SPARK_GRAFT_NO_FLOOR_GATE=1 disables the gate entirely;
+  * SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the query list for local
+  * iteration.
   */
 object Bench {
 
@@ -47,9 +50,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
-      else SparkEntry.benchQueries
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) => list.split(",").toSeq // local iteration filter
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
+        else SparkEntry.benchQueries
+    }
     // warmup: JVM/codegen/parquet-footer costs land here, not in q1's time
     SparkEntry.queries(names.head)(spark, sfDir).count()
 
@@ -71,25 +77,50 @@ object Bench {
     }
 
     // ---- floor gate: only record from a session where trivial scans
-    // sit at their floors (floors are calibrated for the sf0.1 fixture)
+    // sit at their floors (floors are calibrated for the sf0.1 fixture),
+    // checked BEFORE and AFTER the measured run — a stall that begins
+    // mid-run (the r5 first record had dedup_cc_star at 12× while the
+    // tail queries sat at their floors) fails the post-check and the
+    // whole run is discarded and retried
     val gateApplies = sfDir.stripSuffix("/").endsWith("sf0.1") &&
       !sys.env.get("SPARK_GRAFT_NO_FLOOR_GATE").contains("1")
-    var gatePassed = !gateApplies
-    var attempts = 0
-    var floorTimes = Map.empty[String, Double]
-    while (gateApplies && !gatePassed && attempts < MaxGateAttempts) {
-      attempts += 1
-      floorTimes = Floors.keys.map(n => n -> minOf2(n)).toMap
-      gatePassed = floorTimes.forall { case (n, t) => t <= Floors(n) }
-      if (!gatePassed && attempts < MaxGateAttempts) {
-        System.err.println(s"[bench] floor gate attempt $attempts: " +
-          floorTimes.map { case (n, t) => f"$n=$t%.2fs" }.mkString(", ") +
-          " above floor — VM degraded, retrying in 60 s")
-        Thread.sleep(GateRetryMillis)
-      }
+    def measureFloors(): Map[String, Double] =
+      Floors.keys.map(n => n -> minOf2(n)).toMap
+    def atFloor(ts: Map[String, Double]): Boolean =
+      ts.forall { case (n, t) => t <= Floors(n) }
+    def waitCalm(label: String, attempt: Int, ts: Map[String, Double]): Unit = {
+      System.err.println(s"[bench] $label gate attempt $attempt: " +
+        ts.map { case (n, t) => f"$n=$t%.2fs" }.mkString(", ") +
+        " above floor — VM degraded, retrying in 60 s")
+      Thread.sleep(GateRetryMillis)
     }
 
-    val results = names.map(name => name -> minOf2(name))
+    var results: Seq[(String, Double)] = Seq.empty
+    var floorTimes = Map.empty[String, Double]
+    var accepted = !gateApplies
+    var recordAttempts = 0
+    val MaxRecordAttempts = 3
+    while (!accepted && recordAttempts < MaxRecordAttempts) {
+      recordAttempts += 1
+      // pre-gate: wait for a calm window
+      var preAttempts = 0
+      var calm = false
+      while (!calm && preAttempts < MaxGateAttempts) {
+        preAttempts += 1
+        floorTimes = measureFloors()
+        calm = atFloor(floorTimes)
+        if (!calm && preAttempts < MaxGateAttempts)
+          waitCalm("pre", preAttempts, floorTimes)
+      }
+      results = names.map(name => name -> minOf2(name))
+      // post-gate: the window must STILL be calm or the record is void
+      val post = measureFloors()
+      accepted = atFloor(post)
+      if (!accepted && recordAttempts < MaxRecordAttempts)
+        waitCalm("post", recordAttempts, post)
+    }
+    if (results.isEmpty) results = names.map(name => name -> minOf2(name))
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -98,7 +129,7 @@ object Bench {
       else {
         val fs = floorTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
           .mkString("{", ",", "}")
-        s"""{"applies":true,"passed":$gatePassed,"attempts":$attempts,"floor_times":$fs}"""
+        s"""{"applies":true,"passed":$accepted,"attempts":$recordAttempts,"floor_times":$fs}"""
       }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_gate":$gate}""")
     spark.stop()

@@ -75,6 +75,53 @@ object Cleaning {
        |FROM documents""".stripMargin
   }
 
+  /** Broadcast-set whole-word scrub — the LARGE-denylist scale path the
+    * regex variant's scaladoc promises: for all-\w+ terms,
+    * `\b(t1|…|tN)\b` matches exactly the words equal to a term, so the
+    * scrub reduces to one O(1) hash probe per word — per-row cost
+    * independent of denylist size, where the alternation regex scans
+    * O(N) alternatives per position. A million-term denylist is a few
+    * MB broadcast. (Multi-word phrase entries would need an
+    * Aho-Corasick automaton — same broadcast shape, streaming match.)
+    * Word boundaries replicate Java/RE2 `\b` exactly (ASCII
+    * [A-Za-z0-9_]), so output is bit-identical to the regex twin —
+    * spec-pinned on a 500-term list and gate-checked against the SAME
+    * DuckDB oracle as [[taDenylistScrub]]. */
+  def scrubWithSet(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "set-scrub terms must be single \\w+ words (phrases need Aho-Corasick)")
+    val bc = s.sparkContext.broadcast(terms.toSet)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deny = bc.value
+        def isW(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_'
+        rows.map { case (id, text) =>
+          val sb = new StringBuilder(text.length)
+          var hits = 0L
+          var i = 0
+          val n = text.length
+          while (i < n) {
+            if (isW(text.charAt(i))) {
+              var j = i
+              while (j < n && isW(text.charAt(j))) j += 1
+              val w = text.substring(i, j)
+              if (deny(w)) { sb.append("[REDACTED]"); hits += 1 }
+              else sb.append(w)
+              i = j
+            } else { sb.append(text.charAt(i)); i += 1 }
+          }
+          (id, sb.toString, hits)
+        }
+      }.toDF("doc_id", "scrubbed", "n_hits")
+  }
+
+  /** Gate twin of [[taDenylistScrub]] through the set kernel. */
+  def taDenylistScrubLarge(s: SparkSession, dir: String): DataFrame =
+    scrubWithSet(Tables.documents(s, dir), Denylist)
+
   // -------------------------------------------------- ta_decontaminate
   /** Benchmark decontamination: flag every training document sharing at
     * least one [[DecontGram]]-gram with the held-out benchmark set.

@@ -64,7 +64,9 @@ object ScaleRehearsal {
       "stream_left_join", "pipeline_clean",
       // r4 operators
       "pii_mask", "ta_denylist_scrub", "ta_decontaminate", "ta_repetition",
-      "ta_pack_chunks", "dedup_incremental", "emb_pq")
+      "ta_pack_chunks", "dedup_incremental", "emb_pq",
+      // r5 operators
+      "emb_pq_trained", "pipeline_full", "ta_denylist_scrub_large")
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()
       val t0 = System.nanoTime()

@@ -153,6 +153,27 @@ class CleaningSpec extends AnyFunSuite {
     }
   }
 
+  test("set-based scrub (large-denylist path) is bit-identical to the regex path") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(Cleaning.taDenylistScrubLarge(spark, dir)) ==
+      rows(Cleaning.taDenylistScrub(spark, dir)))
+    // a 500-term denylist: the regime the set kernel exists for — the
+    // regex alternation is checked against it once, here, as the oracle
+    val big = (1 to 500).map(i => s"bigterm$i") ++ Cleaning.Denylist :+ "totally"
+    val pat = s"\\b(${big.mkString("|")})\\b"
+    val viaRegex = rows(docs.select(col("doc_id"),
+      regexp_replace(col("text"), pat, "[REDACTED]").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as("n_hits")))
+    assert(rows(Cleaning.scrubWithSet(docs, big)) == viaRegex)
+    // phrases are loudly rejected, not silently mis-scrubbed
+    intercept[IllegalArgumentException] {
+      Cleaning.scrubWithSet(docs, Seq("new york"))
+    }
+  }
+
   test("decontaminate: two-table form flags against a genuine external benchmark") {
     // a benchmark table that is NOT a doc_id-split of the corpus
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))

@@ -281,4 +281,57 @@ object CorpusOps {
        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY hkey, doc_id) AS INT) AS rn
        |  FROM h)
        |SELECT doc_id, lang, source, rn FROM r WHERE rn <= $SampleK""".stripMargin
+
+  // ---------------------------------------------------- sample_mixture
+  /** Target language mixture (percent of the sample budget). */
+  val MixTargetPct: Seq[(String, Int)] =
+    Seq("en" -> 40, "zh" -> 25, "fr" -> 15, "es" -> 10, "de" -> 10)
+  /** Sample budget = corpus size div this. */
+  val MixBudgetDen = 2
+
+  /** Domain-mixture sampling: draw a corpus-half sample whose language
+    * proportions hit [[MixTargetPct]] — the data-mixing step of LLM
+    * training (reweighting web/code/books/per-language shares before
+    * tokenization). Per-language keep-rate (ppm, exact integers):
+    * rate_g = min(1, desired_g / n_g) with desired_g = budget·pct/100 —
+    * min(1, ·) because an under-represented language can't be
+    * oversampled without replacement; membership is the same md5 bucket
+    * as [[sampleStratified]] (retry-stable, partition-invariant,
+    * engine-identical).
+    *
+    * 100 TB shape: the language census is a groupBy over a handful of
+    * keys (map-side combined, output rows = #languages); the rate table
+    * broadcasts back and the keep decision is a pure per-row predicate
+    * — the corpus is never shuffled. */
+  def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val weights = MixTargetPct.toDF("lang", "pct")
+    val total = docs.agg(count(lit(1)).as("total"))
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .join(weights, "lang")
+      .crossJoin(broadcast(total))
+      .select(col("lang"),
+        least(lit(1000000L),
+          expr(s"((total div $MixBudgetDen) * pct div 100) * 1000000 div n_lang"))
+          .as("rate_ppm"))
+    docs.join(broadcast(rates), "lang")
+      .where((expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+        % 1000000L) < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"), col("rate_ppm"))
+  }
+
+  val sampleMixtureSql: String = {
+    val values = MixTargetPct.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    s"""WITH w(lang, pct) AS (VALUES $values),
+       |n AS (SELECT COUNT(1) AS total FROM documents),
+       |c AS (SELECT lang, COUNT(1) AS n_lang FROM documents GROUP BY lang),
+       |r AS (
+       |  SELECT c.lang,
+       |         LEAST(1000000, ((n.total // $MixBudgetDen) * w.pct // 100) * 1000000 // c.n_lang) AS rate_ppm
+       |  FROM c JOIN w USING (lang) CROSS JOIN n)
+       |SELECT d.doc_id, d.lang, r.rate_ppm
+       |FROM documents d JOIN r USING (lang)
+       |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.rate_ppm""".stripMargin
+  }
 }

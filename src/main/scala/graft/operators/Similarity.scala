@@ -154,6 +154,101 @@ object Similarity {
        |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
        |FROM ranked WHERE rank <= $IvfTopK""".stripMargin
 
+  // --------------------------------------------------- sim_ivfpq_topk
+  /** Neighbors returned per query by the IVF-PQ search. */
+  val IvfPqTopK = 3
+
+  /** IVF-PQ approximate search — the composition that actually runs at
+    * 100 TB (FAISS's IVFPQ): IVF restricts WHICH vectors are scored
+    * (probe `NProbe` coarse cells), PQ restricts WHAT scoring costs
+    * (a candidate is its M codebook codes; its approximate dot is M
+    * lookups in the query's ADC table, never a raw-vector read). The
+    * codebook here is seeded from the first [[KMeans.PqC]] vectors —
+    * codebook TRAINING is [[KMeans.embPqTrained]]'s per-subspace Lloyd
+    * loop; the search operator is identical either way.
+    *
+    * Distributed shape: one shuffle-free index pass
+    * ([[VecKernel.ivfPqEncode]]), then one shuffle on `cell` joining
+    * probe lists against cell membership. No distinct is needed: each
+    * neighbor lives in exactly one cell, so a (query, neighbor) pair
+    * can only arise once. Everything is exact integer arithmetic, so
+    * the approximate scores themselves hash-check against DuckDB. */
+  def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = nCentroids(Tables.embeddings(s, dir).count())
+    // referenced twice (membership + probes) — rooted in a mapPartitions
+    // kernel, so a deliberate repartition gives ReuseExchange a node to
+    // share; nothing stays persisted after the action
+    val enc = VecKernel.ivfPqEncode(s, dir, c, NProbe, KMeans.PqC, KMeans.PqM)
+      .repartition(col("vec_id"))
+    val assign = enc.select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    val probes = enc.select(col("vec_id").as("query_id"),
+      explode(col("probes")).as("cell"), col("lut"))
+    val adcExpr = (0 until KMeans.PqM)
+      .map(m => s"lut[${m * KMeans.PqC} + codes[$m]]").mkString(" + ")
+    probes.join(assign, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .selectExpr("query_id", "neighbor_id", s"$adcExpr as adc_scaled")
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_scaled").desc, col("neighbor_id"))))
+      .where(col("rank") <= IvfPqTopK)
+      .withColumn("cos_sim_adc", col("adc_scaled").cast("double") / lit(1e12))
+  }
+
+  /** DuckDB twin: coarse assign/probes as [[simIvfTopkSql]], PQ codes
+    * as [[KMeans.embPqSql]]'s argmin, ADC via a per-(query, subspace,
+    * codebook-entry) lookup join. */
+  val simIvfPqTopkSql: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, i,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS e,
+       |    (i - 1) // (len(embedding) // ${KMeans.PqM}) AS sub
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+       |nc AS (SELECT GREATEST(16, 2 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS c
+       |       FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, i, e FROM ev WHERE vec_id < (SELECT c FROM nc)),
+       |cdots AS (
+       |  SELECT a.vec_id, c.c_id, CAST(SUM(a.e * c.e) AS BIGINT) AS d
+       |  FROM ev a JOIN cent c ON a.i = c.i
+       |  GROUP BY 1, 2),
+       |ranked_c AS (
+       |  SELECT vec_id, c_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c_id) AS rn
+       |  FROM cdots),
+       |assign AS (SELECT vec_id, c_id AS cell FROM ranked_c WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked_c WHERE rn <= $NProbe),
+       |cb AS (SELECT vec_id AS cb_cell, i, e, sub FROM ev WHERE vec_id < ${KMeans.PqC}),
+       |cdist AS (
+       |  SELECT v.vec_id, v.sub, c.cb_cell, SUM((v.e - c.e) * (v.e - c.e)) AS d2
+       |  FROM ev v JOIN cb c ON v.i = c.i
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, cb_cell FROM (
+       |    SELECT vec_id, sub, cb_cell,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cb_cell) AS rn
+       |    FROM cdist)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.cb_cell, c.sub, SUM(q.e * c.e) AS d
+       |  FROM ev q JOIN cb c ON q.i = c.i
+       |  GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_scaled
+       |  FROM cand cd
+       |  JOIN codes n ON n.vec_id = cd.neighbor_id
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.sub = n.sub AND l.cb_cell = n.cb_cell
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_scaled,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_scaled DESC, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adc_scaled, CAST(rank AS INT) AS rank,
+       |       CAST(adc_scaled AS DOUBLE) / 1e12 AS cos_sim_adc
+       |FROM ranked WHERE rank <= $IvfPqTopK""".stripMargin
+
   /** Banding stage over the H-bit sign signature, parameterized by the
     * (bands, bitsPerBand) operating point — the vector-side mirror of
     * [[Dedup.bandCandidates]]. Band b's key is bits

@@ -159,6 +159,74 @@ object VecKernel {
       .toDF("vec_id", "cell", "probes")
   }
 
+  /** IVF-PQ index build in ONE corpus pass: for each vector —
+    *  - its coarse cell (nearest of `nCentroids` centroids by exact
+    *    integer dot, ties to the smaller id) and its `nprobe` probe
+    *    cells (the query-side fan-out),
+    *  - its PQ codes (per-subspace exact integer L2 argmin over the
+    *    `pqC`-entry codebook, ties to the smaller id) — the M-byte
+    *    compressed representation that replaces the vector at scoring
+    *    time, and
+    *  - its ADC lookup table: lut[m·pqC + c] = ⟨query subvector m,
+    *    codebook entry c⟩, so a candidate's approximate dot is M array
+    *    reads instead of a dim-length multiply — the whole point of
+    *    product quantization at 100 TB (the index stores M bytes/vector;
+    *    scoring never touches raw vectors).
+    *
+    * Both centroid sets are O(√N·dim) / O(pqC·dim) broadcasts read via
+    * pushed-down scans; the pass itself is shuffle-free. Output:
+    * (vec_id, cell, probes, codes, lut). */
+  def ivfPqEncode(s: SparkSession, dir: String, nCentroids: Int, nprobe: Int,
+                  pqC: Int, pqM: Int): DataFrame = {
+    import s.implicits._
+    val (cids, cents) = collectScaled(s, dir, Some(col("vec_id") < nCentroids))
+    val (cbIds, cb) = collectScaled(s, dir, Some(col("vec_id") < pqC))
+    require(cbIds.sameElements(0L until pqC.toLong),
+      s"pq codebook expects dense 0-based vec_ids, got [${cbIds.mkString(",")}]")
+    require(cb(0).length % pqM == 0,
+      s"dim ${cb(0).length} not divisible into $pqM subspaces")
+    val bc = s.sparkContext.broadcast((cids, cents, cb))
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val (cids, cents, cb) = bc.value
+        val dsub = cb(0).length / pqM
+        rows.map { case (id, emb) =>
+          val ev = new Array[Long](emb.length)
+          var i = 0
+          while (i < ev.length) { ev(i) = math.round(emb(i).toDouble * 1000000.0); i += 1 }
+          val ranked = cents.indices.map(c => (dot(ev, cents(c)), cids(c)))
+            .sortBy { case (d, cid) => (-d, cid) }
+          val codes = new Array[Int](pqM)
+          var m = 0
+          while (m < pqM) {
+            var best = 0; var bestD = Long.MaxValue
+            var c = 0
+            while (c < pqC) {
+              var d = 0L; var k = m * dsub; val end = (m + 1) * dsub
+              while (k < end) { val df = ev(k) - cb(c)(k); d += df * df; k += 1 }
+              if (d < bestD) { bestD = d; best = c } // ties keep smaller id
+              c += 1
+            }
+            codes(m) = best; m += 1
+          }
+          val lut = new Array[Long](pqM * pqC)
+          m = 0
+          while (m < pqM) {
+            var c = 0
+            while (c < pqC) {
+              var d = 0L; var k = m * dsub; val end = (m + 1) * dsub
+              while (k < end) { d += ev(k) * cb(c)(k); k += 1 }
+              lut(m * pqC + c) = d; c += 1
+            }
+            m += 1
+          }
+          (id, ranked.head._2, ranked.take(nprobe).map(_._2), codes.toSeq, lut.toSeq)
+        }
+      }
+      .toDF("vec_id", "cell", "probes", "codes", "lut")
+  }
+
   /** Scan size (bytes, from catalog/file statistics) up to which the
     * scaled-embedding table is broadcast in [[pairDots]]: 64 MB of
     * float32 parquet ≈ 200k × 64-dim vectors ≈ 100 MB of scaled longs

@@ -130,4 +130,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(r.fieldIndex("bucket")))
     assert(buckets.forall(x => x >= 0 && x < CorpusOps.SampleRatePct))
   }
+
+  test("sample_mixture keeps exactly the md5 buckets below each language's integer rate") {
+    // independent first-principles recompute on the real fixture (all 5
+    // mixture languages present there, unlike this suite's 2-lang corpus)
+    val fdir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$fdir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val total = docs.length.toLong
+    val nLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pct = CorpusOps.MixTargetPct.toMap
+    val ratePpm: Map[String, Long] = nLang.collect {
+      case (l, n) if pct.contains(l) =>
+        l -> math.min(1000000L, (total / CorpusOps.MixBudgetDen) * pct(l) / 100 * 1000000L / n)
+    }.toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expected = docs.collect {
+      case (id, l) if ratePpm.contains(l) && bucket(id) < ratePpm(l) => id
+    }.toSet
+    val got = CorpusOps.sampleMixture(spark, fdir).collect()
+    assert(got.map(_.getLong(0)).toSet == expected)
+    // the rate column reports the audited per-language keep rate
+    got.foreach(r => assert(r.getLong(2) == ratePpm(r.getString(1))))
+    // under-represented strata clamp at keep-everything, never oversample
+    assert(ratePpm.values.forall(_ <= 1000000L))
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{KMeans, Similarity, VecKernel}
+
+/** IVF-PQ search invariants, verified against an independent in-test
+  * reconstruction (not the DuckDB oracle): the ADC score of every
+  * returned pair must equal the exact dot of the query vector against
+  * the neighbor's codebook reconstruction, and every neighbor must come
+  * from a probed coarse cell. */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  private def scaledVecs(): Map[Long, Array[Long]] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val ev = r.getSeq[Float](1).toArray
+          .map(x => math.round(x.toDouble * 1000000.0))
+        r.getLong(0) -> ev
+      }.toMap
+
+  test("adc score == dot(query, pq-reconstruction of neighbor); neighbors come from probed cells") {
+    val vecs = scaledVecs()
+    val c = Similarity.nCentroids(vecs.size.toLong)
+    val enc = VecKernel
+      .ivfPqEncode(spark, dir, c, Similarity.NProbe, KMeans.PqC, KMeans.PqM)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toSet,
+        r.getSeq[Int](3).toArray)))
+      .toMap
+    val dsub = vecs(0L).length / KMeans.PqM
+    def recon(codes: Array[Int]): Array[Long] =
+      Array.tabulate(vecs(0L).length)(k => vecs(codes(k / dsub).toLong)(k))
+    val rows = Similarity.simIvfPqTopk(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n, adc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (nCell, _, nCodes) = enc(n)
+      val (_, qProbes, _) = enc(q)
+      assert(qProbes.contains(nCell),
+        s"neighbor $n (cell $nCell) not in query $q's probes $qProbes")
+      val expect = vecs(q).zip(recon(nCodes)).map { case (a, b) => a * b }.sum
+      assert(adc == expect, s"adc mismatch for ($q, $n): $adc vs $expect")
+    }
+  }
+
+  test("per-query results are ranked 1..k by (adc desc, neighbor asc)") {
+    val byQuery = Similarity.simIvfPqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    byQuery.values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to g.length))
+      assert(g.length <= Similarity.IvfPqTopK)
+      sorted.sliding(2).foreach {
+        case Array((_, n1, a1, _), (_, n2, a2, _)) =>
+          assert(a1 > a2 || (a1 == a2 && n1 < n2))
+        case _ => ()
+      }
+    }
+  }
+
+  test("ivfpq search leaves nothing newly persisted after its action") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.simIvfPqTopk(spark, dir).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"newly persisted RDD ids: $leaked")
+  }
+}

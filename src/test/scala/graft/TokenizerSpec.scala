@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Tokenizer
+
+/** Vocabulary build/encode: id assignment, OOV handling, and the plan
+  * properties that keep both halves linear at corpus scale. */
+class TokenizerSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("vocab ids are dense 1..V in (count desc, term asc) order") {
+    val rows = Tokenizer.vocabBuild(spark, dir)
+      .orderBy(col("token_id"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == Tokenizer.VocabSize)
+    assert(rows.map(_._1).toSeq == (1 to Tokenizer.VocabSize))
+    // counts non-increasing; equal counts break ties on term asc
+    rows.sliding(2).foreach { case Array((_, t1, c1), (_, t2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && t1 < t2), s"order broken at $t1/$t2")
+    }
+  }
+
+  test("encode maps in-vocab terms to their dict id and everything else to 0") {
+    val dict = Tokenizer.vocabBuild(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    // decode independently: re-tokenize in the test and compare per position
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enc = Tokenizer.vocabEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    var oov = 0
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      toks.zipWithIndex.foreach { case (t, pos) =>
+        val expected = dict.getOrElse(t, 0)
+        assert(enc((id, pos.toLong)) == expected, s"doc $id pos $pos term $t")
+        if (expected == 0) oov += 1
+      }
+    }
+    // fixture vocabulary (31 terms) exceeds VocabSize (24): OOV is exercised
+    assert(oov > 0, "fixture must exercise the OOV path")
+    assert(enc.size == docs.values.map(t =>
+      t.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim.split(" ").count(_.nonEmpty)).sum)
+  }
+
+  test("build plans TakeOrdered (no global vocab sort); encode joins by broadcast (no corpus shuffle)") {
+    val build = Tokenizer.vocabBuild(spark, dir).queryExecution.sparkPlan
+    assert(build.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"top-V must short-circuit, not sort the vocabulary:\n$build")
+    val encode = Tokenizer.vocabEncode(spark, dir).queryExecution.sparkPlan
+    assert(encode.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"the V-row dictionary must broadcast to the corpus stream:\n$encode")
+    assert(!encode.toString.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle the whole corpus by term")
+  }
+}

@@ -66,7 +66,9 @@ object ScaleRehearsal {
       "pii_mask", "ta_denylist_scrub", "ta_decontaminate", "ta_repetition",
       "ta_pack_chunks", "dedup_incremental", "emb_pq",
       // r5 operators
-      "emb_pq_trained", "pipeline_full", "ta_denylist_scrub_large")
+      "emb_pq_trained", "pipeline_full", "ta_denylist_scrub_large",
+      "sim_ivfpq_topk", "vocab_build", "vocab_encode", "sample_mixture",
+      "dedup_minhash_incr")
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()
       val t0 = System.nanoTime()

@@ -145,6 +145,31 @@ class DedupSpec extends AnyFunSuite {
     assert(p1x16.contains((0L, 1L)))
   }
 
+  test("dedup_minhash_incr flags batch docs near-duplicating the snapshot, never batch-internal dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    val d = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    // snapshot: 0 (base), 3 (unrelated); batch: 1 (near-dup of 0), 2
+    // (dup of batch-mate 1 ONLY relative to snapshot semantics — also
+    // near 0), 4 (novel)
+    Seq(
+      (0L, base), (3L, "completely different words about spark engines shuffling partitions"),
+      (1L, base.replace("tonight", "today")),
+      (2L, base.replace("tonight", "today at dusk")),
+      (4L, "zebra yak xylophone walrus viper unicorn tiger snake rabbit quail"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val out = Dedup.dedupMinhashVs(spark,
+        docs.where($"doc_id".isin(1L, 2L, 4L)), docs.where($"doc_id".isin(0L, 3L)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), "one row per batch doc, none for snapshot docs")
+    assert(out(1L)._1 == 0L && out(1L)._2, "batch doc 1 must match snapshot doc 0")
+    assert(out(2L)._1 == 0L && out(2L)._2, "batch doc 2 must match snapshot doc 0")
+    assert(out(4L) == ((-1L, false)), "novel doc has no snapshot match")
+    // candidates are new×old only: best match ids always from the snapshot
+    assert(out.values.map(_._1).forall(Set(-1L, 0L, 3L)))
+  }
+
   test("single-action operators leave nothing newly persisted after their action") {
     // the minhash/fingerprint/cell tables are shared through exchange
     // reuse (shuffle files, reclaimed automatically), NOT persist —

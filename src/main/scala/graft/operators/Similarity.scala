@@ -95,9 +95,32 @@ object Similarity {
   val NProbe = 2
   val IvfTopK = 3
 
+  /** Max members SCORED per probed cell (FAISS-style inverted-list
+    * truncation, deterministic by vec_id). C = 2·⌈√N⌉ keeps candidate
+    * volume at O(N^1.5) only when cells stay near-uniform; a clustered
+    * or duplicate-heavy corpus concentrates into hot cells and pairs
+    * grow as Σ|cell|² — the 10× rehearsal (20k vectors, max cell 140 vs
+    * median 70) measured the uncapped exact re-rank at 37 s. With the
+    * cap, total candidates are ≤ N·nprobe·cap — linear in N no matter
+    * how degenerate the corpus — at the standard recall loss on
+    * overfull cells. Gate-SF cells (max 17 at sf0.01) never reach the
+    * cap, so oracle results are unchanged there; the cap is mirrored in
+    * both oracle SQLs for when it does bind. */
+  val IvfMaxCell = 128
+
   /** 2·⌈√N⌉, floored at 16. */
   def nCentroids(n: Long): Int =
     math.max(16, 2 * math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** Cell membership with the [[IvfMaxCell]] cap applied — the window
+    * shuffles on `cell`, the same key the candidate join needs next, so
+    * the cap costs no extra exchange. */
+  private def cappedAssign(cells: DataFrame): DataFrame =
+    cells.select(col("vec_id"), col("cell"))
+      .withColumn("mrn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .where(col("mrn") <= IvfMaxCell)
+      .drop("mrn")
 
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val c = nCentroids(Tables.embeddings(s, dir).count())
@@ -107,7 +130,7 @@ object Similarity {
     // kernel runs once at shuffle write and nothing stays persisted
     // after the action (DedupSpec pins getPersistentRDDs)
     val cells = VecKernel.ivfCells(s, dir, c, NProbe).repartition(col("vec_id"))
-    val assign = cells.select(col("vec_id"), col("cell"))
+    val assign = cappedAssign(cells)
     val probes = cells.select(col("vec_id").as("query_id"),
       explode(col("probes")).as("cell"))
     val cand = probes.join(assign, "cell")
@@ -134,7 +157,12 @@ object Similarity {
        |  SELECT vec_id, c_id,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c_id) AS rn
        |  FROM cdots),
-       |assign AS (SELECT vec_id, c_id AS cell FROM ranked_c WHERE rn = 1),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, c_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY vec_id) AS mrn
+       |    FROM ranked_c WHERE rn = 1)
+       |  WHERE mrn <= $IvfMaxCell),
        |probes AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked_c WHERE rn <= $NProbe),
        |cand AS (
        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
@@ -180,7 +208,13 @@ object Similarity {
     // share; nothing stays persisted after the action
     val enc = VecKernel.ivfPqEncode(s, dir, c, NProbe, KMeans.PqC, KMeans.PqM)
       .repartition(col("vec_id"))
-    val assign = enc.select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    // same [[IvfMaxCell]] inverted-list cap as simIvfTopk: ADC makes
+    // each candidate cheap, but hot-cell pair COUNTS still grow Σ|cell|²
+    val assign = enc.select(col("vec_id"), col("cell"), col("codes"))
+      .withColumn("mrn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .where(col("mrn") <= IvfMaxCell)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     val probes = enc.select(col("vec_id").as("query_id"),
       explode(col("probes")).as("cell"), col("lut"))
     val adcExpr = (0 until KMeans.PqM)
@@ -214,7 +248,12 @@ object Similarity {
        |  SELECT vec_id, c_id,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c_id) AS rn
        |  FROM cdots),
-       |assign AS (SELECT vec_id, c_id AS cell FROM ranked_c WHERE rn = 1),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, c_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY vec_id) AS mrn
+       |    FROM ranked_c WHERE rn = 1)
+       |  WHERE mrn <= $IvfMaxCell),
        |probes AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked_c WHERE rn <= $NProbe),
        |cb AS (SELECT vec_id AS cb_cell, i, e, sub FROM ev WHERE vec_id < ${KMeans.PqC}),
        |cdist AS (

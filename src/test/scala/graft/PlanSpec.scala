@@ -87,6 +87,18 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark grams must broadcast:\n$p")
   }
 
+  test("sample_mixture: rate table broadcasts; the corpus side never shuffles") {
+    val p = plan(CorpusOps.sampleMixture(spark, dir))
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"per-language rates must broadcast to the corpus scan:\n$p")
+    // shuffles exist only under the tiny census branch (lang agg +
+    // global count); the kept-rows side is scan → broadcast-join filter
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 2, s"only census aggregations may shuffle:\n$p")
+  }
+
   test("q3: only needed lineitem columns are read") {
     val sc = scans(Relational.q3JoinTopk(spark, dir))
       .filter(_.metadata("Location").contains("lineitem"))

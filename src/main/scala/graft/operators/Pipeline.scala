@@ -150,4 +150,71 @@ object Pipeline {
        |       ELSE (cb + n_tokens - 1) // $ct - cb // $ct + 1 END AS n_chunks
        |FROM c""".stripMargin
   }
+
+  // ------------------------------------------------------ search_hybrid
+  /** Candidate-pool size taken from each retriever before fusion. */
+  val HybridPoolK = 100
+  /** Fused results returned. */
+  val HybridTopK = 20
+  /** Reciprocal-rank-fusion smoothing constant (the standard 60). */
+  val RrfK = 60
+
+  /** Hybrid retrieval — the RAG-serving read path over this engine's own
+    * indexes: a lexical ranking ([[CorpusOps.taBm25]] over the fixed
+    * query terms) and a vector ranking (exact dots against query vector
+    * 0 through the [[VecKernel.pairDots]] kernel) are each cut to their
+    * top-[[HybridPoolK]] and fused by reciprocal rank:
+    * rrf = 1/(k+r_bm) + 1/(k+r_vec), docs present in both pools.
+    *
+    * 100 TB shape: each side's pool is a TakeOrdered (per-partition
+    * top-k, no global sort of scores), so the only globally-sorted data
+    * is 2·poolK rows; rank assignment and fusion run on those. The
+    * fusion arithmetic is two IEEE divisions of exact small integers
+    * summed in fixed order — bit-equal across engines, so even the
+    * fused float ranking hash-checks. */
+  def searchHybrid(s: SparkSession, dir: String): DataFrame = {
+    val bmTop = CorpusOps.taBm25(s, dir)
+      .orderBy(col("bm25_total").desc, col("doc_id")).limit(HybridPoolK)
+      .withColumn("r_bm", row_number().over(
+        Window.orderBy(col("bm25_total").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_bm"))
+    val pairs = Tables.embeddings(s, dir).select(col("vec_id"))
+      .where(col("vec_id") =!= 0L)
+      .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"))
+    val vecTop = VecKernel.pairDots(s, dir, pairs)
+      .orderBy(col("dot_scaled").desc, col("neighbor_id")).limit(HybridPoolK)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("dot_scaled").desc, col("neighbor_id"))))
+      .select(col("neighbor_id").as("doc_id"), col("r_vec"))
+    bmTop.join(vecTop, "doc_id")
+      .withColumn("rrf",
+        lit(1.0) / (lit(RrfK) + col("r_bm")) + lit(1.0) / (lit(RrfK) + col("r_vec")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .where(col("rank") <= HybridTopK)
+  }
+
+  val searchHybridSql: String =
+    s"""WITH bm AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25_total DESC, doc_id) AS INT) AS r_bm
+       |  FROM (SELECT * FROM (${CorpusOps.taBm25Sql}) t
+       |        ORDER BY bm25_total DESC, doc_id LIMIT $HybridPoolK)),
+       |ev AS (
+       |  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS e
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+       |vd AS (
+       |  SELECT ev.vec_id, CAST(SUM(ev.e * q0.e) AS BIGINT) AS dot_scaled
+       |  FROM ev JOIN (SELECT i, e FROM ev WHERE vec_id = 0) q0 USING (i)
+       |  WHERE ev.vec_id <> 0 GROUP BY 1),
+       |vr AS (
+       |  SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (ORDER BY dot_scaled DESC, vec_id) AS INT) AS r_vec
+       |  FROM (SELECT * FROM vd ORDER BY dot_scaled DESC, vec_id LIMIT $HybridPoolK)),
+       |fused AS (
+       |  SELECT doc_id, r_bm, r_vec,
+       |         1.0 / ($RrfK + r_bm) + 1.0 / ($RrfK + r_vec) AS rrf
+       |  FROM bm JOIN vr USING (doc_id))
+       |SELECT doc_id, r_bm, r_vec, rrf,
+       |       CAST(rank AS INT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+       |WHERE rank <= $HybridTopK""".stripMargin
 }

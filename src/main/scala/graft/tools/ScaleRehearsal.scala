@@ -68,7 +68,7 @@ object ScaleRehearsal {
       // r5 operators
       "emb_pq_trained", "pipeline_full", "ta_denylist_scrub_large",
       "sim_ivfpq_topk", "vocab_build", "vocab_encode", "sample_mixture",
-      "dedup_minhash_incr")
+      "dedup_minhash_incr", "search_hybrid")
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()
       val t0 = System.nanoTime()

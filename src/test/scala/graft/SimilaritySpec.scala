@@ -63,6 +63,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("search_hybrid fuses only docs in both pools with exact reciprocal-rank scores") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.searchHybrid(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty && rows.length <= Pipeline.HybridTopK)
+    rows.foreach { case (_, rBm, rVec, rrf, _) =>
+      assert(rBm >= 1 && rBm <= Pipeline.HybridPoolK)
+      assert(rVec >= 1 && rVec <= Pipeline.HybridPoolK)
+      // fusion is exactly 1/(k+r_bm) + 1/(k+r_vec), bit-for-bit
+      assert(rrf == 1.0 / (Pipeline.RrfK + rBm) + 1.0 / (Pipeline.RrfK + rVec))
+    }
+    val sorted = rows.sortBy(_._5)
+    assert(sorted.map(_._5).toSeq == (1 to rows.length))
+    sorted.sliding(2).foreach {
+      case Array((d1, _, _, s1, _), (d2, _, _, s2, _)) =>
+        assert(s1 > s2 || (s1 == s2 && d1 < d2))
+      case _ => ()
+    }
+  }
+
   test("ivfpq search leaves nothing newly persisted after its action") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Similarity.simIvfPqTopk(spark, dir).count()

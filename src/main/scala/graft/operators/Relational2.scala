@@ -348,4 +348,36 @@ object Relational2 {
       |         OVER (PARTITION BY g.user_id ORDER BY g.b
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
       |FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b""".stripMargin
+
+  // ----------------------------------------------------- q41_unpivot
+  /** q41: UNPIVOT — the wide→long reshape inverse of [[q24Pivot]]:
+    * lineitem's four measure columns melt to (measure, value) rows via
+    * `stack` (a Generate, no shuffle, no UDTF), then re-aggregate per
+    * measure. The groupBy has exactly 4 keys, so map-side partial
+    * aggregation reduces the shuffle to partitions×4 rows at any scale.
+    * DECIMAL sums per the engine convention (double sums are
+    * order-dependent across engines); one cast back at the end. */
+  def q41Unpivot(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .selectExpr(
+        """stack(4,
+          |  'quantity',      cast(l_quantity as decimal(18,2)),
+          |  'extendedprice', cast(l_extendedprice as decimal(18,2)),
+          |  'discount',      cast(l_discount as decimal(18,2)),
+          |  'tax',           cast(l_tax as decimal(18,2))) as (measure, value)""".stripMargin)
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("double").as("total"),
+        min(col("value")).cast("double").as("mn"),
+        max(col("value")).cast("double").as("mx"))
+
+  val q41UnpivotSql: String =
+    """WITH m AS (
+      |  SELECT 'quantity' AS measure, CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+      |  UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |SELECT measure, COUNT(1) AS n, CAST(SUM(value) AS DOUBLE) AS total,
+      |       CAST(MIN(value) AS DOUBLE) AS mn, CAST(MAX(value) AS DOUBLE) AS mx
+      |FROM m GROUP BY measure""".stripMargin
 }

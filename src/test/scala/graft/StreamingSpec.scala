@@ -182,6 +182,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("stream-static join: incremental dedup of a document stream against a static snapshot == batch") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{Cleaning, TextAnalysis}
+    val src = "/root/testdata/sf0.001"
+    val docsStatic = spark.read.parquet(s"$src/documents.parquet")
+    def fp(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), md5(TextAnalysis.normalized(col("text"))).as("fp_norm"))
+    // static side: the already-ingested snapshot (never re-read per batch
+    // beyond Spark's stream-static contract); stream side: new docs
+    val snapshot = fp(docsStatic.where(col("doc_id") % 3 =!= 0))
+    val dir = Files.createTempDirectory("graft-streamdocs")
+    Files.copy(Paths.get(s"$src/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // plant one incoming doc (999 ≡ 0 mod 3) that exactly duplicates a
+    // snapshot doc's text — the fixture has no cross-split exact dups
+    docsStatic.where(col("doc_id") === 1).withColumn("doc_id", lit(999L))
+      .write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream.schema(docsStatic.schema).parquet(dir.toString)
+    val q = Cleaning.dedupIncrementalVs(fp(stream.where(col("doc_id") % 3 === 0)), snapshot)
+      .writeStream.outputMode("append").format("memory").queryName("t_ss_incr").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_ss_incr").collect().map(_.toSeq).toSet
+    val batch = Cleaning
+      .dedupIncrementalVs(
+        fp(spark.read.parquet(dir.toString).where(col("doc_id") % 3 === 0)), snapshot)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // both outcomes occur: snapshot hits and genuinely new docs
+    assert(streamed.exists(_.last == 0) && streamed.exists(_.last == 1))
+  }
+
   test("foreachBatch idempotent sink: batch replay does not duplicate rows") {
     val out = Files.createTempDirectory("graft-sink").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

@@ -50,6 +50,25 @@ class TokenizerSpec extends AnyFunSuite {
       t.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim.split(" ").count(_.nonEmpty)).sum)
   }
 
+  test("vocab build/encode and mixture sampling are invariant to shuffle partitioning") {
+    val conf = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(conf)
+    def snap(): (Seq[(Int, String)], Long, Seq[Long]) = (
+      Tokenizer.vocabBuild(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq,
+      Tokenizer.vocabEncode(spark, dir).collect()
+        .map(r => r.getLong(0) * 1000003 + r.getLong(1) * 31 + r.getInt(2)).sum,
+      graft.operators.CorpusOps.sampleMixture(spark, dir).collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    try {
+      spark.conf.set(conf, "3")
+      val a = snap()
+      spark.conf.set(conf, "13")
+      val b = snap()
+      assert(a === b)
+    } finally spark.conf.set(conf, old)
+  }
+
   test("build plans TakeOrdered (no global vocab sort); encode joins by broadcast (no corpus shuffle)") {
     val build = Tokenizer.vocabBuild(spark, dir).queryExecution.sparkPlan
     assert(build.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,

@@ -10,13 +10,15 @@ import graft.SparkEntry
   * absolute numbers — it's catching operators whose cost or memory
   * curves are super-linear before a real cluster does.
   *
-  * Usage: scripts/run.sh graft.tools.ScaleRehearsal [outDir]
+  * Usage: scripts/run.sh graft.tools.ScaleRehearsal [outDir] [copies]
+  * (SPARK_GRAFT_REHEARSAL_ONLY=a,b,c restricts the operator list —
+  * the 100× pass times a focused subset, not all ~50.)
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
-    val copies = 10
+    val copies = if (args.length > 1) args(1).toInt else 10
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-rehearsal")
@@ -46,12 +48,18 @@ object ScaleRehearsal {
       replicate("orders", Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L))
       replicate("lineitem", Map("l_orderkey" -> 1000000000L))
       replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
-      replicate("documents", Map("doc_id" -> 10000000L))
+      // the doc shift must preserve doc_id residues mod the two-table
+      // stand-in moduli (BenchMod=97, IncomingMod=3), or each copy
+      // rotates into a different benchmark/batch split and the
+      // simulated benchmark balloons to the whole corpus (measured:
+      // pipeline_full drops to 0 survivors at 100× with a 10M stride);
+      // 10_010_400 = 97·3·34400
+      replicate("documents", Map("doc_id" -> 10010400L))
       replicate("embeddings", Map("vec_id" -> 10000000L))
       println(s"[rehearsal] built ${copies}x fixtures at $out")
     }
 
-    val names = Seq("q1_agg", "q2_selective_agg", "q3_join_topk", "q6_multi_join",
+    val allNames = Seq("q1_agg", "q2_selective_agg", "q3_join_topk", "q6_multi_join",
       "q7_broadcast_join", "q9_window_running", "q14_distinct_agg", "q18_asof",
       "q32_range_frame", "q33_cov_corr",
       "mr_wc", "ta_quality", "ta_tfidf", "ta_bigrams", "sample_fixed_k",
@@ -69,6 +77,10 @@ object ScaleRehearsal {
       "emb_pq_trained", "pipeline_full", "ta_denylist_scrub_large",
       "sim_ivfpq_topk", "vocab_build", "vocab_encode", "sample_mixture",
       "dedup_minhash_incr", "search_hybrid")
+    val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
+      case Some(list) => list.split(",").toSeq
+      case None => allNames
+    }
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()
       val t0 = System.nanoTime()

@@ -53,9 +53,11 @@ object ScaleRehearsal {
       // rotates into a different benchmark/batch split and the
       // simulated benchmark balloons to the whole corpus (measured:
       // pipeline_full drops to 0 survivors at 100× with a 10M stride);
-      // 10_010_400 = 97·3·34400
+      // 10_010_400 = 97·3·34400; embeddings use the SAME stride so the
+      // doc_id↔vec_id correspondence (search_hybrid's fusion join)
+      // survives replication
       replicate("documents", Map("doc_id" -> 10010400L))
-      replicate("embeddings", Map("vec_id" -> 10000000L))
+      replicate("embeddings", Map("vec_id" -> 10010400L))
       println(s"[rehearsal] built ${copies}x fixtures at $out")
     }
 

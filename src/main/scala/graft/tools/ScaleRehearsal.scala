@@ -78,7 +78,7 @@ object ScaleRehearsal {
       // r5 operators
       "emb_pq_trained", "pipeline_full", "ta_denylist_scrub_large",
       "sim_ivfpq_topk", "vocab_build", "vocab_encode", "sample_mixture",
-      "dedup_minhash_incr", "search_hybrid")
+      "dedup_minhash_incr", "search_hybrid", "dedup_cc_incr")
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames

@@ -170,6 +170,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.map(_._1).forall(Set(-1L, 0L, 3L)))
   }
 
+  test("dedup_cc_incr equals the full recompute and merges batch docs into snapshot components") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._1).toSeq
+    val full = rows(Dedup.dedupCc(spark, dir))
+    val incr = rows(Dedup.dedupCcIncr(spark, dir))
+    assert(incr === full, "incremental maintenance must reproduce the full recompute")
+    // the planted cluster spans the batch/snapshot split: doc 1 (batch,
+    // exact dup of 0) lands in snapshot docs 0/2's component, canonical 0
+    val byDoc = incr.map(r => r._1 -> r._2).toMap
+    assert(byDoc(1L) == 0L && byDoc(0L) == 0L && byDoc(2L) == 0L)
+  }
+
   test("single-action operators leave nothing newly persisted after their action") {
     // the minhash/fingerprint/cell tables are shared through exchange
     // reuse (shuffle files, reclaimed automatically), NOT persist —

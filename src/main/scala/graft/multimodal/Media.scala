@@ -133,6 +133,41 @@ object Media {
        |       md5(frame) AS frame_md5
        |FROM chunks WHERE i % $FrameEvery = 0""".stripMargin
 
+  /** Resize manifest as a gate query: per-media source dims (synthesized
+    * deterministically from doc metadata — a real lake reads them from
+    * the media header columns) mapped to aspect-preserving thumb dims
+    * through the REAL [[StubCodec.thumbDims]] kernel in a mapPartitions
+    * pass. Pure per-row work, zero shuffle. The DuckDB twin mirrors the
+    * arithmetic exactly: 64.0·x/y is one IEEE division in both engines
+    * and `.toInt` truncation == FLOOR for the positive values here. */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        // (real impl: codec init once per partition, as extractFeatures)
+        rows.map { case (id, nc) =>
+          val w = (nc % 500 + 1).toInt
+          val h = (id % 300 + 1).toInt
+          val (tw, th) = StubCodec.thumbDims(w, h)
+          (id, w, h, tw, th)
+        }
+      }.toDF("media_id", "width", "height", "thumb_w", "thumb_h")
+  }
+
+  val mmResizeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(n_chars % 500 + 1 AS INT) AS width,
+      |         CAST(doc_id % 300 + 1 AS INT) AS height
+      |  FROM documents)
+      |SELECT media_id, width, height,
+      |  CAST(CASE WHEN width >= height THEN 64
+      |       ELSE GREATEST(1, CAST(FLOOR(64.0 * width / height) AS INT)) END AS INT) AS thumb_w,
+      |  CAST(CASE WHEN width >= height THEN GREATEST(1, CAST(FLOOR(64.0 * height / width) AS INT))
+      |       ELSE 64 END AS INT) AS thumb_h
+      |FROM dims""".stripMargin
+
   val mmFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  'text/utf-8' AS kind,

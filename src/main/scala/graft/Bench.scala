@@ -96,7 +96,8 @@ object Bench {
     }
 
     var results: Seq[(String, Double)] = Seq.empty
-    var floorTimes = Map.empty[String, Double]
+    var preTimes = Map.empty[String, Double]
+    var postTimes = Map.empty[String, Double]
     var accepted = !gateApplies
     var recordAttempts = 0
     val MaxRecordAttempts = 3
@@ -107,30 +108,37 @@ object Bench {
       var calm = false
       while (!calm && preAttempts < MaxGateAttempts) {
         preAttempts += 1
-        floorTimes = measureFloors()
-        calm = atFloor(floorTimes)
+        preTimes = measureFloors()
+        calm = atFloor(preTimes)
         if (!calm && preAttempts < MaxGateAttempts)
-          waitCalm("pre", preAttempts, floorTimes)
+          waitCalm("pre", preAttempts, preTimes)
       }
       results = names.map(name => name -> minOf2(name))
-      // post-gate: the window must STILL be calm or the record is void
-      val post = measureFloors()
-      accepted = atFloor(post)
+      // BOTH ends must be calm: a run that STARTED degraded (pre-gate
+      // exhausted without calm) is inflated even if the stall happens to
+      // clear before the post check, and a stall that BEGINS mid-run
+      // fails the post check — either way the record is void and
+      // re-measured
+      postTimes = measureFloors()
+      accepted = calm && atFloor(postTimes)
       if (!accepted && recordAttempts < MaxRecordAttempts)
-        waitCalm("post", recordAttempts, post)
+        waitCalm("post", recordAttempts, postTimes)
     }
     if (results.isEmpty) results = names.map(name => name -> minOf2(name))
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def floorJson(ts: Map[String, Double]): String =
+      ts.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
     val gate =
       if (!gateApplies) """{"applies":false}"""
-      else {
-        val fs = floorTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-          .mkString("{", ",", "}")
-        s"""{"applies":true,"passed":$accepted,"attempts":$recordAttempts,"floor_times":$fs}"""
-      }
+      else
+        // both measurements ship so a failed record shows WHICH end was
+        // degraded (pre values alone can look calm when the post failed)
+        s"""{"applies":true,"passed":$accepted,"attempts":$recordAttempts,""" +
+          s""""floor_times_pre":${floorJson(preTimes)},"floor_times_post":${floorJson(postTimes)}}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_gate":$gate}""")
     spark.stop()
   }

@@ -83,10 +83,14 @@ object Cleaning {
     * O(N) alternatives per position. A million-term denylist is a few
     * MB broadcast. (Multi-word phrase entries would need an
     * Aho-Corasick automaton — same broadcast shape, streaming match.)
-    * Word boundaries replicate Java/RE2 `\b` exactly (ASCII
-    * [A-Za-z0-9_]), so output is bit-identical to the regex twin —
-    * spec-pinned on a 500-term list and gate-checked against the SAME
-    * DuckDB oracle as [[taDenylistScrub]]. */
+    * Word boundaries replicate the Spark regex twin's JAVA `\b`
+    * semantics exactly (Unicode-aware — see the kernel comment), so
+    * output is bit-identical to [[taDenylistScrub]] on ANY input —
+    * spec-pinned on a 500-term list plus non-ASCII boundary cases, and
+    * gate-checked against the SAME DuckDB oracle. (DuckDB's RE2 `\b` is
+    * ASCII-only; the shared oracle is exact on the ASCII fixtures, and
+    * on non-ASCII corpora the two SPARK paths still agree with each
+    * other.) */
   def scrubWithSet(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -96,8 +100,21 @@ object Cleaning {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         val deny = bc.value
-        def isW(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-          (c >= '0' && c <= '9') || c == '_'
+        // Java-regex-faithful word characters: \b in the regexp_replace
+        // twin is UNICODE-aware (Java quirk: \b uses Unicode word chars
+        // even though bare \w does not), so an ASCII-only test here
+        // would split words at non-ASCII letters and redact terms the
+        // regex path keeps (e.g. "caféspark" contains no word-break
+        // before "spark"). Mirrors Java's UNICODE_CHARACTER_CLASS \w:
+        // letters, digits, marks, connector punctuation, join controls.
+        def isW(c: Char) = {
+          val t = Character.getType(c)
+          Character.isLetter(c) || Character.isDigit(c) || c == '_' ||
+            t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+            t == Character.COMBINING_SPACING_MARK ||
+            t == Character.CONNECTOR_PUNCTUATION ||
+            c == '\u200C' || c == '\u200D' // ZWNJ/ZWJ join controls
+        }
         rows.map { case (id, text) =>
           val sb = new StringBuilder(text.length)
           var hits = 0L
@@ -371,18 +388,21 @@ object Cleaning {
   val ChunkTokens = 256
 
   /** General sharded packer; output includes the `shard` stream key. */
-  def packChunks(s: SparkSession, dir: String, nShards: Int): DataFrame = {
-    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val win = Window.partitionBy(col("lang"), col("shard"))
+  /** THE chunk-manifest kernel: running token cursor per stream (the
+    * given key columns, ordered by doc_id) → (first_chunk, last_chunk,
+    * n_chunks) spans, with the zero-token empty-span rule
+    * (last = first − 1, n_chunks = 0) in exactly one place. Input needs
+    * (doc_id, n_tokens) plus the stream-key/carry columns; all input
+    * columns pass through. [[packChunks]] and
+    * [[Pipeline.pipelineFull]] both delegate here, so the packing
+    * contract cannot drift between the packer and the capstone. */
+  private[operators] def chunkManifest(in: DataFrame, streamKey: Seq[String]): DataFrame = {
+    val win = Window.partitionBy(streamKey.map(col): _*)
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-          .cast("long").as("n_tokens"))
-      .withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)).cast("long"))
-      .withColumn("cb", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+    val passThrough = in.columns.map(col).toSeq
+    in.withColumn("cb", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+      .select(passThrough ++ Seq(
         expr(s"cb div $ChunkTokens").as("first_chunk"),
         when(col("n_tokens") === 0, expr(s"cb div $ChunkTokens - 1"))
           .otherwise(expr(s"(cb + n_tokens - 1) div $ChunkTokens"))
@@ -390,7 +410,20 @@ object Cleaning {
         when(col("n_tokens") === 0, lit(0L))
           .otherwise(expr(s"(cb + n_tokens - 1) div $ChunkTokens")
             - expr(s"cb div $ChunkTokens") + 1)
-          .as("n_chunks"))
+          .as("n_chunks")): _*)
+  }
+
+  def packChunks(s: SparkSession, dir: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    chunkManifest(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tokens"))
+        .withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)).cast("long")),
+      Seq("lang", "shard"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        col("first_chunk"), col("last_chunk"), col("n_chunks"))
   }
 
   /** Gate query: the single-stream-per-language operating point. */

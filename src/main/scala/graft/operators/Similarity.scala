@@ -195,17 +195,27 @@ object Similarity {
     * codebook TRAINING is [[KMeans.embPqTrained]]'s per-subspace Lloyd
     * loop; the search operator is identical either way.
     *
-    * Distributed shape: one shuffle-free index pass
-    * ([[VecKernel.ivfPqEncode]]), then one shuffle on `cell` joining
-    * probe lists against cell membership. No distinct is needed: each
-    * neighbor lives in exactly one cell, so a (query, neighbor) pair
-    * can only arise once. Everything is exact integer arithmetic, so
-    * the approximate scores themselves hash-check against DuckDB. */
+    * Distributed shape: a shuffle-free index pass
+    * ([[VecKernel.ivfPqEncode]]) feeding one shuffle on `cell` that
+    * joins probe lists against cell membership. No distinct is needed:
+    * each neighbor lives in exactly one cell, so a (query, neighbor)
+    * pair can only arise once. Everything is exact integer arithmetic,
+    * so the approximate scores themselves hash-check against DuckDB. */
   def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
     val c = nCentroids(Tables.embeddings(s, dir).count())
     // referenced twice (membership + probes) — rooted in a mapPartitions
     // kernel, so a deliberate repartition gives ReuseExchange a node to
     // share; nothing stays persisted after the action
+    // the index pass feeds both join sides; Catalyst column-prunes each
+    // branch below the repartition into non-identical children, so
+    // exchange reuse does NOT fire and the encode kernel executes once
+    // per branch (empirically verified on the final adaptive plan).
+    // Accepted deliberately: the kernel is O(N·√N·dim) scoring — small
+    // next to the candidate join that dominates at scale — and the real
+    // deployment stores the index (codes + band tables, like
+    // [[Dedup.dedupCcVs]]'s inputs), which removes the encode from the
+    // query entirely; persist() would share it in-process but leaks
+    // cache entries past the action (the r4 verdict bug class)
     val enc = VecKernel.ivfPqEncode(s, dir, c, NProbe, KMeans.PqC, KMeans.PqM)
       .repartition(col("vec_id"))
     // same [[IvfMaxCell]] inverted-list cap as simIvfTopk: ADC makes

@@ -181,8 +181,9 @@ object VecKernel {
     import s.implicits._
     val (cids, cents) = collectScaled(s, dir, Some(col("vec_id") < nCentroids))
     val (cbIds, cb) = collectScaled(s, dir, Some(col("vec_id") < pqC))
+    require(cids.nonEmpty, s"empty centroid set: no vec_id < $nCentroids rows")
     require(cbIds.sameElements(0L until pqC.toLong),
-      s"pq codebook expects dense 0-based vec_ids, got [${cbIds.mkString(",")}]")
+      s"pq codebook expects dense 0-based vec_ids 0..${pqC - 1}, got [${cbIds.mkString(",")}]")
     require(cb(0).length % pqM == 0,
       s"dim ${cb(0).length} not divisible into $pqM subspaces")
     val bc = s.sparkContext.broadcast((cids, cents, cb))

@@ -174,6 +174,31 @@ class CleaningSpec extends AnyFunSuite {
     }
   }
 
+  test("set-based scrub matches the regex path on non-ASCII word boundaries (Java \\b is Unicode-aware)") {
+    import spark.implicits._
+    // "caféspark": é is a word char to Java \b, so there is NO boundary
+    // before "spark" and neither path may redact; "müller spark" has a
+    // real boundary and both must redact. An ASCII-only boundary test
+    // would split at é and redact where the regex path does not.
+    val docs = Seq(
+      (0L, "caféspark test"), (1L, "müller spark müller"),
+      (2L, "日本spark"), (3L, "a_spark spark_b spark"),
+      (4L, "e\u0301spark combining-mark boundary")) // e + combining acute
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val pat = s"\\b(${Cleaning.Denylist.mkString("|")})\\b"
+    val viaRegex = rows(docs.select(col("doc_id"),
+      regexp_replace(col("text"), pat, "[REDACTED]").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as("n_hits")))
+    assert(rows(Cleaning.scrubWithSet(docs, Cleaning.Denylist)) == viaRegex)
+    // sanity on the semantics themselves, not just parity
+    val byId = viaRegex.map(t => t._1 -> t._3).toMap
+    assert(byId(0L) == 0L, "no word break inside caféspark")
+    assert(byId(1L) == 1L && byId(4L) == 0L)
+  }
+
   test("decontaminate: two-table form flags against a genuine external benchmark") {
     // a benchmark table that is NOT a doc_id-split of the corpus
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))

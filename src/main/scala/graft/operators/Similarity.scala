@@ -218,6 +218,14 @@ object Similarity {
     // cache entries past the action (the r4 verdict bug class)
     val enc = VecKernel.ivfPqEncode(s, dir, c, NProbe, KMeans.PqC, KMeans.PqM)
       .repartition(col("vec_id"))
+    simIvfPqTopkOver(enc)
+  }
+
+  /** The stored-index entry: search over an ALREADY-MATERIALIZED IVF-PQ
+    * index frame (the [[VecKernel.ivfPqEncode]] schema — at 100 TB this
+    * is a table you wrote once at ingest, like [[Dedup.dedupCcVs]]'s
+    * stored inputs), so the encode kernel never runs at query time. */
+  def simIvfPqTopkOver(enc: DataFrame): DataFrame = {
     // same [[IvfMaxCell]] inverted-list cap as simIvfTopk: ADC makes
     // each candidate cheap, but hot-cell pair COUNTS still grow Σ|cell|²
     val assign = enc.select(col("vec_id"), col("cell"), col("codes"))

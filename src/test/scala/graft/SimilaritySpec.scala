@@ -83,6 +83,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq search over a stored (parquet round-tripped) index equals the inline path") {
+    val c = Similarity.nCentroids(
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    VecKernel.ivfPqEncode(spark, dir, c, Similarity.NProbe, KMeans.PqC, KMeans.PqM)
+      .write.mode("overwrite").parquet(idx)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val stored = rows(Similarity.simIvfPqTopkOver(spark.read.parquet(idx)))
+    val inline = rows(Similarity.simIvfPqTopk(spark, dir))
+    assert(stored.nonEmpty && stored == inline)
+  }
+
   test("ivfpq search leaves nothing newly persisted after its action") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Similarity.simIvfPqTopk(spark, dir).count()

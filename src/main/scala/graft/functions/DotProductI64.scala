@@ -35,13 +35,36 @@ case class DotProductI64(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  /** Null elements null-propagate (below), so the result is nullable
+    * whenever the inputs or their elements are. */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+
+  /** Mismatched lengths are a BUG at every call site (a dot product of
+    * different-dimension vectors has no meaning) — fail loudly rather
+    * than silently truncating to the shorter array. A NULL element
+    * null-propagates the whole dot, matching the
+    * `aggregate(zip_with(...))` formulation this expression replaces —
+    * ArrayData.getLong would otherwise silently read a null slot as 0. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_i64: length mismatch ($n vs ${y.numElements()})")
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -50,13 +73,24 @@ case class DotProductI64(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_i64: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long $acc = 0L;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = $acc;
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 

@@ -38,10 +38,13 @@ object Apps {
     * ("d","xyzzy") per file; reduce = values sorted, space-joined.
     * Fault injection (`mrapps/crash.go:20-32`) maps to Spark task-retry
     * chaos testing, not to an operator. */
+  // Go len(string) counts UTF-8 BYTES; Scala String.length counts
+  // UTF-16 code units — they differ on any non-ASCII input ("héllo" is
+  // 6 bytes but 5 code units), so byte-compat requires getBytes
   val metadataMap: MRJob.MapF = (name, contents) => Seq(
     "a" -> name,
-    "b" -> name.length.toString,
-    "c" -> contents.length.toString,
+    "b" -> name.getBytes("UTF-8").length.toString,
+    "c" -> contents.getBytes("UTF-8").length.toString,
     "d" -> "xyzzy")
   val metadataReduce: MRJob.ReduceF = (_, values) =>
     values.sorted.mkString(" ")

@@ -14,11 +14,23 @@ object Formats {
 
   /** Write KV pairs as the intermediate JSON object stream — one
     * `{"Key":...,"Value":...}` object per pair, partitioned `nReduce`
-    * ways by key hash (reference `mr/worker.go:143-175`). */
-  def writeIntermediate(kv: Dataset[KV], path: String, nReduce: Int): Unit =
-    kv.select(col("key").as("Key"), col("value").as("Value"))
-      .repartition(nReduce, col("Key"))
+    * ways by the REFERENCE'S hash: routing goes through
+    * [[FnvPartitioner]] (`ihash(key) % nReduce`,
+    * reference `mr/worker.go:143-175`), not Spark's Murmur3 — a
+    * reference worker reading bucket Y of these files must find exactly
+    * the keys its own partitioner assigns to task Y, or its reduce
+    * outputs are wrong (placement compat is the whole point of this
+    * sink; [[fnv32a]]'s scaladoc makes the same promise). */
+  def writeIntermediate(kv: Dataset[KV], path: String, nReduce: Int): Unit = {
+    val spark = kv.sparkSession
+    import spark.implicits._
+    val routed = kv.rdd.map(r => (r.key, r.value))
+      .partitionBy(new FnvPartitioner(nReduce))
+      .map { case (k, v) => KV(k, v) }
+    spark.createDataset(routed)
+      .select(col("key").as("Key"), col("value").as("Value"))
       .write.mode("overwrite").json(path)
+  }
 
   /** Read intermediate JSON back to KV (reference decode loop,
     * `mr/worker.go:206-216`). */

@@ -79,7 +79,10 @@ object MRJob {
     * group-adjacent, reduce. Used by differential tests. */
   def sequential(files: Seq[(String, String)], mapf: MapF,
                  reducef: ReduceF): Seq[String] = {
-    val kva = files.flatMap { case (n, c) => mapf(n, c) }.sortBy(_._1)
+    // (the reference sorts the flat kva stream before grouping; groupBy
+    // + per-group value sort reproduces the same reducef inputs without
+    // that dead O(n log n) pass)
+    val kva = files.flatMap { case (n, c) => mapf(n, c) }
     kva.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, vs) =>
       s"$k ${reducef(k, vs.map(_._2).sorted)}"
     }

@@ -37,8 +37,14 @@ object Bucketing {
                     moreKeys: String*): Unit = {
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
+    // resolve the managed location through the CATALOG, not by string
+    // concatenation: warehouse/<name> is wrong for db-qualified names
+    // (warehouse/db.db/name) and non-default current databases — the
+    // stale dir would then survive and saveAsTable still fail with
+    // LOCATION_ALREADY_EXISTS, the exact error this cleanup prevents
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      s.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
@@ -48,14 +54,26 @@ object Bucketing {
       .saveAsTable(table)
   }
 
-  /** Count Exchange (shuffle) operators in df's final physical plan —
-    * the assertion surface for co-location tests. */
+  /** Count Exchange (shuffle) operators in df's physical plan — the
+    * assertion surface for co-location tests. AdaptiveSparkPlanExec is
+    * a LEAF node (a plain foreach never enters it), so under AQE — the
+    * bench session's default — the naive count is always 0 and a
+    * zero-shuffle assertion passes vacuously even when the join DOES
+    * shuffle; recurse into the adaptive wrapper's current inner plan
+    * and count materialized shuffle stages too. */
   def exchangeCount(df: DataFrame): Int = {
-    val plan = df.queryExecution.executedPlan
-    var n = 0
-    plan.foreach { node =>
-      if (node.getClass.getSimpleName.startsWith("ShuffleExchange")) n += 1
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    def walk(plan: SparkPlan): Int = {
+      var n = 0
+      plan.foreach {
+        case a: AdaptiveSparkPlanExec => n += walk(a.executedPlan)
+        case s: ShuffleQueryStageExec => n += 1
+        case node =>
+          if (node.getClass.getSimpleName.startsWith("ShuffleExchange")) n += 1
+      }
+      n
     }
-    n
+    walk(df.queryExecution.executedPlan)
   }
 }

@@ -13,9 +13,15 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * `compact` rewrites a parquet directory into ⌈bytes/target⌉ files of
   * ~target size via `repartition(n)` (round-robin — even output sizes
   * without assuming any column distribution), writing to a temp sibling
-  * and atomically swapping directories so readers never observe a
-  * half-compacted state (rename is atomic on HDFS/posix; on object
-  * stores use a manifest/table format instead — documented tradeoff).
+  * and swapping directories. EACH rename is atomic (HDFS/posix), but
+  * the two-rename swap as a whole is not: a reader in the instant
+  * between them sees no directory, and a crash there leaves the data
+  * under the `.compact-old` backup — which is why the backup is deleted
+  * ONLY after the swap-in succeeds, every rename's boolean result is
+  * checked (Hadoop reports failure by returning false, not throwing),
+  * and a failed swap-in restores the backup. For concurrent-reader
+  * safety on object stores use a manifest/table format instead —
+  * documented tradeoff.
   */
 object Compaction {
 
@@ -38,9 +44,22 @@ object Compaction {
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = new Path(path.getParent, s".${path.getName}.compact-old")
     fs.delete(old, true)
-    fs.rename(path, old)
-    fs.rename(tmp, path)
-    fs.delete(old, true)
+    if (!fs.rename(path, old))
+      // nothing moved yet — the live data is untouched; just clean tmp
+      { fs.delete(tmp, true)
+        throw new java.io.IOException(s"compact: could not move $path aside to $old") }
+    if (!fs.rename(tmp, path)) {
+      // swap-in failed with the live dir already moved aside: restore
+      // the backup BEFORE failing — falling through to a delete here
+      // would destroy the only remaining copy of the data
+      val restored = fs.rename(old, path)
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compact: swap-in of $tmp failed" +
+          (if (restored) s"; original restored at $path"
+           else s"; RESTORE ALSO FAILED — data remains at $old"))
+    }
+    fs.delete(old, true) // swap complete: the backup is now redundant
     n
   }
 }

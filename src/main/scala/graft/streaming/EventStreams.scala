@@ -38,8 +38,12 @@ object EventStreams {
               col("event_type"), col("n_events"))
 
   /** Session windows per user with a 30-minute inactivity gap.
-    * Spark semantics: a session's end is last-event-ts + gap; a new
-    * session starts when the next event is >= gap away. */
+    * Spark semantics: a session's tentative end is last-event-ts + gap
+    * and sessions MERGE ON TOUCH — an event exactly gap after the
+    * previous one still extends the session (verified empirically:
+    * events 30 min apart yield ONE session); a new session starts only
+    * when the next event is STRICTLY more than gap away. The oracle's
+    * break condition must therefore be `>`, not `>=`. */
   def sessions(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
@@ -208,7 +212,7 @@ object EventStreams {
       |o AS (SELECT user_id, ts_us, event_id, value,
       |             LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
       |      FROM ev),
-      |m AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+      |m AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
       |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
       |SELECT user_id,

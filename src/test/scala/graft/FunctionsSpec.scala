@@ -30,13 +30,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(both.count() == 50 * 49 / 2)
   }
 
-  test("dot_i64 handles nulls and length mismatch") {
+  test("dot_i64 nulls propagate; length mismatch fails loudly (no silent truncation)") {
     DotProductI64.register(spark)
-    val r = spark.sql(
-      "SELECT dot_i64(array(1L, 2L), array(3L)) AS d, dot_i64(cast(null as array<bigint>), array(1L)) AS n")
-    val row = r.head()
-    assert(row.getLong(0) == 3)   // min-length semantics
-    assert(row.isNullAt(1))       // null in → null out
+    val row = spark.sql(
+      """SELECT dot_i64(cast(null as array<bigint>), array(1L)) AS n,
+        |       dot_i64(array(1L, cast(null as bigint)), array(1L, 1L)) AS en,
+        |       dot_i64(array(2L, 3L), array(4L, 5L)) AS ok""".stripMargin).head()
+    assert(row.isNullAt(0), "null array in -> null out")
+    // a null ELEMENT also null-propagates, matching the zip_with/
+    // aggregate formulation (reading the slot as 0 would corrupt dots)
+    assert(row.isNullAt(1), "null element in -> null out")
+    assert(row.getLong(2) == 23)
+    // different-dimension vectors have no meaningful dot: loud failure,
+    // never silent min-length truncation
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_i64(array(1L, 2L), array(3L)) AS d").head()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("length mismatch")),
+      s"expected a length-mismatch failure, got: $e")
   }
 
   test("approx_count_distinct lands within its error bound") {

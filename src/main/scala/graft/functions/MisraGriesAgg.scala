@@ -24,34 +24,54 @@ import org.apache.spark.sql.expressions.Aggregator
   * candidates makes the final result deterministic
   * ([[graft.operators.HeavyHitters]]).
   */
-class MisraGriesAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+class MisraGriesAgg(k: Int)
+    extends Aggregator[String, scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
 
-  override def zero: Map[String, Long] = Map.empty
+  import scala.collection.mutable
 
-  override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =
+  // the buffer is MUTATED IN PLACE: typed Aggregator buffers live as
+  // objects between reduce calls within a partition (same contract
+  // MinHashAgg's arrays rely on), so the per-token hot path does one
+  // hash probe + in-place update instead of allocating a persistent-map
+  // node per element — this sketch exists for billions-of-tokens
+  // streams, where per-row allocation is the cost that matters
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+  override def reduce(buf: mutable.HashMap[String, Long], x: String): mutable.HashMap[String, Long] = {
     buf.get(x) match {
-      case Some(c)              => buf.updated(x, c + 1)
-      case None if buf.size < k => buf.updated(x, 1L)
+      case Some(c)              => buf(x) = c + 1
+      case None if buf.size < k => buf(x) = 1L
       case None                 => // decrement-all step: drops ≤0 counters
-        buf.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+        // materialize keys first (≤ k of them): removing while
+        // iterating the live map is undefined
+        buf.keysIterator.toArray.foreach { t =>
+          val c = buf(t)
+          if (c > 1) buf(t) = c - 1 else buf.remove(t)
+        }
     }
-
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (m, (t, c)) =>
-      m.updated(t, m.getOrElse(t, 0L) + c)
-    }
-    if (sum.size <= k) sum
-    else {
-      // subtract the (k+1)-th largest count from everyone, keep > 0
-      val cut = sum.values.toArray.sortBy(-_).apply(k)
-      sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
-    }
+    buf
   }
 
-  override def finish(r: Map[String, Long]): Map[String, Long] = r
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (t, c) => a(t) = a.getOrElse(t, 0L) + c }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest count from everyone, keep > 0
+      val cut = a.values.toArray.sortBy(-_).apply(k)
+      a.keysIterator.toArray.foreach { t =>
+        val c = a(t)
+        if (c > cut) a(t) = c - cut else a.remove(t)
+      }
+    }
+    a
+  }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def finish(r: mutable.HashMap[String, Long]): Map[String, Long] = r.toMap
+
+  // buffers only ever serialize at the partial→final exchange — kryo's
+  // opaque bytes are fine there (the OUTPUT keeps a relational encoder)
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
   override def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }

@@ -39,6 +39,11 @@ object Tables {
 
   /** DuckDB-side twin of [[events]]: a CTE normalizing ts to epoch-µs.
     * Prepend to any oracle SQL that touches events. */
+  /** CONTRACT: ts_us is NON-NEGATIVE (post-1970 event time). Several
+    * bucketing queries pair Spark's truncating `div` with DuckDB's
+    * flooring `//` — identical for ts_us >= 0 but one bucket apart for
+    * negative values; a corpus with pre-epoch or corrupt timestamps
+    * must be floor-normalized at ingest before these oracles apply. */
   val eventsCteSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type, value, props,

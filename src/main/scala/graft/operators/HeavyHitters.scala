@@ -43,10 +43,12 @@ object HeavyHitters {
     val tokDs = toks.as[String]
 
     val agg = new MisraGriesAgg(HhK)
-    val sketch: Map[String, Long] =
-      tokDs.select(agg.toColumn.name("mg")).head()
+    // the total rides the SKETCH job (typed multi-column select): one
+    // corpus scan produces both, instead of a separate count() pass
+    // re-tokenizing everything a second time
+    val (sketch: Map[String, Long], n: Long) =
+      tokDs.select(agg.toColumn.name("mg"), count(lit(1)).as[Long]).head()
     val candidates = sketch.keys.toSeq
-    val n = toks.count()
 
     toks.where(col("token").isInCollection(candidates))
       .groupBy(col("token"))

@@ -90,10 +90,14 @@ object MrQueries {
     Tables.documents(s, dir)
       .select(docName.as("doc"), col("text"))
       .selectExpr(
+        // octet_length, not length: Go len(string) counts UTF-8 BYTES —
+        // keeps this native query consistent with Apps.metadataMap's
+        // byte counts on non-ASCII corpora (doc names are ASCII, so 'b'
+        // is unaffected either way)
         """stack(4,
           |  'a', doc,
-          |  'b', cast(length(doc) as string),
-          |  'c', cast(length(text) as string),
+          |  'b', cast(octet_length(doc) as string),
+          |  'c', cast(octet_length(text) as string),
           |  'd', 'xyzzy') as (key, v)""".stripMargin)
       .groupBy(col("key"))
       .agg(array_join(array_sort(collect_list(col("v"))), " ").as("value"))
@@ -101,8 +105,8 @@ object MrQueries {
   val mrMetadataSql: String =
     """WITH m AS (
       |  SELECT 'a' AS key, 'doc_' || CAST(doc_id AS VARCHAR) AS v FROM documents
-      |  UNION ALL SELECT 'b', CAST(LENGTH('doc_' || CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
-      |  UNION ALL SELECT 'c', CAST(LENGTH(text) AS VARCHAR) FROM documents
+      |  UNION ALL SELECT 'b', CAST(octet_length(encode('doc_' || CAST(doc_id AS VARCHAR))) AS VARCHAR) FROM documents
+      |  UNION ALL SELECT 'c', CAST(octet_length(encode(text)) AS VARCHAR) FROM documents
       |  UNION ALL SELECT 'd', 'xyzzy' FROM documents)
       |SELECT key, string_agg(v, ' ' ORDER BY v) AS value FROM m GROUP BY key""".stripMargin
 

@@ -472,10 +472,12 @@ object Relational {
       |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(1) > 1)
       |UNION ALL
       |SELECT 'orders_orphan_custkey', COUNT(1)
-      |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       |UNION ALL
       |SELECT 'lineitem_orphan_orderkey', COUNT(1)
-      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin
 
   // --------------------------------------------------------------- q33
   /** Covariance/correlation per group WITHOUT the built-in corr/covar
@@ -496,10 +498,17 @@ object Relational {
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .selectExpr("l_returnflag", "n",
         "(cast(sxy as double) - cast(sx as double) * cast(sy as double) / n) / n as cov_pop",
-        """((cast(sxy as double) - cast(sx as double) * cast(sy as double) / n) / n)
-          | / (sqrt((cast(sxx as double) - cast(sx as double) * cast(sx as double) / n) / n)
-          |    * sqrt((cast(syy as double) - cast(sy as double) * cast(sy as double) / n) / n))
-          |   as corr""".stripMargin)
+        // zero-variance groups (any single-row or constant-column
+        // group) have no defined correlation: emit NULL explicitly —
+        // Spark's 0.0/0.0 is NaN while DuckDB's is NULL, so an
+        // unguarded division diverges cross-engine exactly there
+        """CASE WHEN (cast(sxx as double) - cast(sx as double) * cast(sx as double) / n) <= 0
+          |       OR (cast(syy as double) - cast(sy as double) * cast(sy as double) / n) <= 0
+          |     THEN NULL
+          |     ELSE ((cast(sxy as double) - cast(sx as double) * cast(sy as double) / n) / n)
+          |       / (sqrt((cast(sxx as double) - cast(sx as double) * cast(sx as double) / n) / n)
+          |          * sqrt((cast(syy as double) - cast(sy as double) * cast(sy as double) / n) / n))
+          |END as corr""".stripMargin)
   }
 
   val q33CovCorrSql: String =
@@ -513,9 +522,13 @@ object Relational {
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n AS cov_pop,
-      |  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n)
-      |   / (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
-      |      * sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n)) AS corr
+      |  CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) <= 0
+      |         OR (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) <= 0
+      |       THEN NULL
+      |       ELSE ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n)
+      |         / (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+      |            * sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n))
+      |  END AS corr
       |FROM a""".stripMargin
 
   // --------------------------------------------------------------- q31
@@ -629,8 +642,8 @@ object Relational {
     Tables.eventsCteSql +
     """
       |SELECT event_type, COUNT(1) AS n_events,
-      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM ev
       |GROUP BY event_type""".stripMargin
 

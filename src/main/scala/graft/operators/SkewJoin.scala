@@ -37,6 +37,11 @@ object SkewJoin {
 
   def salted(big: DataFrame, small: DataFrame,
              bigKey: Column, smallKey: Column, n: Int): DataFrame = {
+    // withColumn would silently OVERWRITE a caller's __salt column and
+    // the final drop would then remove the caller's data from the
+    // output — refuse loudly instead
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "salted(): inputs must not already contain a __salt column")
     val saltedBig = big.withColumn("__salt", saltCol(big, n))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))

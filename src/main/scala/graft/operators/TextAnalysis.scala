@@ -32,8 +32,13 @@ object TextAnalysis {
     val nPunct = classCount(t, "[,.;:!?]")
     val nDigits = classCount(t, "[0-9]")
     val nWs = size(regexp_extract_all(t, lit("\\S+"), lit(0))).cast("long")
-    val letterRatio = nLetters.cast("double") / nChars.cast("double")
-    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    // an empty document has no defined ratios: emit 0 explicitly — an
+    // unguarded 0.0/0.0 is NaN in Spark but NULL in DuckDB, so the two
+    // engines diverge exactly on the zero-length docs a raw crawl has
+    val letterRatio = when(nChars === 0, lit(0.0))
+      .otherwise(nLetters.cast("double") / nChars.cast("double"))
+    val punctRatio = when(nChars === 0, lit(0.0))
+      .otherwise(nPunct.cast("double") / nChars.cast("double"))
     val lenScore = least(lit(1.0), nWs.cast("double") / lit(100.0))
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -54,9 +59,12 @@ object TextAnalysis {
       |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[,.;:!?]', '', 'g')) AS BIGINT) AS n_punct,
       |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
       |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
-      |  (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) AS letter_ratio,
-      |  (0.5 * (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE))
-      |   + 0.2 * (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[,.;:!?]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE))
+      |  (CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |        ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) END) AS letter_ratio,
+      |  (0.5 * (CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |          ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\p{L}]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) END)
+      |   + 0.2 * (1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |            ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[,.;:!?]', '', 'g')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) END))
       |   + 0.3 * LEAST(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0)) AS quality_score
       |FROM documents""".stripMargin
 

@@ -100,35 +100,43 @@ object Cleaning {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         val deny = bc.value
-        // Java-regex-faithful word characters: \b in the regexp_replace
-        // twin is UNICODE-aware (Java quirk: \b uses Unicode word chars
-        // even though bare \w does not), so an ASCII-only test here
-        // would split words at non-ASCII letters and redact terms the
-        // regex path keeps (e.g. "caféspark" contains no word-break
-        // before "spark"). Mirrors Java's UNICODE_CHARACTER_CLASS \w:
-        // letters, digits, marks, connector punctuation, join controls.
-        def isW(c: Char) = {
-          val t = Character.getType(c)
-          Character.isLetter(c) || Character.isDigit(c) || c == '_' ||
-            t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
-            t == Character.COMBINING_SPACING_MARK ||
-            t == Character.CONNECTOR_PUNCTUATION ||
-            c == '\u200C' || c == '\u200D' // ZWNJ/ZWJ join controls
+        // Java-regex-faithful word segmentation, measured against this
+        // JVM's Pattern \\b (default flags, what regexp_replace uses):
+        //  - word chars: Unicode letters/digits (CODE-POINT aware --
+        //    supplementary-plane letters are words, so the scan walks
+        //    code points, not UTF-16 chars) plus underscore;
+        //  - combining marks CONTINUE a word but cannot start one
+        //    (Java's base-character rule: "spark" + U+0301 has no
+        //    boundary after the k, while a standalone mark is non-word);
+        //  - connector punctuation other than '_' and ZWNJ/ZWJ are NOT
+        //    word chars to \\b (they live only in UNICODE_CHARACTER_CLASS
+        //    \\w, which regexp_replace does not enable).
+        def isWordCp(cp: Int) = cp == '_' || Character.isLetterOrDigit(cp)
+        def isMarkCp(cp: Int) = {
+          val t = Character.getType(cp)
+          t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+            t == Character.COMBINING_SPACING_MARK
         }
         rows.map { case (id, text) =>
-          val sb = new StringBuilder(text.length)
+          val sb = new java.lang.StringBuilder(text.length)
           var hits = 0L
           var i = 0
           val n = text.length
           while (i < n) {
-            if (isW(text.charAt(i))) {
-              var j = i
-              while (j < n && isW(text.charAt(j))) j += 1
+            val cp = text.codePointAt(i)
+            if (isWordCp(cp)) {
+              var j = i + Character.charCount(cp)
+              var done = false
+              while (j < n && !done) {
+                val c2 = text.codePointAt(j)
+                if (isWordCp(c2) || isMarkCp(c2)) j += Character.charCount(c2)
+                else done = true
+              }
               val w = text.substring(i, j)
               if (deny(w)) { sb.append("[REDACTED]"); hits += 1 }
               else sb.append(w)
               i = j
-            } else { sb.append(text.charAt(i)); i += 1 }
+            } else { sb.appendCodePoint(cp); i += Character.charCount(cp) }
           }
           (id, sb.toString, hits)
         }

@@ -57,10 +57,7 @@ object KMeans {
 
   def embKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scaled = Tables.embeddings(s, dir).select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
-      .as[(Long, Seq[Long])]
+    val scaled = scaledDs(s, dir) // shared ×10⁶ convention with the PQ family
 
     // seed: first C vectors, pushed-down scan, O(C·dim) driver traffic
     val (seedIds, seedVecs) =
@@ -123,7 +120,7 @@ object KMeans {
   /** The oracle's `cell = vec_id` twin and the positional codes rely on
     * codebook ids being dense and 0-based; a sparse or 1-based id space
     * would silently shift every code. */
-  private def requirePqCodebook(cbIds: Array[Long], cb: Array[Array[Long]]): Unit = {
+  private[operators] def requirePqCodebook(cbIds: Array[Long], cb: Array[Array[Long]]): Unit = {
     require(cbIds.nonEmpty,
       s"empty pq codebook: no vec_id < $PqC rows in the embeddings table")
     require(cbIds.sameElements(0L until cbIds.length.toLong),
@@ -136,7 +133,7 @@ object KMeans {
 
   /** Exact integer L2 argmin of subspace `m` of `ev` over the packed
     * codebook (ties to the smaller cell id). Returns (cell, distance). */
-  private def bestPqCell(ev: Array[Long], cents: Array[Array[Long]],
+  private[operators] def bestPqCell(ev: Array[Long], cents: Array[Array[Long]],
       m: Int, dsub: Int): (Int, Long) = {
     var best = 0; var bestD = Long.MaxValue
     var c = 0

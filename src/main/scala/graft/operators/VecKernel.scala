@@ -141,6 +141,10 @@ object VecKernel {
     // predicate is pushed into the parquet scan (a full-corpus collect
     // here would be a guaranteed driver OOM at 100× scale)
     val (ids, vecs) = collectScaled(s, dir, Some(col("vec_id") < nCentroids))
+    // guard here, not in the tasks: an empty centroid set would
+    // otherwise surface as a cryptic NoSuchElementException on
+    // ranked.head inside executors after retries
+    require(ids.nonEmpty, s"empty centroid set: no vec_id < $nCentroids rows")
     val centroids: Array[(Long, Array[Long])] = ids.zip(vecs)
     val bc = s.sparkContext.broadcast(centroids)
     Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -182,10 +186,11 @@ object VecKernel {
     val (cids, cents) = collectScaled(s, dir, Some(col("vec_id") < nCentroids))
     val (cbIds, cb) = collectScaled(s, dir, Some(col("vec_id") < pqC))
     require(cids.nonEmpty, s"empty centroid set: no vec_id < $nCentroids rows")
-    require(cbIds.sameElements(0L until pqC.toLong),
-      s"pq codebook expects dense 0-based vec_ids 0..${pqC - 1}, got [${cbIds.mkString(",")}]")
-    require(cb(0).length % pqM == 0,
-      s"dim ${cb(0).length} not divisible into $pqM subspaces")
+    // shared with embPq/embPqTrained: one place owns the dense-0-based
+    // codebook and subspace-divisibility contract (which checks against
+    // KMeans.PqM — so pin the parameter to it)
+    require(pqM == KMeans.PqM, s"pqM ($pqM) must equal KMeans.PqM (${KMeans.PqM})")
+    KMeans.requirePqCodebook(cbIds, cb)
     val bc = s.sparkContext.broadcast((cids, cents, cb))
     Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -201,15 +206,10 @@ object VecKernel {
           val codes = new Array[Int](pqM)
           var m = 0
           while (m < pqM) {
-            var best = 0; var bestD = Long.MaxValue
-            var c = 0
-            while (c < pqC) {
-              var d = 0L; var k = m * dsub; val end = (m + 1) * dsub
-              while (k < end) { val df = ev(k) - cb(c)(k); d += df * df; k += 1 }
-              if (d < bestD) { bestD = d; best = c } // ties keep smaller id
-              c += 1
-            }
-            codes(m) = best; m += 1
+            // shared L2-argmin kernel — same strict-< smaller-id tie
+            // rule as embPq/embPqTrained, owned in one place
+            codes(m) = KMeans.bestPqCell(ev, cb, m, dsub)._1
+            m += 1
           }
           val lut = new Array[Long](pqM * pqC)
           m = 0

@@ -183,7 +183,11 @@ class CleaningSpec extends AnyFunSuite {
     val docs = Seq(
       (0L, "caféspark test"), (1L, "müller spark müller"),
       (2L, "日本spark"), (3L, "a_spark spark_b spark"),
-      (4L, "e\u0301spark combining-mark boundary")) // e + combining acute
+      (4L, "e\u0301spark combining-mark boundary"), // e + combining acute
+      (5L, "spark\u0301 trailing mark continues the word"),
+      (6L, "spark\u203Fx undertie is NOT a word char to \\b"),
+      (7L, "spark\u200Dx zwj is NOT a word char to \\b"),
+      (8L, "spark\uD835\uDC00 supplementary letter continues")) // U+1D400
       .toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
@@ -197,6 +201,10 @@ class CleaningSpec extends AnyFunSuite {
     val byId = viaRegex.map(t => t._1 -> t._3).toMap
     assert(byId(0L) == 0L, "no word break inside caféspark")
     assert(byId(1L) == 1L && byId(4L) == 0L)
+    assert(byId(5L) == 0L, "trailing combining mark continues the word")
+    assert(byId(6L) == 1L && byId(7L) == 1L,
+      "connector punctuation / ZWJ are boundaries to default \\b")
+    assert(byId(8L) == 0L, "supplementary-plane letter continues the word")
   }
 
   test("decontaminate: two-table form flags against a genuine external benchmark") {

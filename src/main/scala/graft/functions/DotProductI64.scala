@@ -74,24 +74,42 @@ case class DotProductI64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val anyNull = ctx.freshName("anyNull")
-      s"""
-         |int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  throw new IllegalArgumentException(
-         |    "dot_i64: length mismatch (" + $n + " vs " + $b.numElements() + ")");
-         |}
-         |long $acc = 0L;
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
-         |  $acc += $a.getLong($i) * $b.getLong($i);
-         |}
-         |if ($anyNull) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = $acc;
-         |}
-       """.stripMargin
+      val header =
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "dot_i64: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
+           |long $acc = 0L;
+         """.stripMargin
+      // With containsNull=false on both sides `nullable` can be false,
+      // making ev.isNull the FalseLiteral — an `false = true;` assignment
+      // would fail janino compilation and silently drop the whole stage
+      // to interpreted execution. Emit the element-null branch only when
+      // an element can actually be null.
+      if (elemNullable(left) || elemNullable(right))
+        header +
+          s"""
+             |boolean $anyNull = false;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+             |  $acc += $a.getLong($i) * $b.getLong($i);
+             |}
+             |if ($anyNull) {
+             |  ${ev.isNull} = true;
+             |} else {
+             |  ${ev.value} = $acc;
+             |}
+           """.stripMargin
+      else
+        header +
+          s"""
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += $a.getLong($i) * $b.getLong($i);
+             |}
+             |${ev.value} = $acc;
+           """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

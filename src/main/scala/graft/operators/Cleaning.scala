@@ -105,18 +105,18 @@ object Cleaning {
         //  - word chars: Unicode letters/digits (CODE-POINT aware --
         //    supplementary-plane letters are words, so the scan walks
         //    code points, not UTF-16 chars) plus underscore;
-        //  - combining marks CONTINUE a word but cannot start one
-        //    (Java's base-character rule: "spark" + U+0301 has no
-        //    boundary after the k, while a standalone mark is non-word);
+        //  - NON-SPACING marks (Mn) CONTINUE a word but cannot start
+        //    one (Java's hasBaseCharacter walks back ONLY through
+        //    Character.NON_SPACING_MARK: "spark" + U+0301 has no
+        //    boundary after the k, while spacing/enclosing marks
+        //    (Mc like U+0903, Me like U+20DD) DO get a boundary —
+        //    they are neither word chars nor transparent);
         //  - connector punctuation other than '_' and ZWNJ/ZWJ are NOT
         //    word chars to \\b (they live only in UNICODE_CHARACTER_CLASS
         //    \\w, which regexp_replace does not enable).
         def isWordCp(cp: Int) = cp == '_' || Character.isLetterOrDigit(cp)
-        def isMarkCp(cp: Int) = {
-          val t = Character.getType(cp)
-          t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
-            t == Character.COMBINING_SPACING_MARK
-        }
+        def isMarkCp(cp: Int) =
+          Character.getType(cp) == Character.NON_SPACING_MARK
         rows.map { case (id, text) =>
           val sb = new java.lang.StringBuilder(text.length)
           var hits = 0L

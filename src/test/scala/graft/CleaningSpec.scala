@@ -187,7 +187,13 @@ class CleaningSpec extends AnyFunSuite {
       (5L, "spark\u0301 trailing mark continues the word"),
       (6L, "spark\u203Fx undertie is NOT a word char to \\b"),
       (7L, "spark\u200Dx zwj is NOT a word char to \\b"),
-      (8L, "spark\uD835\uDC00 supplementary letter continues")) // U+1D400
+      (8L, "spark\uD835\uDC00 supplementary letter continues"), // U+1D400
+      // Mc/Me marks: JDK \b's hasBaseCharacter walks back only through
+      // NON_SPACING_MARK (Mn), so spacing (Mc, U+0903) and enclosing
+      // (Me, U+20DD) marks DO bound the word and the regex redacts
+      (9L, "spark\u0903 devanagari visarga (Mc) bounds the word"),
+      (10L, "spark\u20DD enclosing circle (Me) bounds the word"),
+      (11L, "spark\u0903more Mc splits the cluster into two words"))
       .toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
@@ -205,6 +211,8 @@ class CleaningSpec extends AnyFunSuite {
     assert(byId(6L) == 1L && byId(7L) == 1L,
       "connector punctuation / ZWJ are boundaries to default \\b")
     assert(byId(8L) == 0L, "supplementary-plane letter continues the word")
+    assert(byId(9L) == 1L && byId(10L) == 1L && byId(11L) == 1L,
+      "Mc/Me marks are boundaries to default \\b (only Mn is transparent)")
   }
 
   test("decontaminate: two-table form flags against a genuine external benchmark") {

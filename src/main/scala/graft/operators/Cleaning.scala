@@ -147,6 +147,128 @@ object Cleaning {
   def taDenylistScrubLarge(s: SparkSession, dir: String): DataFrame =
     scrubWithSet(Tables.documents(s, dir), Denylist)
 
+  // ---------------------------------------------- ta_denylist_phrases
+  /** PHRASE-denylist scrub — the missing piece [[scrubWithSet]]'s
+    * scaladoc promised: real licensed-content denylists are mostly
+    * multi-word phrases ("new york times", song titles, …), which a
+    * per-word hash probe cannot match. A broadcast character-trie
+    * automaton over the phrase list streams each document once:
+    * at every word-boundary-valid start position the trie walks as deep
+    * as the text matches (bounded by the longest phrase) and the
+    * LONGEST phrase whose end is also a word boundary is redacted —
+    * exactly the leftmost-longest semantics of the regex twin
+    * `\b(p1|p2|…)\b` with alternatives listed longest-first, including
+    * the backtracking case (a longer phrase matching its characters but
+    * failing its end boundary falls back to a shorter one). Word
+    * boundaries use the same JDK-`\b`-exact rule as [[scrubWithSet]]
+    * (only Mn marks are transparent). On a single-word list this
+    * reduces to [[scrubWithSet]]'s output bit-for-bit (spec-pinned).
+    *
+    * Scale shape: identical to the set kernel — per-row cost is
+    * O(len · maxPhraseLen) worst-case / O(len) typical, independent of
+    * denylist SIZE (a million-phrase trie is a few hundred MB broadcast
+    * once per executor; classic Aho-Corasick fail links would shave the
+    * maxPhraseLen factor, same broadcast shape); the corpus never
+    * shuffles. */
+  def scrubWithPhrases(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(phrases.nonEmpty, "phrase denylist must be non-empty")
+    require(phrases.forall(_.matches("[A-Za-z0-9_]+( [A-Za-z0-9_]+)*")),
+      "phrases must be \\w+ words separated by single spaces")
+    val bc = s.sparkContext.broadcast(phrases.toArray)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        // per-partition trie build: O(total phrase chars), negligible
+        // next to the documents scanned against it
+        final class Node {
+          val next = new java.util.HashMap[Char, Node]()
+          var terminalLen = -1 // phrase length ending here, -1 if none
+        }
+        val root = new Node
+        bc.value.foreach { p =>
+          var n = root
+          p.foreach { c =>
+            var ch = n.next.get(c)
+            if (ch == null) { ch = new Node; n.next.put(c, ch) }
+            n = ch
+          }
+          n.terminalLen = p.length
+        }
+        def isWordCp(cp: Int) = cp == '_' || Character.isLetterOrDigit(cp)
+        def isMnCp(cp: Int) =
+          Character.getType(cp) == Character.NON_SPACING_MARK
+        // JDK \b start boundary at i: no word char when walking back
+        // through (only) Mn marks
+        def validStart(text: String, i: Int): Boolean = {
+          var j = i
+          while (j > 0) {
+            val cpBefore = text.codePointBefore(j)
+            if (isMnCp(cpBefore)) j -= Character.charCount(cpBefore)
+            else return !isWordCp(cpBefore)
+          }
+          true
+        }
+        // JDK \b end boundary after j: next cp is not a word char and
+        // not an Mn mark (an Mn mark continues the word)
+        def validEnd(text: String, j: Int, n: Int): Boolean =
+          j >= n || {
+            val cp = text.codePointAt(j)
+            !isWordCp(cp) && !isMnCp(cp)
+          }
+        rows.map { case (id, text) =>
+          val n = text.length
+          val sb = new java.lang.StringBuilder(n)
+          var hits = 0L
+          var i = 0
+          while (i < n) {
+            val cp = text.codePointAt(i)
+            var matchedLen = -1
+            if (isWordCp(cp) && validStart(text, i)) {
+              // walk the trie; keep the deepest terminal with a valid
+              // end boundary (= regex longest-first with backtracking)
+              var node = root
+              var j = i
+              var ok = true
+              while (ok && j < n) {
+                val ch = node.next.get(text.charAt(j))
+                if (ch == null) ok = false
+                else {
+                  node = ch
+                  j += 1
+                  if (node.terminalLen > 0 && validEnd(text, j, n))
+                    matchedLen = node.terminalLen
+                }
+              }
+            }
+            if (matchedLen > 0) {
+              sb.append("[REDACTED]"); hits += 1; i += matchedLen
+            } else { sb.appendCodePoint(cp); i += Character.charCount(cp) }
+          }
+          (id, sb.toString, hits)
+        }
+      }.toDF("doc_id", "scrubbed", "n_hits")
+  }
+
+  /** Gate phrase list: overlapping phrases ("customer join merge" vs
+    * "customer join") exercise longest-first, plus a single word. */
+  val PhraseDenylist: Seq[String] =
+    Seq("customer join merge", "customer join", "table hash", "spark")
+
+  /** Gate query: phrase scrub over the documents table. */
+  def taDenylistPhrases(s: SparkSession, dir: String): DataFrame =
+    scrubWithPhrases(Tables.documents(s, dir), PhraseDenylist)
+
+  /** DuckDB twin: RE2 alternation, alternatives longest-first (RE2 `\b`
+    * is ASCII-only — exact on the ASCII fixture corpus). */
+  val taDenylistPhrasesSql: String = {
+    val pat = s"\\b(${PhraseDenylist.sortBy(-_.length).mkString("|")})\\b"
+    s"""SELECT doc_id,
+       |  regexp_replace(text, '$pat', '[REDACTED]', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_hits
+       |FROM documents""".stripMargin
+  }
+
   // -------------------------------------------------- ta_decontaminate
   /** Benchmark decontamination: flag every training document sharing at
     * least one [[DecontGram]]-gram with the held-out benchmark set.

@@ -52,19 +52,24 @@ object CorpusOps {
     * tables (vocabulary-sized) — the join broadcasts.
     */
   def taTfidf(s: SparkSession, dir: String): DataFrame = {
-    // tf feeds df AND the scored join. Catalyst prunes the df branch's
-    // aggregate down to (term) only, so the two subtrees are NOT
-    // canonically identical and the token pipeline executes once per
-    // branch (verified on the final adaptive plan — exchange reuse does
-    // not fire here). Accepted deliberately: both passes are linear and
-    // skew-free, the measured cost is ~+30% at sf0.1 and linear at
-    // 10×/100×; the alternatives are worse — persist() leaks cache past
-    // the action (r4 verdict bug class), and computing df as a window
-    // over PARTITION BY term serializes the Zipf head ("the" puts its
-    // entire posting list in one task at 100 TB)
+    // tf feeds df AND the scored join, through ONE materialized
+    // exchange: tf roots in a deliberate repartition on `term` (the
+    // join key, so the join adds no further shuffle) and the df branch
+    // aggregates count(when(tf > 0, doc_id)) — semantically count(1)
+    // (tf ≥ 1 by construction, doc_id non-null) but it REFERENCES all
+    // three tf columns, so ColumnPruning cannot prune the df branch
+    // below the repartition into a non-identical subtree and
+    // ReuseExchange fires (PlanSpec asserts exactly one tf aggregate
+    // materializes; a plain count(1) df measured ~+30% from executing
+    // the token pipeline once per branch). persist() would be the naive
+    // alternative, but it leaks cache past the action; df as a window
+    // over PARTITION BY term would serialize the Zipf head ("the" puts
+    // its entire posting list in one task at 100 TB).
     val tf = tokens(s, dir)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartition(col("term"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") > 0, col("doc_id"))).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),

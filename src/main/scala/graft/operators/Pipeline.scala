@@ -154,39 +154,60 @@ object Pipeline {
   /** Reciprocal-rank-fusion smoothing constant (the standard 60). */
   val RrfK = 60
 
-  /** Hybrid retrieval — the RAG-serving read path over this engine's own
-    * indexes: a lexical ranking ([[CorpusOps.taBm25]] over the fixed
-    * query terms) and a vector ranking (exact dots against query vector
-    * 0 through the [[VecKernel.pairDots]] kernel) are each cut to their
-    * top-[[HybridPoolK]] and fused by reciprocal rank:
-    * rrf = 1/(k+r_bm) + 1/(k+r_vec), docs present in both pools.
+  /** Pool-parameterized reciprocal-rank-fusion core over two
+    * (doc_id, score) rankings: each side is cut to its top-`poolK`,
+    * ranked, and fused by rrf = 1/(k+r_bm) + 1/(k+r_vec) over the docs
+    * present in BOTH pools; the top-`topK` fused rows return.
+    *
+    * SIZING poolK is result-quality-critical on duplicate-heavy
+    * corpora: near-exact copies of each side's champions fill a fixed
+    * pool (d duplicates of each top doc leave only poolK/d distinct
+    * docs per pool), and the cross-pool id intersection — and with it
+    * the fused result — can go EMPTY. The 10×-duplicated rehearsal
+    * measured exactly that at poolK=100. Rule: poolK ≥ duplication
+    * factor × the distinct-doc depth you need fused; or dedup upstream
+    * (this engine's dedup family exists for that). PipelineSpec pins
+    * the saturation case and its poolK-scaled recovery.
     *
     * 100 TB shape: each side's pool is a TakeOrdered (per-partition
     * top-k, no global sort of scores), so the only globally-sorted data
-    * is 2·poolK rows; rank assignment and fusion run on those. The
-    * fusion arithmetic is two IEEE divisions of exact small integers
-    * summed in fixed order — bit-equal across engines, so even the
-    * fused float ranking hash-checks. */
-  def searchHybrid(s: SparkSession, dir: String): DataFrame = {
-    val bmTop = CorpusOps.taBm25(s, dir)
-      .orderBy(col("bm25_total").desc, col("doc_id")).limit(HybridPoolK)
-      .withColumn("r_bm", row_number().over(
-        Window.orderBy(col("bm25_total").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_bm"))
-    val pairs = Tables.embeddings(s, dir).select(col("vec_id"))
-      .where(col("vec_id") =!= 0L)
-      .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"))
-    val vecTop = VecKernel.pairDots(s, dir, pairs)
-      .orderBy(col("dot_scaled").desc, col("neighbor_id")).limit(HybridPoolK)
-      .withColumn("r_vec", row_number().over(
-        Window.orderBy(col("dot_scaled").desc, col("neighbor_id"))))
-      .select(col("neighbor_id").as("doc_id"), col("r_vec"))
-    bmTop.join(vecTop, "doc_id")
+    * is 2·poolK rows; rank assignment and fusion run on those — the
+    * unpartitioned windows are safe by construction (≤ poolK rows each
+    * after the limit). The fusion arithmetic is two IEEE divisions of
+    * exact small integers summed in fixed order — bit-equal across
+    * engines, so even the fused float ranking hash-checks. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, poolK: Int, topK: Int): DataFrame = {
+    require(poolK >= 1, s"poolK must be >= 1, got $poolK")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def pool(scores: DataFrame, rName: String) = scores
+      .orderBy(col("score").desc, col("doc_id")).limit(poolK)
+      .withColumn(rName, row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col(rName))
+    pool(lex, "r_bm").join(pool(vec, "r_vec"), "doc_id")
       .withColumn("rrf",
         lit(1.0) / (lit(RrfK) + col("r_bm")) + lit(1.0) / (lit(RrfK) + col("r_vec")))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id"))))
-      .where(col("rank") <= HybridTopK)
+      .where(col("rank") <= topK)
+  }
+
+  /** Hybrid retrieval — the RAG-serving read path over this engine's own
+    * indexes: a lexical ranking ([[CorpusOps.taBm25]] over the fixed
+    * query terms) and a vector ranking (exact dots against query vector
+    * 0 through the [[VecKernel.pairDots]] kernel), fused by [[rrfFuse]]
+    * at the caller's (poolK, topK) operating point. The gate query runs
+    * the ([[HybridPoolK]], [[HybridTopK]]) = (100, 20) oracle point. */
+  def searchHybrid(s: SparkSession, dir: String,
+      poolK: Int = HybridPoolK, topK: Int = HybridTopK): DataFrame = {
+    val bm = CorpusOps.taBm25(s, dir)
+      .select(col("doc_id"), col("bm25_total").as("score"))
+    val pairs = Tables.embeddings(s, dir).select(col("vec_id"))
+      .where(col("vec_id") =!= 0L)
+      .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"))
+    val vec = VecKernel.pairDots(s, dir, pairs)
+      .select(col("neighbor_id").as("doc_id"), col("dot_scaled").as("score"))
+    rrfFuse(bm, vec, poolK, topK)
   }
 
   val searchHybridSql: String =

@@ -203,19 +203,20 @@ object Similarity {
     * so the approximate scores themselves hash-check against DuckDB. */
   def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
     val c = nCentroids(Tables.embeddings(s, dir).count())
-    // referenced twice (membership + probes) — rooted in a mapPartitions
-    // kernel, so a deliberate repartition gives ReuseExchange a node to
-    // share; nothing stays persisted after the action
-    // the index pass feeds both join sides; Catalyst column-prunes each
-    // branch below the repartition into non-identical children, so
-    // exchange reuse does NOT fire and the encode kernel executes once
-    // per branch (empirically verified on the final adaptive plan).
-    // Accepted deliberately: the kernel is O(N·√N·dim) scoring — small
-    // next to the candidate join that dominates at scale — and the real
-    // deployment stores the index (codes + band tables, like
-    // [[Dedup.dedupCcVs]]'s inputs), which removes the encode from the
-    // query entirely; persist() would share it in-process but leaks
-    // cache entries past the action (the r4 verdict bug class)
+    // The index pass feeds both join sides. Exchange reuse CANNOT be
+    // made to fire here (attempted r6): the membership branch needs
+    // (vec_id, cell, codes) and the probe branch (vec_id, probes, lut),
+    // ColumnPruning pushes each branch's projection below any deliberate
+    // repartition, and anchor predicates referencing the other branch's
+    // columns are themselves pushed through the exchange (deterministic
+    // filters always push through RepartitionByExpression), so the
+    // subtrees can never be canonically identical — unlike taTfidf,
+    // whose two branches need the SAME column set and do share one
+    // exchange. Accepted: the encode kernel is O(N·√N·dim) scoring,
+    // small next to the candidate join that dominates at scale, and the
+    // real 100 TB deployment stores the index ([[simIvfPqTopkOver]]),
+    // which removes the encode from the query entirely; persist() would
+    // share it in-process but leaks cache entries past the action.
     val enc = VecKernel.ivfPqEncode(s, dir, c, NProbe, KMeans.PqC, KMeans.PqM)
       .repartition(col("vec_id"))
     simIvfPqTopkOver(enc)

@@ -215,6 +215,56 @@ class CleaningSpec extends AnyFunSuite {
       "Mc/Me marks are boundaries to default \\b (only Mn is transparent)")
   }
 
+  test("phrase scrub: single-word lists reduce to the set kernel bit-for-bit") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(Cleaning.scrubWithPhrases(docs, Cleaning.Denylist)) ==
+      rows(Cleaning.scrubWithSet(docs, Cleaning.Denylist)))
+    // malformed phrase lists fail loudly
+    intercept[IllegalArgumentException] {
+      Cleaning.scrubWithPhrases(docs, Seq("double  space"))
+    }
+    intercept[IllegalArgumentException] {
+      Cleaning.scrubWithPhrases(docs, Seq.empty)
+    }
+  }
+
+  test("phrase scrub matches the regex twin (longest-first alternation) on overlap and boundary-fallback cases") {
+    import spark.implicits._
+    val phrases = Seq("customer join merge", "customer join", "table hash", "spark")
+    val docs = Seq(
+      (0L, "customer join merge wins over customer join"),
+      (1L, "customer join x then table hash y"),
+      // longer phrase matches chars but fails its END boundary
+      // (merge+r is mid-word) -> regex backtracks to "customer join"
+      (2L, "customer join merger falls back to the short phrase"),
+      (3L, "xcustomer join has no start boundary for customer"),
+      (4L, "customer  join double space does not match"),
+      (5L, "table hashx end boundary fails, no hit"),
+      // phrase straddling a redaction is NOT re-matched (left to right,
+      // non-overlapping, same as regex 'g')
+      (6L, "customer join customer join merge both hit"),
+      (7L, "sparḱ mark continues the word: no hit"),
+      (8L, "sparkः Mc mark bounds the word: hit")) // U+0903
+      .toDF("doc_id", "text")
+    val pat = s"\\b(${phrases.sortBy(-_.length).mkString("|")})\\b"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaRegex = rows(docs.select(col("doc_id"),
+      regexp_replace(col("text"), pat, "[REDACTED]").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as("n_hits")))
+    val viaTrie = rows(Cleaning.scrubWithPhrases(docs, phrases))
+    assert(viaTrie == viaRegex)
+    // sanity on the semantics themselves
+    val byId = viaTrie.map(t => t._1 -> t._3).toMap
+    assert(byId(0L) == 2L, "longest phrase wins, then the shorter one hits")
+    assert(byId(2L) == 1L, "end-boundary failure falls back to the shorter phrase")
+    assert(byId(3L) == 0L && byId(4L) == 0L && byId(5L) == 0L && byId(7L) == 0L)
+    assert(byId(6L) == 2L && byId(8L) == 1L)
+  }
+
   test("decontaminate: two-table form flags against a genuine external benchmark") {
     // a benchmark table that is NOT a doc_id-split of the corpus
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))

@@ -99,6 +99,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 2, s"only census aggregations may shuffle:\n$p")
   }
 
+  test("ta_tfidf: the token pipeline materializes ONCE (df branch reuses the tf exchange)") {
+    // run to let AQE finalize, then read the executed plan: the tf
+    // aggregate's repartition-on-term must be consumed by BOTH the df
+    // branch and the scored join via ReusedExchange — i.e. exactly one
+    // text-reading scan of documents executes (the n_docs census scan
+    // reads zero columns and doesn't count)
+    val q = CorpusOps.taTfidf(spark, dir)
+    q.collect()
+    val executed = q.queryExecution.executedPlan
+    val nodes = collectAdaptive(executed)
+    val textScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.metadata("Location").contains("documents") &&
+           f.metadata("ReadSchema").contains("text") => f
+    }
+    assert(textScans.size == 1,
+      s"token pipeline must execute once, found ${textScans.size} text scans:\n$executed")
+    assert(nodes.exists(_.getClass.getSimpleName.startsWith("ReusedExchange")),
+      s"df branch must reuse the tf exchange:\n$executed")
+  }
+
+  /** Walk an adaptive executed plan including materialized query stages. */
+  private def collectAdaptive(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => collectAdaptive(a.executedPlan)
+      case q: QueryStageExec => q +: collectAdaptive(q.plan)
+      case other => other +: other.children.flatMap(collectAdaptive)
+    }
+    here ++ p.subqueries.flatMap(collectAdaptive)
+  }
+
   test("q3: only needed lineitem columns are read") {
     val sc = scans(Relational.q3JoinTopk(spark, dir))
       .filter(_.metadata("Location").contains("lineitem"))

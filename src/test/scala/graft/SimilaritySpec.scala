@@ -83,6 +83,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("search_hybrid pool sizing: duplicate-saturated fixed pools empty the fusion; scaling poolK recovers it") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    // 20 logical docs × 10 exact copies (distinct doc_ids, identical
+    // scores — the shape an un-deduped crawl hands the retriever). The
+    // two sides rank the logical docs in OPPOSITE orders, so each
+    // side's champions are the other's stragglers.
+    val d = 10
+    val logical = 0 until 20
+    val lex = logical.flatMap(l => (0 until d).map(c =>
+      (l.toLong * d + c, (1000 - l).toDouble))).toDF("doc_id", "score")
+    val vec = logical.flatMap(l => (0 until d).map(c =>
+      (l.toLong * d + c, (1000 - (19 - l)).toDouble))).toDF("doc_id", "score")
+    // poolK=10: each pool holds ONLY the d copies of that side's single
+    // top logical doc; the id intersection — and the fusion — is EMPTY.
+    // This is SCALE.md's measured 10×-rehearsal failure, pinned.
+    assert(Pipeline.rrfFuse(lex, vec, poolK = 10, topK = 20).isEmpty)
+    // Scaling poolK past duplication × needed depth recovers the fusion:
+    // 200 rows covers all copies of all logical docs on both sides.
+    val fused = Pipeline.rrfFuse(lex, vec, poolK = 200, topK = 20).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    assert(fused.length == 20)
+    fused.foreach { case (_, rBm, rVec, rrf, _) =>
+      assert(rrf == 1.0 / (Pipeline.RrfK + rBm) + 1.0 / (Pipeline.RrfK + rVec))
+    }
+    // 1/(k+r) is convex, so with opposite rankings the two champions
+    // (logical 0 and 19, symmetric ranks → equal rrf) beat the middle;
+    // the doc_id tie-break makes logical 0's first copy the winner.
+    val byRank = fused.sortBy(_._5)
+    assert(byRank.head._1 == 0L, s"expected doc 0 first, got ${byRank.head._1}")
+    assert(byRank(0)._4 == byRank(1)._4 && byRank(1)._1 == 190L,
+      "logical 19's first copy ties the champion rrf and sorts second")
+  }
+
   test("ivfpq search over a stored (parquet round-tripped) index equals the inline path") {
     val c = Similarity.nCentroids(
       spark.read.parquet(s"$dir/embeddings.parquet").count())

@@ -8,13 +8,15 @@ import graft.Tables
   * columns plus typed metadata, with decode / feature-extraction /
   * resize / frame-sampling as per-partition batch operators.
   *
-  * The actual codecs (JPEG/PNG decode, audio resample, video frame
-  * extraction) are NOT available in this container, so [[StubCodec]] is
-  * a clearly-marked deterministic fake. Everything AROUND the codec —
-  * the schema, the binary column handling, the mapPartitions batch
-  * shape (one codec init per partition, streamed rows), the feature
-  * output layout — is real and tested; swapping in a real codec touches
-  * only StubCodec.
+  * [[BmpCodec]] is a REAL pure-JVM decoder (uncompressed 24-bit BMP,
+  * encode/decode/nearest-neighbor-resize) so the pipeline measures
+  * actual pixel work end to end. Compressed codecs (JPEG/PNG decode,
+  * audio resample, video frame extraction) are NOT available in this
+  * container, so [[StubCodec]] is a clearly-marked deterministic fake
+  * for those. Everything AROUND the codec — the schema, the binary
+  * column handling, the mapPartitions batch shape (one codec init per
+  * partition, streamed rows), the feature output layout — is real and
+  * tested; swapping in a real library touches only the codec object.
   */
 object Media {
 
@@ -49,6 +51,132 @@ object Media {
     def sampleFrames(bytes: Array[Byte], frameSize: Int, everyN: Int): Seq[Array[Byte]] =
       bytes.grouped(frameSize).zipWithIndex
         .collect { case (chunk, i) if i % everyN == 0 => chunk }.toSeq
+  }
+
+  /** ====== REAL CODEC — pure-JVM 24-bit BMP ======
+    * One genuinely real decoder so the multimodal path measures actual
+    * pixel work, not just plumbing: uncompressed 24-bit BI_RGB BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, 4-byte-padded bottom-up BGR
+    * rows) — a fixed public format needing no native libs. Opaque
+    * formats (JPEG/video/audio) stay behind [[StubCodec]]; swapping a
+    * real library in touches only the codec object, exactly the
+    * boundary the stub documents. */
+  object BmpCodec {
+    private val HeaderLen = 54
+
+    private def rowStride(w: Int) = (w * 3 + 3) & ~3
+
+    /** Encode row-major top-down RGB pixels as a 24-bit BMP. */
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && rgb.length == w * h * 3,
+        s"need $w*$h*3 RGB bytes, got ${rgb.length}")
+      val stride = rowStride(w)
+      val size = HeaderLen + stride * h
+      val b = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(HeaderLen)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = h - 1 // BMP rows run bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          b.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)) // BGR on disk
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { b.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      b.array()
+    }
+
+    /** Decode a 24-bit BI_RGB BMP to (width, height, top-down RGB).
+      * Fails loudly on any other BMP flavor — silent misdecodes poison
+      * a training corpus. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= HeaderLen && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP payload")
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOff = b.getInt(10)
+      val w = b.getInt(18)
+      val h = b.getInt(22)
+      val bpp = b.getShort(28)
+      val compression = b.getInt(30)
+      require(bpp == 24 && compression == 0,
+        s"only uncompressed 24-bit BMP supported (got $bpp bpp, compression $compression)")
+      require(w > 0 && h > 0, s"unsupported dims ${w}x$h")
+      val stride = rowStride(w)
+      require(bytes.length >= dataOff + stride * h, "truncated BMP payload")
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val src = dataOff + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          rgb(p) = bytes(src + x * 3 + 2)
+          rgb(p + 1) = bytes(src + x * 3 + 1)
+          rgb(p + 2) = bytes(src + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, rgb)
+    }
+
+    /** Nearest-neighbor resize of top-down RGB — deterministic integer
+      * source indexing (x·sw/tw), the resize step [[StubCodec.thumbDims]]
+      * only sized. */
+    def resizeNearest(sw: Int, sh: Int, rgb: Array[Byte],
+        tw: Int, th: Int): Array[Byte] = {
+      require(tw > 0 && th > 0 && sw > 0 && sh > 0)
+      val out = new Array[Byte](tw * th * 3)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * sh / th).toInt
+        var x = 0
+        while (x < tw) {
+          val sx = (x.toLong * sw / tw).toInt
+          val s = (sy * sw + sx) * 3
+          val d = (y * tw + x) * 3
+          out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Decoded-image features through the REAL [[BmpCodec]], in the same
+    * mapPartitions batch shape as [[extractFeatures]]: decode → RGB
+    * channel sums → [[StubCodec.thumbDims]]-sized nearest-neighbor
+    * thumbnail, with the thumbnail's md5 as the verifiable artifact.
+    * Per-row work is O(pixels), zero shuffle. */
+  def decodeBmpFeatures(media: Dataset[MediaFile]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { m =>
+        val (w, h, rgb) = BmpCodec.decode(m.bytes)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < rgb.length) {
+          sr += rgb(i) & 0xFF; sg += rgb(i + 1) & 0xFF; sb += rgb(i + 2) & 0xFF
+          i += 3
+        }
+        val (tw, th) = StubCodec.thumbDims(w, h)
+        val thumb = BmpCodec.resizeNearest(w, h, rgb, tw, th)
+        md.reset()
+        val thumbMd5 = md.digest(thumb).map("%02x".format(_)).mkString
+        (m.media_id, w, h, sr, sg, sb, tw, th, thumbMd5)
+      }
+    }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+      "thumb_w", "thumb_h", "thumb_md5")
   }
 
   /** Per-partition feature extraction: one codec/state init per

@@ -675,6 +675,48 @@ object Relational {
       |FROM ev
       |QUALIFY event_type = 'purchase'""".stripMargin
 
+  /** SALTED escalation of [[q18AsOf]] — the skew note SCALE.md left
+    * open: one user with millions of events serializes [[q18AsOf]]'s
+    * per-user window into a single task. Salting must preserve temporal
+    * order, so the salt is a TIME bucket (ts_us div bucketUs), not a
+    * hash, and the as-of becomes two passes:
+    *  1. a running signup-max WITHIN each (user, bucket) — parallel
+    *     across buckets, each window ≤ one bucket of events;
+    *  2. a carry-in per bucket: the signup-max over all PRECEDING
+    *     buckets, a window over the per-(user, bucket) aggregate —
+    *     one row per bucket, millions of events collapse to thousands
+    *     of rows before this pass.
+    * last_signup = max(local, carry). Exactness: equal-ts events always
+    * share a bucket (same div), so the (ts, event_id) tie order is
+    * fully local to pass 1, and every prior-bucket event is strictly
+    * earlier — Relational2Spec pins salted == unsalted on the real
+    * events table at several widths. Size bucketUs so a hot user's
+    * single-bucket event count fits one task (≈ events/sec × bucket
+    * seconds); [[q18AsOf]] remains the no-skew operating point. */
+  def q18AsOfSalted(s: SparkSession, dir: String, bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    val ev = Tables.events(s, dir).withColumn("bkt", expr(s"ts_us div $bucketUs"))
+    val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ev.withColumn("local_signup_us",
+      max(when(col("event_type") === "signup", col("ts_us"))).over(wLocal))
+    val bmax = ev.groupBy(col("user_id"), col("bkt"))
+      .agg(max(when(col("event_type") === "signup", col("ts_us")))
+        .as("bkt_signup_us"))
+    val wCarry = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bmax
+      .withColumn("carry_signup_us", max(col("bkt_signup_us")).over(wCarry))
+      .select(col("user_id"), col("bkt"), col("carry_signup_us"))
+    local.join(carry, Seq("user_id", "bkt"))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        coalesce(greatest(col("local_signup_us"), col("carry_signup_us")),
+          lit(-1L)).as("last_signup_us"))
+  }
+
   // --------------------------------------------------------------- q19
   /** Tumbling-window batch aggregation over event time (hourly buckets
     * as epoch-µs integers — the batch twin of the streaming query). */

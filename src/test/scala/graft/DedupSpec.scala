@@ -67,6 +67,35 @@ class DedupSpec extends AnyFunSuite {
     assert(m(3L)._1 == -1L)                    // unrelated: no band collision
   }
 
+  test("ngram-verify tier: exact jaccard on LSH candidates, df-cap-free, with a correct verdict") {
+    val rows = Dedup.dedupNgramVerify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getInt(5))).toMap
+    // candidates are exactly the est >= threshold LSH pairs
+    assert(rows.contains((0L, 1L)), "exact dup pair must be a candidate")
+    val (_, _, j01, dup01) = rows((0L, 1L))
+    assert(j01 == 1.0 && dup01 == 1, "identical docs: exact J = 1")
+    // the planted near-dup (one token edited out of a 3-gram window):
+    // verify exact jaccard against hand-computed sets
+    def sh(t: String): Set[String] = {
+      val w = t.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim.split(" ")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    val near = base.replace("tonight", "today")
+    val expJ = sh(base).intersect(sh(near)).size.toDouble /
+      sh(base).union(sh(near)).size
+    rows.get((0L, 2L)).orElse(rows.get((1L, 2L))).foreach {
+      case (est, nCommon, j, dup) =>
+        assert(j == expJ, s"exact jaccard must match brute force: $j vs $expJ")
+        assert(nCommon == sh(base).intersect(sh(near)).size.toLong)
+        assert((dup == 1) == (j >= Dedup.CcThreshold))
+        assert(est >= Dedup.CcThreshold)
+    }
+    // unrelated doc 3 never appears
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: identical docs agree; reordered bag-dup agrees; distinct differs") {
     val m = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -180,6 +209,35 @@ class DedupSpec extends AnyFunSuite {
     // exact dup of 0) lands in snapshot docs 0/2's component, canonical 0
     val byDoc = incr.map(r => r._1 -> r._2).toMap
     assert(byDoc(1L) == 0L && byDoc(0L) == 0L && byDoc(2L) == 0L)
+  }
+
+  test("dedupCcVs over a stored (parquet round-tripped) index equals the in-process path") {
+    // the steady-state contract: yesterday's signature table and prior
+    // labels are TABLES a production pipeline writes at ingest — prove
+    // the schema survives a parquet round trip and the probe gives
+    // bit-identical labels when read back cold
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = docs.where(col("doc_id") % 3 === 1)
+    val snapshot = docs.where(col("doc_id") % 3 =!= 1)
+    val sigS = Dedup.minhashSignaturesOf(spark, snapshot)
+    val symS = Dedup.symmetrize(
+      Dedup.estOf(sigS.repartition(col("doc_id")))
+        .where(col("est_j") >= Dedup.CcThreshold)
+        .select(col("da"), col("db")))
+    val prior = Dedup.propagateMin(spark,
+      snapshot.select(col("doc_id"), col("doc_id").as("label")),
+      symS, "spec/prior")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ccvs-idx").toString
+    sigS.write.mode("overwrite").parquet(s"$idx/sig")
+    prior.write.mode("overwrite").parquet(s"$idx/prior")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._1).toSeq
+    val stored = rows(Dedup.dedupCcVs(spark, batch,
+      spark.read.parquet(s"$idx/sig"), spark.read.parquet(s"$idx/prior")))
+    val inline = rows(Dedup.dedupCcVs(spark, batch, sigS, prior))
+    assert(stored.nonEmpty && stored === inline)
+    assert(stored === rows(Dedup.dedupCc(spark, dir)),
+      "stored-state probe must still equal the full recompute")
   }
 
   test("single-action operators leave nothing newly persisted after their action") {

@@ -47,4 +47,68 @@ class MediaSpec extends AnyFunSuite {
     assert(StubCodec.thumbDims(64, 64) == (64, 64))
     assert(StubCodec.sampleFrames(Array[Byte](), 10, 2).isEmpty)
   }
+
+  /** Deterministic RGB test image: a w×h gradient with per-pixel values
+    * a JDK ImageIO cross-check can verify independently. */
+  private def gradient(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      (i % 3 match {
+        case 0 => (p * 7) % 256       // r
+        case 1 => (p * 13 + 5) % 256  // g
+        case 2 => (p * 29 + 11) % 256 // b
+      }).toByte
+    }
+
+  test("bmp codec: decode agrees pixel-for-pixel with the JDK's independent ImageIO reader") {
+    // 5 wide forces 1 byte of row padding (stride 16); 101 exercises a
+    // non-trivial bottom-up row walk
+    for ((w, h) <- Seq((5, 3), (101, 7), (64, 64))) {
+      val rgb = gradient(w, h)
+      val bmp = Media.BmpCodec.encode(w, h, rgb)
+      val (dw, dh, drgb) = Media.BmpCodec.decode(bmp)
+      assert((dw, dh) == (w, h))
+      assert(drgb.sameElements(rgb), s"round trip must be lossless at ${w}x$h")
+      // independent oracle: the JDK's own BMP plugin reads our encoding
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val p = (y * w + x) * 3
+        assert(((argb >> 16) & 0xFF) == (rgb(p) & 0xFF) &&
+               ((argb >> 8) & 0xFF) == (rgb(p + 1) & 0xFF) &&
+               (argb & 0xFF) == (rgb(p + 2) & 0xFF),
+          s"pixel ($x,$y) mismatch vs ImageIO")
+      }
+    }
+    // non-BMP and unsupported flavors fail loudly
+    intercept[IllegalArgumentException] {
+      Media.BmpCodec.decode("not a bitmap".getBytes)
+    }
+  }
+
+  test("bmp decode features: real pixel work through the mapPartitions shape") {
+    val (w, h) = (160, 90)
+    val rgb = gradient(w, h)
+    val files = Seq(
+      MediaFile(10L, "image/bmp", Media.BmpCodec.encode(w, h, rgb), w, h, 0),
+      MediaFile(11L, "image/bmp", Media.BmpCodec.encode(3, 9, gradient(3, 9)), 3, 9, 0))
+    val out = Media.decodeBmpFeatures(files.toDS()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r10 = out(10L)
+    assert(r10.getInt(1) == w && r10.getInt(2) == h)
+    // channel sums against the raw fixture
+    def chanSum(a: Array[Byte], c: Int) =
+      a.indices.collect { case i if i % 3 == c => a(i) & 0xFF }.map(_.toLong).sum
+    assert(r10.getLong(3) == chanSum(rgb, 0))
+    assert(r10.getLong(4) == chanSum(rgb, 1))
+    assert(r10.getLong(5) == chanSum(rgb, 2))
+    assert(r10.getInt(6) == 64 && r10.getInt(7) == 36) // 16:9 thumb
+    // thumbnail md5 matches an independently computed nearest-neighbor
+    val thumb = Media.BmpCodec.resizeNearest(w, h, rgb, 64, 36)
+    assert(r10.getString(8) ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(thumb).map("%02x".format(_)).mkString)
+    assert(out(11L).getInt(6) == 21 && out(11L).getInt(7) == 64) // portrait
+  }
 }

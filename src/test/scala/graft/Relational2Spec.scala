@@ -21,6 +21,26 @@ class Relational2Spec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): SparkPlan =
     df.queryExecution.sparkPlan
 
+  test("q18 salted as-of equals the unsalted window at every bucket width") {
+    import graft.operators.Relational
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val unsalted = rows(Relational.q18AsOf(spark, dir))
+    assert(unsalted.nonEmpty)
+    // hour-wide, day-wide, and effectively-unsalted (one giant bucket)
+    for (bucketUs <- Seq(3600L * 1000 * 1000, 86400L * 1000 * 1000, Long.MaxValue)) {
+      assert(rows(Relational.q18AsOfSalted(spark, dir, bucketUs)) == unsalted,
+        s"salted as-of diverged at bucketUs=$bucketUs")
+    }
+    // the hour salt genuinely splits users across buckets (else the
+    // test proves nothing)
+    val nBkts = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div ${3600L * 1000 * 1000}").as("b"))
+      .distinct().groupBy("user_id").count()
+      .agg(max("count")).as[Long].head()
+    assert(nBkts > 1, "fixture must span multiple salt buckets")
+  }
+
   test("q24 pivot: cell counts re-add to the orders total") {
     val piv = Relational2.q24Pivot(spark, dir)
     val cells = piv.agg(sum(col("n_f") + col("n_o") + col("n_p"))).as[Long].head()

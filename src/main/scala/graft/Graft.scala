@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's public entry point — one object a user drives without
+  * knowing the internal package layout:
+  *
+  * {{{
+  * val g = Graft.local()                       // or Graft(existingSession, dir)
+  * g.tableNames                                // -> region, nation, ..., embeddings
+  * g.table("lineitem").show()
+  * g.ops                                       // -> 100+ operator names
+  * g.run("dedup_minhash").show()               // any operator as a DataFrame
+  * g.explain("ta_tfidf")                       // formatted physical plan
+  * g.sql("SELECT count(*) FROM documents")     // tables pre-registered as views
+  * }}}
+  *
+  * Operators needing more than (session, dir) — the parameterized
+  * entries like [[operators.Pipeline.rrfFuse]] or
+  * [[operators.Relational.q18AsOfSalted]] — remain on their operator
+  * objects; [[run]] executes each one at its gate operating point.
+  */
+final class Graft private (val spark: SparkSession, val dataDir: String) {
+
+  /** Fixture tables available under [[dataDir]]. */
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def table(name: String): DataFrame = name match {
+    case "region"     => Tables.region(spark, dataDir)
+    case "nation"     => Tables.nation(spark, dataDir)
+    case "customer"   => Tables.customer(spark, dataDir)
+    case "supplier"   => Tables.supplier(spark, dataDir)
+    case "part"       => Tables.part(spark, dataDir)
+    case "orders"     => Tables.orders(spark, dataDir)
+    case "lineitem"   => Tables.lineitem(spark, dataDir)
+    case "events"     => Tables.events(spark, dataDir)
+    case "documents"  => Tables.documents(spark, dataDir)
+    case "embeddings" => Tables.embeddings(spark, dataDir)
+    case other => throw new IllegalArgumentException(
+      s"unknown table '$other' (have: ${tableNames.mkString(", ")})")
+  }
+
+  /** Every registered operator, by gate name. */
+  def ops: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
+  /** Run an operator at its gate operating point. The returned frame is
+    * lazy — call an action (show/count/write) to execute. */
+  def run(op: String): DataFrame = SparkEntry.queries.get(op) match {
+    case Some(q) => q(spark, dataDir)
+    case None => throw new IllegalArgumentException(
+      s"unknown operator '$op' — see Graft.ops for the catalog")
+  }
+
+  /** The operator's formatted physical plan (what actually executes —
+    * check PushedFilters / WholeStageCodegen / Exchange placement). */
+  def explain(op: String): String =
+    run(op).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  /** ANSI SQL over the fixture tables (registered as temp views once
+    * per facade). */
+  def sql(query: String): DataFrame = spark.sql(query)
+}
+
+object Graft {
+
+  /** Wrap an existing session. Registers the fixture tables as temp
+    * views and the engine's native functions (dot_i64). */
+  def apply(spark: SparkSession, dataDir: String): Graft = {
+    val g = new Graft(spark, dataDir)
+    graft.functions.DotProductI64.register(spark)
+    g.tableNames.foreach(n => g.table(n).createOrReplaceTempView(n))
+    g
+  }
+
+  /** Self-contained local session at the engine's standard operating
+    * point (AQE on, 32 shuffle partitions, UTC, ns-parquet handling). */
+  def local(dataDir: String = "/root/testdata/sf0.001",
+      cpus: Int = Runtime.getRuntime.availableProcessors()): Graft = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    apply(spark, dataDir)
+  }
+}

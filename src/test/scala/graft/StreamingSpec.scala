@@ -55,6 +55,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("rate source: the same transforms run on a genuinely unbounded stream") {
+    // the file-source tests replay a finite fixture; this drives
+    // EventStreams.tumbling from Spark's rate source — an UNBOUNDED
+    // micro-batch stream — mapping each tick to a deterministic synthetic
+    // event (ts derived from the monotonically-assigned `value`, NOT the
+    // wall clock, so the expected answer is computable). Rate values are
+    // contiguous 0..N-1, so whatever prefix N the query has processed at
+    // stop time, the streaming state must equal the batch twin over
+    // range(N).
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("value"))
+      .withColumn("ts_us", lit(1700000000000000L) + col("value") * 60L * 1000000L)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("event_type",
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (col("value") % 3).cast("int") + 1))
+      .withColumn("value", (col("value") % 10).cast("double"))
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", 5000).load()
+    val q = EventStreams.tumbling(toEvents(src))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("t_rate").start()
+    // let several micro-batches through, then drain and stop
+    Thread.sleep(3000)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_rate").collect().map(_.toSeq).toSet
+    val n = spark.table("t_rate").agg(sum("n_events")).head().getLong(0)
+    assert(n > 0, "rate source must have produced rows")
+    val batch = EventStreams.tumbling(toEvents(spark.range(n).toDF("value")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"unbounded-stream prefix of $n rows must equal its batch twin")
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)] // (epoch_us, type)

@@ -95,7 +95,7 @@ object Cleaning {
     val s = docs.sparkSession
     import s.implicits._
     require(terms.forall(_.matches("[A-Za-z0-9_]+")),
-      "set-scrub terms must be single \\w+ words (phrases need Aho-Corasick)")
+      "set-scrub terms must be single \\w+ words — use scrubWithPhrases for multi-word phrases")
     val bc = s.sparkContext.broadcast(terms.toSet)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>

@@ -210,11 +210,25 @@ object Pipeline {
     rrfFuse(bm, vec, poolK, topK)
   }
 
-  val searchHybridSql: String =
+  /** Second gate operating point for the r6 (poolK, topK)
+    * parameterization — wider pools, deeper fusion, hash-checked
+    * against the SAME oracle shape at different constants (so the
+    * parameters are oracle-verified, not just spec'd). */
+  val HybridWidePoolK = 250
+  val HybridWideTopK = 30
+
+  def searchHybridWide(s: SparkSession, dir: String): DataFrame =
+    searchHybrid(s, dir, HybridWidePoolK, HybridWideTopK)
+
+  val searchHybridSql: String = searchHybridSqlAt(HybridPoolK, HybridTopK)
+  lazy val searchHybridWideSql: String =
+    searchHybridSqlAt(HybridWidePoolK, HybridWideTopK)
+
+  def searchHybridSqlAt(poolK: Int, topK: Int): String =
     s"""WITH bm AS (
        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25_total DESC, doc_id) AS INT) AS r_bm
        |  FROM (SELECT * FROM (${CorpusOps.taBm25Sql}) t
-       |        ORDER BY bm25_total DESC, doc_id LIMIT $HybridPoolK)),
+       |        ORDER BY bm25_total DESC, doc_id LIMIT $poolK)),
        |ev AS (
        |  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS e
        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
@@ -224,7 +238,7 @@ object Pipeline {
        |  WHERE ev.vec_id <> 0 GROUP BY 1),
        |vr AS (
        |  SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (ORDER BY dot_scaled DESC, vec_id) AS INT) AS r_vec
-       |  FROM (SELECT * FROM vd ORDER BY dot_scaled DESC, vec_id LIMIT $HybridPoolK)),
+       |  FROM (SELECT * FROM vd ORDER BY dot_scaled DESC, vec_id LIMIT $poolK)),
        |fused AS (
        |  SELECT doc_id, r_bm, r_vec,
        |         1.0 / ($RrfK + r_bm) + 1.0 / ($RrfK + r_vec) AS rrf
@@ -232,5 +246,5 @@ object Pipeline {
        |SELECT doc_id, r_bm, r_vec, rrf,
        |       CAST(rank AS INT) AS rank
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused)
-       |WHERE rank <= $HybridTopK""".stripMargin
+       |WHERE rank <= $topK""".stripMargin
 }

@@ -693,6 +693,15 @@ object Relational {
     * events table at several widths. Size bucketUs so a hot user's
     * single-bucket event count fits one task (≈ events/sec × bucket
     * seconds); [[q18AsOf]] remains the no-skew operating point. */
+  /** Gate operating point: hour-wide salt buckets. The ORACLE is the
+    * plain unsalted window SQL ([[q18AsOfSql]]) — salted == unsalted is
+    * the operator's whole contract, so the gate hash-checks the salted
+    * plan against the straightforward single-window answer. */
+  val AsOfSaltBucketUs: Long = 3600L * 1000 * 1000
+
+  def q18AsOfSaltedGate(s: SparkSession, dir: String): DataFrame =
+    q18AsOfSalted(s, dir, AsOfSaltBucketUs)
+
   def q18AsOfSalted(s: SparkSession, dir: String, bucketUs: Long): DataFrame = {
     require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
     val ev = Tables.events(s, dir).withColumn("bkt", expr(s"ts_us div $bucketUs"))

@@ -78,7 +78,10 @@ object ScaleRehearsal {
       // r5 operators
       "emb_pq_trained", "pipeline_full", "ta_denylist_scrub_large",
       "sim_ivfpq_topk", "vocab_build", "vocab_encode", "sample_mixture",
-      "dedup_minhash_incr", "search_hybrid", "dedup_cc_incr")
+      "dedup_minhash_incr", "search_hybrid", "dedup_cc_incr",
+      // r6 operators
+      "dedup_ngram_verify", "ta_denylist_phrases", "q18_asof_salted",
+      "search_hybrid_wide")
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames

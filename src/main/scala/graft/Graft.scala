@@ -22,25 +22,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Graft private (val spark: SparkSession, val dataDir: String) {
 
-  /** Fixture tables available under [[dataDir]]. */
-  val tableNames: Seq[String] = Seq("region", "nation", "customer",
-    "supplier", "part", "orders", "lineitem", "events", "documents",
-    "embeddings")
+  /** One source of truth: loader per table name — [[tableNames]], view
+    * registration, and [[table]] all derive from it. */
+  private val loaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region"     -> (Tables.region _),
+    "nation"     -> (Tables.nation _),
+    "customer"   -> (Tables.customer _),
+    "supplier"   -> (Tables.supplier _),
+    "part"       -> (Tables.part _),
+    "orders"     -> (Tables.orders _),
+    "lineitem"   -> (Tables.lineitem _),
+    "events"     -> (Tables.events _),
+    "documents"  -> (Tables.documents _),
+    "embeddings" -> (Tables.embeddings _))
 
-  def table(name: String): DataFrame = name match {
-    case "region"     => Tables.region(spark, dataDir)
-    case "nation"     => Tables.nation(spark, dataDir)
-    case "customer"   => Tables.customer(spark, dataDir)
-    case "supplier"   => Tables.supplier(spark, dataDir)
-    case "part"       => Tables.part(spark, dataDir)
-    case "orders"     => Tables.orders(spark, dataDir)
-    case "lineitem"   => Tables.lineitem(spark, dataDir)
-    case "events"     => Tables.events(spark, dataDir)
-    case "documents"  => Tables.documents(spark, dataDir)
-    case "embeddings" => Tables.embeddings(spark, dataDir)
-    case other => throw new IllegalArgumentException(
-      s"unknown table '$other' (have: ${tableNames.mkString(", ")})")
-  }
+  /** Fixture tables available under [[dataDir]]. */
+  val tableNames: Seq[String] = loaders.map(_._1)
+
+  def table(name: String): DataFrame =
+    loaders.collectFirst { case (`name`, load) => load(spark, dataDir) }
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown table '$name' (have: ${tableNames.mkString(", ")})"))
 
   /** Every registered operator, by gate name. */
   def ops: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
@@ -76,18 +78,25 @@ object Graft {
   }
 
   /** Self-contained local session at the engine's standard operating
-    * point (AQE on, 32 shuffle partitions, UTC, ns-parquet handling). */
+    * point (AQE on, 32 shuffle partitions, UTC, ns-parquet handling).
+    * If a SparkSession already exists in this JVM, getOrCreate returns
+    * IT and the builder configs (master/cpus included) are ignored — so
+    * the session-level settings the engine depends on are re-applied
+    * explicitly below, and they take effect either way; only the
+    * master/cpus request is best-effort on a pre-existing session. */
   def local(dataDir: String = "/root/testdata/sf0.001",
       cpus: Int = Runtime.getRuntime.availableProcessors()): Graft = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // runtime-settable session confs: applied even when getOrCreate
+    // returned someone else's session
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sparkContext.setLogLevel("WARN")
     apply(spark, dataDir)
   }

@@ -87,7 +87,12 @@ case class DotProductI64(left: Expression, right: Expression)
       // making ev.isNull the FalseLiteral — an `false = true;` assignment
       // would fail janino compilation and silently drop the whole stage
       // to interpreted execution. Emit the element-null branch only when
-      // an element can actually be null.
+      // an element can actually be null. Consequence accepted: if a
+      // source LIES about containsNull=false, the no-check loop reads
+      // the null slot's garbage value where nullSafeEval would null-
+      // propagate — the standard Spark codegen contract (built-in
+      // expressions make the same assumption); metadata integrity is the
+      // connector's responsibility.
       if (elemNullable(left) || elemNullable(right))
         header +
           s"""

@@ -91,6 +91,67 @@ object Cleaning {
     * ASCII-only; the shared oracle is exact on the ASCII fixtures, and
     * on non-ASCII corpora the two SPARK paths still agree with each
     * other.) */
+  // ----------------- shared JDK-\b-exact boundary model -----------------
+  // ONE implementation of java.util.regex.Pattern's default-flags \b
+  // (what regexp_replace uses), shared by the set and phrase kernels so
+  // a boundary-rule fix can never apply to one and not the other.
+  // Measured against this JVM's Pattern.Bound:
+  //  - word chars for the DIRECT neighbor: '_' or Unicode letter/digit,
+  //    CODE-POINT aware (Bound reads codePointBefore/codePointAt, so a
+  //    supplementary-plane letter adjacent to the position is a word
+  //    char);
+  //  - a NON-SPACING mark (Mn) is word-transparent ONLY when
+  //    hasBaseCharacter holds: Pattern walks back one UTF-16 INDEX at a
+  //    time, reading codePointAt(x) (a low-surrogate index yields the
+  //    lone surrogate, type SURROGATE), through Mn marks, and requires
+  //    Character.isLetterOrDigit of the first non-Mn read — probed on
+  //    this JVM: '_' is NOT a valid base ("_́spark" redacts "spark"); a
+  //    BMP mark over a supplementary letter finds only the letter's low
+  //    surrogate ("𝐀́spark" redacts); a supplementary Mn approached at
+  //    its own high-surrogate index IS transparent ("spark𞥄" does not
+  //    redact — the walk reads the full mark then lands on 'k');
+  //  - Mc/Me marks, connector punctuation other than '_', and ZWNJ/ZWJ
+  //    are plain non-word chars to default \b (they are word chars only
+  //    under UNICODE_CHARACTER_CLASS, which regexp_replace does not
+  //    enable).
+  private[operators] def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+  private[operators] def isMnCp(cp: Int): Boolean =
+    Character.getType(cp) == Character.NON_SPACING_MARK
+
+  /** Pattern.hasBaseCharacter, verbatim: x walks DOWN one UTF-16 index
+    * per step reading codePointAt(x) — NOT codePointBefore — so a
+    * high-surrogate index reads the full supplementary code point while
+    * a low-surrogate index reads a lone surrogate (never a base, never
+    * transparent). True iff the first non-Mn read is a letter/digit. */
+  private[operators] def hasBase(text: String, start: Int): Boolean = {
+    var x = start
+    while (x >= 0) {
+      val ch = text.codePointAt(x)
+      if (Character.isLetterOrDigit(ch)) return true
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) return false
+      x -= 1
+    }
+    false
+  }
+
+  /** Is the char sequence position `i` (UTF-16 index) preceded by
+    * word-stuff per JDK \b? (= Bound's `left` test.) */
+  private[operators] def wordOnLeft(text: String, i: Int): Boolean =
+    i > 0 && {
+      val cp = text.codePointBefore(i)
+      isWordCp(cp) || (isMnCp(cp) && hasBase(text, i - 1))
+    }
+
+  /** Is position `i` followed by word-stuff per JDK \b? (= Bound's
+    * `right` test; a trailing Mn mark continues the word iff its base
+    * walk succeeds.) */
+  private[operators] def wordOnRight(text: String, i: Int): Boolean =
+    i < text.length && {
+      val cp = text.codePointAt(i)
+      isWordCp(cp) || (isMnCp(cp) && hasBase(text, i))
+    }
+
   def scrubWithSet(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -100,23 +161,10 @@ object Cleaning {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         val deny = bc.value
-        // Java-regex-faithful word segmentation, measured against this
-        // JVM's Pattern \\b (default flags, what regexp_replace uses):
-        //  - word chars: Unicode letters/digits (CODE-POINT aware --
-        //    supplementary-plane letters are words, so the scan walks
-        //    code points, not UTF-16 chars) plus underscore;
-        //  - NON-SPACING marks (Mn) CONTINUE a word but cannot start
-        //    one (Java's hasBaseCharacter walks back ONLY through
-        //    Character.NON_SPACING_MARK: "spark" + U+0301 has no
-        //    boundary after the k, while spacing/enclosing marks
-        //    (Mc like U+0903, Me like U+20DD) DO get a boundary —
-        //    they are neither word chars nor transparent);
-        //  - connector punctuation other than '_' and ZWNJ/ZWJ are NOT
-        //    word chars to \\b (they live only in UNICODE_CHARACTER_CLASS
-        //    \\w, which regexp_replace does not enable).
-        def isWordCp(cp: Int) = cp == '_' || Character.isLetterOrDigit(cp)
-        def isMarkCp(cp: Int) =
-          Character.getType(cp) == Character.NON_SPACING_MARK
+        // word segmentation under the shared \b model: a word starts at
+        // a word cp with no word-stuff on its left and extends while the
+        // next position still has word-stuff on its right (word chars,
+        // or Mn marks whose base walk succeeds)
         rows.map { case (id, text) =>
           val sb = new java.lang.StringBuilder(text.length)
           var hits = 0L
@@ -126,11 +174,8 @@ object Cleaning {
             val cp = text.codePointAt(i)
             if (isWordCp(cp)) {
               var j = i + Character.charCount(cp)
-              var done = false
-              while (j < n && !done) {
-                val c2 = text.codePointAt(j)
-                if (isWordCp(c2) || isMarkCp(c2)) j += Character.charCount(c2)
-                else done = true
+              while (j < n && wordOnRight(text, j)) {
+                j += Character.charCount(text.codePointAt(j))
               }
               val w = text.substring(i, j)
               if (deny(w)) { sb.append("[REDACTED]"); hits += 1 }
@@ -195,27 +240,9 @@ object Cleaning {
           }
           n.terminalLen = p.length
         }
-        def isWordCp(cp: Int) = cp == '_' || Character.isLetterOrDigit(cp)
-        def isMnCp(cp: Int) =
-          Character.getType(cp) == Character.NON_SPACING_MARK
-        // JDK \b start boundary at i: no word char when walking back
-        // through (only) Mn marks
-        def validStart(text: String, i: Int): Boolean = {
-          var j = i
-          while (j > 0) {
-            val cpBefore = text.codePointBefore(j)
-            if (isMnCp(cpBefore)) j -= Character.charCount(cpBefore)
-            else return !isWordCp(cpBefore)
-          }
-          true
-        }
-        // JDK \b end boundary after j: next cp is not a word char and
-        // not an Mn mark (an Mn mark continues the word)
-        def validEnd(text: String, j: Int, n: Int): Boolean =
-          j >= n || {
-            val cp = text.codePointAt(j)
-            !isWordCp(cp) && !isMnCp(cp)
-          }
+        // boundaries via the SHARED \b model (wordOnLeft/wordOnRight):
+        // a phrase may start at i iff nothing word-ish precedes i, and
+        // end at j iff nothing word-ish follows j
         rows.map { case (id, text) =>
           val n = text.length
           val sb = new java.lang.StringBuilder(n)
@@ -224,7 +251,7 @@ object Cleaning {
           while (i < n) {
             val cp = text.codePointAt(i)
             var matchedLen = -1
-            if (isWordCp(cp) && validStart(text, i)) {
+            if (isWordCp(cp) && !wordOnLeft(text, i)) {
               // walk the trie; keep the deepest terminal with a valid
               // end boundary (= regex longest-first with backtracking)
               var node = root
@@ -236,7 +263,7 @@ object Cleaning {
                 else {
                   node = ch
                   j += 1
-                  if (node.terminalLen > 0 && validEnd(text, j, n))
+                  if (node.terminalLen > 0 && !wordOnRight(text, j))
                     matchedLen = node.terminalLen
                 }
               }

@@ -166,8 +166,9 @@ object Pipeline {
     * the fused result — can go EMPTY. The 10×-duplicated rehearsal
     * measured exactly that at poolK=100. Rule: poolK ≥ duplication
     * factor × the distinct-doc depth you need fused; or dedup upstream
-    * (this engine's dedup family exists for that). PipelineSpec pins
-    * the saturation case and its poolK-scaled recovery.
+    * (this engine's dedup family exists for that). SimilaritySpec's
+    * "search_hybrid pool sizing" test pins the saturation case and its
+    * poolK-scaled recovery.
     *
     * 100 TB shape: each side's pool is a TakeOrdered (per-partition
     * top-k, no global sort of scores), so the only globally-sorted data

@@ -193,7 +193,12 @@ class CleaningSpec extends AnyFunSuite {
       // (Me, U+20DD) marks DO bound the word and the regex redacts
       (9L, "spark\u0903 devanagari visarga (Mc) bounds the word"),
       (10L, "spark\u20DD enclosing circle (Me) bounds the word"),
-      (11L, "spark\u0903more Mc splits the cluster into two words"))
+      (11L, "spark\u0903more Mc splits the cluster into two words"),
+      // hasBaseCharacter quirks, probed on this JVM: the base walk
+      // reads codePointAt per UTF-16 index and requires isLetterOrDigit
+      (12L, "_\u0301spark mark over underscore has no base, so the word breaks and redacts"),
+      (13L, "\uD835\uDC00\u0301spark a low surrogate kills the base walk, redacts"),
+      (14L, "spark\uD83A\uDD44 supplementary Mn (U+1E944) IS transparent, no hit here"))
       .toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
@@ -213,6 +218,10 @@ class CleaningSpec extends AnyFunSuite {
     assert(byId(8L) == 0L, "supplementary-plane letter continues the word")
     assert(byId(9L) == 1L && byId(10L) == 1L && byId(11L) == 1L,
       "Mc/Me marks are boundaries to default \\b (only Mn is transparent)")
+    assert(byId(12L) == 1L && byId(13L) == 1L,
+      "a mark without a letter/digit base does not glue the word shut")
+    assert(byId(14L) == 0L,
+      "supplementary Mn read at its high surrogate continues the word")
   }
 
   test("phrase scrub: single-word lists reduce to the set kernel bit-for-bit") {

@@ -211,6 +211,25 @@ class DedupSpec extends AnyFunSuite {
     assert(byDoc(1L) == 0L && byDoc(0L) == 0L && byDoc(2L) == 0L)
   }
 
+  test("dedupMinhashVsSig over a stored (parquet round-tripped) signature table equals the in-process path") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = docs.where(col("doc_id") % 3 === 1)
+    val snapshot = docs.where(col("doc_id") % 3 =!= 1)
+    val sigS = Dedup.minhashSignaturesOf(spark, snapshot)
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+    sigS.write.mode("overwrite").parquet(idx)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val stored = rows(Dedup.dedupMinhashVsSig(spark, batch,
+      spark.read.parquet(idx).repartition(col("doc_id"))))
+    val inline = rows(Dedup.dedupMinhashVs(spark, batch, snapshot))
+    assert(stored.nonEmpty && stored == inline)
+    // the planted cross-split duplicate still surfaces through the
+    // stored index (doc 1 in the batch is an exact copy of snapshot 0)
+    assert(stored.exists { case (d, dup, j, isDup) =>
+      d == 1L && dup == 0L && j == 1.0 && isDup })
+  }
+
   test("dedupCcVs over a stored (parquet round-tripped) index equals the in-process path") {
     // the steady-state contract: yesterday's signature table and prior
     // labels are TABLES a production pipeline writes at ingest — prove

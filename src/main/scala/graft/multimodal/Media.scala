@@ -93,8 +93,10 @@ object Media {
     }
 
     /** Decode a 24-bit BI_RGB BMP to (width, height, top-down RGB).
-      * Fails loudly on any other BMP flavor — silent misdecodes poison
-      * a training corpus. */
+      * A negative biHeight means rows are stored top-down (the other
+      * legal row order in the wild) and is handled; any other BMP
+      * flavor fails loudly — silent misdecodes poison a training
+      * corpus. */
     def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(bytes.length >= HeaderLen && bytes(0) == 'B' && bytes(1) == 'M',
         "not a BMP payload")
@@ -102,18 +104,20 @@ object Media {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val dataOff = b.getInt(10)
       val w = b.getInt(18)
-      val h = b.getInt(22)
+      val rawH = b.getInt(22)
       val bpp = b.getShort(28)
       val compression = b.getInt(30)
       require(bpp == 24 && compression == 0,
         s"only uncompressed 24-bit BMP supported (got $bpp bpp, compression $compression)")
-      require(w > 0 && h > 0, s"unsupported dims ${w}x$h")
+      val topDown = rawH < 0
+      val h = math.abs(rawH)
+      require(w > 0 && h > 0, s"unsupported dims ${w}x$rawH")
       val stride = rowStride(w)
       require(bytes.length >= dataOff + stride * h, "truncated BMP payload")
       val rgb = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
-        val src = dataOff + (h - 1 - y) * stride
+        val src = dataOff + (if (topDown) y else h - 1 - y) * stride
         var x = 0
         while (x < w) {
           val p = (y * w + x) * 3

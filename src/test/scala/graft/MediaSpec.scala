@@ -81,6 +81,28 @@ class MediaSpec extends AnyFunSuite {
           s"pixel ($x,$y) mismatch vs ImageIO")
       }
     }
+    // top-down (negative height) BMPs decode to the same pixels —
+    // build one by flipping the bottom-up payload's rows and negating h
+    {
+      val (w, h) = (5, 3)
+      val rgb = gradient(w, h)
+      val up = Media.BmpCodec.encode(w, h, rgb)
+      val stride = (w * 3 + 3) & ~3
+      val down = up.clone()
+      val bb = java.nio.ByteBuffer.wrap(down)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(22, -h)
+      for (y <- 0 until h; k <- 0 until stride)
+        down(54 + y * stride + k) = up(54 + (h - 1 - y) * stride + k)
+      val (dw, dh, drgb) = Media.BmpCodec.decode(down)
+      assert((dw, dh) == (w, h) && drgb.sameElements(rgb))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(down))
+      assert(img.getWidth == w && (img.getRGB(2, 1) & 0xFFFFFF) ==
+        (((rgb((1 * w + 2) * 3) & 0xFF) << 16) |
+         ((rgb((1 * w + 2) * 3 + 1) & 0xFF) << 8) |
+          (rgb((1 * w + 2) * 3 + 2) & 0xFF)),
+        "ImageIO agrees on the top-down variant")
+    }
     // non-BMP and unsupported flavors fail loudly
     intercept[IllegalArgumentException] {
       Media.BmpCodec.decode("not a bitmap".getBytes)

@@ -96,6 +96,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("substring dedup: cross-doc repeated spans measured exactly; unique docs untouched") {
+    val m = Dedup.dedupSubstring(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // docs 0 and 1 are exact copies: every 8-gram window is repeated
+    val baseWords = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+      .split(" ").length
+    val (g0, rep0, f0, df0) = m(0L)
+    assert(g0 == baseWords - Dedup.SpanGram + 1)
+    assert(rep0 == g0 && f0 == 1.0 && df0 >= 2)
+    assert(m(1L) == m(0L))
+    // doc 2 edits only the LAST token, so exactly the one window
+    // covering it is unique; the rest are shared with docs 0/1
+    val (g2, rep2, f2, _) = m(2L)
+    assert(g2 == g0 && rep2 == g0 - 1)
+    assert(f2 == (g0 - 1).toDouble / g0)
+    // unrelated doc 3 and the reversed bag-dup 4 share no 8-token span
+    assert(m(3L)._3 == 0.0 && m(4L)._3 == 0.0)
+    // doc 5 ("tiny doc") is too short for any window: 0-gram, frac 0.0
+    assert(m(5L) == ((0L, 0L, 0.0, 0L)))
+  }
+
   test("simhash: identical docs agree; reordered bag-dup agrees; distinct differs") {
     val m = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

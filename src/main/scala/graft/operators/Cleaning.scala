@@ -319,9 +319,7 @@ object Cleaning {
     .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
     .where(size(col("w")) >= DecontGram)
     .selectExpr("doc_id",
-      s"""explode(array_distinct(transform(
-         |  sequence(0, size(w) - $DecontGram),
-         |  i -> concat_ws(' ', ${(0 until DecontGram).map(k => s"w[i+$k]").mkString(", ")})))) as g""".stripMargin)
+      s"${TextAnalysis.gramExplodeExpr(DecontGram, distinctPerDoc = true)} as g")
 
   /** TWO-TABLE form — the real operator shape: the training `corpus`
     * is flagged against an explicit `bench` DataFrame (both
@@ -388,9 +386,7 @@ object Cleaning {
     def gramStats(n: Int) = docs
       .where(size(col("w")) >= n)
       .selectExpr("doc_id",
-        s"""explode(transform(
-           |  sequence(0, size(w) - $n),
-           |  i -> concat_ws(' ', ${(0 until n).map(k => s"w[i+$k]").mkString(", ")}))) as g""".stripMargin)
+        s"${TextAnalysis.gramExplodeExpr(n, distinctPerDoc = false)} as g")
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))
     val bs = gramStats(2).groupBy(col("doc_id"))

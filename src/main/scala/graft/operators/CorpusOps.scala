@@ -187,9 +187,7 @@ object CorpusOps {
       .select(split(normalized(col("text")), " ").as("w"))
       .where(size(col("w")) >= 2)
       .selectExpr(
-        """explode(transform(
-          |  sequence(0, size(w) - 2),
-          |  i -> concat_ws(' ', w[i], w[i+1]))) as bigram""".stripMargin)
+        s"${TextAnalysis.gramExplodeExpr(2, distinctPerDoc = false)} as bigram")
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(BigramTopN)

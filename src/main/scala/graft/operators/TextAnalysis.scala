@@ -151,6 +151,23 @@ object TextAnalysis {
   def normalized(t: Column): Column =
     trim(regexp_replace(lower(t), "[^\\p{L}]+", " "))
 
+  /** THE word-n-gram explode idiom, in one place (five operators use
+    * it: shingles, decontaminate, repetition, bigrams, substring-dup):
+    * `explode([array_distinct(]transform(sequence(0, size(w) - n),
+    * i -> concat_ws(' ', w[i], …, w[i+n-1]))[)])` over a tokenized
+    * column named `w`. `distinctPerDoc` picks set semantics (dedup /
+    * decontamination overlap) vs multiplicity (LM counts, span mass).
+    * Callers must pre-filter `size(w) >= n` — sequence(0, negative)
+    * silently counts DOWN and would emit garbage grams from null
+    * subscripts (concat_ws skips nulls), and the short-doc row set
+    * differs per operator. */
+  private[operators] def gramExplodeExpr(n: Int, distinctPerDoc: Boolean): String = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val ws = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
+    val t = s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $ws))"
+    s"explode(${if (distinctPerDoc) s"array_distinct($t)" else t})"
+  }
+
   def taFingerprint(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     Tables.documents(s, dir).select(

@@ -204,6 +204,95 @@ object CorpusOps {
        |SELECT bigram, COUNT(1) AS cnt FROM bg GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $BigramTopN""".stripMargin
 
+  // -------------------------------------------------------- ta_lm_score
+  /** Corpus-bigram-LM quality scoring (the CCNet/RedPajama filter
+    * family's "how typical is this text" signal, minus the external
+    * model): the corpus's own bigram table IS the language model, and
+    * each document is scored by the mean conditional probability
+    * p(w2|w1) = c(w1 w2)/c(w1 ·) of its adjacent token pairs, plus the
+    * most surprising transition (min p). Boilerplate and templated text
+    * score high, token salad scores low — threshold either way.
+    *
+    * Cross-engine determinism: every p is ONE IEEE division of exact
+    * counts; the per-doc mean folds the p's in SORTED order (the
+    * [[taBm25]] trick — both engines reduce an identically-sorted list
+    * left-to-right, and 0.0 + p1 == p1 exactly, so Spark's 0-seeded
+    * fold equals DuckDB's first-element-seeded one bit-for-bit); min is
+    * order-free. No transcendentals — a log-perplexity variant would put
+    * ranks at libm's mercy.
+    *
+    * 100 TB shape: bigram and left-word counts are corpus aggregates
+    * (vocabulary-bounded after partial agg); the probability join runs
+    * at per-doc DISTINCT-bigram granularity — (doc, gram, multiplicity)
+    * keys, bounded by doc length — then multiplicity re-expands INSIDE
+    * the doc (array_repeat) so no instance-level stream ever shuffles;
+    * the fold's collect_list is bounded by doc length (a doc must fit
+    * an executor anyway). The gram-keyed join inherits Zipf skew on the
+    * hottest bigram — AQE skew-join splits it. */
+  def taLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
+    val bi = docs.where(size(col("w")) >= 2)
+      .selectExpr("doc_id",
+        s"${TextAnalysis.gramExplodeExpr(2, distinctPerDoc = false)} as g")
+    val cBi = bi.groupBy(col("g")).agg(count(lit(1)).as("c_bi"))
+    val cLeft = bi.select(split(col("g"), " ")(0).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_left"))
+    val perDocGram = bi.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("m"))
+      .join(cBi, "g")
+      .join(broadcast(cLeft),
+        split(col("g"), " ")(0) === col("w1"))
+      .select(col("doc_id"), col("m"),
+        (col("c_bi").cast("double") / col("c_left").cast("double")).as("p"))
+    val scored = perDocGram
+      .select(col("doc_id"), explode(expr("array_repeat(p, cast(m as int))")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(sort_array(collect_list(p)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("sum_p"),
+        min(col("p")).as("min_p"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("sum_p") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("lm_score"),
+        coalesce(col("min_p"), lit(0.0)).as("min_p"))
+  }
+
+  val taLmScoreSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM docs WHERE len(w) >= 2),
+      |cbi AS (SELECT g, COUNT(1) AS c_bi FROM bi GROUP BY g),
+      |cleft AS (
+      |  SELECT string_split(g, ' ')[1] AS w1, COUNT(1) AS c_left
+      |  FROM bi GROUP BY 1),
+      |p AS (
+      |  SELECT bi.doc_id,
+      |         CAST(cbi.c_bi AS DOUBLE) / CAST(cleft.c_left AS DOUBLE) AS p
+      |  FROM bi
+      |  JOIN cbi ON bi.g = cbi.g
+      |  JOIN cleft ON string_split(bi.g, ' ')[1] = cleft.w1),
+      |sc AS (
+      |  SELECT doc_id, COUNT(1) AS n_bigrams,
+      |         list_reduce(list_sort(list(p)), (a, b) -> a + b) AS sum_p,
+      |         MIN(p) AS min_p
+      |  FROM p GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+      |       THEN sc.sum_p / CAST(sc.n_bigrams AS DOUBLE)
+      |       ELSE CAST(0 AS DOUBLE) END AS lm_score,
+      |  COALESCE(sc.min_p, CAST(0 AS DOUBLE)) AS min_p
+      |FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
   // ----------------------------------------------------- emb_centroids
   /** Per-label embedding centroids — the vector aggregation primitive
     * (k-means update step / IVF codebook training / class prototypes).

@@ -161,4 +161,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     // under-represented strata clamp at keep-everything, never oversample
     assert(ratePpm.values.forall(_ <= 1000000L))
   }
+
+  test("ta_lm_score: hand-computed bigram conditional probabilities, exact fold") {
+    val d = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    // corpus LM: c("a b")=3, c("b a")=1, c("b c")=1; left counts a=3, b=2
+    // -> p("a b")=1.0, p("b a")=0.5, p("b c")=0.5
+    Seq(
+      (0L, "a b a b", "en", "s", 7L),
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = CorpusOps.taLmScore(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 0: bigrams [a b, b a, a b] -> sorted fold 0.5+1.0+1.0
+    assert(m(0L) == ((3L, ((0.5 + 1.0) + 1.0) / 3.0, 0.5)))
+    // doc 1: [a b, b c] -> 0.5+1.0 over 2
+    assert(m(1L) == ((2L, (0.5 + 1.0) / 2.0, 0.5)))
+    // doc 2: too short for a bigram
+    assert(m(2L) == ((0L, 0.0, 0.0)))
+  }
 }

@@ -262,6 +262,53 @@ object CorpusOps {
         coalesce(col("min_p"), lit(0.0)).as("min_p"))
   }
 
+  /** TWO-TABLE form — the real CCNet shape: score `corpus` documents
+    * under a bigram LM trained on a separate high-quality `reference`
+    * table (both (doc_id, text, ...)). Transitions absent from the
+    * reference LM score p = 0.0 (maximal surprise) and are counted in
+    * `n_oov_bigrams`; a document full of reference-like text scores
+    * high. The gate query [[taLmScore]] remains the self-scored
+    * operating point (reference = corpus, where OOV is impossible —
+    * CorpusOpsSpec pins that equivalence and the OOV accounting). */
+  def taLmScoreVs(corpus: DataFrame, reference: DataFrame): DataFrame = {
+    def bigramsOf(docs: DataFrame) = docs
+      .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .selectExpr("doc_id",
+        s"${TextAnalysis.gramExplodeExpr(2, distinctPerDoc = false)} as g")
+    val ref = bigramsOf(reference)
+    val cBi = ref.groupBy(col("g")).agg(count(lit(1)).as("c_bi"))
+    val cLeft = ref.select(split(col("g"), " ")(0).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_left"))
+    val perDocGram = bigramsOf(corpus)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("m"))
+      .join(cBi, Seq("g"), "left")
+      .join(broadcast(cLeft),
+        split(col("g"), " ")(0) === col("w1"), "left")
+      .select(col("doc_id"), col("m"),
+        // unseen bigram OR unseen left word -> p = 0.0 (never a
+        // 0/0: c_bi non-null implies its left word is in cLeft)
+        coalesce(col("c_bi").cast("double") / col("c_left").cast("double"),
+          lit(0.0)).as("p"))
+    val scored = perDocGram
+      .select(col("doc_id"), explode(expr("array_repeat(p, cast(m as int))")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("p") === 0.0).cast("long")).as("n_oov_bigrams"),
+        expr("aggregate(sort_array(collect_list(p)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("sum_p"),
+        min(col("p")).as("min_p"))
+    corpus.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov_bigrams"), lit(0L)).as("n_oov_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("sum_p") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("lm_score"),
+        coalesce(col("min_p"), lit(0.0)).as("min_p"))
+  }
+
   val taLmScoreSql: String =
     """WITH docs AS (
       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' ') AS w

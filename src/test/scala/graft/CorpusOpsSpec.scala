@@ -181,4 +181,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     // doc 2: too short for a bigram
     assert(m(2L) == ((0L, 0.0, 0.0)))
   }
+
+  test("ta_lm_score_vs: reference-trained LM with OOV accounting; self-reference equals the gate path") {
+    val d = java.nio.file.Files.createTempDirectory("graft-lmvs").toString
+    Seq(
+      (0L, "a b a b", "en", "s", 7L),
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    // self-reference: OOV impossible, must equal taLmScore minus the
+    // (all-zero) oov column
+    val self = CorpusOps.taLmScoreVs(docs, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val gate = CorpusOps.taLmScore(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    self.foreach { case (id, (n, oov, score, minP)) =>
+      assert(oov == 0L)
+      assert(gate(id) == ((n, score, minP)))
+    }
+    // external reference "a b" only: LM has c("a b")=1, left a=1 ->
+    // p("a b")=1.0; "b a" and "b c" are OOV (p=0)
+    val ref = Seq((100L, "a b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vs = CorpusOps.taLmScoreVs(docs, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(vs(0L) == ((3L, 1L, (0.0 + 1.0 + 1.0) / 3.0, 0.0)),
+      "doc 0: two 'a b' hits + one OOV 'b a'")
+    assert(vs(1L) == ((2L, 1L, (0.0 + 1.0) / 2.0, 0.0)),
+      "doc 1: one 'a b' + OOV 'b c'")
+    assert(vs(2L) == ((0L, 0L, 0.0, 0.0)))
+  }
 }

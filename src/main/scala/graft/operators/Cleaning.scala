@@ -209,12 +209,11 @@ object Cleaning {
     * (only Mn marks are transparent). On a single-word list this
     * reduces to [[scrubWithSet]]'s output bit-for-bit (spec-pinned).
     *
-    * Scale shape: identical to the set kernel — per-row cost is
-    * O(len · maxPhraseLen) worst-case / O(len) typical, independent of
-    * denylist SIZE (a million-phrase trie is a few hundred MB broadcast
-    * once per executor; classic Aho-Corasick fail links would shave the
-    * maxPhraseLen factor, same broadcast shape); the corpus never
-    * shuffles. */
+    * Scale shape: identical to the set kernel — the automaton has real
+    * fail + output links, so per-row cost is O(len + matches) with NO
+    * per-position re-walk factor, independent of denylist SIZE (a
+    * million-phrase automaton is a few hundred MB broadcast once per
+    * executor); the corpus never shuffles. */
   def scrubWithPhrases(docs: DataFrame, phrases: Seq[String]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -224,57 +223,116 @@ object Cleaning {
     val bc = s.sparkContext.broadcast(phrases.toArray)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
-        // per-partition trie build: O(total phrase chars), negligible
-        // next to the documents scanned against it
-        final class Node {
-          val next = new java.util.HashMap[Char, Node]()
-          var terminalLen = -1 // phrase length ending here, -1 if none
-        }
-        val root = new Node
-        bc.value.foreach { p =>
-          var n = root
-          p.foreach { c =>
-            var ch = n.next.get(c)
-            if (ch == null) { ch = new Node; n.next.put(c, ch) }
-            n = ch
-          }
-          n.terminalLen = p.length
-        }
-        // boundaries via the SHARED \b model (wordOnLeft/wordOnRight):
-        // a phrase may start at i iff nothing word-ish precedes i, and
-        // end at j iff nothing word-ish follows j
+        // per-partition Aho-Corasick build (goto + BFS fail links +
+        // output links): O(total phrase chars), negligible next to the
+        // documents streamed against it
+        val ac = new AhoCorasick(bc.value)
+        // Semantics contract (identical to the regex twin): scanning
+        // left to right, at each boundary-valid start take the LONGEST
+        // phrase whose end is also boundary-valid, redact, and continue
+        // from its end. The automaton finds every (start, len) match
+        // candidate in one O(text + matches) pass; a match survives iff
+        // its start has nothing word-ish on the left and its end
+        // nothing word-ish on the right (the SHARED \b model); the
+        // greedy left-to-right longest-per-start selection over the
+        // surviving matches is exactly the regex's longest-first
+        // alternation with end-boundary backtracking.
         rows.map { case (id, text) =>
           val n = text.length
+          // longest boundary-valid match length per start position
+          val bestLen = new java.util.HashMap[Integer, Integer]()
+          var state = 0
+          var e = 0
+          while (e < n) {
+            state = ac.step(state, text.charAt(e))
+            e += 1
+            // walk output links only when the END boundary holds —
+            // every phrase ends in a word char, so end validity
+            // depends on the position alone
+            if (ac.hasOutput(state) && !wordOnRight(text, e)) {
+              var o = state
+              while (o != 0) {
+                val len = ac.terminalLen(o)
+                if (len > 0) {
+                  val start = e - len
+                  if (!wordOnLeft(text, start)) {
+                    val prev = bestLen.get(start)
+                    if (prev == null || prev < len) bestLen.put(start, len)
+                  }
+                }
+                o = ac.outLink(o)
+              }
+            }
+          }
           val sb = new java.lang.StringBuilder(n)
           var hits = 0L
           var i = 0
           while (i < n) {
-            val cp = text.codePointAt(i)
-            var matchedLen = -1
-            if (isWordCp(cp) && !wordOnLeft(text, i)) {
-              // walk the trie; keep the deepest terminal with a valid
-              // end boundary (= regex longest-first with backtracking)
-              var node = root
-              var j = i
-              var ok = true
-              while (ok && j < n) {
-                val ch = node.next.get(text.charAt(j))
-                if (ch == null) ok = false
-                else {
-                  node = ch
-                  j += 1
-                  if (node.terminalLen > 0 && !wordOnRight(text, j))
-                    matchedLen = node.terminalLen
-                }
-              }
+            val len = bestLen.get(i)
+            if (len != null) {
+              sb.append("[REDACTED]"); hits += 1; i += len
+            } else {
+              val cp = text.codePointAt(i)
+              sb.appendCodePoint(cp); i += Character.charCount(cp)
             }
-            if (matchedLen > 0) {
-              sb.append("[REDACTED]"); hits += 1; i += matchedLen
-            } else { sb.appendCodePoint(cp); i += Character.charCount(cp) }
           }
           (id, sb.toString, hits)
         }
       }.toDF("doc_id", "scrubbed", "n_hits")
+  }
+
+  /** Classic Aho-Corasick automaton over the phrase characters:
+    * `step` follows goto edges with fail-link fallback (amortized O(1)
+    * per text char — the re-walk factor the plain trie paid is gone);
+    * `outLink` chains each state to its longest proper-suffix state
+    * that ends a phrase, so all matches ending at a position enumerate
+    * in O(#matches). */
+  private[operators] final class AhoCorasick(phrases: Array[String]) {
+    private val goto_ = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Char, Int]())
+    private val term = scala.collection.mutable.ArrayBuffer(0) // phrase len ending here
+    private val fail = scala.collection.mutable.ArrayBuffer(0)
+    private val out = scala.collection.mutable.ArrayBuffer(0)  // output link
+
+    phrases.foreach { p =>
+      var s = 0
+      p.foreach { c =>
+        var nx = goto_(s).get(c)
+        if (!goto_(s).containsKey(c)) {
+          goto_ += new java.util.HashMap[Char, Int]()
+          term += 0; fail += 0; out += 0
+          nx = goto_.size - 1
+          goto_(s).put(c, nx)
+        } else nx = goto_(s).get(c)
+        s = nx
+      }
+      term(s) = p.length
+    }
+    // BFS fail links; out(v) = fail(v) if it ends a phrase else out(fail(v))
+    locally {
+      val q = new java.util.ArrayDeque[Int]()
+      goto_(0).forEach((_, v) => { fail(v) = 0; q.add(v) })
+      while (!q.isEmpty) {
+        val u = q.poll()
+        goto_(u).forEach { (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !goto_(f).containsKey(c)) f = fail(f)
+          fail(v) = if (goto_(f).containsKey(c) && goto_(f).get(c) != v)
+            goto_(f).get(c) else 0
+          out(v) = if (term(fail(v)) > 0) fail(v) else out(fail(v))
+          q.add(v)
+        }
+      }
+    }
+
+    def step(state: Int, c: Char): Int = {
+      var s = state
+      while (s != 0 && !goto_(s).containsKey(c)) s = fail(s)
+      if (goto_(s).containsKey(c)) goto_(s).get(c) else 0
+    }
+    def hasOutput(state: Int): Boolean = term(state) > 0 || out(state) != 0
+    def terminalLen(state: Int): Int = term(state)
+    def outLink(state: Int): Int = out(state)
   }
 
   /** Gate phrase list: overlapping phrases ("customer join merge" vs

@@ -274,6 +274,35 @@ class CleaningSpec extends AnyFunSuite {
     assert(byId(6L) == 2L && byId(8L) == 1L)
   }
 
+  test("phrase scrub automaton: fail links and suffix outputs match the regex twin") {
+    import spark.implicits._
+    // suffix phrase ("join merge" ⊂ "customer join merge"), an
+    // overlapping repetition ("table hash" in "table hash table hash"),
+    // and a self-overlapping chain ("a b a" in "a b a b a") — the
+    // shapes where fail/output links, not plain trie walks, do the work
+    val phrases = Seq("customer join merge", "join merge", "table hash", "a b a")
+    val docs = Seq(
+      (0L, "customer join merge x"),       // long wins; inner suffix consumed
+      (1L, "zz join merge after fail"),    // suffix phrase alone
+      (2L, "table hash table hash"),       // back-to-back, both hit
+      (3L, "a b a b a"),                   // overlap: greedy takes first, second overlaps -> 1 hit
+      (4L, "customer join mergex end boundary kills the long phrase"))
+      .toDF("doc_id", "text")
+    val pat = s"\\b(${phrases.sortBy(-_.length).mkString("|")})\\b"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaRegex = rows(docs.select(col("doc_id"),
+      regexp_replace(col("text"), pat, "[REDACTED]").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as("n_hits")))
+    val viaAc = rows(Cleaning.scrubWithPhrases(docs, phrases))
+    assert(viaAc == viaRegex)
+    val byId = viaAc.map(t => t._1 -> t._3).toMap
+    assert(byId(0L) == 1L && byId(1L) == 1L && byId(2L) == 2L && byId(3L) == 1L)
+    assert(byId(4L) == 0L,
+      "mergex kills the long phrase AND the suffix phrase at that end")
+  }
+
   test("decontaminate: two-table form flags against a genuine external benchmark") {
     // a benchmark table that is NOT a doc_id-split of the corpus
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))

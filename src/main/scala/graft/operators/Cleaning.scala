@@ -325,10 +325,20 @@ object Cleaning {
       }
     }
 
+    // flat root-edge table: the scan spends almost all its time in
+    // state 0, and phrases are ASCII (\w + space) by [[scrubWithPhrases]]'s
+    // require — so the hot path is one array read, no boxing; non-ASCII
+    // text chars can never leave the root
+    private val rootNext = new Array[Int](128)
+    goto_(0).forEach((c, v) => rootNext(c) = v)
+
     def step(state: Int, c: Char): Int = {
       var s = state
-      while (s != 0 && !goto_(s).containsKey(c)) s = fail(s)
-      if (goto_(s).containsKey(c)) goto_(s).get(c) else 0
+      while (s != 0) { // in-match states only — rare on typical text
+        if (goto_(s).containsKey(c)) return goto_(s).get(c)
+        s = fail(s)
+      }
+      if (c < 128) rootNext(c) else 0
     }
     def hasOutput(state: Int): Boolean = term(state) > 0 || out(state) != 0
     def terminalLen(state: Int): Int = term(state)

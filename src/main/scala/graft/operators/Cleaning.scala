@@ -220,13 +220,13 @@ object Cleaning {
     require(phrases.nonEmpty, "phrase denylist must be non-empty")
     require(phrases.forall(_.matches("[A-Za-z0-9_]+( [A-Za-z0-9_]+)*")),
       "phrases must be \\w+ words separated by single spaces")
-    val bc = s.sparkContext.broadcast(phrases.toArray)
+    // the automaton is built ONCE on the driver and broadcast BUILT —
+    // a million-phrase automaton is large, and rebuilding it per task
+    // would multiply both the build cost and the resident copies
+    val bc = s.sparkContext.broadcast(new AhoCorasick(phrases.toArray))
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
-        // per-partition Aho-Corasick build (goto + BFS fail links +
-        // output links): O(total phrase chars), negligible next to the
-        // documents streamed against it
-        val ac = new AhoCorasick(bc.value)
+        val ac = bc.value
         // Semantics contract (identical to the regex twin): scanning
         // left to right, at each boundary-valid start take the LONGEST
         // phrase whose end is also boundary-valid, redact, and continue
@@ -287,9 +287,13 @@ object Cleaning {
     * `outLink` chains each state to its longest proper-suffix state
     * that ends a phrase, so all matches ending at a position enumerate
     * in O(#matches). */
-  private[operators] final class AhoCorasick(phrases: Array[String]) {
+  private[operators] final class AhoCorasick(phrases: Array[String])
+      extends Serializable {
+    // Integer-valued maps so a miss is a SINGLE null-returning probe
+    // (a Char->Int map would silently unbox null to 0 and need a
+    // containsKey pre-check on every read)
     private val goto_ = scala.collection.mutable.ArrayBuffer(
-      new java.util.HashMap[Char, Int]())
+      new java.util.HashMap[Char, Integer]())
     private val term = scala.collection.mutable.ArrayBuffer(0) // phrase len ending here
     private val fail = scala.collection.mutable.ArrayBuffer(0)
     private val out = scala.collection.mutable.ArrayBuffer(0)  // output link
@@ -297,28 +301,31 @@ object Cleaning {
     phrases.foreach { p =>
       var s = 0
       p.foreach { c =>
-        var nx = goto_(s).get(c)
-        if (!goto_(s).containsKey(c)) {
-          goto_ += new java.util.HashMap[Char, Int]()
+        val nx = goto_(s).get(c)
+        s = if (nx ne null) nx.intValue
+        else {
+          goto_ += new java.util.HashMap[Char, Integer]()
           term += 0; fail += 0; out += 0
-          nx = goto_.size - 1
-          goto_(s).put(c, nx)
-        } else nx = goto_(s).get(c)
-        s = nx
+          val id = goto_.size - 1
+          goto_(s).put(c, id)
+          id
+        }
       }
       term(s) = p.length
     }
     // BFS fail links; out(v) = fail(v) if it ends a phrase else out(fail(v))
     locally {
       val q = new java.util.ArrayDeque[Int]()
-      goto_(0).forEach((_, v) => { fail(v) = 0; q.add(v) })
+      goto_(0).forEach((_, v) => { fail(v.intValue) = 0; q.add(v.intValue) })
       while (!q.isEmpty) {
         val u = q.poll()
-        goto_(u).forEach { (c, v) =>
+        goto_(u).forEach { (c, vBoxed) =>
+          val v = vBoxed.intValue
           var f = fail(u)
-          while (f != 0 && !goto_(f).containsKey(c)) f = fail(f)
-          fail(v) = if (goto_(f).containsKey(c) && goto_(f).get(c) != v)
-            goto_(f).get(c) else 0
+          var nx: Integer = null
+          while (f != 0 && { nx = goto_(f).get(c); nx eq null }) f = fail(f)
+          if (f == 0) nx = goto_(0).get(c)
+          fail(v) = if ((nx ne null) && nx.intValue != v) nx.intValue else 0
           out(v) = if (term(fail(v)) > 0) fail(v) else out(fail(v))
           q.add(v)
         }
@@ -330,12 +337,13 @@ object Cleaning {
     // require — so the hot path is one array read, no boxing; non-ASCII
     // text chars can never leave the root
     private val rootNext = new Array[Int](128)
-    goto_(0).forEach((c, v) => rootNext(c) = v)
+    goto_(0).forEach((c, v) => rootNext(c) = v.intValue)
 
     def step(state: Int, c: Char): Int = {
       var s = state
       while (s != 0) { // in-match states only — rare on typical text
-        if (goto_(s).containsKey(c)) return goto_(s).get(c)
+        val nx = goto_(s).get(c)
+        if (nx ne null) return nx.intValue
         s = fail(s)
       }
       if (c < 128) rootNext(c) else 0

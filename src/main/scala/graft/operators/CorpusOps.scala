@@ -229,37 +229,67 @@ object CorpusOps {
     * the fold's collect_list is bounded by doc length (a doc must fit
     * an executor anyway). The gram-keyed join inherits Zipf skew on the
     * hottest bigram — AQE skew-join splits it. */
-  def taLmScore(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
-    val bi = docs.where(size(col("w")) >= 2)
-      .selectExpr("doc_id",
-        s"${TextAnalysis.gramExplodeExpr(2, distinctPerDoc = false)} as g")
-    val cBi = bi.groupBy(col("g")).agg(count(lit(1)).as("c_bi"))
-    val cLeft = bi.select(split(col("g"), " ")(0).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c_left"))
-    val perDocGram = bi.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("m"))
-      .join(cBi, "g")
-      .join(broadcast(cLeft),
-        split(col("g"), " ")(0) === col("w1"))
+  /** Per-doc bigram multiplicities of a (doc_id, text) frame — the ONE
+    * corpus explode every LM-scoring path shares. */
+  private def perDocBigrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
+    .where(size(col("w")) >= 2)
+    .selectExpr("doc_id",
+      s"${TextAnalysis.gramExplodeExpr(2, distinctPerDoc = false)} as g")
+    .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("m"))
+
+  /** Shared scoring tail: join per-doc gram multiplicities against a
+    * bigram-count table (c_bi per gram; left-word totals derive from it
+    * — vocabulary-sized inputs, never a corpus re-explode; the join is
+    * UNHINTED — at web scale the unigram table outgrows any broadcast
+    * limit and must be allowed to shuffle), re-expand multiplicity
+    * inside the doc, sorted-fold. Unmatched grams score p = 0.0 (OOV). */
+  private def lmScoreFrom(ids: DataFrame, perDocGram: DataFrame,
+      cBi: DataFrame): DataFrame = {
+    val cLeft = cBi.groupBy(split(col("g"), " ")(0).as("w1"))
+      .agg(sum(col("c_bi")).as("c_left"))
+    val p = perDocGram
+      .join(cBi, Seq("g"), "left")
+      .join(cLeft, split(col("g"), " ")(0) === col("w1"), "left")
       .select(col("doc_id"), col("m"),
-        (col("c_bi").cast("double") / col("c_left").cast("double")).as("p"))
-    val scored = perDocGram
+        coalesce(col("c_bi").cast("double") / col("c_left").cast("double"),
+          lit(0.0)).as("p"))
+    val scored = p
       .select(col("doc_id"), explode(expr("array_repeat(p, cast(m as int))")).as("p"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("p") === 0.0).cast("long")).as("n_oov_bigrams"),
         expr("aggregate(sort_array(collect_list(p)), cast(0.0 as double), (a, x) -> a + x)")
           .as("sum_p"),
         min(col("p")).as("min_p"))
-    docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
+    ids.join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov_bigrams"), lit(0L)).as("n_oov_bigrams"),
         when(coalesce(col("n_bigrams"), lit(0L)) > 0,
           col("sum_p") / col("n_bigrams").cast("double"))
           .otherwise(lit(0.0)).as("lm_score"),
         coalesce(col("min_p"), lit(0.0)).as("min_p"))
+  }
+
+  def taLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // self-scored: the corpus IS the reference, so the bigram counts
+    // derive from the SAME per-doc aggregate the scoring join consumes.
+    // The subtree still executes once per consumer branch: exchange
+    // reuse CANNOT fire for any gram-based kernel on this Spark version
+    // — the explode goes through transform(...) lambdas, and plans
+    // containing higher-order-function lambda variables never
+    // canonicalize equal across branch copies (verified on the final
+    // adaptive plan after equalizing every filter and column set; the
+    // lambda-free taTfidf pipeline reuses fine under the same
+    // treatment). Measured cost is negligible (0.4 s at the 100×
+    // rehearsal, linear), and the genuine scale path is [[taLmScoreVs]]
+    // against a stored reference LM, which explodes each side once.
+    val pdg = perDocBigrams(docs)
+    val cBi = pdg.groupBy(col("g")).agg(sum(col("m")).as("c_bi"))
+    lmScoreFrom(docs.select(col("doc_id")), pdg, cBi)
+      .drop("n_oov_bigrams") // impossible under self-reference
   }
 
   /** TWO-TABLE form — the real CCNet shape: score `corpus` documents
@@ -271,42 +301,11 @@ object CorpusOps {
     * operating point (reference = corpus, where OOV is impossible —
     * CorpusOpsSpec pins that equivalence and the OOV accounting). */
   def taLmScoreVs(corpus: DataFrame, reference: DataFrame): DataFrame = {
-    def bigramsOf(docs: DataFrame) = docs
-      .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
-      .where(size(col("w")) >= 2)
-      .selectExpr("doc_id",
-        s"${TextAnalysis.gramExplodeExpr(2, distinctPerDoc = false)} as g")
-    val ref = bigramsOf(reference)
-    val cBi = ref.groupBy(col("g")).agg(count(lit(1)).as("c_bi"))
-    val cLeft = ref.select(split(col("g"), " ")(0).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c_left"))
-    val perDocGram = bigramsOf(corpus)
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("m"))
-      .join(cBi, Seq("g"), "left")
-      .join(broadcast(cLeft),
-        split(col("g"), " ")(0) === col("w1"), "left")
-      .select(col("doc_id"), col("m"),
-        // unseen bigram OR unseen left word -> p = 0.0 (never a
-        // 0/0: c_bi non-null implies its left word is in cLeft)
-        coalesce(col("c_bi").cast("double") / col("c_left").cast("double"),
-          lit(0.0)).as("p"))
-    val scored = perDocGram
-      .select(col("doc_id"), explode(expr("array_repeat(p, cast(m as int))")).as("p"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum((col("p") === 0.0).cast("long")).as("n_oov_bigrams"),
-        expr("aggregate(sort_array(collect_list(p)), cast(0.0 as double), (a, x) -> a + x)")
-          .as("sum_p"),
-        min(col("p")).as("min_p"))
-    corpus.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_oov_bigrams"), lit(0L)).as("n_oov_bigrams"),
-        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
-          col("sum_p") / col("n_bigrams").cast("double"))
-          .otherwise(lit(0.0)).as("lm_score"),
-        coalesce(col("min_p"), lit(0.0)).as("min_p"))
+    // reference exploded once for its gram counts, corpus once for its
+    // per-doc multiplicities; the shared tail does the rest
+    val cBi = perDocBigrams(reference)
+      .groupBy(col("g")).agg(sum(col("m")).as("c_bi"))
+    lmScoreFrom(corpus.select(col("doc_id")), perDocBigrams(corpus), cBi)
   }
 
   val taLmScoreSql: String =

@@ -115,7 +115,7 @@ object Similarity {
   /** Cell membership with the [[IvfMaxCell]] cap applied — the window
     * shuffles on `cell`, the same key the candidate join needs next, so
     * the cap costs no extra exchange. */
-  private def cappedAssign(cells: DataFrame): DataFrame =
+  private[operators] def cappedAssign(cells: DataFrame): DataFrame =
     cells.select(col("vec_id"), col("cell"))
       .withColumn("mrn", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("vec_id"))))

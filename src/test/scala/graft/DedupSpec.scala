@@ -296,4 +296,61 @@ class DedupSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"newly persisted RDD ids after actions: $leaked")
   }
+
+  /** Transparent SemDeDup fixture: dim 16, the first 16 vectors are the
+    * unit basis (so they seed the centroids and cell = argmax coord),
+    * then four planted vectors whose assignments and pair dots are
+    * hand-computable: 16/17 share cell 3 with dot 0.627e12 (a dup pair
+    * that does NOT clear tau against the centroid vector itself — each
+    * coord stays under 0.4), 18 shares cell 3 but correlates only 0.09,
+    * 19 is an exact copy of basis vector 9. */
+  lazy val semDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    def basis(i: Int): Seq[Float] =
+      Seq.tabulate(16)(j => if (j == i) 1.0f else 0.0f)
+    def sparse(m: Map[Int, Float]): Seq[Float] =
+      Seq.tabulate(16)(j => m.getOrElse(j, 0.0f))
+    val planted = Seq(
+      16L -> sparse((3 to 9).map(_ -> 0.30f).toMap),
+      17L -> sparse((3 to 8).map(_ -> 0.30f).toMap + (9 -> 0.29f)),
+      18L -> sparse(Map(3 -> 0.30f, 10 -> 0.29f)),
+      19L -> basis(9))
+    ((0L to 15L).map(i => i -> basis(i.toInt)) ++ planted)
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("semantic dedup: within-cell near-dups flagged with min-id keeper; cell-mates below tau and cross-cell pairs untouched") {
+    val rows = Dedup.dedupSemantic(spark, semDir).collect()
+    assert(rows.length == 20, "every vector appears exactly once")
+    val m = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // assignments are argmax-coordinate by construction
+    assert(m(16L)._1 == 3L && m(17L)._1 == 3L && m(18L)._1 == 3L && m(19L)._1 == 9L)
+    // the planted pair: 17 dups 16 at the hand-computed exact dot
+    assert(m(17L)._2 && m(17L)._3 == 16L && m(17L)._4 == 627000000000L)
+    // keeper keeps: 16 has no smaller-id cell-mate above tau (its dot
+    // with the basis centroid vector is 0.3e12 < 0.4e12)
+    assert(!m(16L)._2 && m(16L)._3 == -1L)
+    // same cell, low correlation: never flagged
+    assert(!m(18L)._2)
+    // exact copy collapses onto the smaller id, dot = 1e12
+    assert(m(19L)._2 && m(19L)._3 == 9L && m(19L)._4 == 1000000000000L)
+    assert(!m(9L)._2, "the keeper side of an exact pair stays")
+    // nothing else flagged; every dup_of is a smaller id in the same cell
+    assert(rows.count(_.getBoolean(2)) == 2)
+    rows.filter(_.getBoolean(2)).foreach { r =>
+      assert(r.getLong(3) < r.getLong(0))
+      assert(m(r.getLong(3))._1 == r.getLong(1), "dup_of shares the cell")
+    }
+  }
+
+  test("semantic dedup tau is a real parameter: raising it to 0.7e12 keeps only the exact copy") {
+    val flagged = Dedup.dedupSemanticWith(spark, semDir, 700000000000L)
+      .where(col("is_dup")).collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(19L))
+  }
 }

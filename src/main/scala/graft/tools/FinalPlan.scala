@@ -15,7 +15,11 @@ object FinalPlan {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(args(1))(spark, args(0))
-    df.count() // drive to completion so AQE finalizes every stage
+    // collect() (NOT count()) — count() wraps df in a new Dataset whose
+    // plan is the one that executes, leaving df's own executedPlan
+    // unfinalized (isFinalPlan=false, zero query stages — the exact
+    // artifact this tool exists to avoid reading)
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
     if (args.length > 2 && args(2) == "DUMP") println(plan)
     else {

@@ -304,23 +304,26 @@ class DedupSpec extends AnyFunSuite {
     * that does NOT clear tau against the centroid vector itself — each
     * coord stays under 0.4), 18 shares cell 3 but correlates only 0.09,
     * 19 is an exact copy of basis vector 9. */
-  lazy val semDir: String = {
+  private def basis(i: Int): Seq[Float] =
+    Seq.tabulate(16)(j => if (j == i) 1.0f else 0.0f)
+  private def sparse(m: Map[Int, Float]): Seq[Float] =
+    Seq.tabulate(16)(j => m.getOrElse(j, 0.0f))
+
+  private def writeSemFixture(extra: Seq[(Long, Seq[Float])]): String = {
     val d = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
-    def basis(i: Int): Seq[Float] =
-      Seq.tabulate(16)(j => if (j == i) 1.0f else 0.0f)
-    def sparse(m: Map[Int, Float]): Seq[Float] =
-      Seq.tabulate(16)(j => m.getOrElse(j, 0.0f))
     val planted = Seq(
       16L -> sparse((3 to 9).map(_ -> 0.30f).toMap),
       17L -> sparse((3 to 8).map(_ -> 0.30f).toMap + (9 -> 0.29f)),
       18L -> sparse(Map(3 -> 0.30f, 10 -> 0.29f)),
       19L -> basis(9))
-    ((0L to 15L).map(i => i -> basis(i.toInt)) ++ planted)
+    ((0L to 15L).map(i => i -> basis(i.toInt)) ++ planted ++ extra)
       .map { case (id, v) => (id, v, 0) }
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
   }
+
+  lazy val semDir: String = writeSemFixture(Nil)
 
   test("semantic dedup: within-cell near-dups flagged with min-id keeper; cell-mates below tau and cross-cell pairs untouched") {
     val rows = Dedup.dedupSemantic(spark, semDir).collect()
@@ -352,5 +355,36 @@ class DedupSpec extends AnyFunSuite {
     val flagged = Dedup.dedupSemanticWith(spark, semDir, 700000000000L)
       .where(col("is_dup")).collect().map(_.getLong(0)).toSet
     assert(flagged == Set(19L))
+  }
+
+  /** semDir plus a planted CROSS-CELL pair: 20 = (5:0.70, 6:0.71) lands
+    * in cell 6, 21 = (5:0.71, 6:0.70) in cell 5, each probing the
+    * other's cell at nprobe=2 — with edges to basis 5/6 (dots 0.70e12 /
+    * 0.71e12) they form one 4-vector component spanning two cells,
+    * which within-cell pairing can never produce. */
+  lazy val semCcDir: String = writeSemFixture(Seq(
+    20L -> sparse(Map(5 -> 0.70f, 6 -> 0.71f)),
+    21L -> sparse(Map(5 -> 0.71f, 6 -> 0.70f))))
+
+  test("semantic CC: components span cell boundaries via the 2-probe edge graph; unprobed pairs stay apart even above tau") {
+    val rows = Dedup.dedupSemanticCc(spark, semCcDir).collect()
+    assert(rows.length == 22, "every vector appears exactly once")
+    val m = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // the cross-cell component: 21—5 (0.71e12), 20—21 (0.994e12),
+    // 6—20 (0.71e12) chain into one cluster rooted at min id 5, with
+    // members assigned to cell 5 (5, 21) AND cell 6 (6, 20)
+    Seq(5L, 6L, 20L, 21L).foreach { id =>
+      assert(m(id) == (5L, 4L, if (id == 5L) 1 else 0), s"vec $id: ${m(id)}")
+    }
+    // the within-cell pairs from the base fixture are unchanged
+    assert(m(16L) == (16L, 2L, 1) && m(17L) == (16L, 2L, 0))
+    assert(m(9L) == (9L, 2L, 1) && m(19L) == (9L, 2L, 0))
+    // recall boundary, pinned: dot(16, 20) = 0.423e12 clears tau, but
+    // neither probes the other's cell (16: cells 3,4; 20: cells 6,5),
+    // so ANN semantics keep them in different clusters
+    assert(m(16L)._1 != m(20L)._1)
+    // everything else is a singleton canonical
+    val others = m.keySet -- Set(5L, 6L, 20L, 21L, 16L, 17L, 9L, 19L)
+    others.foreach(id => assert(m(id) == (id, 1L, 1), s"vec $id: ${m(id)}"))
   }
 }

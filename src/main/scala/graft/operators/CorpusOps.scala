@@ -478,4 +478,50 @@ object CorpusOps {
        |FROM documents d JOIN r USING (lang)
        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.rate_ppm""".stripMargin
   }
+
+  // --------------------------------------------------- corpus_shuffle
+  /** Gate operating point: epoch seed and shard count. */
+  val EpochSeed = 1
+  val EpochShards = 8
+
+  /** Deterministic training-epoch shuffle: every document gets a
+    * (shard, pos) — the global read order for one training epoch — from
+    * a seeded md5 permutation. Changing the seed re-permutes the whole
+    * corpus (the next epoch); the same seed reproduces the identical
+    * order on any partitioning, any retry, any cluster size, which is
+    * what makes a training run resumable and an ablation repeatable.
+    *
+    * Distributed shape: this is a DISTRIBUTED shuffle, not a global
+    * sort — ONE exchange on `shard` (hash of the seeded key), then each
+    * shard sorts independently inside its own task (spill-backed). The
+    * trainer reads shards in shard order, rows in pos order; no
+    * global-order coordination exists anywhere. At 100 TB you raise
+    * `nShards` until a shard fits an executor (the shard count is the
+    * parallelism of the epoch), exactly like [[Cleaning.taPackChunks]]'
+    * packing shards. */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    corpusShuffleWith(s, dir, EpochSeed, EpochShards)
+
+  def corpusShuffleWith(s: SparkSession, dir: String, seed: Int, nShards: Int): DataFrame = {
+    val h = expr(s"md5(concat('ep$seed:', cast(doc_id as string)))")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), h.as("hkey"))
+      .withColumn("shard",
+        (expr("cast(conv(substr(hkey, 1, 15), 16, 10) as bigint)") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val corpusShuffleSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('ep$EpochSeed:' || CAST(doc_id AS VARCHAR)) AS hkey
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, hkey,
+       |         CAST(CAST(('0x' || substr(hkey, 1, 15)) AS BIGINT) % $EpochShards AS INT) AS shard
+       |  FROM h)
+       |SELECT doc_id, shard,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
+       |FROM sh""".stripMargin
 }

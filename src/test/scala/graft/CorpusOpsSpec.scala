@@ -213,4 +213,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       "doc 1: one 'a b' + OOV 'b c'")
     assert(vs(2L) == ((0L, 0L, 0.0, 0.0)))
   }
+
+  test("corpus_shuffle: a seeded permutation — every doc exactly once, dense pos per shard, same seed identical, next epoch different") {
+    val big = "/root/testdata/sf0.01" // 500-doc fixture gives the balance check teeth
+    val e1 = CorpusOps.corpusShuffleWith(spark, big, seed = 1, nShards = 8).collect()
+    val n = spark.read.parquet(s"$big/documents.parquet").count()
+    assert(e1.length == n, "a shuffle is a permutation: no doc dropped or duplicated")
+    assert(e1.map(_.getLong(0)).distinct.length == n)
+    // pos is dense 1..|shard| inside every shard (a reader can stream it)
+    e1.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length),
+        s"shard $shard pos not dense")
+    }
+    // deterministic: the same seed reproduces the identical order
+    val e1b = CorpusOps.corpusShuffleWith(spark, big, seed = 1, nShards = 8).collect()
+    assert(e1.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ==
+      e1b.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+    // epoch 2 is a genuinely different permutation
+    val e2 = CorpusOps.corpusShuffleWith(spark, big, seed = 2, nShards = 8).collect()
+    val m1 = e1.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val moved = e2.count(r => m1(r.getLong(0)) != ((r.getInt(1), r.getInt(2))))
+    assert(moved > n / 2, s"only $moved/$n docs moved between epochs")
+    // md5 spreads: no shard is empty or >2x the mean (uniform hashing)
+    val sizes = e1.groupBy(_.getInt(1)).view.mapValues(_.length)
+    assert(sizes.size == 8 && sizes.values.max <= 2 * n.toInt / 8,
+      s"shard sizes: ${sizes.toMap}")
+  }
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Trained document classifier: a batch ("aggregated") perceptron over
+  * hashed bag-of-words features, the linear fastText-style model shape
+  * used for corpus quality/language filtering in LLM data pipelines
+  * (e.g. the CCNet / DCLM filtering stage) — here trained ON the
+  * corpus itself, distributed, like [[KMeans.embPqTrained]] trains its
+  * codebooks.
+  *
+  * Why a perceptron and not logistic regression: every update is
+  * INTEGER arithmetic (w += Σ y·x over misclassified docs), so the
+  * trained weights, scores, and predictions are bit-identical in any
+  * engine and the whole operator hash-checks against the DuckDB oracle
+  * — logistic's sigmoid/exp would put the gate at the mercy of libm
+  * ULP differences (the same reason [[CorpusOps.taTfidf]] uses a
+  * rational idf). Batch (not per-row) updates are what make the epoch
+  * distributable AND deterministic: the gradient is an order-invariant
+  * SUM over the misclassified set, not a sequence of row updates.
+  *
+  * Distributed shape per epoch: ONE aggregation scores every doc
+  * (features ⋈ broadcast weight map — the weights are a
+  * [[ClfBuckets]]-entry literal, codegen'd `element_at`, no join), one
+  * filter keeps the misclassified docs, and ONE aggregation on
+  * `bucket` produces the O([[ClfBuckets]]) gradient that returns to
+  * the driver. Driver state is the weight vector only — at 100 TB the
+  * model is still 65 longs. The feature table is built once and
+  * persisted across the [[ClfEpochs]] epochs (this operator runs its
+  * training actions internally, so the persist/unpersist pair cannot
+  * leak past the call — same contract as the CC family).
+  *
+  * The gate task is language ID (en vs rest) because `lang` is the
+  * fixture's only labeled column; the machinery is label-agnostic —
+  * pass any ±1 spine via [[trainScore]].
+  */
+object Classifier {
+
+  /** Hashed feature space (md5-derived bucket per token). */
+  val ClfBuckets = 64
+  /** Fixed epoch count — the oracle unrolls exactly this many. */
+  val ClfEpochs = 3
+
+  /** (doc_id, bucket, cnt) hashed bag-of-words. */
+  private def features(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.tokens(s, dir)
+      .select(col("doc_id"),
+        (expr("cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint)")
+          % ClfBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** (doc_id, y∈{+1,−1}) — every document, labeled. */
+  private def spine(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("lang") === "en", lit(1L)).otherwise(lit(-1L)).as("y"))
+
+  def taQualityClf(s: SparkSession, dir: String): DataFrame =
+    taQualityClfWith(s, dir, ClfEpochs)
+
+  def taQualityClfWith(s: SparkSession, dir: String, epochs: Int): DataFrame =
+    trainScore(s, features(s, dir), spine(s, dir), epochs)
+
+  /** Parameterized core: trains `epochs` batch-perceptron epochs of
+    * (features, ±1 spine) and returns every doc scored under the final
+    * weights: (doc_id, label, score, pred, correct). Zero-token docs
+    * score the bias alone (they train the bias too). */
+  def trainScore(s: SparkSession, featuresIn: DataFrame, spineIn: DataFrame,
+      epochs: Int): DataFrame = {
+    val f = featuresIn.persist()
+    val sp = spineIn
+    var w = Map.empty[Long, Long]
+    var b = 0L
+    // margin s = w·x + b per doc under the CURRENT weights; the weight
+    // map rides into the executors as a literal (no shuffle, no join)
+    def scores(): DataFrame = {
+      val wCol: Column =
+        if (w.isEmpty) lit(0L)
+        else coalesce(element_at(typedLit(w), col("bucket")), lit(0L))
+      sp.join(f, Seq("doc_id"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg((coalesce(sum(col("cnt") * wCol), lit(0L)) + lit(b)).as("s"))
+    }
+    for (_ <- 1 to epochs) {
+      // zero margin counts as misclassified (epoch 1 trains on all)
+      val miscl = scores().where(col("y") * col("s") <= 0)
+        .select(col("doc_id"), col("y")).persist()
+      val grads = miscl.join(f, "doc_id")
+        .groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val bg = miscl.agg(coalesce(sum(col("y")), lit(0L)).as("bg"))
+        .collect()(0).getLong(0)
+      miscl.unpersist()
+      grads.foreach { case (k, g) => w = w.updated(k, w.getOrElse(k, 0L) + g) }
+      b += bg
+    }
+    f.unpersist()
+    scores().select(col("doc_id"), col("y").as("label"), col("s").as("score"),
+      when(col("s") > 0, lit(1)).otherwise(lit(-1)).as("pred"),
+      (col("y") * col("s") > 0).as("correct"))
+  }
+
+  /** Unrolled-epoch oracle, generated for exactly [[ClfEpochs]] epochs:
+    * epoch 1 starts from zero weights (margin 0 ⇒ every doc trains), each
+    * later epoch scores under the previous epoch's accumulated weights,
+    * takes the misclassified set, and FULL-JOIN-merges its gradient into
+    * the weight table — the same order-invariant integer sums the Spark
+    * loop collects. */
+  val taQualityClfSql: String = {
+    val head = s"""WITH ${CorpusOps.tokensCteSql},
+      |f AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % $ClfBuckets AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+      |sp AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+      |       FROM documents),
+      |w1 AS (SELECT f.bucket, CAST(SUM(sp.y * f.cnt) AS BIGINT) AS gw
+      |       FROM f JOIN sp USING (doc_id) GROUP BY 1),
+      |b1 AS (SELECT CAST(SUM(y) AS BIGINT) AS gb FROM sp)""".stripMargin
+    def scoreSql(name: String, wPrev: String, bPrev: String) =
+      s"""$name AS (
+         |  SELECT sp.doc_id, sp.y,
+         |         CAST(COALESCE(SUM(f.cnt * COALESCE(w.gw, 0)), 0)
+         |              + (SELECT gb FROM $bPrev) AS BIGINT) AS s
+         |  FROM sp LEFT JOIN f USING (doc_id) LEFT JOIN $wPrev w ON f.bucket = w.bucket
+         |  GROUP BY 1, 2)""".stripMargin
+    val laterEpochs = (2 to ClfEpochs).map { k =>
+      val (pw, pb) = (s"w${k - 1}", s"b${k - 1}")
+      s"""${scoreSql(s"s$k", pw, pb)},
+         |m$k AS (SELECT doc_id, y FROM s$k WHERE y * s <= 0),
+         |g$k AS (SELECT f.bucket, CAST(SUM(m.y * f.cnt) AS BIGINT) AS gw
+         |        FROM f JOIN m$k m USING (doc_id) GROUP BY 1),
+         |w$k AS (SELECT COALESCE(a.bucket, g.bucket) AS bucket,
+         |               CAST(COALESCE(a.gw, 0) + COALESCE(g.gw, 0) AS BIGINT) AS gw
+         |        FROM $pw a FULL JOIN g$k g ON a.bucket = g.bucket),
+         |b$k AS (SELECT CAST((SELECT gb FROM $pb)
+         |               + COALESCE((SELECT SUM(y) FROM m$k), 0) AS BIGINT) AS gb)""".stripMargin
+    }
+    s"""$head,
+       |${laterEpochs.mkString(",\n")},
+       |${scoreSql("sf", s"w$ClfEpochs", s"b$ClfEpochs")}
+       |SELECT doc_id, y AS label, s AS score,
+       |       CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS INT) AS pred,
+       |       (y * s > 0) AS correct
+       |FROM sf""".stripMargin
+  }
+}

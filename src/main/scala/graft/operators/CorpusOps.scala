@@ -22,12 +22,12 @@ object CorpusOps {
   import TextAnalysis.normalized
 
   /** Non-empty normalized tokens, one row per occurrence. */
-  private def tokens(s: SparkSession, dir: String): DataFrame =
+  private[operators] def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(normalized(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
 
-  private val tokensCteSql: String =
+  private[operators] val tokensCteSql: String =
     """toks AS (
       |  SELECT doc_id,
       |         unnest(string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' ')) AS term

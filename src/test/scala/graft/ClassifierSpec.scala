@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Classifier
+
+/** Ground-truth tests for the batch-perceptron classifier on a
+  * hand-computable linearly-separable corpus. */
+class ClassifierSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Separable by construction: en vocabulary {sigma, kappa} is disjoint
+    * from de vocabulary {lambda, zeta} (buckets 7/34/39/53 — verified
+    * collision-free in the 64-bucket hash space), plus one ZERO-TOKEN en doc that
+    * can only be carried by the bias. Epoch-1 weights (all docs train
+    * from w=0): sigma +4, kappa +2, lambda −2, zeta −4, bias +1 — which
+    * already classifies everything, so epochs 2 and 3 are no-ops. */
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    Seq(
+      (0L, "sigma sigma kappa", "en", "srcA", 16L),
+      (1L, "sigma sigma kappa", "en", "srcA", 16L),
+      (2L, "lambda zeta zeta", "de", "srcB", 17L),
+      (3L, "lambda zeta zeta", "de", "srcB", 17L),
+      (4L, "", "en", "srcA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("perceptron separates disjoint vocabularies; zero-token doc rides the bias; converged epochs are no-ops") {
+    val rows = Classifier.taQualityClf(spark, dir).collect()
+    assert(rows.length == 5)
+    val m = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4))).toMap
+    // epoch-1 hand computation: w = Σ y·x over ALL docs (margin 0 ⇒
+    // everything trains), b = Σ y = +1; no epoch-2 misclassifications
+    assert(m(0L) == ((1L, 11L, 1, true)), s"en doc: ${m(0L)}") // 2·4 + 1·2 + 1
+    assert(m(1L) == ((1L, 11L, 1, true)))
+    assert(m(2L) == ((-1L, -9L, -1, true)), s"de doc: ${m(2L)}") // −2 − 8 + 1
+    assert(m(3L) == ((-1L, -9L, -1, true)))
+    // the empty doc scores the bias alone — and is classified by it
+    assert(m(4L) == ((1L, 1L, 1, true)), s"empty doc: ${m(4L)}")
+    // convergence: epoch 1 already separates, so 1 and 3 epochs agree
+    val one = Classifier.taQualityClfWith(spark, dir, epochs = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach(r => assert(one(r.getLong(0)) == r.getLong(2)))
+  }
+
+  test("training is deterministic and leaves nothing persisted") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val a = Classifier.taQualityClf(spark, dir).collect().toSet
+    val b = Classifier.taQualityClf(spark, dir).collect().toSet
+    assert(a == b)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persisted RDDs leaked past training: $leaked")
+  }
+
+  test("on a NON-separable corpus the model still scores every doc deterministically") {
+    val d = java.nio.file.Files.createTempDirectory("graft-clf2").toString
+    // identical text, opposite labels — no linear separator exists
+    Seq((0L, "omega omega", "en", "s", 11L), (1L, "omega omega", "de", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Classifier.taQualityClf(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4))).sortBy(_._1)
+    assert(rows.length == 2)
+    // symmetric gradients cancel: weights and bias stay 0 through every
+    // epoch, both docs score 0, and the tie rule calls both wrong
+    assert(rows.toSeq == Seq((0L, 0L, false), (1L, 0L, false)))
+  }
+}

@@ -45,7 +45,10 @@ object Classifier {
 
   /** (doc_id, bucket, cnt) hashed bag-of-words. */
   private def features(s: SparkSession, dir: String): DataFrame =
-    CorpusOps.tokens(s, dir)
+    featuresOf(Tables.documents(s, dir))
+
+  private def featuresOf(docs: DataFrame): DataFrame =
+    CorpusOps.tokensOf(docs)
       .select(col("doc_id"),
         (expr("cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint)")
           % ClfBuckets).as("bucket"))
@@ -62,29 +65,28 @@ object Classifier {
   def taQualityClfWith(s: SparkSession, dir: String, epochs: Int): DataFrame =
     trainScore(s, features(s, dir), spine(s, dir), epochs)
 
-  /** Parameterized core: trains `epochs` batch-perceptron epochs of
-    * (features, ±1 spine) and returns every doc scored under the final
-    * weights: (doc_id, label, score, pred, correct). Zero-token docs
-    * score the bias alone (they train the bias too). */
-  def trainScore(s: SparkSession, featuresIn: DataFrame, spineIn: DataFrame,
-      epochs: Int): DataFrame = {
-    val f = featuresIn.persist()
-    val sp = spineIn
+  /** Margin s = w·x + b per doc under fixed weights; the weight map
+    * rides into the executors as a literal (codegen'd `element_at` —
+    * no shuffle, no join beyond the feature groupBy). */
+  private def marginOf(f: DataFrame, sp: DataFrame, w: Map[Long, Long],
+      b: Long): DataFrame = {
+    val wCol: Column =
+      if (w.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(w), col("bucket")), lit(0L))
+    sp.join(f, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("y"))
+      .agg((coalesce(sum(col("cnt") * wCol), lit(0L)) + lit(b)).as("s"))
+  }
+
+  /** The training loop: `epochs` batch-perceptron epochs over a
+    * PRE-PERSISTED feature table. Returns the integer model. */
+  private def train(f: DataFrame, sp: DataFrame,
+      epochs: Int): (Map[Long, Long], Long) = {
     var w = Map.empty[Long, Long]
     var b = 0L
-    // margin s = w·x + b per doc under the CURRENT weights; the weight
-    // map rides into the executors as a literal (no shuffle, no join)
-    def scores(): DataFrame = {
-      val wCol: Column =
-        if (w.isEmpty) lit(0L)
-        else coalesce(element_at(typedLit(w), col("bucket")), lit(0L))
-      sp.join(f, Seq("doc_id"), "left")
-        .groupBy(col("doc_id"), col("y"))
-        .agg((coalesce(sum(col("cnt") * wCol), lit(0L)) + lit(b)).as("s"))
-    }
     for (_ <- 1 to epochs) {
       // zero margin counts as misclassified (epoch 1 trains on all)
-      val miscl = scores().where(col("y") * col("s") <= 0)
+      val miscl = marginOf(f, sp, w, b).where(col("y") * col("s") <= 0)
         .select(col("doc_id"), col("y")).persist()
       val grads = miscl.join(f, "doc_id")
         .groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("g"))
@@ -95,10 +97,56 @@ object Classifier {
       grads.foreach { case (k, g) => w = w.updated(k, w.getOrElse(k, 0L) + g) }
       b += bg
     }
+    (w, b)
+  }
+
+  /** Parameterized core: trains `epochs` batch-perceptron epochs of
+    * (features, ±1 spine) and returns every doc scored under the final
+    * weights: (doc_id, label, score, pred, correct). Zero-token docs
+    * score the bias alone (they train the bias too). */
+  def trainScore(s: SparkSession, featuresIn: DataFrame, spineIn: DataFrame,
+      epochs: Int): DataFrame = {
+    val f = featuresIn.persist()
+    val (w, b) = train(f, spineIn, epochs)
     f.unpersist()
-    scores().select(col("doc_id"), col("y").as("label"), col("s").as("score"),
-      when(col("s") > 0, lit(1)).otherwise(lit(-1)).as("pred"),
-      (col("y") * col("s") > 0).as("correct"))
+    marginOf(f, spineIn, w, b)
+      .select(col("doc_id"), col("y").as("label"), col("s").as("score"),
+        when(col("s") > 0, lit(1)).otherwise(lit(-1)).as("pred"),
+        (col("y") * col("s") > 0).as("correct"))
+  }
+
+  /** The trained model as a STORABLE table, (bucket, wt) with the bias
+    * at bucket −1 — write it to parquet once, then score any number of
+    * incoming corpora with [[taQualityClfScoreOver]] without retraining
+    * (the steady-state shape: the filter model trains rarely, scores
+    * every crawl). Gate-checked against the oracle's unrolled weight
+    * CTE, so the stored MODEL itself — not just its scores — is
+    * verified cross-engine. */
+  def taQualityClfModel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = features(s, dir).persist()
+    val (w, b) = train(f, spine(s, dir), ClfEpochs)
+    f.unpersist()
+    (w.toSeq :+ (-1L, b)).sortBy(_._1).toDF("bucket", "wt")
+  }
+
+  /** Score an arbitrary document table under a stored (bucket, wt)
+    * model: the model is O([[ClfBuckets]]) rows — collected and shipped
+    * as a literal map, so the corpus never shuffles beyond its own
+    * per-doc feature aggregation. Unseen tokens hash into trained
+    * buckets (the hashing-trick contract); docs with no tokens score
+    * the stored bias. Output: (doc_id, score, pred). */
+  def taQualityClfScoreOver(docs: DataFrame, model: DataFrame): DataFrame = {
+    val rows = model.collect()
+    val b = rows.collectFirst {
+      case r if r.getLong(0) == -1L => r.getLong(1)
+    }.getOrElse(0L)
+    val w = rows.filter(_.getLong(0) >= 0L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sp = docs.select(col("doc_id"), lit(0L).as("y")) // unlabeled spine
+    marginOf(featuresOf(docs), sp, w, b)
+      .select(col("doc_id"), col("s").as("score"),
+        when(col("s") > 0, lit(1)).otherwise(lit(-1)).as("pred"))
   }
 
   /** Unrolled-epoch oracle, generated for exactly [[ClfEpochs]] epochs:
@@ -145,5 +193,18 @@ object Classifier {
        |       CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS INT) AS pred,
        |       (y * s > 0) AS correct
        |FROM sf""".stripMargin
+  }
+
+  /** The stored-model twin: the same unrolled training CTEs, emitting
+    * the final weight table instead of scores (bias at bucket −1). */
+  val taQualityClfModelSql: String = {
+    // everything up to the final scoring SELECT is shared with
+    // taQualityClfSql: strip its tail and re-terminate on the model
+    val prefix = taQualityClfSql.substring(0,
+      taQualityClfSql.lastIndexOf(",\nsf AS ("))
+    s"""$prefix
+       |SELECT bucket, gw AS wt FROM w$ClfEpochs
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS bucket, gb AS wt FROM b$ClfEpochs""".stripMargin
   }
 }

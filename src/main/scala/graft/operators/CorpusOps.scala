@@ -23,7 +23,10 @@ object CorpusOps {
 
   /** Non-empty normalized tokens, one row per occurrence. */
   private[operators] def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    tokensOf(Tables.documents(s, dir))
+
+  private[operators] def tokensOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(normalized(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
 

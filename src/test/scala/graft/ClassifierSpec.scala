@@ -58,6 +58,32 @@ class ClassifierSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"persisted RDDs leaked past training: $leaked")
   }
 
+  test("stored model round-trips through parquet and scores new docs without retraining") {
+    val mdir = java.nio.file.Files.createTempDirectory("graft-clf-model").toString
+    Classifier.taQualityClfModel(spark, dir)
+      .write.mode("overwrite").parquet(s"$mdir/model.parquet")
+    val model = spark.read.parquet(s"$mdir/model.parquet")
+    // scoring the training corpus under the stored model reproduces the
+    // in-process training scores exactly
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val over = Classifier.taQualityClfScoreOver(docs, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    Classifier.taQualityClf(spark, dir).collect().foreach { r =>
+      assert(over(r.getLong(0)) == ((r.getLong(2), r.getInt(3))),
+        s"doc ${r.getLong(0)} diverges under the stored model")
+    }
+    // an UNSEEN doc scores under the hashing-trick contract: its known
+    // tokens hit trained buckets, its novel token hits an untrained one
+    val fresh = Seq((100L, "sigma nu", "xx", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Classifier.taQualityClfScoreOver(fresh, model).collect()
+    assert(f.length == 1)
+    // sigma carries +4, nu's bucket was never trained (weight 0 — nu is
+    // not in the training vocabulary and 64 buckets leave it alone),
+    // bias +1 → score 5, pred +1
+    assert((f(0).getLong(1), f(0).getInt(2)) == ((5L, 1)), s"got ${f(0)}")
+  }
+
   test("on a NON-separable corpus the model still scores every doc deterministically") {
     val d = java.nio.file.Files.createTempDirectory("graft-clf2").toString
     // identical text, opposite labels — no linear separator exists

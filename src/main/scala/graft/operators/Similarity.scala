@@ -30,8 +30,9 @@ object Similarity {
   private[operators] def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** DuckDB twin of [[scaled]], flattened to (vec_id, i, e) rows. */
-  private val evSql =
+  /** DuckDB twin of [[scaled]], flattened to (vec_id, i, e) rows —
+    * shared by every embedding-family oracle. */
+  private[operators] val evSql =
     """ev AS (
       |  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS e
       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t)""".stripMargin
@@ -122,6 +123,37 @@ object Similarity {
       .where(col("mrn") <= IvfMaxCell)
       .drop("mrn")
 
+  /** Shared coarse-quantizer oracle chain: scaled vectors → centroid
+    * count → centroid rows → per-vector centroid dots. Every IVF-family
+    * oracle (search, SemDeDup, semantic CC) composes from here, so a
+    * fix to the gate-critical index SQL lands in ONE place. */
+  private[operators] val ivfCoarseCtesSql: String =
+    s"""$evSql,
+       |nc AS (SELECT GREATEST(16, 2 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS c
+       |       FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, i, e FROM ev WHERE vec_id < (SELECT c FROM nc)),
+       |cdots AS (
+       |  SELECT a.vec_id, c.c_id, CAST(SUM(a.e * c.e) AS BIGINT) AS d
+       |  FROM ev a JOIN cent c ON a.i = c.i
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** [[ivfCoarseCtesSql]] extended with the ranked assignment, the
+    * [[IvfMaxCell]]-capped cell membership, and the [[NProbe]]-cell
+    * probe lists — the full index side of the 2-probe searches. */
+  private[operators] val ivfIndexCtesSql: String =
+    s"""$ivfCoarseCtesSql,
+       |ranked_c AS (
+       |  SELECT vec_id, c_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c_id) AS rn
+       |  FROM cdots),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, c_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY vec_id) AS mrn
+       |    FROM ranked_c WHERE rn = 1)
+       |  WHERE mrn <= $IvfMaxCell),
+       |probes AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked_c WHERE rn <= $NProbe)""".stripMargin
+
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val c = nCentroids(Tables.embeddings(s, dir).count())
     // the cell table is referenced twice (assignment + probe explode);
@@ -145,25 +177,7 @@ object Similarity {
   }
 
   val simIvfTopkSql: String =
-    s"""WITH $evSql,
-       |nc AS (SELECT GREATEST(16, 2 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS c
-       |       FROM embeddings),
-       |cent AS (SELECT vec_id AS c_id, i, e FROM ev WHERE vec_id < (SELECT c FROM nc)),
-       |cdots AS (
-       |  SELECT a.vec_id, c.c_id, CAST(SUM(a.e * c.e) AS BIGINT) AS d
-       |  FROM ev a JOIN cent c ON a.i = c.i
-       |  GROUP BY 1, 2),
-       |ranked_c AS (
-       |  SELECT vec_id, c_id,
-       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c_id) AS rn
-       |  FROM cdots),
-       |assign AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT vec_id, c_id AS cell,
-       |           ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY vec_id) AS mrn
-       |    FROM ranked_c WHERE rn = 1)
-       |  WHERE mrn <= $IvfMaxCell),
-       |probes AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked_c WHERE rn <= $NProbe),
+    s"""WITH $ivfIndexCtesSql,
        |cand AS (
        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),

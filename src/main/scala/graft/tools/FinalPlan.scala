@@ -15,11 +15,15 @@ object FinalPlan {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(args(1))(spark, args(0))
-    // collect() (NOT count()) — count() wraps df in a new Dataset whose
-    // plan is the one that executes, leaving df's own executedPlan
-    // unfinalized (isFinalPlan=false, zero query stages — the exact
-    // artifact this tool exists to avoid reading)
-    df.collect()
+    // Execute df's OWN plan (count() wraps df in a new Dataset whose
+    // plan is the one that executes, leaving df's executedPlan
+    // unfinalized — isFinalPlan=false, zero query stages, the exact
+    // artifact this tool exists to avoid reading) without collecting:
+    // toRdd runs the same queryExecution and foreach discards rows in
+    // the executors, so row-explosive operators don't OOM the driver.
+    // (df.rdd would NOT do: Dataset.rdd executes a separate
+    // rddQueryExecution — the same wrong-plan trap as count().)
+    df.queryExecution.toRdd.foreach(_ => ())
     val plan = df.queryExecution.executedPlan.toString
     if (args.length > 2 && args(2) == "DUMP") println(plan)
     else {

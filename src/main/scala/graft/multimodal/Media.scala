@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -286,6 +287,38 @@ object Media {
         }
       }.toDF("media_id", "width", "height", "thumb_w", "thumb_h")
   }
+
+  /** Exact content dedup over the binary payload — the media lake's
+    * first-pass dedup (identical bytes → identical md5, no decode
+    * needed, codec-agnostic: it works the same on BMP pixels or opaque
+    * video containers). One shuffle on (kind, checksum); the min-id
+    * canonical-keeper rule matches [[graft.operators.Dedup.dedupExact]]
+    * so downstream `WHERE is_dup = 0` composes with the text dedups.
+    * Unlike the text pass there is NO normalization — a single changed
+    * byte is a different asset (re-encoded variants are the perceptual
+    * family's job: [[extractFeatures]] → embedding near-dup). */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("kind"), col("checksum"))
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        lit("text/utf-8").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .select(col("media_id"), col("kind"),
+        octet_length(col("bytes")).cast("long").as("n_bytes"),
+        md5(col("bytes")).as("checksum"))
+      .withColumn("canonical_id", min(col("media_id")).over(w))
+      .withColumn("is_dup", (col("media_id") =!= col("canonical_id")).cast("int"))
+  }
+
+  val mmDedupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, 'text/utf-8' AS kind,
+      |         CAST(LENGTH(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
+      |  FROM documents)
+      |SELECT media_id, kind, n_bytes, checksum,
+      |       MIN(media_id) OVER (PARTITION BY kind, checksum) AS canonical_id,
+      |       CAST(media_id <> MIN(media_id) OVER (PARTITION BY kind, checksum) AS INT) AS is_dup
+      |FROM m""".stripMargin
 
   val mmResizeSql: String =
     """WITH dims AS (

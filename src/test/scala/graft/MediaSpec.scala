@@ -133,4 +133,18 @@ class MediaSpec extends AnyFunSuite {
         .digest(thumb).map("%02x".format(_)).mkString)
     assert(out(11L).getInt(6) == 21 && out(11L).getInt(7) == 64) // portrait
   }
+
+  test("mm_dedup: byte-identical payloads collapse to the min-id canonical; one changed byte is a different asset") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mmdedup").toString
+    // 0 == 2 byte-for-byte; 1 differs from 0 by ONE byte; 3 is distinct
+    Seq((0L, "payload-A", "en", "s", 9L), (1L, "payload-B", "en", "s", 9L),
+        (2L, "payload-A", "de", "s", 9L), (3L, "other", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = Media.mmDedup(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getInt(5))).toMap
+    assert(m(0L) == ((0L, 0)) && m(2L) == ((0L, 1)), "exact copy collapses")
+    assert(m(1L) == ((1L, 0)), "a one-byte difference is NOT a duplicate")
+    assert(m(3L) == ((3L, 0)))
+  }
 }

@@ -380,4 +380,52 @@ object Relational2 {
       |SELECT measure, COUNT(1) AS n, CAST(SUM(value) AS DOUBLE) AS total,
       |       CAST(MIN(value) AS DOUBLE) AS mn, CAST(MAX(value) AS DOUBLE) AS mx
       |FROM m GROUP BY measure""".stripMargin
+
+  // ---------------------------------------------------- q42_islands
+  /** Island gap: events ≤ 30 min apart merge into one activity island. */
+  val IslandGapUs = 30L * 60 * 1000000
+
+  /** Gaps-and-islands interval merge: per-user event streams collapse
+    * into maximal activity intervals (bursts separated by more than
+    * [[IslandGapUs]]) via the classic two-window composition — a lag
+    * diff flags island OPENINGS, a running sum of flags numbers the
+    * islands, one aggregation emits (start, end, size). This is the
+    * BATCH twin of session windows with a declarative plan: both
+    * windows share ONE exchange + sort on (user_id, ts_us) (the second
+    * window's requirement is satisfied by the first's output
+    * partitioning, so no re-shuffle), and the final aggregation
+    * partial-aggregates map-side. Equal timestamps are gap 0 — same
+    * island whatever their relative order, so the plan needs no
+    * tie-break column to be deterministic. */
+  def q42Islands(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"))
+      .withColumn("opens",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) <= IslandGapUs, 0)
+          .otherwise(1)) // first row per user: lag is null → opens 1
+      .withColumn("island",
+        sum(col("opens")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts_us")).as("island_start_us"),
+        max(col("ts_us")).as("island_end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val q42IslandsSql: String =
+    Tables.eventsCteSql +
+    s""",
+       |flagged AS (
+       |  SELECT user_id, ts_us,
+       |         CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+       |                   <= $IslandGapUs THEN 0 ELSE 1 END AS opens
+       |  FROM ev),
+       |numbered AS (
+       |  SELECT user_id, ts_us,
+       |         CAST(SUM(opens) OVER (PARTITION BY user_id ORDER BY ts_us
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |  FROM flagged)
+       |SELECT user_id, island, MIN(ts_us) AS island_start_us,
+       |       MAX(ts_us) AS island_end_us, COUNT(1) AS n_events
+       |FROM numbered GROUP BY user_id, island""".stripMargin
 }

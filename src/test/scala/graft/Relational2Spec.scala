@@ -127,4 +127,30 @@ class Relational2Spec extends AnyFunSuite {
     assert(p.collect { case j: CartesianProductExec => j }.isEmpty)
     assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
   }
+
+  test("q42 islands: bursts merge across the gap rule; ties and singletons hold; both windows share one exchange") {
+    val d = java.nio.file.Files.createTempDirectory("graft-islands").toString
+    val M = 60L * 1000000 // one minute in µs
+    // user 1: burst of 3 within gaps ≤ 30 min, then a 31-min gap, then a
+    // tie pair; user 2: a lone event
+    Seq(
+      (1L, 0L * M), (2L, 10L * M), (3L, 40L * M), // 0→10 (ok) →40 (ok: 30m exactly)
+      (4L, 71L * M), (5L, 71L * M),               // 40→71 is 31 min: NEW island; tie stays together
+      (6L, 5L * M))
+      .map { case (id, us) => (id, us * 1000, if (id == 6L) 2L else 1L, "click", 1.0, "{}") } // ts column = long nanos (the fixture parquet contract Tables.events reads)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational2.q42Islands(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 3, s"got $got")
+    assert(got((1L, 1L)) == ((0L, 40L * M, 3L)), "30-min gap is INSIDE the island (<=)")
+    assert(got((1L, 2L)) == ((71L * M, 71L * M, 2L)), "tied timestamps share an island")
+    assert(got((2L, 1L)) == ((5L * M, 5L * M, 1L)), "singleton island")
+    // plan claim: lag-window, sum-window, and the aggregation ride ONE
+    // exchange on user_id (the windows' sort satisfies all three).
+    // sparkPlan predates EnsureRequirements, so read the prepared plan
+    val prepared = Relational2.q42Islands(spark, d).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(prepared).length
+    assert(exchanges == 1, s"expected one exchange:\n$prepared")
+  }
 }

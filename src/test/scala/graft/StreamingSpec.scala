@@ -248,6 +248,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_.last == 0) && streamed.exists(_.last == 1))
   }
 
+  test("streaming classifier scoring: a document stream scored per-batch under a stored model == batch scoring") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Classifier
+    val src = "/root/testdata/sf0.001"
+    // train once, store the model, score the stream WITHOUT retraining —
+    // the daily-crawl shape: each microbatch is a bounded DataFrame, so
+    // scoreOver runs unchanged inside foreachBatch (scoring needs the
+    // per-doc feature aggregation, which would otherwise demand
+    // unbounded streaming state; per-batch scoring is the honest
+    // production answer, and files arrive whole-doc anyway)
+    val model = Classifier.taQualityClfModel(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("bucket", "wt")
+    val dir = Files.createTempDirectory("graft-streamclf")
+    Files.copy(Paths.get(s"$src/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val scored = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/documents.parquet").schema)
+      .parquet(dir.toString)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scored.synchronized {
+          scored ++= Classifier.taQualityClfScoreOver(batch, model).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val batchScores = Classifier
+      .taQualityClfScoreOver(spark.read.parquet(s"$src/documents.parquet"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(scored.nonEmpty && scored.toSet == batchScores)
+  }
+
   test("foreachBatch idempotent sink: batch replay does not duplicate rows") {
     val out = Files.createTempDirectory("graft-sink").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

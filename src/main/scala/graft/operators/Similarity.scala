@@ -403,4 +403,46 @@ object Similarity {
        |SELECT query_id, neighbor_id, dot_scaled, CAST(rank AS INT) AS rank,
        |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
        |FROM ranked WHERE rank <= $LshTopK""".stripMargin
+
+  // ---------------------------------------------------- sim_recall_eval
+  /** Index-quality evaluation: recall@[[IvfTopK]] of the IVF search
+    * against the exact brute-force ground truth on the [[NQueries]]
+    * probe sample — the metric an ANN deployment watches when tuning
+    * (nprobe, cells, caps). The 100 TB shape is exactly this: ground
+    * truth is affordable only on a SAMPLED probe set (brute cost is
+    * probes×N — bounded by the sample), while the approx side runs the
+    * real index; per-query integer hit counts hash-check, the recall
+    * ratio is one IEEE division. */
+  def simRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = VecKernel.bruteTopk(s, dir, IvfTopK, _ < NQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = simIvfTopk(s, dir)
+      .where(col("query_id") < NQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double")).as("recall"))
+  }
+
+  /** Oracle: both sides are the EXISTING gate oracles verbatim, nested
+    * as subqueries — the eval can't drift from what it evaluates. */
+  val simRecallEvalSql: String =
+    s"""WITH approx AS (
+       |  SELECT query_id, neighbor_id FROM ($simIvfTopkSql) WHERE query_id < $NQueries),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM ($simTopkSql) WHERE rank <= $IvfTopK),
+       |hits AS (
+       |  SELECT b.query_id, COUNT(1) AS n_hits
+       |  FROM brute b JOIN approx a
+       |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY 1),
+       |ex AS (SELECT query_id, COUNT(1) AS n_exact FROM brute GROUP BY 1)
+       |SELECT ex.query_id, ex.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(ex.n_exact AS DOUBLE) AS recall
+       |FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id""".stripMargin
 }

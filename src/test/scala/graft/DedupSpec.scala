@@ -351,6 +351,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("recall eval on the transparent fixture: perfect where probing covers the truth, 1/3 where it can't") {
+    val m = graft.operators.Similarity.simRecallEval(spark, semDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m.size == 10 && m.values.forall(_._1 == 3L), "ground truth is top-3 for each probe")
+    // query 3 probes its own cell {16,17,18} — exactly the brute top-3
+    assert(m(3L) == ((3L, 3L, 1.0)))
+    // query 9's true neighbors are {19, 16, 17} but probing reaches only
+    // cells 9 and 0 → finds 19 alone; same 1/3 shape for query 0, whose
+    // zero-dot ties {1,2,3} are reachable only via cell 1
+    assert(m(9L)._2 == 1L && m(9L)._3 == 1.0 / 3.0)
+    assert(m(0L)._2 == 1L)
+    m.values.foreach { case (_, hits, rec) =>
+      assert(hits >= 0L && hits <= 3L && rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("semantic dedup tau is a real parameter: raising it to 0.7e12 keeps only the exact copy") {
     val flagged = Dedup.dedupSemanticWith(spark, semDir, 700000000000L)
       .where(col("is_dup")).collect().map(_.getLong(0)).toSet

@@ -248,4 +248,31 @@ object Pipeline {
        |       CAST(rank AS INT) AS rank
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused)
        |WHERE rank <= $topK""".stripMargin
+
+  // --------------------------------------------------- pipeline_scored
+  /** The filter table a training-data pipeline actually materializes:
+    * the cleaning capstone's survivors ([[pipelineFull]] — scrubbed,
+    * decontaminated, repetition-filtered) annotated with the TRAINED
+    * quality classifier's score and prediction
+    * ([[Classifier.taQualityClf]]). Composed at the OPERATOR level —
+    * both inputs are themselves oracle-gated, and the oracle nests
+    * their two oracle SQLs verbatim, so this capstone cannot drift
+    * from its parts (the same guarantee [[Similarity.simRecallEvalSql]]
+    * uses). Downstream keeps `WHERE clf_pred = 1` (or thresholds
+    * `clf_score`) before packing. */
+  def pipelineScored(s: SparkSession, dir: String): DataFrame =
+    pipelineFull(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_denylist_hits"))
+      .join(Classifier.taQualityClf(s, dir)
+        .select(col("doc_id"), col("score").as("clf_score"),
+          col("pred").as("clf_pred")), "doc_id")
+
+  val pipelineScoredSql: String =
+    s"""WITH pf AS (
+       |  SELECT doc_id, lang, n_tokens, n_denylist_hits FROM ($pipelineFullSql)),
+       |clf AS (
+       |  SELECT doc_id, score AS clf_score, pred AS clf_pred FROM (${Classifier.taQualityClfSql}))
+       |SELECT pf.doc_id, pf.lang, pf.n_tokens, pf.n_denylist_hits,
+       |       clf.clf_score, clf.clf_pred
+       |FROM pf JOIN clf USING (doc_id)""".stripMargin
 }

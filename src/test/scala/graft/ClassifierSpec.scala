@@ -84,6 +84,19 @@ class ClassifierSpec extends AnyFunSuite {
     assert((f(0).getLong(1), f(0).getInt(2)) == ((5L, 1)), s"got ${f(0)}")
   }
 
+  test("pipeline_scored carries exactly the capstone's survivors with the classifier's own scores") {
+    import graft.operators.Pipeline
+    val sf = "/root/testdata/sf0.001"
+    val ps = Pipeline.pipelineScored(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getInt(5))).toMap
+    val survivors = Pipeline.pipelineFull(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ps.keySet == survivors, "join adds or drops no survivor")
+    val clf = Classifier.taQualityClf(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    ps.foreach { case (id, sc) => assert(clf(id) == sc, s"doc $id score drift") }
+  }
+
   test("on a NON-separable corpus the model still scores every doc deterministically") {
     val d = java.nio.file.Files.createTempDirectory("graft-clf2").toString
     // identical text, opposite labels — no linear separator exists

@@ -313,7 +313,10 @@ object Media {
   val mmDedupSql: String =
     """WITH m AS (
       |  SELECT doc_id AS media_id, 'text/utf-8' AS kind,
-      |         CAST(LENGTH(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
+      |         -- octet_length(encode(..)) = UTF-8 BYTES, matching Spark's
+      |         -- octet_length on the binary cast (LENGTH counts CHARACTERS
+      |         -- and silently diverges on any non-ASCII payload)
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
       |  FROM documents)
       |SELECT media_id, kind, n_bytes, checksum,
       |       MIN(media_id) OVER (PARTITION BY kind, checksum) AS canonical_id,

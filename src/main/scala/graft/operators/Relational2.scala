@@ -398,9 +398,15 @@ object Relational2 {
     * island whatever their relative order, so the plan needs no
     * tie-break column to be deterministic. */
   def q42Islands(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    // event_id tie-break: the island SUMS are tie-order-invariant
+    // (exactly one `opens` flag lands per gap, wherever ties sit), but
+    // the lag pass and the running-sum pass must SEE the same order —
+    // guaranteed inside one Spark plan (shared sort), NOT between the
+    // oracle's two window subqueries, so both engines pin a total order
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
     graft.Tables.events(s, dir)
-      .select(col("user_id"), col("ts_us"))
+      .select(col("user_id"), col("ts_us"), col("event_id"))
       .withColumn("opens",
         when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) <= IslandGapUs, 0)
           .otherwise(1)) // first row per user: lag is null → opens 1
@@ -416,13 +422,13 @@ object Relational2 {
     Tables.eventsCteSql +
     s""",
        |flagged AS (
-       |  SELECT user_id, ts_us,
-       |         CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+       |  SELECT user_id, ts_us, event_id,
+       |         CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
        |                   <= $IslandGapUs THEN 0 ELSE 1 END AS opens
        |  FROM ev),
        |numbered AS (
        |  SELECT user_id, ts_us,
-       |         CAST(SUM(opens) OVER (PARTITION BY user_id ORDER BY ts_us
+       |         CAST(SUM(opens) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
        |  FROM flagged)
        |SELECT user_id, island, MIN(ts_us) AS island_start_us,

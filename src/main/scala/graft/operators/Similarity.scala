@@ -419,14 +419,16 @@ object Similarity {
     val approx = simIvfTopk(s, dir)
       .where(col("query_id") < NQueries)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double")
-          / col("n_exact").cast("double")).as("recall"))
+    // ONE pass over the brute kernel: a hit marker rides the left join
+    // and both counts come from the same aggregation (a separate
+    // n_exact branch would re-execute the probes×N scoring loop, which
+    // sits above the exchange where ReuseExchange can't share it)
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall"))
   }
 
   /** Oracle: both sides are the EXISTING gate oracles verbatim, nested

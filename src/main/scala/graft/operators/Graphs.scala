@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over corpus-derived graphs.
@@ -53,39 +54,46 @@ object Graphs {
   /** PageRank over an arbitrary node/edge set: `nodes` is (doc_id),
     * `edges` is a SYMMETRIC (src, dst) list with no self-loops or
     * multi-edges (symmetrize one-direction pairs first). Returns
-    * (doc_id, out_deg, pr_scaled, pr). */
+    * (doc_id, out_deg, pr_scaled, pr).
+    *
+    * The round state is (doc_id, deg, mass): deg is STATIC, so joining
+    * it once up front and carrying it through the rounds saves a
+    * per-round O(N) join — each round is exactly one shuffle join with
+    * the edge list, one partial-agg exchange on dst, and one join back
+    * onto the carried state (whose partitioning the previous round's
+    * localCheckpoint preserved). */
   def pagerankOver(s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
     val nd = nodes.select(col("doc_id")).localCheckpoint()
-    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val sym = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = nd.count()
 
-    var mass = nd.select(col("doc_id"), lit(PrScale).as("mass")).localCheckpoint()
+    var state = nd.join(deg, col("doc_id") === col("src"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        lit(PrScale).as("mass"))
+      .localCheckpoint()
     for (_ <- 1 to PrIters) {
-      val wd = mass.join(deg, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"), col("mass"), coalesce(col("deg"), lit(0L)).as("deg"))
       // dangling mass + flooring remainders, redistributed uniformly
       // (integer div throughout — a double division here would round
       // differently from the oracle's `//` near integer boundaries)
-      val pot = wd.agg(sum(when(col("deg") === 0L, col("mass"))
+      val pot = state.agg(sum(when(col("deg") === 0L, col("mass"))
           .otherwise(col("mass") - col("deg") * expr("mass div deg"))).as("potsum"))
         .select(expr(s"potsum div ${n}L").cast("long").as("pot"))
-      val contrib = wd.where(col("deg") > 0L)
+      val contrib = state.where(col("deg") > 0L)
         .select(col("doc_id"), expr("mass div deg").as("share"))
         .join(sym, col("doc_id") === col("src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inc"))
-      mass = nd.join(contrib, col("doc_id") === col("dst"), "left")
+      state = state.join(contrib, col("doc_id") === col("dst"), "left")
         .crossJoin(broadcast(pot))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("deg"),
           (lit(150000L) +
             expr(s"(85 * (coalesce(inc, 0L) + pot)) div 100").cast("long")).as("mass"))
         .localCheckpoint()
     }
-    nd.join(mass, "doc_id")
-      .join(deg, col("doc_id") === col("src"), "left")
-      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("out_deg"),
-        col("mass").as("pr_scaled"),
-        (col("mass").cast("double") / lit(1e6)).as("pr"))
+    state.select(col("doc_id"), col("deg").as("out_deg"),
+      col("mass").as("pr_scaled"),
+      (col("mass").cast("double") / lit(1e6)).as("pr"))
   }
 
   /** Gate entry: PageRank over the SimHash near-dup pair graph (the
@@ -104,7 +112,11 @@ object Graphs {
     * re-evaluate r_{k-1} twice per round — a 2^K blow-up of the
     * simhash seed pipeline that turns a sub-second oracle into
     * minutes. */
-  lazy val graphPagerankSql: String = {
+  /** The unrolled rounds as a CTE chain `deg/nn/r0/wd_k..r_K`, assuming
+    * `sym`(src, dst) and `nodes`(doc_id) are already defined — shared by
+    * [[graphPagerankSql]] (simhash pair graph) and [[graphCanonicalSql]]
+    * (minhash pair graph). */
+  private def prRoundsCtesSql: String = {
     val rounds = (1 to PrIters).map { k =>
       val prev = s"r${k - 1}"
       s"""wd$k AS MATERIALIZED (
@@ -125,18 +137,84 @@ object Graphs {
          |              // 100 AS BIGINT) AS mass
          |  FROM nodes nd LEFT JOIN con$k c ON nd.doc_id = c.dst)""".stripMargin
     }.mkString(",\n")
+    s"""deg AS MATERIALIZED (SELECT src, CAST(COUNT(1) AS BIGINT) AS deg FROM sym GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT doc_id, CAST($PrScale AS BIGINT) AS mass FROM nodes),
+       |$rounds""".stripMargin
+  }
+
+  lazy val graphPagerankSql: String =
     s"""WITH shp AS MATERIALIZED (${Dedup.dedupSimhashPairsSql}),
        |sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM shp
        |        UNION ALL SELECT db AS src, da AS dst FROM shp),
-       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(1) AS BIGINT) AS deg FROM sym GROUP BY 1),
        |nodes AS MATERIALIZED (SELECT doc_id FROM documents),
-       |nn AS MATERIALIZED (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM documents),
-       |r0 AS MATERIALIZED (SELECT doc_id, CAST($PrScale AS BIGINT) AS mass FROM nodes),
-       |$rounds
+       |$prRoundsCtesSql
        |SELECT nd.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
        |       r.mass AS pr_scaled, CAST(r.mass AS DOUBLE) / 1e6 AS pr
        |FROM nodes nd
        |JOIN r$PrIters r ON nd.doc_id = r.doc_id
        |LEFT JOIN deg d ON nd.doc_id = d.src""".stripMargin
+
+  /** CENTRALITY-CANONICAL cluster representatives: connected components
+    * over the minhash near-dup pair graph (the exact edge set
+    * [[Dedup.dedupCc]] clusters) plus PageRank over the SAME graph, one
+    * shared persisted edge exchange feeding both fixpoints. The
+    * representative of each cluster is its highest-PR member (doc_id
+    * tie-break) — "keep the most-connected copy", the production
+    * upgrade over min-id canonicals, which pick an arbitrary member.
+    *
+    * Scale: the edge list is built once (the dedup family's bucketed
+    * candidate generation, never all-pairs) and persisted across both
+    * traversals; the argmax is a per-cluster window — clusters are
+    * bucket-cap-bounded, so the partition-by-cluster exchange is skew-
+    * safe, and both windows (argmax + size) share one exchange. */
+  def graphCanonical(s: SparkSession, dir: String): DataFrame = {
+    val (mh, est) = Dedup.minhashEst(s, dir)
+    val edges = est.where(col("est_j") >= Dedup.CcThreshold)
+      .select(col("da"), col("db"))
+    val sym = Dedup.symmetrize(edges).repartition(col("src")).persist()
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id")).localCheckpoint()
+    val labels = Dedup.propagateMin(s,
+      docs.select(col("doc_id"), col("doc_id").as("label")), sym, "graphCanonical")
+    val pr = pagerankOver(s, docs, sym)
+    val wTop = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("pr_scaled").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("cluster_id"))
+    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(pr.select(col("doc_id"), col("pr_scaled")), "doc_id")
+      .withColumn("canonical_id", first(col("doc_id")).over(wTop))
+      .withColumn("cluster_size", count(lit(1)).over(wAll))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("pr_scaled"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("int").as("is_canonical"))
+      .localCheckpoint() // sever lineage before releasing the edge cache
+    sym.unpersist()
+    mh.unpersist()
+    out
   }
+
+  /** Composed oracle: the recursive-CTE CC labels (same chain as
+    * [[Dedup.dedupCcSql]]) joined with the unrolled PR rounds, both over
+    * the one minhash-threshold edge CTE. */
+  lazy val graphCanonicalSql: String =
+    s"""${Dedup.minhashEstCteSql(recursive = true)},
+       |e AS MATERIALIZED (SELECT da, db FROM est WHERE est_j >= ${Dedup.CcThreshold}),
+       |sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM e
+       |        UNION ALL SELECT db, da FROM e),
+       |nodes AS MATERIALIZED (SELECT doc_id FROM documents),
+       |$prRoundsCtesSql,
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst),
+       |lab AS MATERIALIZED (SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |                     FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id, cluster_size, pr_scaled, canonical_id,
+       |       CAST(doc_id = canonical_id AS INT) AS is_canonical
+       |FROM (SELECT l.doc_id, l.cluster_id,
+       |             COUNT(1) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       |             r.mass AS pr_scaled,
+       |             FIRST_VALUE(l.doc_id) OVER (PARTITION BY l.cluster_id
+       |               ORDER BY r.mass DESC, l.doc_id) AS canonical_id
+       |      FROM lab l JOIN r$PrIters r ON l.doc_id = r.doc_id)""".stripMargin
 }

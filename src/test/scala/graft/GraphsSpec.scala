@@ -51,6 +51,36 @@ class GraphsSpec extends AnyFunSuite {
     assert(pr(4L) == pr(5L) && pr(4L) < pr(0L))
   }
 
+  test("graphCanonical picks the PR-argmax representative, not the min id") {
+    // two clusters in one corpus-like frame: a star hubbed at 5 (leaves
+    // 1..4 — min-id canonical would be 1, centrality canonical is 5)
+    // and an isolated pair {8, 9}; doc 7 is a singleton
+    import graft.operators.{Dedup, Graphs}
+    // drive the same composition through pagerankOver + propagateMin by
+    // reusing the public pieces on explicit frames: emulate the gate's
+    // join via a direct run over hand-built edges
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L), (8L, 9L)).toDF("da", "db")
+    val sym = pairs.flatMap { r => val (a, b) = (r.getLong(0), r.getLong(1))
+      Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val pr = Graphs.pagerankOver(spark, docs, sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pr(5L) > pr(1L), "hub must outrank leaves")
+    // the gate query composes CC + PR on the minhash graph; pin the
+    // argmax semantics on the star: the canonical is the hub
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("pr_scaled").desc, col("doc_id"))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (7L, 7L), (8L, 8L), (9L, 8L)).toDF("doc_id", "cluster_id")
+    val canon = labels
+      .join(pr.toSeq.toDF("doc_id", "pr_scaled"), "doc_id")
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(canon(1L) == 5L && canon(5L) == 5L, "star canonical is the hub, not min id 1")
+    assert(canon(7L) == 7L, "singleton is its own canonical")
+    assert(canon(8L) == 8L && canon(9L) == 8L, "pair ties on PR, doc_id breaks it")
+  }
+
   test("star hub outranks its leaves; mass stays ~conserved") {
     val leaves = 1L to 8L
     val pr = run(0L +: leaves, leaves.map(l => (0L, l)))

@@ -66,6 +66,16 @@ object Graphs {
     val nd = nodes.select(col("doc_id")).localCheckpoint()
     val sym = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint()
+    pagerankPrepared(s, nd, sym)
+  }
+
+  /** The rounds over ALREADY-POSITIONED frames: `nd` (doc_id) and `sym`
+    * (src, dst) must be materialized (persisted or checkpointed) and
+    * `sym` hash-positioned on `src` by the caller — both are scanned
+    * every round. [[graphCanonical]] enters here so its one persisted
+    * edge exchange feeds CC and PR without a second materialization. */
+  private[graft] def pagerankPrepared(s: SparkSession, nd: DataFrame,
+      sym: DataFrame): DataFrame = {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = nd.count()
 
@@ -104,18 +114,16 @@ object Graphs {
     pagerankOver(s, graft.Tables.documents(s, dir).select(col("doc_id")),
       Dedup.symmetrize(Dedup.dedupSimhashPairs(s, dir).select(col("da"), col("db"))))
 
-  /** Unrolled-round oracle: the same integer updates as CTE stages
-    * r1..r[[PrIters]], seeded from the simhash-pairs oracle. `//` is
-    * DuckDB floor division — identical to Spark's `div` on the
-    * non-negative masses here. Every chained CTE is `MATERIALIZED`:
-    * wd_k is referenced twice (pot_k, con_k), so inlining would
-    * re-evaluate r_{k-1} twice per round — a 2^K blow-up of the
-    * simhash seed pipeline that turns a sub-second oracle into
-    * minutes. */
-  /** The unrolled rounds as a CTE chain `deg/nn/r0/wd_k..r_K`, assuming
-    * `sym`(src, dst) and `nodes`(doc_id) are already defined — shared by
-    * [[graphPagerankSql]] (simhash pair graph) and [[graphCanonicalSql]]
-    * (minhash pair graph). */
+  /** The unrolled rounds as a CTE chain `deg/nn/r0/wd_k..r_K` — the
+    * same integer updates as Spark's round loop, graph-agnostic:
+    * assumes `sym`(src, dst) and `nodes`(doc_id) are already defined.
+    * Shared by [[graphPagerankSql]] (simhash pair graph) and
+    * [[graphCanonicalSql]] (minhash pair graph). `//` is DuckDB floor
+    * division — identical to Spark's `div` on the non-negative masses
+    * here. Every chained CTE is `MATERIALIZED`: wd_k is referenced
+    * twice (pot_k, con_k), so inlining would re-evaluate r_{k-1} twice
+    * per round — a 2^K blow-up of the seed pair pipeline that turns a
+    * sub-second oracle into minutes. */
   private def prRoundsCtesSql: String = {
     val rounds = (1 to PrIters).map { k =>
       val prev = s"r${k - 1}"
@@ -169,14 +177,11 @@ object Graphs {
     * bucket-cap-bounded, so the partition-by-cluster exchange is skew-
     * safe, and both windows (argmax + size) share one exchange. */
   def graphCanonical(s: SparkSession, dir: String): DataFrame = {
-    val (mh, est) = Dedup.minhashEst(s, dir)
-    val edges = est.where(col("est_j") >= Dedup.CcThreshold)
-      .select(col("da"), col("db"))
-    val sym = Dedup.symmetrize(edges).repartition(col("src")).persist()
+    val (mh, sym) = Dedup.ccSymEdges(s, dir)
     val docs = graft.Tables.documents(s, dir).select(col("doc_id")).localCheckpoint()
     val labels = Dedup.propagateMin(s,
       docs.select(col("doc_id"), col("doc_id").as("label")), sym, "graphCanonical")
-    val pr = pagerankOver(s, docs, sym)
+    val pr = pagerankPrepared(s, docs, sym)
     val wTop = Window.partitionBy(col("cluster_id"))
       .orderBy(col("pr_scaled").desc, col("doc_id"))
     val wAll = Window.partitionBy(col("cluster_id"))
@@ -198,17 +203,9 @@ object Graphs {
     * the one minhash-threshold edge CTE. */
   lazy val graphCanonicalSql: String =
     s"""${Dedup.minhashEstCteSql(recursive = true)},
-       |e AS MATERIALIZED (SELECT da, db FROM est WHERE est_j >= ${Dedup.CcThreshold}),
-       |sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM e
-       |        UNION ALL SELECT db, da FROM e),
+       |${Dedup.ccCtesSql},
        |nodes AS MATERIALIZED (SELECT doc_id FROM documents),
-       |$prRoundsCtesSql,
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst),
-       |lab AS MATERIALIZED (SELECT src AS doc_id, MIN(dst) AS cluster_id
-       |                     FROM reach GROUP BY src)
+       |$prRoundsCtesSql
        |SELECT doc_id, cluster_id, cluster_size, pr_scaled, canonical_id,
        |       CAST(doc_id = canonical_id AS INT) AS is_canonical
        |FROM (SELECT l.doc_id, l.cluster_id,

@@ -51,14 +51,10 @@ class GraphsSpec extends AnyFunSuite {
     assert(pr(4L) == pr(5L) && pr(4L) < pr(0L))
   }
 
-  test("graphCanonical picks the PR-argmax representative, not the min id") {
+  test("PR-argmax canonical semantics: hub beats min id on a hand-built star") {
     // two clusters in one corpus-like frame: a star hubbed at 5 (leaves
     // 1..4 — min-id canonical would be 1, centrality canonical is 5)
     // and an isolated pair {8, 9}; doc 7 is a singleton
-    import graft.operators.{Dedup, Graphs}
-    // drive the same composition through pagerankOver + propagateMin by
-    // reusing the public pieces on explicit frames: emulate the gate's
-    // join via a direct run over hand-built edges
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L).toDF("doc_id")
     val pairs = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L), (8L, 9L)).toDF("da", "db")
     val sym = pairs.flatMap { r => val (a, b) = (r.getLong(0), r.getLong(1))
@@ -79,6 +75,32 @@ class GraphsSpec extends AnyFunSuite {
     assert(canon(1L) == 5L && canon(5L) == 5L, "star canonical is the hub, not min id 1")
     assert(canon(7L) == 7L, "singleton is its own canonical")
     assert(canon(8L) == 8L && canon(9L) == 8L, "pair ties on PR, doc_id breaks it")
+  }
+
+  test("graphCanonical end-to-end: clusters match dedupCc, canonical is the cluster PR-argmax") {
+    import graft.operators.{Dedup, Graphs}
+    val dir = "/root/testdata/sf0.001"
+    val canon = Graphs.graphCanonical(spark, dir).collect()
+    val cc = Dedup.dedupCc(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(canon.length == cc.size, "one row per document")
+    // same edge set by construction → identical cluster labels
+    canon.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") == cc(r.getAs[Long]("doc_id")))
+    }
+    // exactly one canonical per cluster, and it is the (pr desc, id asc) argmax
+    val byCluster = canon.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, rows) =>
+      val want = rows.map(r => (r.getAs[Long]("pr_scaled"), r.getAs[Long]("doc_id")))
+        .minBy { case (pr, id) => (-pr, id) }._2
+      val marked = rows.filter(_.getAs[Int]("is_canonical") == 1).map(_.getAs[Long]("doc_id"))
+      assert(marked.toSeq == Seq(want), s"cluster $cid canonical")
+      rows.foreach(r => assert(r.getAs[Long]("canonical_id") == want))
+      rows.foreach(r => assert(r.getAs[Long]("cluster_size") == rows.length))
+    }
+    // the whole point: at least one multi-doc cluster exists in the
+    // fixture corpus, otherwise this test pins nothing
+    assert(byCluster.exists(_._2.length > 1), "fixture has a non-trivial cluster")
   }
 
   test("star hub outranks its leaves; mass stays ~conserved") {

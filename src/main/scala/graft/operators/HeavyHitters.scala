@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.MisraGriesAgg
+import graft.functions.{CountMinAgg, MisraGriesAgg}
 
 /** Corpus heavy hitters: every token with frequency above 1% of all
   * token occurrences, with its EXACT count — found without ever
@@ -69,4 +69,87 @@ object HeavyHitters {
        |       CAST(COUNT(1) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot) AS share
        |FROM t2 GROUP BY token
        |HAVING COUNT(1) * $HhT > (SELECT n FROM tot)""".stripMargin
+
+  // ------------------------------------------------------- ta_cms_eval
+  /** Count-Min sketch depth (rows) and width (buckets/row): 16 KB of
+    * state answering point queries with overcount ≤ 2n/[[CmsW]] at
+    * probability 1 − 2^−[[CmsD]] per query. */
+  val CmsD = 4
+  val CmsW = 512
+  /** Probe set size for the eval gate. */
+  val CmsTopK = 20
+  /** Per-row universal-hash coefficients — the same Knuth/xxhash-prime
+    * recipe as [[Dedup.HashA]]/[[Dedup.HashB]] at offset seeds, kept
+    * < 2³⁰ so a·x stays inside Int64 for 32-bit x in both engines. */
+  val CmsA: Seq[Long] = (0 until CmsD).map(i => ((2654435761L * (2 * i + 7)) % (1L << 30)) | 1L)
+  val CmsB: Seq[Long] = (0 until CmsD).map(i => (2246822519L * (2 * i + 8)) % (1L << 30))
+
+  private[graft] def cmsAgg = new CountMinAgg(CmsD, CmsW, CmsA.toArray, CmsB.toArray, Dedup.P)
+
+  /** CMS accuracy EVALUATION over the corpus token stream — the
+    * [[graft.operators.Similarity]]`.simRecallEval` shape applied to
+    * the frequency sketch: build the sketch in one mergeable pass, then
+    * compare its point estimates against exact counts on the exact
+    * top-[[CmsTopK]] tokens. Output (token, n_exact, n_est, overcount);
+    * overcount ≥ 0 always (CMS never underestimates).
+    *
+    * The PRODUCTION path at 100 TB is the sketch alone ([[cmsAgg]] —
+    * d·w longs of mergeable state, one tiny shuffle, point queries via
+    * [[CountMinAgg.estimate]] on any later item); the exact top-k
+    * groupBy here is the eval harness that grades it, exactly like the
+    * brute-force side of the ANN recall eval. Driver traffic is the
+    * 16 KB sketch + [[CmsTopK]] probe rows — bounded at any corpus
+    * size. Token ids are the minhash kernel's md5-derived 32-bit x, so
+    * the DuckDB twin replays the identical arithmetic. */
+  def taCmsEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      // 32-bit item id, md5-derived — twin of Dedup's shingle id
+      .withColumn("x",
+        expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint) % 4294967296"))
+    val agg = cmsAgg
+    val sketch = toks.select(col("x")).as[Long]
+      .select(agg.toColumn.name("cms")).head().toIndexedSeq
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_exact"), max(col("x")).as("x")) // x = f(token)
+      .orderBy(col("n_exact").desc, col("token")).limit(CmsTopK)
+      .collect() // ≤ CmsTopK rows, by construction
+    top.toSeq.map { r =>
+      val (t, c, x) = (r.getAs[String]("token"), r.getAs[Long]("n_exact"), r.getAs[Long]("x"))
+      val e = agg.estimate(sketch, x)
+      (t, c, e, e - c)
+    }.toDF("token", "n_exact", "n_est", "overcount")
+  }
+
+  /** The sketch replayed relationally: per-row bucket sums over the
+    * exact count table, estimate = min over rows — identical integer
+    * arithmetic, so the gate hash-checks the ESTIMATES, not just the
+    * exact side. */
+  val taCmsEvalSql: String = {
+    val hrows = (0 until CmsD).map(r => s"($r, ${CmsA(r)}, ${CmsB(r)})").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ')) AS token
+       |  FROM documents),
+       |t2 AS (SELECT token FROM toks WHERE token <> ''),
+       |counts AS MATERIALIZED (
+       |  SELECT token, CAST(COUNT(1) AS BIGINT) AS c,
+       |         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 4294967296 AS x
+       |  FROM t2 GROUP BY token),
+       |hs AS (SELECT * FROM (VALUES $hrows) AS v(r, ha, hb)),
+       |hashed AS MATERIALIZED (
+       |  SELECT token, c, r, ((ha * x + hb) % ${Dedup.P}) % $CmsW AS bkt
+       |  FROM counts CROSS JOIN hs),
+       |buckets AS MATERIALIZED (
+       |  SELECT r, bkt, CAST(SUM(c) AS BIGINT) AS bc FROM hashed GROUP BY 1, 2),
+       |est AS (
+       |  SELECT h.token, MIN(b.bc) AS n_est
+       |  FROM hashed h JOIN buckets b ON h.r = b.r AND h.bkt = b.bkt
+       |  GROUP BY 1),
+       |top AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT $CmsTopK)
+       |SELECT t.token, t.c AS n_exact, e.n_est AS n_est,
+       |       e.n_est - t.c AS overcount
+       |FROM top t JOIN est e ON t.token = e.token""".stripMargin
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{CountMinAgg, MisraGriesAgg}
+import graft.functions.{CountMinAgg, HllAgg, MisraGriesAgg}
 
 /** Corpus heavy hitters: every token with frequency above 1% of all
   * token occurrences, with its EXACT count — found without ever
@@ -152,4 +152,93 @@ object HeavyHitters {
        |       e.n_est - t.c AS overcount
        |FROM top t JOIN est e ON t.token = e.token""".stripMargin
   }
+
+  // ------------------------------------------------------- ta_hll_eval
+  /** HyperLogLog register count (power of two) and trailing-zero cap.
+    * m=1024 → standard error 1.04/√m ≈ 3.25%; the cap keeps the scaled
+    * harmonic term `2^(HllRCap − rho)` in Int64 (max term 2^40, ×m
+    * total ≤ 2^50). */
+  val HllM = 1024
+  val HllRCap = 40
+  /** Raw-estimate constant α_m·m²·2^[[HllRCap]], written as the SAME
+    * literal arithmetic the oracle SQL evaluates so both engines round
+    * identically at every step. */
+  val HllC: Double = 0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 1099511627776.0
+
+  private[graft] def hllAgg = new HllAgg(HllM, HllRCap)
+
+  /** Distinct-token ESTIMATION per language — the sketch answer to
+    * COUNT(DISTINCT) at 100 TB, graded against the exact count the way
+    * [[taCmsEval]] grades point frequencies. Output per language:
+    * the exact distinct count, the count of untouched registers, the
+    * integer-scaled harmonic sum `Σ_j 2^(HllRCap − r_j)` (the whole
+    * sketch collapsed to ONE hash-checkable BIGINT), and the raw HLL
+    * estimate α_m·m²/Σ2^−r_j — one division over integer-exact inputs,
+    * so even the DOUBLE hash-checks across engines. This is the gate
+    * stock HLL++ can never have (`q20_approx_distinct` documents that
+    * concession; its estimates are checked only as within-tolerance
+    * booleans).
+    *
+    * Registers are multiplicity-invariant (max is idempotent), so the
+    * plan shares ONE distinct (lang, token) exchange between the exact
+    * side and the sketch side — a single aggregation pipeline, no
+    * second corpus scan, no join. The PRODUCTION path feeds the raw
+    * token stream to [[hllAgg]] with no distinct upstream (HllSpec pins
+    * stream == distinct-set registers bit-for-bit); state is m small
+    * ints per group at any corpus size, and sketches for disjoint
+    * shards union by pointwise max. */
+  def taHllEval(s: SparkSession, dir: String): DataFrame = {
+    val distinctToks = Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+      // 60-bit item id: md5-derived, the engine's shared hash idiom
+      .withColumn("x", expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"))
+    val hll = udaf(hllAgg)
+    distinctToks
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_exact"), hll(col("x")).as("regs"))
+      .select(col("lang"), col("n_exact"),
+        expr("size(filter(regs, r -> r = 0))").cast("long").as("v_zero"),
+        expr(s"aggregate(regs, cast(0 as bigint), (acc, r) -> acc + shiftleft(cast(1 as bigint), $HllRCap - r))")
+          .as("s_scaled"))
+      .withColumn("n_est", lit(HllC) / col("s_scaled").cast("double"))
+  }
+
+  /** The register table replayed relationally: j = low-10-bits bucket,
+    * rho = capped trailing-zero rank of the remaining bits, register =
+    * MAX(rho) per (lang, j), untouched registers contribute 2^HllRCap
+    * each — identical integer arithmetic, then the identical one
+    * division. `log2(w & −w)` is exact (argument is a power of two),
+    * mirroring numberOfTrailingZeros. */
+  val taHllEvalSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang,
+       |         unnest(string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ')) AS token
+       |  FROM documents),
+       |dt AS (SELECT DISTINCT lang, token FROM toks WHERE token <> ''),
+       |h AS (
+       |  SELECT lang, token,
+       |         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS x
+       |  FROM dt),
+       |r AS (
+       |  SELECT lang, x % $HllM AS j,
+       |         CASE WHEN x // $HllM = 0 THEN $HllRCap
+       |              ELSE LEAST(CAST(log2((x // $HllM) & -(x // $HllM)) AS BIGINT) + 1, $HllRCap)
+       |         END AS rho
+       |  FROM h),
+       |regs AS (SELECT lang, j, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+       |per_lang AS (
+       |  SELECT lang, COUNT(1) AS touched,
+       |         CAST(SUM(CAST(1 AS BIGINT) << ($HllRCap - reg)) AS BIGINT) AS s_touched
+       |  FROM regs GROUP BY 1),
+       |exact AS (SELECT lang, COUNT(1) AS n_exact FROM dt GROUP BY 1)
+       |SELECT e.lang, e.n_exact,
+       |       $HllM - p.touched AS v_zero,
+       |       p.s_touched + ($HllM - p.touched) * (CAST(1 AS BIGINT) << $HllRCap) AS s_scaled,
+       |       (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+       |         * CAST(1048576.0 AS DOUBLE) * CAST(1099511627776.0 AS DOUBLE))
+       |         / CAST(p.s_touched + ($HllM - p.touched) * (CAST(1 AS BIGINT) << $HllRCap) AS DOUBLE) AS n_est
+       |FROM exact e JOIN per_lang p ON e.lang = p.lang""".stripMargin
 }

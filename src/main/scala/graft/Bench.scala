@@ -17,9 +17,11 @@ import org.apache.spark.sql.SparkSession
   * both re-measured at ~1 s in a calm window. Per-query numbers are
   * only meaningful when trivial scans sit at their known floors, so at
   * the standard sf0.1 dir the bench measures the floor queries BEFORE
-  * (wait-and-retry until calm, up to [[Bench.MaxGateAttempts]]) and
-  * AFTER the measured run (a stall that begins mid-run voids the whole
-  * record, which is discarded and re-measured, up to 3 full attempts).
+  * (wait-and-retry until calm, up to [[Bench.MaxGateAttempts]]),
+  * EVERY 8 queries DURING the run (r6 recorded a 3.6× inflated run whose
+  * endpoints were calm — a stall fully inside the record is invisible to
+  * endpoint checks), and AFTER the measured run; any miss voids the
+  * whole record, which is discarded and re-measured (up to 3 attempts).
   * The gate outcome ships inside the JSON line ("floor_gate") so a
   * number recorded from a degraded session is self-labeled as such.
   * SPARK_GRAFT_NO_FLOOR_GATE=1 disables the gate entirely;
@@ -64,16 +66,25 @@ object Bench {
     // cache cleared AFTER both runs (not between): run 2 may
     // legitimately reuse run 1's persisted intermediates (that's the
     // steady state min-of-2 measures), but caches must not leak into
-    // OTHER queries
-    def minOf2(name: String): Double = {
+    // OTHER queries.
+    // A query that THROWS is a failure, not a measurement: r6 recorded
+    // q18_asof's fast AnalysisException as a healthy-looking 0.102 s.
+    // The error ships in the JSON line and the query is excluded from
+    // the queries map and the total, so breakage can only ever make the
+    // bench look worse, never better.
+    def minOf2(name: String): (Double, Option[String]) = {
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()
-      times.min
+      (times.min, err)
     }
 
     // ---- floor gate: only record from a session where trivial scans
@@ -85,7 +96,7 @@ object Bench {
     val gateApplies = sfDir.stripSuffix("/").endsWith("sf0.1") &&
       !sys.env.get("SPARK_GRAFT_NO_FLOOR_GATE").contains("1")
     def measureFloors(): Map[String, Double] =
-      Floors.keys.map(n => n -> minOf2(n)).toMap
+      Floors.keys.map(n => n -> minOf2(n)._1).toMap
     def atFloor(ts: Map[String, Double]): Boolean =
       ts.forall { case (n, t) => t <= Floors(n) }
     def waitCalm(label: String, attempt: Int, ts: Map[String, Double]): Unit = {
@@ -95,17 +106,45 @@ object Bench {
       Thread.sleep(GateRetryMillis)
     }
 
-    var results: Seq[(String, Double)] = Seq.empty
+    // The measured run, with INTERIOR floor probes every ProbeEvery
+    // queries: the r6 record passed calm endpoint checks around a
+    // mid-run stall that inflated 24 queries 3.6× (ta_tfidf recorded
+    // 15.0 s vs 1.9 s calm). A probe above floor voids the whole record
+    // immediately (returns None) rather than letting a degraded window
+    // ship inside a "passed" gate. Probe results ship in the JSON line.
+    val ProbeEvery = 8
+    var interiorProbes: Seq[Map[String, Double]] = Seq.empty
+    def measuredRun(): Option[Seq[(String, (Double, Option[String]))]] = {
+      interiorProbes = Seq.empty
+      val acc = Seq.newBuilder[(String, (Double, Option[String]))]
+      for ((name, i) <- names.zipWithIndex) {
+        acc += name -> minOf2(name)
+        if (gateApplies && (i + 1) % ProbeEvery == 0 && (i + 1) < names.size) {
+          val probe = measureFloors()
+          interiorProbes :+= probe
+          if (!atFloor(probe)) {
+            System.err.println("[bench] interior probe after " +
+              s"${i + 1}/${names.size} queries above floor (" +
+              probe.map { case (n, t) => f"$n=$t%.2fs" }.mkString(", ") +
+              ") — voiding this record")
+            return None
+          }
+        }
+      }
+      Some(acc.result())
+    }
+
+    var results: Seq[(String, (Double, Option[String]))] = Seq.empty
     var preTimes = Map.empty[String, Double]
     var postTimes = Map.empty[String, Double]
-    var accepted = !gateApplies
+    var accepted = false
     var recordAttempts = 0
     val MaxRecordAttempts = 3
     while (!accepted && recordAttempts < MaxRecordAttempts) {
       recordAttempts += 1
       // pre-gate: wait for a calm window
+      var calm = !gateApplies
       var preAttempts = 0
-      var calm = false
       while (!calm && preAttempts < MaxGateAttempts) {
         preAttempts += 1
         preTimes = measureFloors()
@@ -113,33 +152,57 @@ object Bench {
         if (!calm && preAttempts < MaxGateAttempts)
           waitCalm("pre", preAttempts, preTimes)
       }
-      results = names.map(name => name -> minOf2(name))
-      // BOTH ends must be calm: a run that STARTED degraded (pre-gate
-      // exhausted without calm) is inflated even if the stall happens to
-      // clear before the post check, and a stall that BEGINS mid-run
-      // fails the post check — either way the record is void and
-      // re-measured
-      postTimes = measureFloors()
-      accepted = calm && atFloor(postTimes)
+      measuredRun() match {
+        case Some(r) =>
+          results = r
+          if (!gateApplies) { accepted = true }
+          else {
+            // BOTH ends must be calm: a run that STARTED degraded
+            // (pre-gate exhausted without calm) is inflated even if the
+            // stall cleared, and a stall beginning mid-run is caught by
+            // an interior probe or the post check — any miss voids the
+            // record, which is re-measured
+            postTimes = measureFloors()
+            accepted = calm && atFloor(postTimes)
+          }
+        case None => // interior probe voided the record
+          results = Seq.empty
+          accepted = false
+      }
       if (!accepted && recordAttempts < MaxRecordAttempts)
-        waitCalm("post", recordAttempts, postTimes)
+        waitCalm("post", recordAttempts,
+          if (postTimes.nonEmpty) postTimes
+          else interiorProbes.lastOption.getOrElse(preTimes))
     }
-    if (results.isEmpty) results = names.map(name => name -> minOf2(name))
+    if (results.isEmpty)
+      results = names.map(name => name -> minOf2(name)) // best effort, gate marks failed
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val ok = results.collect { case (k, (t, None)) => k -> t }
+    val errs = results.collect { case (k, (_, Some(e))) => k -> e }
+    val qs = ok.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // errored queries are excluded from `queries` AND `total`: a broken
+    // query must read as missing+errored, never as a fast time
+    val total = ok.map(_._2).sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = errs.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
     def floorJson(ts: Map[String, Double]): String =
       ts.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
     val gate =
       if (!gateApplies) """{"applies":false}"""
       else
-        // both measurements ship so a failed record shows WHICH end was
-        // degraded (pre values alone can look calm when the post failed)
+        // all three measurement points ship so a failed record shows
+        // WHERE it degraded (pre/interior/post)
         s"""{"applies":true,"passed":$accepted,"attempts":$recordAttempts,""" +
-          s""""floor_times_pre":${floorJson(preTimes)},"floor_times_post":${floorJson(postTimes)}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_gate":$gate}""")
+          s""""floor_times_pre":${floorJson(preTimes)},"floor_times_post":${floorJson(postTimes)},""" +
+          s""""floor_times_interior":${interiorProbes.map(floorJson).mkString("[", ",", "]")}}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","floor_gate":$gate}""")
     spark.stop()
   }
 }

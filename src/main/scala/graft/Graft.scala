@@ -64,6 +64,50 @@ final class Graft private (val spark: SparkSession, val dataDir: String) {
   /** ANSI SQL over the fixture tables (registered as temp views once
     * per facade). */
   def sql(query: String): DataFrame = spark.sql(query)
+
+  // ------------------------------------------------ two-corpus ops ----
+  // The gate wrappers in SparkEntry split ONE fixture table to exercise
+  // these; production use is two genuinely different corpora (today's
+  // crawl vs the ingested snapshot, training corpus vs eval benchmark).
+  // Uniform input contract: BOTH frames are documents-shaped —
+  // (doc_id LONG, text STRING) — extra columns are ignored. The facade
+  // derives fingerprints/signatures internally where the underlying
+  // operator wants a prepared frame.
+
+  private def fingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    docs.select(col("doc_id"),
+      md5(operators.TextAnalysis.normalized(col("text"))).as("fp_norm"))
+  }
+
+  /** name -> ((left, right) => result); see [[runVs]] for semantics. */
+  private val vsCatalog: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+    // perplexity of `left` under a bigram LM trained on `right`
+    "ta_lm_score_vs" -> ((corpus, ref) =>
+      operators.CorpusOps.taLmScoreVs(corpus, ref)),
+    // flag docs of `left` sharing contamination n-grams with `right`
+    "ta_decontaminate_vs" -> ((corpus, bench) =>
+      operators.Cleaning.taDecontaminateVs(corpus, bench)),
+    // exact-dup check of `left` (incoming batch) vs `right` (snapshot):
+    // (doc_id, fp_norm, is_new)
+    "dedup_incremental_vs" -> ((incoming, snapshot) =>
+      operators.Cleaning.dedupIncrementalVs(
+        fingerprints(incoming), fingerprints(snapshot))),
+    // near-dup (MinHash) check of `left` vs `right`: best-match estimate
+    // per incoming doc
+    "dedup_minhash_vs" -> ((batch, snapshot) =>
+      operators.Dedup.dedupMinhashVs(spark, batch, snapshot)))
+
+  /** Two-corpus operators available through [[runVs]]. */
+  def vsOps: Seq[String] = vsCatalog.map(_._1)
+
+  /** Run a two-corpus operator. Both inputs must be documents-shaped
+    * (`doc_id LONG, text STRING`); `left` is the corpus being scored /
+    * deduped, `right` the reference / benchmark / snapshot. */
+  def runVs(op: String, left: DataFrame, right: DataFrame): DataFrame =
+    vsCatalog.collectFirst { case (`op`, f) => f(left, right) }
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown two-corpus operator '$op' (have: ${vsOps.mkString(", ")})"))
 }
 
 object Graft {

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish parquet fixtures
   * (TESTDATA.md). One function per table; every operator in the engine
@@ -22,19 +23,49 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively (PARQUET_TYPE_ILLEGAL). We read nanos as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and expose both:
+  /** The fixture encoding of `events.ts` has drifted across driver
+    * regenerations, so this loader is schema-ADAPTIVE: it branches on the
+    * dtype Spark actually loaded and normalizes every encoding to the
+    * same shape —
     *   - `ts_us`: epoch microseconds (long) — the canonical event time,
     *     matches DuckDB's `epoch_ns(ts)//1000` exactly;
     *   - `ts`: TIMESTAMP at microsecond precision for time operators
     *     (window(), session_window(), watermarks).
+    * Encodings seen so far:
+    *   (a) INT64 TIMESTAMP(NANOS) — Spark cannot read it natively
+    *       (PARQUET_TYPE_ILLEGAL); `nanosAsLong` reads the raw nanos as
+    *       a long (the conf is a no-op for every other encoding);
+    *   (b) plain TIMESTAMP-µs without a zone → TIMESTAMP_NTZ. The stored
+    *       micros ARE the event time; under the engine-wide UTC session
+    *       contract (every entry point sets spark.sql.session.timeZone=UTC)
+    *       the cast to TIMESTAMP is an exact micros identity.
+    * Any other dtype fails loudly here — ONE error naming the drift, not
+    * nineteen AnalysisExceptions downstream (see FixtureSchemaSpec).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    normalizeEventsTs(load(s, dir, "events"))
+  }
+
+  /** The encoding branch of [[events]], reusable for any events-shaped
+    * frame whose `ts` carries one of the known fixture encodings (the
+    * streaming specs read the same fixture through `readStream` and need
+    * the identical normalization). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    val withUs = raw.schema("ts").dataType match {
+      case LongType => // (a) nanos-as-long → truncate to µs
+        raw.withColumn("ts_us", expr("ts div 1000"))
+      case TimestampNTZType => // (b) regenerated fixture
+        raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+      case _: TimestampType => // (b) with NTZ inference disabled
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported dtype $other — the fixture " +
+            "encoding drifted again; teach Tables.normalizeEventsTs (and " +
+            "the DuckDB twin eventsCteSql) the new encoding")
+    }
+    withUs.withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
   /** DuckDB-side twin of [[events]]: a CTE normalizing ts to epoch-µs.

@@ -33,4 +33,39 @@ class GraftSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") || plan.contains("Scan parquet"),
       s"expected a formatted plan, got:\n${plan.take(500)}")
   }
+
+  test("runVs: two-corpus operators run end-to-end on documents-shaped inputs") {
+    import org.apache.spark.sql.functions._
+    assert(g.vsOps == Seq("ta_lm_score_vs", "ta_decontaminate_vs",
+      "dedup_incremental_vs", "dedup_minhash_vs"))
+    intercept[IllegalArgumentException] {
+      g.runVs("no_such_vs", g.table("documents"), g.table("documents"))
+    }
+
+    val docs = g.table("documents")
+    val snapshot = docs.where(col("doc_id") % 3 =!= 0)
+    // plant one incoming doc duplicating a snapshot doc's text exactly
+    val incoming = docs.where(col("doc_id") % 3 === 0).unionByName(
+      docs.where(col("doc_id") === 1).withColumn("doc_id", lit(999999L)))
+
+    // exact incremental dedup: the planted dup is flagged seen, and
+    // genuinely new docs exist too
+    val incr = g.runVs("dedup_incremental_vs", incoming, snapshot)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(incr(999999L) == 0, "planted exact dup must be flagged as seen")
+    assert(incr.valuesIterator.contains(1), "fresh docs must be is_new=1")
+    assert(incr.size == incoming.count())
+
+    // near-dup vs snapshot: the planted doc's best match is doc 1, an
+    // identical signature → est 1.0, flagged dup
+    val mh = g.runVs("dedup_minhash_vs", incoming, snapshot)
+    val planted = mh.where(col("doc_id") === 999999L).collect()
+    assert(planted.length == 1 && planted.head.getLong(1) == 1L
+      && planted.head.getBoolean(3),
+      s"planted near-dup must match doc 1: ${planted.mkString}")
+
+    // scoring shapes: one row per left doc for LM score and decontaminate
+    assert(g.runVs("ta_lm_score_vs", incoming, snapshot).count() == incoming.count())
+    assert(g.runVs("ta_decontaminate_vs", incoming, snapshot).count() == incoming.count())
+  }
 }

@@ -16,20 +16,18 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   import spark.implicits._
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming read of the fixture events (ns→µs normalized like
-    * Tables.events). */
+  /** Streaming read of the fixture events, normalized exactly like
+    * Tables.events. The stream source needs an explicit schema, so take
+    * the one a batch read ACTUALLY loads (encoding-adaptive — the driver
+    * has regenerated the fixture with a different ts encoding before)
+    * and share Tables.normalizeEventsTs for the µs normalization. */
   private def streamEvents() = {
     val dir = Files.createTempDirectory("graft-stream")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val loadedSchema = spark.read.parquet(dir.toString).schema
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(loadedSchema).parquet(dir.toString))
   }
 
   private def runComplete(df: org.apache.spark.sql.DataFrame, name: String) = {

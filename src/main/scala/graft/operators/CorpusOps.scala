@@ -429,6 +429,57 @@ object CorpusOps {
        |  FROM h)
        |SELECT doc_id, lang, source, rn FROM r WHERE rn <= $SampleK""".stripMargin
 
+  // ------------------------------------------------ sample_domain_cap
+  /** Docs kept per source domain. */
+  val DomainCapK = 10
+
+  private[graft] def topKAgg = new graft.functions.TopKAgg(DomainCapK)
+
+  /** Per-DOMAIN quota capping — "at most K docs per crawl host", the
+    * standard guard against a handful of giant domains dominating a
+    * training mix — as ONE aggregation: the bounded [[topKAgg]] top-K
+    * state and the domain's total count ride the same groupBy, so the
+    * cap, the rank, and the kept/total bookkeeping come out of a single
+    * corpus pass. The windowed formulation ([[sampleFixedK]]'s shape)
+    * can't do that: window functions don't compose with aggregates in
+    * one pass, and its per-group state after WindowGroupLimit is
+    * k·partitions vs the aggregate's hard K. Selection is bottom-K by
+    * md5(doc_id) — a uniform without-replacement choice, deterministic
+    * under any partitioning — with the compound (hash, id) sort key
+    * encoded as ONE lexicographically-faithful string so the DuckDB
+    * twin sorts identically. Output: (source, n_domain, rank_in_domain,
+    * doc_id). */
+  def sampleDomainCap(s: SparkSession, dir: String): DataFrame = {
+    val qa = udaf(topKAgg)
+    Tables.documents(s, dir)
+      .select(col("source"),
+        format_string("%s:%012d",
+          md5(col("doc_id").cast("string")), col("doc_id")).as("k"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_domain"), qa(col("k")).as("topk"))
+      .select(col("source"), col("n_domain"),
+        posexplode(col("topk")).as(Seq("pos", "k")))
+      .select(col("source"), col("n_domain"),
+        (col("pos") + 1).cast("long").as("rank_in_domain"),
+        expr("cast(substring_index(k, ':', -1) as bigint)").as("doc_id"))
+  }
+
+  /** Oracle twin: the window formulation over the same compound string
+    * key — sorted identically by both engines, so rank and membership
+    * hash-check. */
+  val sampleDomainCapSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |         md5(CAST(doc_id AS VARCHAR)) || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, k,
+       |         CAST(COUNT(1) OVER (PARTITION BY source) AS BIGINT) AS n_domain,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY k) AS rn
+       |  FROM h)
+       |SELECT source, n_domain, CAST(rn AS BIGINT) AS rank_in_domain, doc_id
+       |FROM r WHERE rn <= $DomainCapK""".stripMargin
+
   // ---------------------------------------------------- sample_mixture
   /** Target language mixture (percent of the sample budget). */
   val MixTargetPct: Seq[(String, Int)] =

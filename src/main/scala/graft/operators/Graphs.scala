@@ -198,6 +198,101 @@ object Graphs {
     out
   }
 
+  // ------------------------------------------------ graph_communities
+  /** Fixed label-propagation round count (unrolled in the oracle). */
+  val LpaIters = 5
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007) — the next canonical MapReduce-lineage graph workload
+    * after PageRank, and the standard cheap community pass over a dup
+    * graph (finer than connected components: CC merges everything
+    * reachable; LPA splits a chain of weakly-bridged clusters at the
+    * bridges). Each round every node adopts the most frequent label
+    * among its neighbors, ties to the SMALLEST label; nodes with no
+    * neighbors keep their own. All updates are simultaneous
+    * (synchronous) and run exactly [[LpaIters]] rounds — no convergence
+    * test, no random tie-breaks, no asynchronous visit order, so unlike
+    * textbook LPA the result is fully deterministic: counting + an
+    * order-invariant argmax, replayable round-for-round by the
+    * unrolled-CTE oracle. (Synchronous LPA can oscillate on bipartite
+    * substructures; a fixed round count makes that a defined outcome,
+    * the same trade [[PrIters]] makes for PageRank.)
+    *
+    * Scale: per round one shuffle join of the O(N) label table with the
+    * positioned edge list plus one (dst, label) partial-count exchange
+    * — map-side combine absorbs label skew inside hot communities; the
+    * argmax is an order-invariant `min(struct(-c, label))`, not a
+    * window, so it needs no second exchange. K rounds cost K·shuffle(E),
+    * the same Pregel budget as PageRank, with state localCheckpointed
+    * one round deep. */
+  def labelPropagationOver(s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val nd = nodes.select(col("doc_id")).localCheckpoint()
+    val sym = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    labelPropagationPrepared(s, nd, sym)
+  }
+
+  /** The rounds over ALREADY-POSITIONED frames ([[pagerankPrepared]]'s
+    * contract): share one persisted edge exchange with CC/PR when
+    * composing. */
+  private[graft] def labelPropagationPrepared(s: SparkSession, nd: DataFrame,
+      sym: DataFrame): DataFrame = {
+    var labels = nd.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaIters) {
+      val best = labels.join(sym, col("doc_id") === col("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        // argmax by (c desc, label asc): lexicographic struct-min —
+        // order-invariant, no window exchange
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("negc"), col("label"))).as("b"))
+        .select(col("dst"), col("b.label").as("new_label"))
+      labels = labels.join(best, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("doc_id"), col("label").as("community_id"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("community_id"))))
+  }
+
+  /** Gate entry: communities of the SimHash near-dup pair graph (same
+    * edge set as [[graphPagerank]]). Singletons are their own
+    * community; clusters partition by label plurality. */
+  def graphCommunities(s: SparkSession, dir: String): DataFrame =
+    labelPropagationOver(s, graft.Tables.documents(s, dir).select(col("doc_id")),
+      Dedup.symmetrize(Dedup.dedupSimhashPairs(s, dir).select(col("da"), col("db"))))
+
+  /** The unrolled LPA rounds: per round a neighbor-label count and a
+    * ROW_NUMBER argmax (c desc, label asc) — the same deterministic
+    * tie-break as the struct-min. */
+  lazy val graphCommunitiesSql: String = {
+    val rounds = (1 to LpaIters).map { k =>
+      val prev = s"l${k - 1}"
+      s"""cnt$k AS MATERIALIZED (
+         |  SELECT e.dst, l.label, CAST(COUNT(1) AS BIGINT) AS c
+         |  FROM $prev l JOIN sym e ON l.doc_id = e.src GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (
+         |  SELECT dst, label FROM (
+         |    SELECT dst, label,
+         |           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+         |    FROM cnt$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT p.doc_id, COALESCE(b.label, p.label) AS label
+         |  FROM $prev p LEFT JOIN best$k b ON p.doc_id = b.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH shp AS MATERIALIZED (${Dedup.dedupSimhashPairsSql}),
+       |sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM shp
+       |        UNION ALL SELECT db AS src, da AS dst FROM shp),
+       |nodes AS MATERIALIZED (SELECT doc_id FROM documents),
+       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM nodes),
+       |$rounds
+       |SELECT doc_id, label AS community_id,
+       |       COUNT(1) OVER (PARTITION BY label) AS community_size
+       |FROM l$LpaIters""".stripMargin
+  }
+
   /** Composed oracle: the recursive-CTE CC labels (same chain as
     * [[Dedup.dedupCcSql]]) joined with the unrolled PR rounds, both over
     * the one minhash-threshold edge CTE. */

@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{CountMinAgg, HllAgg, MisraGriesAgg}
+import graft.functions.{CountMinAgg, HllAgg, MisraGriesAgg, QuantileAgg}
 
 /** Corpus heavy hitters: every token with frequency above 1% of all
   * token occurrences, with its EXACT count — found without ever
@@ -241,4 +242,111 @@ object HeavyHitters {
        |         * CAST(1048576.0 AS DOUBLE) * CAST(1099511627776.0 AS DOUBLE))
        |         / CAST(p.s_touched + ($HllM - p.touched) * (CAST(1 AS BIGINT) << $HllRCap) AS DOUBLE) AS n_est
        |FROM exact e JOIN per_lang p ON e.lang = p.lang""".stripMargin
+
+  // -------------------------------------------------- ta_quantile_eval
+  /** Sub-bucket bits: 2^5 = 32 linear buckets per octave → any quantile
+    * estimate within 1/32 ≈ 3.1% of exact. */
+  val QuantK = 5
+  /** Bucket-array length: covers v < 2^41 (doc word counts are ≤ 10^4;
+    * the clamp in [[QuantileAgg.bucketOf]] absorbs anything above). */
+  val QuantSize = 1184
+  val QuantPcts: Seq[Int] = Seq(50, 90, 95, 99)
+
+  private[graft] def quantileAgg = new QuantileAgg(QuantK, QuantSize)
+
+  /** Quantiles of the per-document word-count distribution per language
+    * — the sketch answer to percentile_approx at 100 TB, graded against
+    * exact percentiles the way [[taCmsEval]] grades point frequencies.
+    * Output per (lang, pct): the group size, the EXACT pct-th
+    * percentile (smallest v whose cumulative count reaches
+    * ceil(n·pct/100)), and the sketch estimate.
+    *
+    * The PRODUCTION path is the sketch alone ([[quantileAgg]]):
+    * [[QuantSize]] longs of mergeable state per group, one tiny
+    * shuffle, any percentile answerable afterwards — including ones
+    * chosen after the pass, and across shard sketches merged by vector
+    * add. The exact side here is the eval harness (a full per-value
+    * groupBy + rank walk) exactly like the brute-force side of the ANN
+    * recall eval. Unlike stock percentile_approx (GK sketch — its
+    * merge is order-dependent, so its output can't be hash-checked;
+    * `q31_approx_pctile` documents that concession), this sketch's
+    * bucketing is a pure per-value function, so the DuckDB twin
+    * replays the identical integer arithmetic and the gate
+    * hash-checks the ESTIMATES. Driver traffic: #langs × (sketch +
+    * |QuantPcts| rows) — bounded at any corpus size. */
+  def taQuantileEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.documents(s, dir).select(
+      col("lang"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("v"))
+    val agg = quantileAgg
+    val qa = udaf(agg)
+    // ONE mergeable aggregation carries sketch + group size
+    val perLang = vals.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), qa(col("v")).as("sk"))
+      .collect() // ≤ #languages rows, QuantSize longs each — bounded
+    val est = perLang.toSeq.flatMap { r =>
+      val (lang, n) = (r.getString(0), r.getLong(1))
+      val sk = r.getSeq[Long](2).toIndexedSeq
+      QuantPcts.map { p => (lang, p, n, agg.estimate(sk, (n * p + 99L) / 100L)) }
+    }.toDF("lang", "pct", "n", "v_est")
+    // exact side (eval harness): per-value counts + rank walk
+    val cum = vals.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("v"))))
+    val exact = cum.join(est.select("lang", "pct", "n").distinct(), Seq("lang"))
+      .where(col("cum") >= expr("(n * pct + 99) div 100"))
+      .groupBy(col("lang"), col("pct"))
+      .agg(min(col("v")).as("v_exact"))
+    exact.join(est, Seq("lang", "pct"))
+      .select(col("lang"), col("pct"), col("n"), col("v_exact"), col("v_est"))
+  }
+
+  /** The sketch replayed relationally: bucket index via
+    * `length(bin(v))-1` (= floor(log2 v), exact integer in both
+    * engines), cumulative bucket counts, first bucket reaching the
+    * target rank, integer midpoint representative — identical
+    * arithmetic to [[QuantileAgg]], so estimates hash-check. */
+  val taQuantileEvalSql: String = {
+    val k = QuantK; val w = 1 << k
+    s"""WITH vals AS (
+       |  SELECT lang, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS v
+       |  FROM documents),
+       |n AS (SELECT lang, CAST(COUNT(1) AS BIGINT) AS n FROM vals GROUP BY 1),
+       |bidx AS (
+       |  SELECT lang,
+       |    CASE WHEN v <= 0 THEN 0
+       |         WHEN v < ${2 * w} THEN v
+       |         ELSE (length(bin(v)) - 1 - $k) * $w + (v >> (length(bin(v)) - 1 - $k))
+       |    END AS b
+       |  FROM vals),
+       |bcum AS (
+       |  SELECT lang, b, SUM(c) OVER (PARTITION BY lang ORDER BY b) AS cum
+       |  FROM (SELECT lang, b, COUNT(1) AS c FROM bidx GROUP BY 1, 2)),
+       |vcum AS (
+       |  SELECT lang, v, SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+       |  FROM (SELECT lang, v, COUNT(1) AS c FROM vals GROUP BY 1, 2)),
+       |tgt AS (
+       |  SELECT n.lang, p.pct, n.n, (n.n * p.pct + 99) // 100 AS t
+       |  FROM n CROSS JOIN (SELECT * FROM (VALUES (50), (90), (95), (99)) pv(pct)) p),
+       |ex AS (
+       |  SELECT t.lang, t.pct, MIN(v.v) AS v_exact
+       |  FROM tgt t JOIN vcum v ON v.lang = t.lang AND v.cum >= t.t
+       |  GROUP BY 1, 2),
+       |eb AS (
+       |  SELECT t.lang, t.pct, MIN(b.b) AS best_b
+       |  FROM tgt t JOIN bcum b ON b.lang = t.lang AND b.cum >= t.t
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT lang, pct,
+       |    CASE WHEN best_b < ${2 * w} THEN best_b
+       |         ELSE (((2 * ((best_b % $w) + $w) + 1) << ((best_b // $w) - 1)) - 1) // 2
+       |    END AS v_est
+       |  FROM eb)
+       |SELECT t.lang, t.pct, t.n, x.v_exact, CAST(s.v_est AS BIGINT) AS v_est
+       |FROM tgt t
+       |JOIN ex x ON x.lang = t.lang AND x.pct = t.pct
+       |JOIN est s ON s.lang = t.lang AND s.pct = t.pct""".stripMargin
+  }
 }

@@ -114,4 +114,80 @@ class GraphsSpec extends AnyFunSuite {
     assert(total <= ideal && total > ideal - 9L * Graphs.PrIters * 100L,
       s"mass $total vs ideal $ideal drifted more than flooring explains")
   }
+
+  /** Reference synchronous LPA: same update, no Spark. */
+  private def refLpa(nodes: Seq[Long], sym: Seq[(Long, Long)]): Map[Long, Long] = {
+    var labels = nodes.map(u => u -> u).toMap
+    for (_ <- 1 to Graphs.LpaIters) {
+      val best = sym.groupBy(_._2).map { case (v, es) =>
+        val counts = es.groupBy { case (u, _) => labels(u) }
+          .map { case (l, g) => (l, g.size) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+      labels = nodes.map(u => u -> best.getOrElse(u, labels(u))).toMap
+    }
+    labels
+  }
+
+  private def runLpa(nodes: Seq[Long], undirected: Seq[(Long, Long)]): Map[Long, Long] = {
+    val sym = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = Graphs.labelPropagationOver(spark,
+        nodes.toDF("doc_id"), sym.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refLpa(nodes, sym)
+    assert(got == want, s"LPA labels diverged: got $got want $want")
+    got
+  }
+
+  test("LPA matches the reference update on cliques, a bridge, and an isolate") {
+    // two 4-cliques joined by ONE bridge edge, plus an isolated node:
+    // CC would merge the cliques; LPA must keep them distinct
+    // communities and leave the isolate alone
+    val cliqueA = Seq(1L, 2L, 3L, 4L)
+    val cliqueB = Seq(10L, 11L, 12L, 13L)
+    def cliqueEdges(vs: Seq[Long]) =
+      for (i <- vs.indices; j <- i + 1 until vs.size) yield (vs(i), vs(j))
+    val edges = cliqueEdges(cliqueA) ++ cliqueEdges(cliqueB) :+ (4L, 10L)
+    val labels = runLpa(cliqueA ++ cliqueB :+ 99L, edges)
+    assert(labels(99L) == 99L, "isolated node keeps its own label")
+    assert(cliqueA.map(labels).distinct.size == 1, "clique A is one community")
+    assert(cliqueB.map(labels).distinct.size == 1, "clique B is one community")
+    assert(labels(1L) != labels(11L),
+      "one bridge edge must not merge two cliques (that's CC's job)")
+  }
+
+  test("LPA is deterministic under partitioning and plurality-correct on a star") {
+    // star: all leaves vote the hub's label; the hub adopts the
+    // smallest leaf label (all neighbor labels tie at count 1)
+    val leaves = 1L to 6L
+    val labels = runLpa(0L +: leaves, leaves.map(l => (0L, l)))
+    // partition-order invariance: a different layout yields identical labels
+    val sym = leaves.flatMap(l => Seq((0L, l), (l, 0L)))
+    val again = Graphs.labelPropagationOver(spark,
+        (0L +: leaves).toDF("doc_id").repartition(7),
+        sym.toDF("src", "dst").repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == labels)
+  }
+
+  test("graphCommunities refines (or equals) connected components on the fixture graph") {
+    val dir = "/root/testdata/sf0.001"
+    val comm = Graphs.graphCommunities(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same-community nodes must be connected (community ⊆ CC): check on
+    // the simhash edge set via union-find over collected pairs
+    val pairs = graft.operators.Dedup.dedupSimhashPairs(spark, dir)
+      .select(col("da"), col("db")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    comm.groupBy(_._2).values.foreach { members =>
+      val roots = members.keys.map(find).toSet
+      assert(roots.size == 1,
+        s"community spans ${roots.size} connected components")
+    }
+  }
 }

@@ -131,6 +131,49 @@ class PlanSpec extends AnyFunSuite {
     here ++ p.subqueries.flatMap(collectAdaptive)
   }
 
+  test("sample_domain_cap: partial top-K state before the one exchange; 2-column scan") {
+    val p = plan(CorpusOps.sampleDomainCap(spark, dir))
+    // the whole point of the aggregate form: the shuffle input is the
+    // map-side-combined partial state (≤ K keys per partition per
+    // group), never the raw corpus rows
+    assert(p.toString.contains("partial_topkagg"),
+      s"top-K must partial-aggregate before the exchange:\n$p")
+    // sparkPlan precedes EnsureRequirements, so exchanges may not be
+    // materialized yet — the bound proves no EXTRA shuffle was planned
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size <= 1, s"one aggregation exchange only:\n$p")
+    val rs = scans(CorpusOps.sampleDomainCap(spark, dir)).head.metadata("ReadSchema")
+    assert(!rs.contains("text"), s"text column must be pruned: $rs")
+  }
+
+  test("ta_quantile_eval sketch side: partial quantileagg before one exchange, text+lang scan") {
+    // the PRODUCTION path (sketch aggregation alone), as a frame:
+    // assert the mergeable partial state combines map-side
+    import org.apache.spark.sql.functions._
+    val vals = Tables.documents(spark, dir).select(
+      col("lang"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("v"))
+    val qa = udaf(HeavyHitters.quantileAgg)
+    val sketch = vals.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), qa(col("v")).as("sk"))
+    val p = plan(sketch)
+    assert(p.toString.contains("partial_quantileagg"),
+      s"sketch must partial-aggregate before the exchange:\n$p")
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size <= 1, s"one exchange for the sketch pass:\n$p")
+  }
+
+  test("graph_communities: no cartesian products; rounds join the positioned edge list") {
+    val p = plan(Graphs.graphCommunities(spark, dir))
+    val cart = p.collect {
+      case c if c.getClass.getSimpleName.contains("Cartesian") => c
+    }
+    assert(cart.isEmpty, s"LPA must never plan a cartesian product:\n${p.toString.take(2000)}")
+  }
+
   test("q3: only needed lineitem columns are read") {
     val sc = scans(Relational.q3JoinTopk(spark, dir))
       .filter(_.metadata("Location").contains("lineitem"))

@@ -369,6 +369,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows.map(r => r.take(2)) == batchAll)
   }
 
+  test("streaming quantile sketch == batch sketch (mergeable state is streaming-safe)") {
+    // the point of a MERGEABLE sketch: Structured Streaming's state
+    // store holds the partial aggregate and merges each micro-batch
+    // into it — the same merge the batch plan uses map-side, so the
+    // final registers must be IDENTICAL however the stream was chopped
+    // into batches
+    import graft.operators.HeavyHitters
+    val qa = udaf(HeavyHitters.quantileAgg)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), qa(col("cents")).as("sk"))
+    val streamed = runComplete(sketchOf(streamEvents()), "t_quant")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val batch = sketchOf(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("checkpointed restart processes only new files (incremental pipeline)") {
     val src = Files.createTempDirectory("graft-inc-src")
     val out = Files.createTempDirectory("graft-inc-out").toString

@@ -84,7 +84,8 @@ object ScaleRehearsal {
       "search_hybrid_wide", "dedup_substring", "ta_lm_score", "dedup_semantic", "dedup_semantic_cc", "corpus_shuffle", "ta_quality_clf", "mm_dedup", "q42_islands", "sim_recall_eval", "pipeline_scored",
       "graph_pagerank", "graph_canonical", "ta_cms_eval", "ta_hll_eval",
       // r7 operators
-      "ta_quantile_eval", "graph_communities", "sample_domain_cap")
+      "ta_quantile_eval", "graph_communities", "sample_domain_cap",
+      "dedup_containment")
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames

@@ -117,6 +117,36 @@ class DedupSpec extends AnyFunSuite {
     assert(m(5L) == ((0L, 0L, 0.0, 0L)))
   }
 
+  test("containment flags a doc embedded in a longer one that Jaccard misses") {
+    // small = 12 distinct words -> 10 shingles, all inside big;
+    // big adds 30 unique words so J = 10/(10+38) ≈ 0.21 < CcThreshold
+    // while containment = 10/10 = 1.0 — the asymmetric case the
+    // symmetric measures structurally under-weight
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // letter-only fillers: normalization strips digits, which would
+    // collapse "filler1".."filler30" into one repeated token
+    val filler = (0 until 30)
+      .map(i => s"filler${('a' + i % 26).toChar}${('a' + i / 26).toChar}")
+      .mkString(" ")
+    val big = s"$filler $small"
+    val docs = Seq(
+      (1L, small), (2L, big),
+      (3L, "unrelated corpus words entirely disjoint from both documents here now"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentOver(docs).collect()
+    assert(rows.length == 1, s"exactly the planted pair: ${rows.mkString}")
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(5) == 1.0, s"containment must be exact 1.0: $r")
+    assert(r.getDouble(6) < Dedup.CcThreshold, s"Jaccard must miss this pair: $r")
+    assert(r.getLong(7) == 1L, "the smaller doc is the contained one")
+    assert(r.getInt(8) == 1, "jaccard_missed must flag the pair")
+    // and a symmetric exact dup is NOT jaccard_missed
+    val dup = Seq((1L, small), (2L, small)).toDF("doc_id", "text")
+    val d = Dedup.containmentOver(dup).collect()
+    assert(d.length == 1 && d.head.getInt(8) == 0 && d.head.getDouble(6) == 1.0)
+  }
+
   test("simhash: identical docs agree; reordered bag-dup agrees; distinct differs") {
     val m = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -464,6 +464,56 @@ object CorpusOps {
         expr("cast(substring_index(k, ':', -1) as bigint)").as("doc_id"))
   }
 
+  // ----------------------------------------------- sample_cluster_cap
+  /** Vectors kept per k-means cell. */
+  val ClusterCapK = 10
+
+  /** SEMANTIC-diversity sampling — per-CLUSTER quotas instead of
+    * per-domain: assign every embedding to its [[KMeans.embKmeans]]
+    * Lloyd cell, then keep at most [[ClusterCapK]] vectors per cell
+    * (bottom-K by md5, the [[sampleDomainCap]] selection rule). Capping
+    * clusters instead of domains balances the sample across CONTENT
+    * modes — a corpus that is 90% one topic contributes at most K docs
+    * from that topic's cells, the curation step cluster-based pipelines
+    * run after semantic dedup. Composition of two verified kernels:
+    * the integer-exact Lloyd assignment and the bounded mergeable
+    * top-K aggregate; the oracle nests the k-means CTE chain verbatim
+    * under the window formulation of the cap.
+    *
+    * Scale: the assignment is [[KMeans.embKmeans]]'s budget (broadcast
+    * centroids, one linear pass per iteration); the cap adds ONE
+    * aggregation whose shuffle carries ≤ K keys per (cell, partition).
+    * Output is K × cells rows at any corpus size. */
+  def sampleClusterCap(s: SparkSession, dir: String): DataFrame = {
+    val qa = udaf(new graft.functions.TopKAgg(ClusterCapK))
+    KMeans.embKmeans(s, dir) // (vec_id, cell, n_members)
+      .select(col("cell"), col("n_members"),
+        format_string("%s:%012d",
+          md5(col("vec_id").cast("string")), col("vec_id")).as("k"))
+      .groupBy(col("cell"), col("n_members"))
+      .agg(qa(col("k")).as("topk"))
+      .select(col("cell"), col("n_members"),
+        posexplode(col("topk")).as(Seq("pos", "k")))
+      .select(col("cell"), col("n_members"),
+        (col("pos") + 1).cast("long").as("rank_in_cluster"),
+        expr("cast(substring_index(k, ':', -1) as bigint)").as("vec_id"))
+  }
+
+  /** The k-means oracle nested verbatim (subquery-WITH), capped by the
+    * same window formulation as [[sampleDomainCapSql]]. */
+  val sampleClusterCapSql: String =
+    s"""WITH base AS (SELECT * FROM (${KMeans.embKmeansSql})),
+       |h AS (
+       |  SELECT cell, n_members, vec_id,
+       |         md5(CAST(vec_id AS VARCHAR)) || ':' || lpad(CAST(vec_id AS VARCHAR), 12, '0') AS k
+       |  FROM base),
+       |r AS (
+       |  SELECT cell, n_members, vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY k) AS rn
+       |  FROM h)
+       |SELECT cell, n_members, CAST(rn AS BIGINT) AS rank_in_cluster, vec_id
+       |FROM r WHERE rn <= $ClusterCapK""".stripMargin
+
   /** Oracle twin: the window formulation over the same compound string
     * key — sorted identically by both engines, so rank and membership
     * hash-check. */

@@ -65,4 +65,23 @@ class TopKSpec extends AnyFunSuite {
     got.groupBy(_._1).values.foreach(g =>
       assert(g.size <= CorpusOps.DomainCapK))
   }
+
+  test("sample_cluster_cap: kept vectors are a capped subset of their k-means cell") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = CorpusOps.sampleClusterCap(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    val assign = graft.operators.KMeans.embKmeans(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    kept.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.size <= CorpusOps.ClusterCapK, s"cell $cell over cap")
+      assert(rows.map(_._3).toSet.size == rows.size, "vec kept once")
+      rows.foreach { case (c, n, _, vec) =>
+        assert(assign(vec) == (c, n), s"vec $vec not in cell $c per k-means")
+      }
+      // a full cell keeps exactly K; a small cell keeps all members
+      val full = rows.head._2 >= CorpusOps.ClusterCapK
+      assert(rows.size == (if (full) CorpusOps.ClusterCapK else rows.head._2.toInt))
+    }
+  }
 }

@@ -58,8 +58,11 @@ object Bench {
         if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
         else SparkEntry.benchQueries
     }
-    // warmup: JVM/codegen/parquet-footer costs land here, not in q1's time
-    SparkEntry.queries(names.head)(spark, sfDir).count()
+    // warmup: JVM/codegen/parquet-footer costs land here, not in q1's
+    // time. A throwing warmup must not abort the bench — the query's
+    // own measured runs will record the error in the JSON line.
+    try SparkEntry.queries(names.head)(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
     // min of two runs: steady-state cost, de-noised from neighbor/GC
     // interference (this box shows occasional multi-x stalls).
@@ -95,8 +98,15 @@ object Bench {
     // whole run is discarded and retried
     val gateApplies = sfDir.stripSuffix("/").endsWith("sf0.1") &&
       !sys.env.get("SPARK_GRAFT_NO_FLOOR_GATE").contains("1")
+    // a floor query that THROWS is a broken session, not a calm one: its
+    // fast failure would otherwise sit under the floor and pass the gate
+    // (the same fast-fail masquerade minOf2 guards against) — map errors
+    // to +inf so atFloor() can never accept them
     def measureFloors(): Map[String, Double] =
-      Floors.keys.map(n => n -> minOf2(n)._1).toMap
+      Floors.keys.map { n =>
+        val (t, err) = minOf2(n)
+        n -> (if (err.isDefined) 9999.0 else t) // sentinel: always above floor
+      }.toMap
     def atFloor(ts: Map[String, Double]): Boolean =
       ts.forall { case (n, t) => t <= Floors(n) }
     def waitCalm(label: String, attempt: Int, ts: Map[String, Double]): Unit = {
@@ -168,6 +178,9 @@ object Bench {
         case None => // interior probe voided the record
           results = Seq.empty
           accepted = false
+          // a stale post measurement from an earlier attempt must not
+          // ship as if it described THIS attempt
+          postTimes = Map.empty
       }
       if (!accepted && recordAttempts < MaxRecordAttempts)
         waitCalm("post", recordAttempts,

@@ -42,7 +42,11 @@ class QuantileAgg(k: Int, val size: Int)
     else {
       val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
       val idx = ((e - k) << k) + (v >> (e - k)).toInt
-      math.min(idx, size - 1) // safety clamp; unreachable below 2^57 with k=5
+      // clamp engages once v exceeds what `size` buckets cover —
+      // v ≥ 2^(size/2^k + k - 1), i.e. 2^41 for (k=5, size=1184). The
+      // SQL replay (taQuantileEvalSql) applies the same LEAST() clamp
+      // so both engines bucket the overflow region identically.
+      math.min(idx, size - 1)
     }
   }
 

@@ -318,7 +318,8 @@ object HeavyHitters {
        |  SELECT lang,
        |    CASE WHEN v <= 0 THEN 0
        |         WHEN v < ${2 * w} THEN v
-       |         ELSE (length(bin(v)) - 1 - $k) * $w + (v >> (length(bin(v)) - 1 - $k))
+       |         ELSE LEAST((length(bin(v)) - 1 - $k) * $w + (v >> (length(bin(v)) - 1 - $k)),
+       |                    ${QuantSize - 1})
        |    END AS b
        |  FROM vals),
        |bcum AS (
@@ -329,7 +330,7 @@ object HeavyHitters {
        |  FROM (SELECT lang, v, COUNT(1) AS c FROM vals GROUP BY 1, 2)),
        |tgt AS (
        |  SELECT n.lang, p.pct, n.n, (n.n * p.pct + 99) // 100 AS t
-       |  FROM n CROSS JOIN (SELECT * FROM (VALUES (50), (90), (95), (99)) pv(pct)) p),
+       |  FROM n CROSS JOIN (SELECT * FROM (VALUES ${QuantPcts.map(p => s"($p)").mkString(", ")}) pv(pct)) p),
        |ex AS (
        |  SELECT t.lang, t.pct, MIN(v.v) AS v_exact
        |  FROM tgt t JOIN vcum v ON v.lang = t.lang AND v.cum >= t.t

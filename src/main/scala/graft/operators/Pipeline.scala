@@ -275,4 +275,86 @@ object Pipeline {
        |SELECT pf.doc_id, pf.lang, pf.n_tokens, pf.n_denylist_hits,
        |       clf.clf_score, clf.clf_pred
        |FROM pf JOIN clf USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------------ pipeline_mix
+  /** Docs kept per source domain in the final mix. */
+  val MixCapK = 15
+  /** Epoch-shuffle seed and shard count for the mix manifest. */
+  val MixSeed = 7
+  val MixShards = 8
+
+  /** The GRAND capstone — the full "build a training mix" run a data
+    * team ships: [[pipelineScored]]'s cleaned/decontaminated/scored
+    * survivors, filtered to docs scoring ABOVE the integer corpus-mean
+    * classifier score (a relative quality floor — the absolute sign of
+    * the scores depends on the training labels, the top-of-corpus cut
+    * does not), CAPPED per source domain ([[MixCapK]], the bounded
+    * top-K aggregate — no domain can dominate the mix), then
+    * epoch-SHUFFLED into [[MixShards]] training shards by seeded
+    * permutation. Output is the training-order manifest
+    * (doc_id, source, shard, pos) a loader consumes directly.
+    *
+    * Every stage is a verified gate composed unchanged — the oracle
+    * nests pipeline_scored's SQL verbatim under the mean cut, the cap
+    * window, and the shuffle permutation, so the END-TO-END manifest
+    * hash-checks, not just the stages. The mean is a truncating
+    * integer division (scores can be negative, so the DuckDB twin
+    * spells out truncation — `//` floors). Scale: additive — the
+    * scored capstone's budget plus one 1-row broadcast, one K-bounded
+    * aggregation, and one exchange on shard. */
+  def pipelineMix(s: SparkSession, dir: String): DataFrame = {
+    val scored = pipelineScored(s, dir)
+    val thr = scored.agg(
+      expr("sum(clf_score) div count(1)").cast("long").as("thr"))
+    val kept = scored.crossJoin(broadcast(thr))
+      .where(col("clf_score") > col("thr"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    val qa = udaf(new graft.functions.TopKAgg(MixCapK))
+    val capped = kept
+      .select(col("source"),
+        format_string("%s:%012d",
+          md5(col("doc_id").cast("string")), col("doc_id")).as("k"))
+      .groupBy(col("source")).agg(qa(col("k")).as("topk"))
+      .select(col("source"), explode(col("topk")).as("k"))
+      .select(col("source"),
+        expr("cast(substring_index(k, ':', -1) as bigint)").as("doc_id"))
+    capped
+      .withColumn("hkey", expr(s"md5(concat('ep$MixSeed:', cast(doc_id as string)))"))
+      .withColumn("shard",
+        (expr("cast(conv(substr(hkey, 1, 15), 16, 10) as bigint)") % MixShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+  }
+
+  val pipelineMixSql: String =
+    s"""WITH scall AS (SELECT doc_id, clf_score FROM ($pipelineScoredSql)),
+       |thr AS (
+       |  SELECT CASE WHEN SUM(clf_score) >= 0
+       |              THEN SUM(clf_score) // COUNT(1)
+       |              ELSE 0 - ((0 - SUM(clf_score)) // COUNT(1)) END AS t
+       |  FROM scall),
+       |sc AS (SELECT doc_id FROM scall, thr WHERE clf_score > thr.t),
+       |keepd AS (
+       |  SELECT sc.doc_id, d.source FROM sc JOIN documents d USING (doc_id)),
+       |h1 AS (
+       |  SELECT doc_id, source,
+       |         md5(CAST(doc_id AS VARCHAR)) || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
+       |  FROM keepd),
+       |r1 AS (
+       |  SELECT doc_id, source,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY k) AS rn
+       |  FROM h1),
+       |cap AS (SELECT doc_id, source FROM r1 WHERE rn <= $MixCapK),
+       |h2 AS (
+       |  SELECT doc_id, source,
+       |         md5('ep$MixSeed:' || CAST(doc_id AS VARCHAR)) AS hkey
+       |  FROM cap),
+       |sh AS (
+       |  SELECT doc_id, source, hkey,
+       |         CAST(CAST(('0x' || substr(hkey, 1, 15)) AS BIGINT) % $MixShards AS INT) AS shard
+       |  FROM h2)
+       |SELECT doc_id, source, shard,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
+       |FROM sh""".stripMargin
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Snapshot maintenance — the missing half of the incremental family:
+  * `dedup_incremental` / `dedup_minhash_incr` / `dedup_cc_incr` all
+  * PROBE a maintained snapshot; this operator is how that snapshot is
+  * MAINTAINED. Vanilla Spark has no MERGE INTO (that's a table-format
+  * feature — Delta/Iceberg layer it over the same shuffle), so the
+  * upsert is expressed as the relational core those formats execute:
+  * one full-outer join on the key, updates winning per column, plus an
+  * `op` audit column (insert/update/keep) — the row-level change
+  * feed a pipeline logs.
+  *
+  * Scale: ONE shuffle of each side on the key (the join), no window,
+  * no driver state; at 100 TB both sides are key-bucketed tables and
+  * the join is co-located (graft.sources.Bucketing's shuffle-free SMJ
+  * applies verbatim). Idempotent by construction — re-applying the
+  * same batch changes nothing (spec-pinned) — which is what makes
+  * replays after a failed write safe.
+  */
+object Snapshots {
+
+  /** Generic upsert: every row of `updates` replaces the same-key row
+    * of `target` (or inserts); target rows without an update survive
+    * unchanged. Both frames must share the schema; `key` names the
+    * merge key column. */
+  def upsertOver(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val cols = target.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"upsert sides must share a schema: ${cols.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val t = target.as("t")
+    val u = updates.as("u")
+    val joined = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+    val merged = cols.map {
+      case `key` => coalesce(col(s"u.$key"), col(s"t.$key")).as(key)
+      case c     => coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
+    }
+    val op = when(col(s"u.$key").isNotNull && col(s"t.$key").isNotNull, lit("update"))
+      .when(col(s"u.$key").isNotNull, lit("insert"))
+      .otherwise(lit("keep")).as("op")
+    joined.select(merged :+ op: _*)
+  }
+
+  /** Gate: re-crawl simulation over the documents snapshot — target is
+    * doc_id ≢ 0 (mod 3), the re-crawl batch is doc_id ≡ 0 (mod 5) with
+    * re-extracted (uppercased) text. Batch rows overlapping the
+    * snapshot surface as `update`, new ids as `insert`, untouched
+    * snapshot rows as `keep`. */
+  def snapshotUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val target = docs.where(col("doc_id") % 3 =!= 0)
+    val updates = docs.where(col("doc_id") % 5 === 0)
+      .withColumn("text", upper(col("text")))
+    upsertOver(target, updates, "doc_id")
+  }
+
+  /** Full-outer twin with the same per-column update-wins COALESCE and
+    * op classification. */
+  val snapshotUpsertSql: String =
+    s"""WITH t AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+       |u AS (SELECT doc_id, upper(text) AS text, lang, source, n_chars
+       |      FROM documents WHERE doc_id % 5 = 0)
+       |SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
+       |       COALESCE(u.text, t.text) AS text,
+       |       COALESCE(u.lang, t.lang) AS lang,
+       |       COALESCE(u.source, t.source) AS source,
+       |       COALESCE(u.n_chars, t.n_chars) AS n_chars,
+       |       CASE WHEN u.doc_id IS NOT NULL AND t.doc_id IS NOT NULL THEN 'update'
+       |            WHEN u.doc_id IS NOT NULL THEN 'insert'
+       |            ELSE 'keep' END AS op
+       |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id""".stripMargin
+}

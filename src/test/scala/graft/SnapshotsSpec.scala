@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Snapshots
+
+/** The upsert operator: update-wins semantics, op classification, and
+  * the idempotence that makes failed-write replays safe.
+  */
+class SnapshotsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def frame(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("upsert: updates win, inserts land, untouched rows keep — and ops say which") {
+    val target = frame(1L -> "one", 2L -> "two", 3L -> "three")
+    val updates = frame(2L -> "TWO", 9L -> "NINE")
+    val out = Snapshots.upsertOver(target, updates, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out == Map(
+      1L -> ("one", "keep"), 2L -> ("TWO", "update"),
+      3L -> ("three", "keep"), 9L -> ("NINE", "insert")))
+  }
+
+  test("upsert is idempotent: re-applying the same batch changes nothing") {
+    val target = frame(1L -> "one", 2L -> "two")
+    val updates = frame(2L -> "TWO", 9L -> "NINE")
+    val once = Snapshots.upsertOver(target, updates, "doc_id")
+      .select(col("doc_id"), col("text")) // drop the audit column
+    val twice = Snapshots.upsertOver(once, updates, "doc_id")
+      .select(col("doc_id"), col("text"))
+    assert(once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet)
+  }
+
+  test("upsert rejects mismatched schemas loudly") {
+    intercept[IllegalArgumentException] {
+      Snapshots.upsertOver(frame(1L -> "x"),
+        frame(1L -> "y").withColumnRenamed("text", "body"), "doc_id")
+    }
+  }
+
+  test("gate query: every batch row is insert-or-update, counts reconcile") {
+    val rows = Snapshots.snapshotUpsert(spark, "/root/testdata/sf0.001")
+      .groupBy(col("op")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nTarget = docs.where(col("doc_id") % 3 =!= 0).count()
+    val nBoth = docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0).count()
+    val nBatch = docs.where(col("doc_id") % 5 === 0).count()
+    assert(rows.getOrElse("update", 0L) == nBoth)
+    assert(rows.getOrElse("insert", 0L) == nBatch - nBoth)
+    assert(rows.getOrElse("keep", 0L) == nTarget - nBoth)
+  }
+}

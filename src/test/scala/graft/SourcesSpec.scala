@@ -125,6 +125,45 @@ class SourcesSpec extends AnyFunSuite {
       s"hash layout should decode ~everything, got $unsortedScan of $total")
   }
 
+  test("z-order layout prunes on the NON-sort dimension where a 1-D sort cannot") {
+    // The 1-D zone-map test above shows sort-on-write pruning on the
+    // sort column; this shows its blind spot and the fix. Layout A is
+    // sorted by pk alone; layout B by the Morton key of (pk, sk). A
+    // selective predicate on sk ONLY: layout A's row groups all span
+    // the full sk range (decode ~everything), while each of layout B's
+    // contiguous z-ranges bounds sk's HIGH BITS, so only the files
+    // whose sk envelope overlaps the predicate decode — partial pruning
+    // on a dimension the 1-D layout can't prune at all.
+    import graft.sources.ZOrder
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    // both dims need real spread for the demo (l_suppkey has only 10
+    // distinct values at this SF — a row group whose sk-min is 1 can
+    // never be skipped by sk < 8)
+    val li = Tables.lineitem(spark, fixtures)
+      .select(col("l_linenumber"),
+        expr("l_partkey % 256").as("pk"), expr("l_orderkey % 256").as("sk"))
+    li.repartitionByRange(32, col("pk"))
+      .sortWithinPartitions(col("pk"))
+      .write.mode("overwrite").parquet(s"$dir/pk_sorted")
+    li.withColumn("z", ZOrder.zkey(col("pk"), col("sk")))
+      .repartitionByRange(32, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z") // the layout survives; the key need not be stored
+      .write.mode("overwrite").parquet(s"$dir/z_sorted")
+    val total = li.count()
+    def q(path: String) = spark.read.parquet(path)
+      .where(col("sk") < 8).select(col("l_linenumber"))
+    val (pkScan, m1) = scanned(q(s"$dir/pk_sorted"))
+    val (zScan, m2) = scanned(q(s"$dir/z_sorted"))
+    assert(m1 == m2 && m1 > 0, "both layouts must return identical results")
+    assert(pkScan > total * 3 / 4,
+      s"pk-sorted layout cannot prune sk: scanned $pkScan of $total")
+    assert(zScan < total / 2,
+      s"z-layout must skip sk-disjoint row groups: scanned $zScan of $total")
+    assert(zScan < pkScan / 2,
+      s"z-layout must beat the 1-D layout on the non-sort dimension: $zScan vs $pkScan")
+  }
+
   test("TIMESTAMP_NTZ sort column defeats row-group pruning (store epoch longs instead)") {
     // Same sorted layout, but keyed on the raw timestamp_ntz column:
     // the range predicate appears in PushedFilters yet the parquet

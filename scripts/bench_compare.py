@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Per-query bench audit: compare two Bench JSON lines and flag drift.
+
+Usage: python3 scripts/bench_compare.py <baseline.json> <candidate.json> [ratio]
+
+Reads the one-line {"metric":...,"queries":{...}} records Bench emits
+(also accepts a file whose LAST such line is the record, e.g. a BENCH_r*.json
+or a captured stdout), prints queries whose time changed by more than
+`ratio` (default 2.0) in either direction, plus adds/removes and errors.
+Exit code 1 if any query regressed beyond the ratio — so a round can
+self-audit its record against the last calm table in SCALE.md before
+shipping it.
+"""
+import json
+import sys
+
+
+def load(path):
+    lines = [l for l in open(path).read().splitlines()
+             if l.startswith('{"metric"')]
+    if not lines:
+        # maybe the whole file is one JSON object
+        return json.loads(open(path).read())
+    return json.loads(lines[-1])
+
+
+def main():
+    base, cand = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    bq, cq = base.get("queries", {}), cand.get("queries", {})
+    regressed = []
+    for q in sorted(set(bq) & set(cq)):
+        b, c = bq[q], cq[q]
+        if b > 0 and c / b > ratio and c - b > 0.5:
+            regressed.append((q, b, c))
+            print(f"REGRESSED {q}: {b:.2f}s -> {c:.2f}s ({c/b:.1f}x)")
+        elif c > 0 and b / c > ratio and b - c > 0.5:
+            print(f"improved  {q}: {b:.2f}s -> {c:.2f}s")
+    for q in sorted(set(cq) - set(bq)):
+        print(f"added     {q}: {cq[q]:.2f}s")
+    for q in sorted(set(bq) - set(cq)):
+        print(f"removed   {q} (was {bq[q]:.2f}s)")
+    for q, e in sorted(cand.get("errors", {}).items()):
+        print(f"ERROR     {q}: {e}")
+    gate = cand.get("floor_gate", {})
+    if gate.get("applies") and not gate.get("passed"):
+        print("FLOOR GATE FAILED — candidate record is from a degraded window")
+    print(f"== totals: {base.get('value')}s -> {cand.get('value')}s; "
+          f"{len(regressed)} regressed beyond {ratio}x ==")
+    sys.exit(1 if regressed or cand.get("errors") else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -281,6 +281,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(scored.nonEmpty && scored.toSet == batchScores)
   }
 
+  test("streaming-maintained snapshot: per-batch upsert == one batch upsert of all updates") {
+    // the full loop: a stream of re-crawled docs maintains the snapshot
+    // (Snapshots.upsertOver inside foreachBatch) that the incremental
+    // dedups probe. Upsert idempotence + update-wins means applying the
+    // stream batch-by-batch must land the same snapshot as one batch
+    // apply of all updates — regardless of how the stream was chopped.
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Snapshots
+    val src = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    @volatile var snapshot: DataFrame = docs.where(col("doc_id") % 3 =!= 0)
+      .localCheckpoint()
+    val updates = docs.where(col("doc_id") % 5 === 0)
+      .withColumn("text", upper(col("text")))
+    val dir = Files.createTempDirectory("graft-snapstream")
+    updates.coalesce(4).write.mode("overwrite").parquet(dir.toString)
+    val q = spark.readStream.schema(updates.schema)
+      .option("maxFilesPerTrigger", 1) // several micro-batches
+      .parquet(dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        snapshot = Snapshots.upsertOver(snapshot, batch, "doc_id")
+          .drop("op").localCheckpoint()
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val streamed = snapshot.collect().map(_.toSeq).toSet
+    val once = Snapshots.upsertOver(
+        docs.where(col("doc_id") % 3 =!= 0), updates, "doc_id")
+      .drop("op").collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == once)
+  }
+
   test("foreachBatch idempotent sink: batch replay does not duplicate rows") {
     val out = Files.createTempDirectory("graft-sink").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString

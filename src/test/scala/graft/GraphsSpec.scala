@@ -170,6 +170,40 @@ class GraphsSpec extends AnyFunSuite {
     assert(again == labels)
   }
 
+  test("iterative fixpoints survive injected task failures (retry parity)") {
+    // the scale story's resilience leg: a K-round fixpoint whose edge
+    // input transiently fails must, under Spark's task retries, land
+    // the SAME labels and masses as the clean run — localCheckpoint
+    // per round means a retry replays at most one round's lineage.
+    val und = (1L to 30L).map(i => (i, 100L + i % 10))
+    val nodes = (1L to 30L) ++ (100L to 109L)
+    val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    def lpa(edges: org.apache.spark.sql.DataFrame) =
+      Graphs.labelPropagationOver(spark, nodes.toDF("doc_id"), edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pr(edges: org.apache.spark.sql.DataFrame) =
+      Graphs.pagerankOver(spark, nodes.toDF("doc_id"), edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val goldenLpa = lpa(sym.toDF("src", "dst"))
+    val goldenPr = pr(sym.toDF("src", "dst"))
+    // proof-of-injection must be driver-visible: accumulator updates
+    // from FAILED attempts are dropped, so count the RETRY attempts —
+    // they only exist because attempt 0 threw
+    val fired = spark.sparkContext.longAccumulator("retried-tasks")
+    val flakyEdges = sym.toDS().repartition(6).mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.partitionId() % 2 == 0) {
+        if (tc.attemptNumber() == 0)
+          throw new RuntimeException("injected transient failure")
+        fired.add(1)
+      }
+      it
+    }.toDF("src", "dst")
+    assert(lpa(flakyEdges) == goldenLpa, "LPA labels must survive retries")
+    assert(pr(flakyEdges) == goldenPr, "PR masses must survive retries")
+    assert(fired.value > 0, "the injection must actually have fired")
+  }
+
   test("graphCommunities refines (or equals) connected components on the fixture graph") {
     val dir = "/root/testdata/sf0.001"
     val comm = Graphs.graphCommunities(spark, dir)

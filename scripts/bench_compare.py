@@ -21,6 +21,15 @@ def load(path):
     if not lines:
         # maybe the whole file is one JSON object
         return json.loads(open(path).read())
+    if len(lines) > 1:
+        # SCALE.md embeds SEVERAL records (headline + full-suite); picking
+        # one silently would compare against the wrong baseline — make the
+        # choice visible and identifiable by query count
+        recs = [json.loads(l) for l in lines]
+        print(f"note: {path} holds {len(lines)} records "
+              f"({', '.join(str(len(r.get('queries', {}))) + 'q' for r in recs)}); "
+              f"using the LAST — extract the intended line for a different one")
+        return recs[-1]
     return json.loads(lines[-1])
 
 
@@ -43,11 +52,14 @@ def main():
     for q, e in sorted(cand.get("errors", {}).items()):
         print(f"ERROR     {q}: {e}")
     gate = cand.get("floor_gate", {})
-    if gate.get("applies") and not gate.get("passed"):
+    gate_failed = bool(gate.get("applies")) and not gate.get("passed")
+    if gate_failed:
         print("FLOOR GATE FAILED — candidate record is from a degraded window")
     print(f"== totals: {base.get('value')}s -> {cand.get('value')}s; "
           f"{len(regressed)} regressed beyond {ratio}x ==")
-    sys.exit(1 if regressed or cand.get("errors") else 0)
+    # a failed gate is as disqualifying as a regression: the bench itself
+    # marked the record untrustworthy
+    sys.exit(1 if regressed or cand.get("errors") or gate_failed else 0)
 
 
 if __name__ == "__main__":

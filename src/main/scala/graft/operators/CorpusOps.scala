@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -435,6 +435,20 @@ object CorpusOps {
 
   private[graft] def topKAgg = new graft.functions.TopKAgg(DomainCapK)
 
+  /** The compound (md5(id), id) selection key, encoded as ONE
+    * lexicographically-faithful string — the SINGLE definition shared
+    * by [[sampleDomainCap]], [[sampleClusterCap]], and
+    * [[Pipeline.pipelineMix]]'s cap stage (each oracle mirrors it as
+    * `md5(...) || ':' || lpad(...)`), so a key-format change can never
+    * de-synchronize one cap site from the others. ids must be
+    * non-negative and < 10^12 (the zero-pad width both engines sort). */
+  private[operators] def hashIdKey(id: Column): Column =
+    format_string("%s:%012d", md5(id.cast("string")), id)
+
+  /** Inverse of [[hashIdKey]]: the id back out of a selected key. */
+  private[operators] def hashIdKeyDecode(k: Column): Column =
+    substring_index(k, ":", -1).cast("long")
+
   /** Per-DOMAIN quota capping — "at most K docs per crawl host", the
     * standard guard against a handful of giant domains dominating a
     * training mix — as ONE aggregation: the bounded [[topKAgg]] top-K
@@ -452,16 +466,14 @@ object CorpusOps {
   def sampleDomainCap(s: SparkSession, dir: String): DataFrame = {
     val qa = udaf(topKAgg)
     Tables.documents(s, dir)
-      .select(col("source"),
-        format_string("%s:%012d",
-          md5(col("doc_id").cast("string")), col("doc_id")).as("k"))
+      .select(col("source"), hashIdKey(col("doc_id")).as("k"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_domain"), qa(col("k")).as("topk"))
       .select(col("source"), col("n_domain"),
         posexplode(col("topk")).as(Seq("pos", "k")))
       .select(col("source"), col("n_domain"),
         (col("pos") + 1).cast("long").as("rank_in_domain"),
-        expr("cast(substring_index(k, ':', -1) as bigint)").as("doc_id"))
+        hashIdKeyDecode(col("k")).as("doc_id"))
   }
 
   // ----------------------------------------------- sample_cluster_cap
@@ -488,15 +500,14 @@ object CorpusOps {
     val qa = udaf(new graft.functions.TopKAgg(ClusterCapK))
     KMeans.embKmeans(s, dir) // (vec_id, cell, n_members)
       .select(col("cell"), col("n_members"),
-        format_string("%s:%012d",
-          md5(col("vec_id").cast("string")), col("vec_id")).as("k"))
+        hashIdKey(col("vec_id")).as("k"))
       .groupBy(col("cell"), col("n_members"))
       .agg(qa(col("k")).as("topk"))
       .select(col("cell"), col("n_members"),
         posexplode(col("topk")).as(Seq("pos", "k")))
       .select(col("cell"), col("n_members"),
         (col("pos") + 1).cast("long").as("rank_in_cluster"),
-        expr("cast(substring_index(k, ':', -1) as bigint)").as("vec_id"))
+        hashIdKeyDecode(col("k")).as("vec_id"))
   }
 
   /** The k-means oracle nested verbatim (subquery-WITH), capped by the
@@ -606,15 +617,23 @@ object CorpusOps {
   def corpusShuffle(s: SparkSession, dir: String): DataFrame =
     corpusShuffleWith(s, dir, EpochSeed, EpochShards)
 
-  def corpusShuffleWith(s: SparkSession, dir: String, seed: Int, nShards: Int): DataFrame = {
-    val h = expr(s"md5(concat('ep$seed:', cast(doc_id as string)))")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), h.as("hkey"))
+  def corpusShuffleWith(s: SparkSession, dir: String, seed: Int, nShards: Int): DataFrame =
+    epochShuffleOver(Tables.documents(s, dir).select(col("doc_id")), seed, nShards)
+
+  /** The seeded-permutation kernel over any frame with a `doc_id` —
+    * ONE definition shared by the gate and [[Pipeline.pipelineMix]]'s
+    * shuffle stage, so a seed-format or hash-slice change can never
+    * de-synchronize them (the [[graft.operators.Dedup]] `shinglesOf`
+    * discipline). Extra input columns ride through unchanged. */
+  private[operators] def epochShuffleOver(docs: DataFrame, seed: Int, nShards: Int): DataFrame = {
+    val carried = docs.columns.filter(_ != "doc_id").map(col).toSeq
+    docs
+      .withColumn("hkey", expr(s"md5(concat('ep$seed:', cast(doc_id as string)))"))
       .withColumn("shard",
         (expr("cast(conv(substr(hkey, 1, 15), 16, 10) as bigint)") % nShards).cast("int"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))))
-      .select(col("doc_id"), col("shard"), col("pos"))
+      .select(col("doc_id") +: carried :+ col("shard") :+ col("pos"): _*)
   }
 
   val corpusShuffleSql: String =

@@ -311,19 +311,12 @@ object Pipeline {
       .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
     val qa = udaf(new graft.functions.TopKAgg(MixCapK))
     val capped = kept
-      .select(col("source"),
-        format_string("%s:%012d",
-          md5(col("doc_id").cast("string")), col("doc_id")).as("k"))
+      .select(col("source"), CorpusOps.hashIdKey(col("doc_id")).as("k"))
       .groupBy(col("source")).agg(qa(col("k")).as("topk"))
       .select(col("source"), explode(col("topk")).as("k"))
-      .select(col("source"),
-        expr("cast(substring_index(k, ':', -1) as bigint)").as("doc_id"))
-    capped
-      .withColumn("hkey", expr(s"md5(concat('ep$MixSeed:', cast(doc_id as string)))"))
-      .withColumn("shard",
-        (expr("cast(conv(substr(hkey, 1, 15), 16, 10) as bigint)") % MixShards).cast("int"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))))
+      .select(col("source"), CorpusOps.hashIdKeyDecode(col("k")).as("doc_id"))
+    CorpusOps.epochShuffleOver(
+        capped.select(col("doc_id"), col("source")), MixSeed, MixShards)
       .select(col("doc_id"), col("source"), col("shard"), col("pos"))
   }
 

@@ -26,13 +26,33 @@ object Snapshots {
   /** Generic upsert: every row of `updates` replaces the same-key row
     * of `target` (or inserts); target rows without an update survive
     * unchanged. Both frames must share the schema; `key` names the
-    * merge key column. */
+    * merge key column.
+    *
+    * Contract, stated precisely:
+    *   - `updates` must be key-UNIQUE. A batch with a duplicated key
+    *     would fan out through the full-outer join (2 update rows × 1
+    *     target row = 2 output rows) and then grow without bound on
+    *     replay — so, like MERGE INTO's multiple-matches error, the
+    *     plan RAISES at execution time on a duplicate (a lazy
+    *     `assert_true` guard; costs one exchange of the small batch
+    *     side, nothing on the target).
+    *   - NULL update columns KEEP the target's value (per-column
+    *     COALESCE — last-known-good semantics). A pipeline that needs
+    *     to write explicit NULLs or deletes models them as tombstone
+    *     values, the way append-only table formats do. */
   def upsertOver(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = target.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"upsert sides must share a schema: ${cols.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val uChecked = updates
+      .withColumn("_k_n", count(lit(1)).over(w))
+      .withColumn("_k_chk",
+        expr(s"assert_true(_k_n = 1, 'upsert updates batch has a duplicate $key')"))
+      .where(col("_k_chk").isNull) // assert_true yields NULL on success
+      .drop("_k_n", "_k_chk")
     val t = target.as("t")
-    val u = updates.as("u")
+    val u = uChecked.as("u")
     val joined = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
     val merged = cols.map {
       case `key` => coalesce(col(s"u.$key"), col(s"t.$key")).as(key)

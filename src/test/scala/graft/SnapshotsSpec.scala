@@ -34,6 +34,21 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet)
   }
 
+  test("upsert raises on a duplicate key in the updates batch (no silent fan-out)") {
+    // MERGE INTO's multiple-matches rule: a batch carrying the same key
+    // twice would fan out through the join and grow the snapshot on
+    // every replay — the plan must fail loudly instead
+    val target = frame(1L -> "one")
+    val dupBatch = frame(1L -> "A", 1L -> "B")
+    val e = intercept[Exception] {
+      Snapshots.upsertOver(target, dupBatch, "doc_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate doc_id")),
+      s"error must name the violated contract: ${messages(e).mkString(" | ")}")
+  }
+
   test("upsert rejects mismatched schemas loudly") {
     intercept[IllegalArgumentException] {
       Snapshots.upsertOver(frame(1L -> "x"),

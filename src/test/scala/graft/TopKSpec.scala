@@ -75,7 +75,7 @@ class TopKSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     kept.groupBy(_._1).foreach { case (cell, rows) =>
       assert(rows.size <= CorpusOps.ClusterCapK, s"cell $cell over cap")
-      assert(rows.map(_._3).toSet.size == rows.size, "vec kept once")
+      assert(rows.map(_._4).toSet.size == rows.size, "vec kept once")
       rows.foreach { case (c, n, _, vec) =>
         assert(assign(vec) == (c, n), s"vec $vec not in cell $c per k-means")
       }

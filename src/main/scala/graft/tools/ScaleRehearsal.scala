@@ -85,7 +85,8 @@ object ScaleRehearsal {
       "graph_pagerank", "graph_canonical", "ta_cms_eval", "ta_hll_eval",
       // r7 operators
       "ta_quantile_eval", "graph_communities", "sample_domain_cap",
-      "dedup_containment", "sample_cluster_cap", "pipeline_mix")
+      "dedup_containment", "sample_cluster_cap", "pipeline_mix",
+      "snapshot_upsert", "q43_zorder")
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames

@@ -429,6 +429,92 @@ object CorpusOps {
        |  FROM h)
        |SELECT doc_id, lang, source, rn FROM r WHERE rn <= $SampleK""".stripMargin
 
+  // ---------------------------------------------------- corpus_split
+  /** Percent of docs routed to train / val (rest = test). */
+  val SplitTrainPct = 90
+  val SplitValPct = 5
+
+  /** Deterministic train/val/test HOLDOUT split — the assignment every
+    * training run needs frozen before anything else touches the data.
+    * The split is a pure per-row function of doc_id (salted md5 bucket
+    * mod 100), so it is: stable under retries/speculation/partitioning,
+    * reproducible years later from the id alone, disjoint and
+    * exhaustive by construction, and — because the bucket comes from a
+    * hash, not position — adding or removing OTHER docs never moves an
+    * existing doc across splits (the property a positional split
+    * violates and leakage audits depend on). Zero shuffle, zero
+    * coordination; the same predicate can gate any downstream operator
+    * ("train-split only") without materializing anything. */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 100")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") < SplitTrainPct, lit("train"))
+          .when(col("bucket") < SplitTrainPct + SplitValPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  val corpusSplitSql: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN b < $SplitTrainPct THEN 'train'
+       |       WHEN b < ${SplitTrainPct + SplitValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, lang,
+       |        CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+       |      FROM documents)""".stripMargin
+
+  // ---------------------------------------------------- corpus_report
+  /** Per-SOURCE data card — the summary table a corpus release ships:
+    * docs, exact-duplicate count and rate, docs clearing the quality
+    * floor, and mean length, per crawl source. Composes two verified
+    * operators ([[Dedup.dedupExact]], [[TextAnalysis.taQuality]]) under
+    * one groupBy; every measure is integer-exact except the two rates,
+    * each ONE IEEE division of exact counts (no double SUMMATION
+    * anywhere — cross-engine mean-of-doubles depends on addition order,
+    * so the card reports above-threshold counts instead of mean
+    * scores). Scale: the dedup/quality inputs are the operators' own
+    * budgets; the report adds one #sources-keyed aggregation. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_ws"))
+    base
+      .join(Dedup.dedupExact(s, dir).select(col("doc_id"), col("is_dup")), "doc_id")
+      .join(TextAnalysis.taQuality(s, dir)
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).cast("long").as("n_exact_dups"),
+        sum(when(col("quality_score") >= 0.5, 1L).otherwise(0L)).as("n_quality"),
+        sum(col("n_ws")).as("tot_ws"))
+      .select(col("source"), col("n_docs"), col("n_exact_dups"),
+        (col("n_exact_dups").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        col("n_quality"),
+        (col("tot_ws").cast("double") / col("n_docs").cast("double"))
+          .as("mean_ws_tokens"))
+  }
+
+  val corpusReportSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws
+       |  FROM documents),
+       |dup AS (SELECT doc_id, is_dup FROM (${Dedup.dedupExactSql})),
+       |q AS (SELECT doc_id, quality_score FROM (${TextAnalysis.taQualitySql}))
+       |SELECT d.source,
+       |       CAST(COUNT(1) AS BIGINT) AS n_docs,
+       |       CAST(SUM(dup.is_dup) AS BIGINT) AS n_exact_dups,
+       |       CAST(SUM(dup.is_dup) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS dup_rate,
+       |       CAST(SUM(CASE WHEN q.quality_score >= 0.5e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |       CAST(SUM(d.n_ws) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS mean_ws_tokens
+       |FROM d
+       |JOIN dup ON d.doc_id = dup.doc_id
+       |JOIN q ON d.doc_id = q.doc_id
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------ sample_domain_cap
   /** Docs kept per source domain. */
   val DomainCapK = 10

@@ -239,4 +239,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(sizes.size == 8 && sizes.values.max <= 2 * n.toInt / 8,
       s"shard sizes: ${sizes.toMap}")
   }
+
+  test("corpus_split: disjoint, exhaustive, and a doc's split never depends on other docs") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val split = CorpusOps.corpusSplit(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val n = Tables.documents(spark, dir).count()
+    assert(split.size == n, "every doc gets exactly one split")
+    val byS = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    // ~90/5/5 within generous tolerance at 500 docs
+    assert(byS("train") > n * 8 / 10 && byS("val") + byS("test") < n / 4, s"$byS")
+    // corpus-independence: the split of the doc_ids that ALSO exist at
+    // sf0.01 must be identical — adding docs never moves existing ones
+    val bigger = CorpusOps.corpusSplit(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    split.foreach { case (id, sp) =>
+      assert(bigger(id) == sp, s"doc $id moved split when the corpus grew")
+    }
+  }
+
+  test("corpus_report: the data card reconciles against its component operators") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val card = CorpusOps.corpusReport(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, dir)
+    assert(card.values.map(_._1).sum == docs.count(), "doc counts partition the corpus")
+    val dups = Dedup.dedupExact(spark, dir).where(col("is_dup") === 1).count()
+    assert(card.values.map(_._2).sum == dups, "dup counts reconcile")
+    card.values.foreach { case (nd, dup, q) =>
+      assert(dup <= nd && q <= nd, "per-source counts bounded by docs")
+    }
+  }
 }

@@ -86,7 +86,7 @@ object ScaleRehearsal {
       // r7 operators
       "ta_quantile_eval", "graph_communities", "sample_domain_cap",
       "dedup_containment", "sample_cluster_cap", "pipeline_mix",
-      "snapshot_upsert", "q43_zorder")
+      "snapshot_upsert", "q43_zorder", "corpus_split", "corpus_report")
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames

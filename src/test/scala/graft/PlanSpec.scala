@@ -182,4 +182,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_tax"),
       s"q3 must not read unused lineitem columns: $readSchema")
   }
+
+  test("dedup_ngram / containment: df cap COUNTS before posting lists collect") {
+    // the OOM-class hazard this pins: collect_list has no partial-
+    // aggregation cap, so collecting THEN filtering size(ds) <= MaxDf
+    // builds a stop-shingle's full posting list (df-length array) in one
+    // aggregation buffer. The safe order counts df first (partial_count
+    // combines map-side), semi-joins the shingle stream against the kept
+    // keys, and only then collects — every collect_list subtree must
+    // therefore contain the LeftSemi join and a partial count aggregate.
+    def assertCountsBeforeCollect(df: DataFrame, name: String): Unit = {
+      val collects = plan(df).collect {
+        case a if a.getClass.getSimpleName.startsWith("ObjectHashAggregate") &&
+          a.toString.contains("collect_list") => a
+      }
+      assert(collects.nonEmpty, s"$name: expected a collect_list aggregate")
+      collects.foreach { c =>
+        val sub = c.toString
+        assert(sub.contains("LeftSemi"),
+          s"$name: posting-list collect must sit above the df-kept semi-join:\n$sub")
+        assert(sub.contains("partial_count"),
+          s"$name: df must partial-count below the collect:\n$sub")
+      }
+    }
+    assertCountsBeforeCollect(Dedup.dedupNgram(spark, dir), "dedup_ngram")
+    assertCountsBeforeCollect(Dedup.dedupContainment(spark, dir), "dedup_containment")
+  }
 }

@@ -113,15 +113,19 @@ object Similarity {
   def nCentroids(n: Long): Int =
     math.max(16, 2 * math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 
-  /** Cell membership with the [[IvfMaxCell]] cap applied — the window
-    * shuffles on `cell`, the same key the candidate join needs next, so
-    * the cap costs no extra exchange. */
-  private[operators] def cappedAssign(cells: DataFrame): DataFrame =
+  /** Cell membership with the [[IvfMaxCell]] cap applied — the bounded
+    * [[graft.functions.TopKLongAgg]] aggregate shuffles on `cell` (the
+    * same key the candidate join needs next, so the cap costs no extra
+    * exchange) with ≤ K ids per (cell, partition) in the shuffle: a hot
+    * cell in a clustered corpus never serializes into one window task.
+    * Selection is identical to the oracle's windowed form (the K
+    * smallest vec_ids per cell). */
+  private[operators] def cappedAssign(cells: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.TopKLongAgg(IvfMaxCell))
     cells.select(col("vec_id"), col("cell"))
-      .withColumn("mrn", row_number().over(
-        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
-      .where(col("mrn") <= IvfMaxCell)
-      .drop("mrn")
+      .groupBy(col("cell")).agg(topk(col("vec_id")).as("ids"))
+      .select(explode(col("ids")).as("vec_id"), col("cell"))
+  }
 
   /** Shared coarse-quantizer oracle chain: scaled vectors → centroid
     * count → centroid rows → per-vector centroid dots. Every IVF-family
@@ -243,10 +247,15 @@ object Similarity {
   def simIvfPqTopkOver(enc: DataFrame): DataFrame = {
     // same [[IvfMaxCell]] inverted-list cap as simIvfTopk: ADC makes
     // each candidate cheap, but hot-cell pair COUNTS still grow Σ|cell|²
+    // membership ids from the bounded aggregate (see [[cappedAssign]]),
+    // then a semi-join recovers the codes column for the kept ids —
+    // the join-back costs one exchange on vec_id but the shuffle into
+    // the cap carries ≤ K ids per (cell, partition), never a hot cell's
+    // full inverted list into one window task
+    val keptIds = cappedAssign(enc.select(col("vec_id"), col("cell")))
+      .select(col("vec_id"))
     val assign = enc.select(col("vec_id"), col("cell"), col("codes"))
-      .withColumn("mrn", row_number().over(
-        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
-      .where(col("mrn") <= IvfMaxCell)
+      .join(keptIds, Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     val probes = enc.select(col("vec_id").as("query_id"),
       explode(col("probes")).as("cell"), col("lut"))
@@ -338,12 +347,14 @@ object Similarity {
     val stackArgs = (0 until bands).map { b =>
       s"'p$b', shiftright(sig, ${b * bitsPerBand}) & ${(1L << bitsPerBand) - 1}"
     }.mkString(", ")
+    // bucket cap via the bounded aggregate — same selection, no
+    // one-task-per-hot-bucket window (see [[cappedAssign]])
+    val topk = udaf(new graft.functions.TopKLongAgg(maxBucket))
     val banded = sig
       .selectExpr("vec_id", s"stack($bands, $stackArgs) as (band_id, band_key)")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("band_id"), col("band_key")).orderBy(col("vec_id"))))
-      .where(col("rn") <= maxBucket)
-      .drop("rn")
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(topk(col("vec_id")).as("ids"))
+      .select(explode(col("ids")).as("vec_id"), col("band_id"), col("band_key"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&

@@ -208,4 +208,26 @@ class PlanSpec extends AnyFunSuite {
     assertCountsBeforeCollect(Dedup.dedupNgram(spark, dir), "dedup_ngram")
     assertCountsBeforeCollect(Dedup.dedupContainment(spark, dir), "dedup_containment")
   }
+
+  test("band-bucket / cell caps partial-aggregate; no window over a bucket key") {
+    // the skew hazard this pins: row_number() over (band/cell) lands a
+    // hot bucket's every member in ONE window task (AQE cannot split
+    // window partitions); the TopKLongAgg form caps each partition's
+    // shuffle contribution at K ids
+    def check(df: DataFrame, name: String, bucketCols: Seq[String]): Unit = {
+      val txt = plan(df).toString
+      assert(txt.contains("partial_topklongagg"),
+        s"$name: bucket cap must partial-aggregate before the exchange")
+      bucketCols.foreach { c =>
+        assert(!txt.contains(s"windowspecdefinition($c"),
+          s"$name: no window may partition on the bucket key $c")
+      }
+    }
+    check(Dedup.dedupMinhash(spark, dir), "dedup_minhash", Seq("band_id"))
+    check(Dedup.dedupSimhashPairs(spark, dir), "dedup_simhash_pairs", Seq("band_id"))
+    check(Dedup.dedupSemantic(spark, dir), "dedup_semantic", Seq("cell"))
+    check(Similarity.simIvfTopk(spark, dir), "sim_ivf_topk", Seq("cell"))
+    check(Similarity.simLshTopk(spark, dir), "sim_lsh_topk", Seq("band_id"))
+    check(Similarity.simIvfPqTopk(spark, dir), "sim_ivfpq_topk", Seq("cell"))
+  }
 }

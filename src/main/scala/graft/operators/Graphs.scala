@@ -252,9 +252,15 @@ object Graphs {
           coalesce(col("new_label"), col("label")).as("label"))
         .localCheckpoint()
     }
-    labels.select(col("doc_id"), col("label").as("community_id"))
-      .withColumn("community_size",
-        count(lit(1)).over(Window.partitionBy(col("community_id"))))
+    // community sizes via aggregate + join-back (the ccOutput idiom),
+    // not a window over community_id: a mega-community would land every
+    // member in one window task, and AQE cannot split window partitions
+    // (it CAN split the skewed equi-join)
+    val out = labels.select(col("doc_id"), col("label").as("community_id"))
+    val sizes = out.groupBy(col("community_id"))
+      .agg(count(lit(1)).as("community_size"))
+    out.join(sizes, "community_id")
+      .select(col("doc_id"), col("community_id"), col("community_size"))
   }
 
   /** Gate entry: communities of the SimHash near-dup pair graph (same

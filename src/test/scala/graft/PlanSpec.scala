@@ -66,12 +66,19 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs.size >= 2, "explode->count must partial-aggregate map-side")
   }
 
-  test("dedup_exact: exactly one shuffle (window on fp)") {
+  test("dedup_exact: min-id keeper aggregates, no window over fp_norm") {
+    // a mega-duplicate-group must never serialize into one window task:
+    // the keeper is a partial-combined min + an AQE-splittable join-back
     val p = plan(graft.operators.Dedup.dedupExact(spark, dir))
+    val txt = p.toString
+    assert(!txt.contains("windowspecdefinition"),
+      s"keeper must not window over fp_norm:\n$txt")
+    assert(txt.contains("partial_min"),
+      s"keeper min must partial-aggregate map-side:\n$txt")
     val exchanges = p.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }
-    assert(exchanges.size <= 1, s"linear dedup must not multi-shuffle:\n$p")
+    assert(exchanges.size <= 2, s"keeper agg + join-back only:\n$p")
   }
 
   test("pii_mask / denylist scrub: pure per-row plans — zero shuffles") {
@@ -172,6 +179,10 @@ class PlanSpec extends AnyFunSuite {
       case c if c.getClass.getSimpleName.contains("Cartesian") => c
     }
     assert(cart.isEmpty, s"LPA must never plan a cartesian product:\n${p.toString.take(2000)}")
+    // community_size via aggregate + join-back, never a window over the
+    // community key (one-task-per-mega-community)
+    assert(!p.toString.contains("windowspecdefinition(community_id"),
+      "community_size must not window over community_id")
   }
 
   test("q3: only needed lineitem columns are read") {

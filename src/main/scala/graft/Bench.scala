@@ -36,6 +36,45 @@ object Bench {
   val MaxGateAttempts = 5
   val GateRetryMillis = 60000L
 
+  /** A recorded time above `OutlierFactor` × its SCALE.md calm record
+    * (and more than [[OutlierMinExcess]] s over it, so sub-second noise
+    * can't trigger) is re-measured in place before the JSON ships. */
+  val OutlierFactor = 3.0
+  val OutlierMinExcess = 0.5
+
+  /** Per-query calm reference parsed from SCALE.md's recorded bench
+    * lines (`{"metric":"total",...}`) — later records win, so the most
+    * recent calm sweep is the reference. The floor gate samples only
+    * two trivial queries every 8, which leaves ~minute-wide blind
+    * windows: r6 shipped ta_tfidf at 8× calm and r7 shipped emb_kmeans
+    * at 4× calm inside "passed" gates. This closes the hole per-query:
+    * any accepted measurement >[[OutlierFactor]]× its calm record is
+    * re-measured before it ships (see main). */
+  private[graft] def calmReference(): Map[String, Double] = {
+    val path = sys.env.get("SPARK_GRAFT_CALM_REF")
+      .orElse(Seq("SCALE.md", "/root/repo/SCALE.md")
+        .find(p => new java.io.File(p).isFile))
+    path.flatMap { p =>
+      // UTF-8 explicitly (SCALE.md has non-ASCII prose; the JVM default
+      // charset may be ASCII in a bare locale) and failure-proof: a
+      // reference-parse problem must never break the bench itself
+      scala.util.Try {
+      val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+      val lines =
+        try src.getLines().filter(_.startsWith("{\"metric\"")).toList
+        finally src.close()
+      val pair = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+      lines.flatMap { line =>
+        val qStart = line.indexOf("\"queries\":{")
+        val qEnd = if (qStart < 0) -1 else line.indexOf("}", qStart)
+        if (qEnd < 0) Nil
+        else pair.findAllMatchIn(line.substring(qStart + 11, qEnd))
+          .map(m => m.group(1) -> m.group(2).toDouble).toList
+      }.foldLeft(Map.empty[String, Double])(_ + _)
+      }.toOption
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -190,6 +229,33 @@ object Bench {
     if (results.isEmpty)
       results = names.map(name => name -> minOf2(name)) // best effort, gate marks failed
 
+    // ---- per-query outlier re-measure: the floor gate's trivial-scan
+    // probes leave minute-wide blind windows between them (r7 shipped
+    // emb_kmeans at 7.39 s vs 1.79 s real inside a "passed" gate). Any
+    // accepted time >OutlierFactor× its SCALE.md calm record is
+    // re-measured HERE, in place; the final value is the min (a
+    // re-measure can only correct inflation, never flatter a genuine
+    // regression away — a true slowdown reproduces and ships, flagged).
+    val calmRef =
+      if (sfDir.stripSuffix("/").endsWith("sf0.1") &&
+          !sys.env.get("SPARK_GRAFT_NO_CALM_CHECK").contains("1")) calmReference()
+      else Map.empty[String, Double]
+    var remeasured: Seq[(String, (Double, Double, Double))] = Seq.empty
+    if (calmRef.nonEmpty) {
+      results = results.map {
+        case (name, (t, None)) if calmRef.get(name).exists(c =>
+            t > OutlierFactor * c && t - c > OutlierMinExcess) =>
+          val calm = calmRef(name)
+          System.err.println(
+            f"[bench] $name recorded $t%.2f s vs calm $calm%.2f s — re-measuring outlier")
+          val (t2, err2) = minOf2(name)
+          val tf = if (err2.isEmpty) math.min(t, t2) else t
+          remeasured :+= ((name, (t, calm, tf)))
+          name -> (tf, None)
+        case other => other
+      }
+    }
+
     val ok = results.collect { case (k, (t, None)) => k -> t }
     val errs = results.collect { case (k, (_, Some(e))) => k -> e }
     val qs = ok.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -215,7 +281,13 @@ object Bench {
         s"""{"applies":true,"passed":$accepted,"attempts":$recordAttempts,""" +
           s""""floor_times_pre":${floorJson(preTimes)},"floor_times_post":${floorJson(postTimes)},""" +
           s""""floor_times_interior":${interiorProbes.map(floorJson).mkString("[", ",", "]")}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","floor_gate":$gate}""")
+    // every outlier correction ships with its inputs so the record is
+    // auditable: recorded (inflated) time, the calm reference that
+    // triggered the check, and the value that actually counted
+    val remJson = remeasured.map { case (k, (rec, calm, fin)) =>
+      s"${jstr(k)}:" + f"""{"recorded":$rec%.3f,"calm_ref":$calm%.3f,"value":$fin%.3f}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remJson,"sf":"$sfDir","floor_gate":$gate}""")
     spark.stop()
   }
 }

@@ -35,6 +35,12 @@ import org.apache.spark.sql.expressions.Aggregator
 class QuantileAgg(k: Int, val size: Int)
     extends Aggregator[Long, Array[Long], Seq[Long]] {
 
+  // the exact region (v < 2^(k+1)) indexes buckets by value without the
+  // logarithmic branch's clamp — a smaller `size` would let bucketOf
+  // return an index past the buffer and fail inside reduce()
+  require(size >= (1 << (k + 1)),
+    s"size ($size) must cover the exact region (>= ${1 << (k + 1)} for k=$k)")
+
   /** Pure per-value bucket index (shared by reduce and the replay). */
   def bucketOf(v: Long): Int = {
     if (v <= 0L) 0

@@ -526,10 +526,14 @@ object CorpusOps {
     * by [[sampleDomainCap]], [[sampleClusterCap]], and
     * [[Pipeline.pipelineMix]]'s cap stage (each oracle mirrors it as
     * `md5(...) || ':' || lpad(...)`), so a key-format change can never
-    * de-synchronize one cap site from the others. ids must be
-    * non-negative and < 10^12 (the zero-pad width both engines sort). */
+    * de-synchronize one cap site from the others. The 19-digit pad
+    * covers every NON-NEGATIVE long (max 9.2·10¹⁸), so no in-range id
+    * can widen Spark's %d past the pad while DuckDB's lpad truncates —
+    * the silent cross-engine divergence the previous 12-digit pad left
+    * open for ids ≥ 10¹². Negative ids remain out of contract ('%019d'
+    * emits a sign that lpad would place differently). */
   private[operators] def hashIdKey(id: Column): Column =
-    format_string("%s:%012d", md5(id.cast("string")), id)
+    format_string("%s:%019d", md5(id.cast("string")), id)
 
   /** Inverse of [[hashIdKey]]: the id back out of a selected key. */
   private[operators] def hashIdKeyDecode(k: Column): Column =
@@ -602,7 +606,7 @@ object CorpusOps {
     s"""WITH base AS (SELECT * FROM (${KMeans.embKmeansSql})),
        |h AS (
        |  SELECT cell, n_members, vec_id,
-       |         md5(CAST(vec_id AS VARCHAR)) || ':' || lpad(CAST(vec_id AS VARCHAR), 12, '0') AS k
+       |         md5(CAST(vec_id AS VARCHAR)) || ':' || lpad(CAST(vec_id AS VARCHAR), 19, '0') AS k
        |  FROM base),
        |r AS (
        |  SELECT cell, n_members, vec_id,
@@ -617,7 +621,7 @@ object CorpusOps {
   val sampleDomainCapSql: String =
     s"""WITH h AS (
        |  SELECT doc_id, source,
-       |         md5(CAST(doc_id AS VARCHAR)) || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
+       |         md5(CAST(doc_id AS VARCHAR)) || ':' || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS k
        |  FROM documents),
        |r AS (
        |  SELECT source, doc_id, k,

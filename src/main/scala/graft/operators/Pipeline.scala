@@ -332,7 +332,7 @@ object Pipeline {
        |  SELECT sc.doc_id, d.source FROM sc JOIN documents d USING (doc_id)),
        |h1 AS (
        |  SELECT doc_id, source,
-       |         md5(CAST(doc_id AS VARCHAR)) || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
+       |         md5(CAST(doc_id AS VARCHAR)) || ':' || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS k
        |  FROM keepd),
        |r1 AS (
        |  SELECT doc_id, source,

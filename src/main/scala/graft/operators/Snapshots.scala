@@ -33,9 +33,9 @@ object Snapshots {
     *     would fan out through the full-outer join (2 update rows × 1
     *     target row = 2 output rows) and then grow without bound on
     *     replay — so, like MERGE INTO's multiple-matches error, the
-    *     plan RAISES at execution time on a duplicate (a lazy
-    *     `assert_true` guard; costs one exchange of the small batch
-    *     side, nothing on the target).
+    *     plan RAISES at execution time on a duplicate (`raise_error`
+    *     folded into the key projection; costs one aggregate exchange
+    *     of the small batch side, nothing on the target).
     *   - NULL update columns KEEP the target's value (per-column
     *     COALESCE — last-known-good semantics). A pipeline that needs
     *     to write explicit NULLs or deletes models them as tombstone
@@ -44,13 +44,19 @@ object Snapshots {
     val cols = target.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"upsert sides must share a schema: ${cols.mkString(",")} vs ${updates.columns.mkString(",")}")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
-    val uChecked = updates
-      .withColumn("_k_n", count(lit(1)).over(w))
-      .withColumn("_k_chk",
-        expr(s"assert_true(_k_n = 1, 'upsert updates batch has a duplicate $key')"))
-      .where(col("_k_chk").isNull) // assert_true yields NULL on success
-      .drop("_k_n", "_k_chk")
+    // the guard is folded into the KEY COLUMN'S VALUE (raise_error on
+    // the never-taken branch), not a filter over an assert_true column:
+    // a filter depends on the optimizer never simplifying IsNull over
+    // the NullType assert column and then pruning it, while a
+    // projection the join key and output both consume cannot be
+    // dropped. Counts come from an aggregate + join-back (the skew-safe
+    // keeper idiom), not a window over the key.
+    val counts = updates.groupBy(col(key)).agg(count(lit(1)).as("_k_n"))
+    val uChecked = updates.join(counts, key)
+      .withColumn(key, expr(
+        s"if(_k_n = 1, $key, raise_error(concat(" +
+          s"'upsert updates batch has a duplicate $key: ', cast($key as string))))"))
+      .drop("_k_n")
     val t = target.as("t")
     val u = uChecked.as("u")
     val joined = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Small-file compaction — the unglamorous operation that keeps a
   * 100 TB lake queryable. Streaming sinks, incremental ingestion, and
@@ -26,7 +26,27 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 object Compaction {
 
   /** Returns the number of output files written. */
-  def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Int =
+    rewrite(spark, dir, targetBytes)((df, n) => df.repartition(n))
+
+  /** Compaction that RESTORES a sort-on-write layout while it merges:
+    * plain [[compact]]'s round-robin repartition deliberately assumes
+    * nothing about the data — which also destroys any zone-map/z-order
+    * layout the directory had, so every compaction would undo the
+    * pruning the layout paid for at write time. This variant recomputes
+    * the sort key per row (the key need not be stored — e.g.
+    * [[ZOrder.zkey]] over two stored columns), range-partitions into
+    * ⌈bytes/target⌉ files and sorts within each, leaving the directory
+    * with disjoint per-file key envelopes — the same min-max pruning
+    * contract as the original sort-on-write. */
+  def compactSorted(spark: SparkSession, dir: String, targetBytes: Long,
+                    sortKey: Column): Int =
+    rewrite(spark, dir, targetBytes) { (df, n) =>
+      df.repartitionByRange(n, sortKey).sortWithinPartitions(sortKey)
+    }
+
+  private def rewrite(spark: SparkSession, dir: String, targetBytes: Long)(
+      shape: (DataFrame, Int) => DataFrame): Int = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(path)
@@ -39,8 +59,7 @@ object Compaction {
       .map(_.getLen).sum
     val n = math.max(1, math.ceil(dataBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(path.getParent, s".${path.getName}.compact-tmp")
-    spark.read.parquet(dir)
-      .repartition(n)
+    shape(spark.read.parquet(dir), n)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = new Path(path.getParent, s".${path.getName}.compact-old")
     fs.delete(old, true)

@@ -164,6 +164,49 @@ class SourcesSpec extends AnyFunSuite {
       s"z-layout must beat the 1-D layout on the non-sort dimension: $zScan vs $pkScan")
   }
 
+  test("z-maintained table: upsert + sorted compaction touch only the batch's buckets and preserve the z-layout") {
+    import graft.sources.{ZMaintain, ZOrder}
+    val dir = Files.createTempDirectory("graft-zmaintain").toString + "/t"
+    val docs = Tables.documents(spark, fixtures)
+    val base = docs.where(col("doc_id") % 3 =!= 0)
+    ZMaintain.writeZBucketed(base, dir, "doc_id", ZMaintain.zDocs)
+    def files(b: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/bucket=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = (0L until ZMaintain.NBuckets).map(b => b -> files(b)).toMap
+    // a bucket-LOCALIZED batch: keys congruent 0 or 1 mod NBuckets
+    val updates = docs
+      .where(col("doc_id") % ZMaintain.NBuckets < 2 && col("doc_id") % 5 === 0)
+      .withColumn("text", upper(col("text")))
+    val touched = ZMaintain.upsertZBucketed(spark, dir, updates, "doc_id", ZMaintain.zDocs)
+    assert(touched == Seq(0L, 1L), s"batch touches buckets 0,1 only: $touched")
+    // untouched buckets: same files, byte-for-byte untouched (mtime)
+    (2L until ZMaintain.NBuckets).foreach { b =>
+      assert(files(b) == before(b), s"bucket $b must not be rewritten")
+    }
+    // content converges to the relational upsert (the snapshot_upsert core)
+    val expected = graft.operators.Snapshots
+      .upsertOver(base, updates, "doc_id").drop("op")
+    val back = spark.read.parquet(dir).drop("bucket")
+      .select(expected.columns.map(col): _*)
+    assert(back.exceptAll(expected).count() == 0 && expected.exceptAll(back).count() == 0,
+      "maintained table must equal the one-shot relational upsert")
+    // z-layout restored on the touched buckets: each file internally
+    // sorted by the recomputed z-key (the q43 ordering metric — the
+    // min-max envelope discipline row-group pruning relies on)
+    touched.foreach { b =>
+      new java.io.File(s"$dir/bucket=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val zs = spark.read.parquet(f.getAbsolutePath)
+            .select(ZMaintain.zDocs.as("z")).collect().map(_.getLong(0))
+          assert(zs.sameElements(zs.sorted),
+            s"file ${f.getName} in bucket $b must be z-sorted after compaction")
+        }
+    }
+  }
+
   test("TIMESTAMP_NTZ sort column defeats row-group pruning (store epoch longs instead)") {
     // Same sorted layout, but keyed on the raw timestamp_ntz column:
     // the range predicate appears in PushedFilters yet the parquet

@@ -1,7 +1,6 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -9,12 +8,13 @@ import graft.Tables
   * columns plus typed metadata, with decode / feature-extraction /
   * resize / frame-sampling as per-partition batch operators.
   *
-  * [[BmpCodec]] is a REAL pure-JVM decoder (uncompressed 24-bit BMP,
-  * encode/decode/nearest-neighbor-resize) so the pipeline measures
-  * actual pixel work end to end. Compressed codecs (JPEG/PNG decode,
-  * audio resample, video frame extraction) are NOT available in this
-  * container, so [[StubCodec]] is a clearly-marked deterministic fake
-  * for those. Everything AROUND the codec — the schema, the binary
+  * [[BmpCodec]] and [[PngCodec]] are REAL pure-JVM codecs (uncompressed
+  * 24-bit BMP and 8-bit truecolor PNG with full DEFLATE + scanline
+  * unfiltering) so the pipeline measures actual pixel work end to end —
+  * including a genuinely compressed format. Codecs needing native libs
+  * (JPEG, audio resample, video frame extraction) are NOT available in
+  * this container, so [[StubCodec]] is a clearly-marked deterministic
+  * fake for those. Everything AROUND the codec — the schema, the binary
   * column handling, the mapPartitions batch shape (one codec init per
   * partition, streamed rows), the feature output layout — is real and
   * tested; swapping in a real library touches only the codec object.
@@ -32,9 +32,11 @@ object Media {
                            thumb_w: Int, thumb_h: Int)
 
   /** ====== STUB — replace with real codecs when available ======
-    * Deterministic fakes standing in for image/audio decoding. The
+    * Deterministic fakes standing in for the codecs that genuinely
+    * need native libraries (JPEG, audio resample, video frames). The
     * interface (bytes in → pixels/samples out) is what a real codec
-    * (e.g. javax.imageio / ffmpeg bindings) would implement. */
+    * (e.g. ffmpeg bindings) would implement; BMP and PNG are already
+    * real ([[BmpCodec]], [[PngCodec]]). */
   object StubCodec {
     /** "Decode" = the raw bytes themselves (a real impl returns pixel
       * data). Deterministic, so tests can assert exact outputs. */
@@ -298,16 +300,26 @@ object Media {
     * byte is a different asset (re-encoded variants are the perceptual
     * family's job: [[extractFeatures]] → embedding near-dup). */
   def mmDedup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("kind"), col("checksum"))
-    Tables.documents(s, dir)
+    val m = Tables.documents(s, dir)
       .select(col("doc_id").as("media_id"),
         lit("text/utf-8").as("kind"),
         col("text").cast("binary").as("bytes"))
       .select(col("media_id"), col("kind"),
         octet_length(col("bytes")).cast("long").as("n_bytes"),
         md5(col("bytes")).as("checksum"))
-      .withColumn("canonical_id", min(col("media_id")).over(w))
-      .withColumn("is_dup", (col("media_id") =!= col("canonical_id")).cast("int"))
+    // min-id keeper via aggregate + join-back, NOT a window over the
+    // checksum: a mega-duplicate-group (boilerplate pages at 100 TB)
+    // would land every member in ONE window task, and AQE cannot split
+    // window partitions — the aggregate partial-combines map-side and
+    // the join-back is an AQE-splittable shuffle (same idiom as
+    // [[graft.operators.Dedup.dedupExact]] / ccOutput; results are
+    // hash-identical: both compute min(media_id) per group)
+    val canon = m.groupBy(col("kind"), col("checksum"))
+      .agg(min(col("media_id")).as("canonical_id"))
+    m.join(canon, Seq("kind", "checksum"))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        col("canonical_id"),
+        (col("media_id") =!= col("canonical_id")).cast("int").as("is_dup"))
   }
 
   val mmDedupSql: String =
@@ -335,6 +347,72 @@ object Media {
       |  CAST(CASE WHEN width >= height THEN GREATEST(1, CAST(FLOOR(64.0 * height / width) AS INT))
       |       ELSE 64 END AS INT) AS thumb_h
       |FROM dims""".stripMargin
+
+  /** Compressed-format gate: per-document synthetic RGB image →
+    * [[PngCodec.encode]] (DEFLATE) → [[PngCodec.decode]] (inflate +
+    * unfilter) → channel sums, in one mapPartitions pass. The pixels
+    * are a deterministic integer function of (doc_id, x, y, channel),
+    * so the DuckDB twin computes the SAME channel sums analytically —
+    * the only way the sums can match is if compress→decompress is
+    * bit-exact lossless, which the pass also asserts inline (a failed
+    * round-trip raises rather than shipping poisoned pixels). At 100 TB
+    * the pass is per-row O(pixels), zero shuffle, zero driver traffic;
+    * the real corpus swaps the synthetic pixel source for the payload
+    * column and this gate becomes the decode stage of
+    * [[extractFeatures]]. */
+  def mmPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val w = (nc % 13 + 1).toInt
+          val h = (id % 11 + 1).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < rgb.length) {
+            val p = i / 3
+            // pixel (x, y) channel c = (doc_id + 3x + 5y + 7c) mod 256
+            rgb(i) = ((id + 3L * (p % w) + 5L * (p / w) + 7L * (i % 3)) % 256L).toByte
+            i += 1
+          }
+          val png = PngCodec.encode(w, h, rgb)
+          val (dw, dh, back) = PngCodec.decode(png)
+          require(dw == w && dh == h && java.util.Arrays.equals(back, rgb),
+            s"PNG round-trip mismatch for media $id")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var j = 0
+          while (j < back.length) {
+            sr += back(j) & 0xFF; sg += back(j + 1) & 0xFF; sb += back(j + 2) & 0xFF
+            j += 3
+          }
+          (id, w, h, sr, sg, sb)
+        }
+      }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Analytic twin: sums the pixel formula directly (no PNG involved) —
+    * agreement proves the Spark side's encode→decode round-trip
+    * reproduced every pixel. */
+  val mmPngSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id,
+      |         CAST(n_chars % 13 + 1 AS INT) AS width,
+      |         CAST(doc_id % 11 + 1 AS INT) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id, width, height,
+      |         (doc_id + 3 * x + 5 * y) % 256 AS r,
+      |         (doc_id + 3 * x + 5 * y + 7) % 256 AS g,
+      |         (doc_id + 3 * x + 5 * y + 14) % 256 AS b
+      |  FROM dims,
+      |       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) ty)
+      |SELECT media_id, width, height,
+      |       CAST(SUM(r) AS BIGINT) AS sum_r,
+      |       CAST(SUM(g) AS BIGINT) AS sum_g,
+      |       CAST(SUM(b) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
 
   val mmFeaturesSql: String =
     """SELECT doc_id AS media_id,

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.Media
+import graft.multimodal.{Media, PngCodec}
 import graft.multimodal.Media.{MediaFile, StubCodec}
 
 /** Exercises the multimodal plumbing end to end: binary columns through
@@ -132,6 +132,99 @@ class MediaSpec extends AnyFunSuite {
       java.security.MessageDigest.getInstance("MD5")
         .digest(thumb).map("%02x".format(_)).mkString)
     assert(out(11L).getInt(6) == 21 && out(11L).getInt(7) == 64) // portrait
+  }
+
+  test("png codec: round trip is lossless and the JDK's independent ImageIO reader agrees") {
+    for ((w, h) <- Seq((1, 1), (5, 3), (33, 17), (64, 64))) {
+      val rgb = gradient(w, h)
+      val png = PngCodec.encode(w, h, rgb)
+      val (dw, dh, drgb) = PngCodec.decode(png)
+      assert((dw, dh) == (w, h))
+      assert(drgb.sameElements(rgb), s"round trip must be lossless at ${w}x$h")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val p = (y * w + x) * 3
+        assert(((argb >> 16) & 0xFF) == (rgb(p) & 0xFF) &&
+               ((argb >> 8) & 0xFF) == (rgb(p + 1) & 0xFF) &&
+               (argb & 0xFF) == (rgb(p + 2) & 0xFF),
+          s"pixel ($x,$y) mismatch vs ImageIO at ${w}x$h")
+      }
+    }
+  }
+
+  test("png codec: decodes the JDK encoder's adaptive-filter output, RGB and RGBA") {
+    // ImageIO's PNG writer picks scanline filters adaptively (Sub/Up/
+    // Average/Paeth on real image data), so this is the cross-check
+    // that our unfilter path handles what encoders in the wild emit
+    val (w, h) = (47, 29)
+    val rgb = gradient(w, h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(p) & 0xFF) << 16) | ((rgb(p + 1) & 0xFF) << 8) |
+        (rgb(p + 2) & 0xFF))
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val (dw, dh, drgb) = PngCodec.decode(buf.toByteArray)
+    assert((dw, dh) == (w, h) && drgb.sameElements(rgb),
+      "JDK-encoded truecolor PNG must decode pixel-for-pixel")
+    // RGBA source (color type 6): alpha is dropped, channels survive
+    val argbImg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      val a = 0x80 + ((x + y) % 0x7F)
+      argbImg.setRGB(x, y, (a << 24) | ((rgb(p) & 0xFF) << 16) |
+        ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+    }
+    val buf2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(argbImg, "png", buf2))
+    val (aw, ah, argb) = PngCodec.decode(buf2.toByteArray)
+    assert((aw, ah) == (w, h) && argb.sameElements(rgb),
+      "RGBA PNG decodes to the same RGB with alpha dropped")
+  }
+
+  test("png codec: corrupt and unsupported payloads fail loudly") {
+    intercept[IllegalArgumentException] {
+      PngCodec.decode("definitely not a png".getBytes)
+    }
+    val png = PngCodec.encode(4, 4, gradient(4, 4))
+    // flip one IDAT byte → the chunk CRC check must catch it
+    val corrupt = png.clone()
+    corrupt(png.length - 20) = (corrupt(png.length - 20) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { PngCodec.decode(corrupt) }
+    // mark the IHDR as Adam7-interlaced (byte 28) with a VALID crc →
+    // the unsupported-flavor check, not the crc check, must fire
+    val inter = png.clone()
+    inter(28) = 1
+    val crc = new java.util.zip.CRC32
+    crc.update(inter, 12, 17) // "IHDR" + 13 data bytes
+    java.nio.ByteBuffer.wrap(inter).putInt(29, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException] { PngCodec.decode(inter) }
+    assert(e.getMessage.contains("interlaced"))
+  }
+
+  test("mm_png gate: channel sums of the decoded pixels match the analytic formula") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mmpng").toString
+    Seq((0L, "alpha", "en", "s", 5L), (7L, "beta-gamma", "en", "s", 10L),
+        (23L, "x" * 40, "de", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Media.mmPng(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 7L, 23L))
+    for ((id, r) <- out) {
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      def s(c: Int) = (for (y <- 0 until h; x <- 0 until w)
+        yield (id + 3L * x + 5L * y + 7L * c) % 256L).sum
+      assert(r.getLong(3) == s(0) && r.getLong(4) == s(1) && r.getLong(5) == s(2),
+        s"channel sums for media $id")
+    }
+    assert(out(23L).getInt(1) == (40 % 13 + 1) && out(23L).getInt(2) == (23 % 11 + 1))
   }
 
   test("mm_dedup: byte-identical payloads collapse to the min-id canonical; one changed byte is a different asset") {

@@ -423,6 +423,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("versioned snapshot sink: checkpointed restart + batch replay converge on the batch gate's table") {
+    // the durable twin of the in-memory streaming-upsert test above:
+    // the same two-re-crawl fold as the stream_upsert GATE, driven
+    // through SnapshotStream.versionedUpsertSink across TWO query
+    // launches (restart from checkpoint), then a manual batch REPLAY —
+    // the converged on-disk table must equal the gate frame exactly
+    import graft.streaming.SnapshotStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val target = docs.where(col("doc_id") % 3 =!= 0)
+    val b1 = docs.where(col("doc_id") % 5 === 0)
+      .withColumn("text", upper(col("text")))
+    val b2 = docs.where(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(lit("<r2> "), col("text")))
+      .withColumn("n_chars", col("n_chars") + lit(5L))
+    val src = Files.createTempDirectory("graft-vsnap-src")
+    val table = Files.createTempDirectory("graft-vsnap-tab").toString
+    val ckpt = Files.createTempDirectory("graft-vsnap-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-vsnap-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(SnapshotStream.versionedUpsertSink(table, "doc_id", target) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0 → v=0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1 → v=1
+    def tableRows() = SnapshotStream.currentSnapshot(spark, table)
+      .collect().map(_.toSeq).toSet
+    val converged = tableRows()
+    val gate = SnapshotStream.streamUpsert(spark, sf).drop("op")
+      .collect().map(_.toSeq).toSet
+    assert(converged.nonEmpty && converged == gate,
+      "streamed table must equal the batch gate's fold")
+    // replay batch 1 (at-least-once delivery): same id, same data —
+    // the sink must converge to the identical table, not fan out
+    SnapshotStream.versionedUpsertSink(table, "doc_id", target)(b2, 1L)
+    assert(tableRows() == gate, "batch replay must be a no-op")
+  }
+
   test("checkpointed restart processes only new files (incremental pipeline)") {
     val src = Files.createTempDirectory("graft-inc-src")
     val out = Files.createTempDirectory("graft-inc-out").toString

@@ -246,17 +246,22 @@ object Similarity {
     * stored inputs), so the encode kernel never runs at query time. */
   def simIvfPqTopkOver(enc: DataFrame): DataFrame = {
     // same [[IvfMaxCell]] inverted-list cap as simIvfTopk: ADC makes
-    // each candidate cheap, but hot-cell pair COUNTS still grow Σ|cell|²
-    // membership ids from the bounded aggregate (see [[cappedAssign]]),
-    // then a semi-join recovers the codes column for the kept ids —
-    // the join-back costs one exchange on vec_id but the shuffle into
-    // the cap carries ≤ K ids per (cell, partition), never a hot cell's
-    // full inverted list into one window task
-    val keptIds = cappedAssign(enc.select(col("vec_id"), col("cell")))
-      .select(col("vec_id"))
+    // each candidate cheap, but hot-cell pair COUNTS still grow Σ|cell|².
+    // The cap CARRIES the codes through the bounded aggregate
+    // ([[graft.functions.TopKPayloadAgg]]: ≤ K (id, codes) entries per
+    // (cell, partition) in the shuffle, map-side combined) — an earlier
+    // version capped ids with [[cappedAssign]] and semi-joined the
+    // codes back, which re-evaluated the encode branch a THIRD time
+    // (column pruning defeats exchange reuse here, see [[simIvfPqTopk]])
+    // and added an exchange; 10× rehearsal min-of-4: one-pass 2.0 s ==
+    // the skew-unsafe window cap, join-back ≥ 5.4 s in every sample.
+    // Selection (K smallest vec_ids per cell) and results are identical
+    val topk = udaf(new graft.functions.TopKPayloadAgg(IvfMaxCell))
     val assign = enc.select(col("vec_id"), col("cell"), col("codes"))
-      .join(keptIds, Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+      .groupBy(col("cell")).agg(topk(col("vec_id"), col("codes")).as("members"))
+      .select(col("cell"), explode(col("members")).as("m"))
+      .select(col("m.id").as("neighbor_id"), col("cell"),
+        col("m.codes").as("codes"))
     val probes = enc.select(col("vec_id").as("query_id"),
       explode(col("probes")).as("cell"), col("lut"))
     val adcExpr = (0 until KMeans.PqM)
@@ -414,6 +419,82 @@ object Similarity {
        |SELECT query_id, neighbor_id, dot_scaled, CAST(rank AS INT) AS rank,
        |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
        |FROM ranked WHERE rank <= $LshTopK""".stripMargin
+
+  // --------------------------------------------------- sim_index_upsert
+  /** Arrival batch for the index-maintenance gates: vec_id ≡ 1 (mod 4)
+    * plays the newly-ingested vectors, the rest the stored index. */
+  val IndexUpsertMod = 4
+
+  /** ANN index MAINTENANCE — the composition a 100 TB vector lake runs
+    * continuously: the IVF-PQ index is a stored table
+    * ([[simIvfPqTopkOver]]'s input schema), new vectors arrive in
+    * batches, and an update must NOT re-encode the corpus. The batch is
+    * encoded against the FROZEN training-time quantizer (coarse
+    * centroids + PQ codebook — re-training is an offline event that
+    * rebuilds the index wholesale; FAISS's `add` has the same
+    * contract), then merged by [[Snapshots.upsertOver]]: one key
+    * shuffle of (index + batch), batch-bounded encode cost — the scan
+    * predicate is PUSHED, so the encode pass reads only arrival rows.
+    * At 100 TB the index table is vec_id-bucketed and the merge join is
+    * co-located ([[graft.sources.Bucketing]]), making the whole update
+    * O(batch) I/O plus one bounded merge.
+    *
+    * The gate searches the MAINTAINED index and hash-checks against the
+    * one-pass index oracle ([[simIvfPqTopkSql]] verbatim): per-row
+    * encoding under a frozen quantizer means base ∪ upserted-batch must
+    * reconstruct the full index EXACTLY — any drift (a batch row
+    * assigned to a different cell, a lost or duplicated id, update
+    * not winning over a stale row) breaks the hash. */
+  def simIndexUpsert(s: SparkSession, dir: String): DataFrame = {
+    val c = nCentroids(Tables.embeddings(s, dir).count())
+    def enc(pred: Column) = VecKernel.ivfPqEncode(
+      s, dir, c, NProbe, KMeans.PqC, KMeans.PqM, Some(pred))
+    // the "stored" side: everything that was indexed at ingest time
+    val stored = enc(col("vec_id") % IndexUpsertMod =!= 1)
+    // the arrival batch: encoded alone (pushed scan → batch-bounded),
+    // sharing the frozen quantizer broadcasts with the stored side
+    val batch = enc(col("vec_id") % IndexUpsertMod === 1)
+    val merged = Snapshots.upsertOver(stored, batch, "vec_id").drop("op")
+    simIvfPqTopkOver(merged.repartition(col("vec_id")))
+  }
+
+  /** Recall@[[IvfPqTopK]] of the MAINTAINED index against brute-force
+    * ground truth on the [[NQueries]] probe sample — the metric that
+    * tells an operator whether incremental maintenance degraded the
+    * index (it must not: frozen-quantizer encoding is order-independent,
+    * so maintained recall ≡ rebuilt recall, which this gate pins
+    * cross-engine). Same one-pass hit-count shape as
+    * [[simRecallEval]]. */
+  def simIndexRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = VecKernel.bruteTopk(s, dir, IvfPqTopK, _ < NQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = simIndexUpsert(s, dir)
+      .where(col("query_id") < NQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
+
+  /** Oracle: the maintained index must search exactly like the one-pass
+    * index, so both sides nest the EXISTING gate oracles verbatim. */
+  val simIndexRecallSql: String =
+    s"""WITH approx AS (
+       |  SELECT query_id, neighbor_id FROM ($simIvfPqTopkSql) WHERE query_id < $NQueries),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM ($simTopkSql) WHERE rank <= $IvfPqTopK),
+       |hits AS (
+       |  SELECT b.query_id, COUNT(1) AS n_hits
+       |  FROM brute b JOIN approx a
+       |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY 1),
+       |ex AS (SELECT query_id, COUNT(1) AS n_exact FROM brute GROUP BY 1)
+       |SELECT ex.query_id, ex.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(ex.n_exact AS DOUBLE) AS recall
+       |FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id""".stripMargin
 
   // ---------------------------------------------------- sim_recall_eval
   /** Index-quality evaluation: recall@[[IvfTopK]] of the IVF search

@@ -179,9 +179,16 @@ object VecKernel {
     *
     * Both centroid sets are O(√N·dim) / O(pqC·dim) broadcasts read via
     * pushed-down scans; the pass itself is shuffle-free. Output:
-    * (vec_id, cell, probes, codes, lut). */
+    * (vec_id, cell, probes, codes, lut).
+    *
+    * `where` restricts WHICH vectors are encoded (pushed into the
+    * corpus scan) without touching the quantizer: centroids and
+    * codebook always come from the training-time prefix, exactly the
+    * frozen-quantizer contract an incremental index update needs —
+    * encoding an arrival batch costs O(batch), not O(corpus)
+    * (see [[Similarity.simIndexUpsert]]). */
   def ivfPqEncode(s: SparkSession, dir: String, nCentroids: Int, nprobe: Int,
-                  pqC: Int, pqM: Int): DataFrame = {
+                  pqC: Int, pqM: Int, where: Option[Column] = None): DataFrame = {
     import s.implicits._
     val (cids, cents) = collectScaled(s, dir, Some(col("vec_id") < nCentroids))
     val (cbIds, cb) = collectScaled(s, dir, Some(col("vec_id") < pqC))
@@ -192,7 +199,8 @@ object VecKernel {
     require(pqM == KMeans.PqM, s"pqM ($pqM) must equal KMeans.PqM (${KMeans.PqM})")
     KMeans.requirePqCodebook(cbIds, cb)
     val bc = s.sparkContext.broadcast((cids, cents, cb))
-    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    where.fold(base)(base.where(_))
       .as[(Long, Seq[Float])]
       .mapPartitions { rows =>
         val (cids, cents, cb) = bc.value

@@ -86,7 +86,13 @@ object ScaleRehearsal {
       // r7 operators
       "ta_quantile_eval", "graph_communities", "sample_domain_cap",
       "dedup_containment", "sample_cluster_cap", "pipeline_mix",
-      "snapshot_upsert", "q43_zorder", "corpus_split", "corpus_report")
+      "snapshot_upsert", "q43_zorder", "corpus_split", "corpus_report",
+      // r8 operators — the two index/table maintenance capstones should
+      // be read against their query-only twins (snapshot_upsert,
+      // sim_ivfpq_topk): the DELTA is the maintenance cost, and it must
+      // track the batch size, not the corpus
+      "snapshot_zmaintain", "stream_upsert", "sim_index_upsert",
+      "sim_index_recall", "mm_png")
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames

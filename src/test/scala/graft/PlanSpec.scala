@@ -225,9 +225,10 @@ class PlanSpec extends AnyFunSuite {
     // hot bucket's every member in ONE window task (AQE cannot split
     // window partitions); the TopKLongAgg form caps each partition's
     // shuffle contribution at K ids
-    def check(df: DataFrame, name: String, bucketCols: Seq[String]): Unit = {
+    def check(df: DataFrame, name: String, bucketCols: Seq[String],
+        agg: String = "partial_topklongagg"): Unit = {
       val txt = plan(df).toString
-      assert(txt.contains("partial_topklongagg"),
+      assert(txt.contains(agg),
         s"$name: bucket cap must partial-aggregate before the exchange")
       bucketCols.foreach { c =>
         assert(!txt.contains(s"windowspecdefinition($c"),
@@ -239,6 +240,9 @@ class PlanSpec extends AnyFunSuite {
     check(Dedup.dedupSemantic(spark, dir), "dedup_semantic", Seq("cell"))
     check(Similarity.simIvfTopk(spark, dir), "sim_ivf_topk", Seq("cell"))
     check(Similarity.simLshTopk(spark, dir), "sim_lsh_topk", Seq("band_id"))
-    check(Similarity.simIvfPqTopk(spark, dir), "sim_ivfpq_topk", Seq("cell"))
+    // the IVF-PQ cap carries the codes payload through the aggregate
+    // (one pass, no join-back — see TopKPayloadAgg's scaladoc)
+    check(Similarity.simIvfPqTopk(spark, dir), "sim_ivfpq_topk", Seq("cell"),
+      agg = "partial_topkpayloadagg")
   }
 }

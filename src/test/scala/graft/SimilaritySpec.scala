@@ -130,6 +130,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(stored.nonEmpty && stored == inline)
   }
 
+  test("index upsert: maintained index searches exactly like the rebuilt index") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val maintained = rows(Similarity.simIndexUpsert(spark, dir))
+    val rebuilt = rows(Similarity.simIvfPqTopk(spark, dir))
+    assert(maintained.nonEmpty && maintained == rebuilt,
+      "frozen-quantizer batch encode + upsert must reconstruct the one-pass index")
+  }
+
+  test("index upsert: a re-crawled vector's fresh encoding replaces its stale stored row") {
+    import org.apache.spark.sql.functions._
+    // corrupt the STORED index rows for the arrival batch's ids (wrong
+    // cell + zeroed codes — a stale encoding from before a re-crawl),
+    // then upsert the correctly-encoded batch: update-wins must restore
+    // the clean search results; keeping the stale rows must NOT
+    val c = Similarity.nCentroids(
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    def enc(pred: org.apache.spark.sql.Column) = VecKernel.ivfPqEncode(
+      spark, dir, c, Similarity.NProbe, KMeans.PqC, KMeans.PqM, Some(pred))
+    val full = enc(lit(true))
+    val stale = full.withColumn("cell",
+        when(col("vec_id") % Similarity.IndexUpsertMod === 1, lit(0L))
+          .otherwise(col("cell")))
+      .withColumn("codes",
+        when(col("vec_id") % Similarity.IndexUpsertMod === 1,
+          expr(s"array_repeat(0, ${KMeans.PqM})")).otherwise(col("codes")))
+    val batch = enc(col("vec_id") % Similarity.IndexUpsertMod === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val clean = rows(Similarity.simIvfPqTopkOver(full.repartition(col("vec_id"))))
+    val healed = rows(Similarity.simIvfPqTopkOver(
+      graft.operators.Snapshots.upsertOver(stale, batch, "vec_id").drop("op")
+        .repartition(col("vec_id"))))
+    assert(healed == clean, "upserted fresh rows must win over stale ones")
+    assert(rows(Similarity.simIvfPqTopkOver(stale.repartition(col("vec_id")))) != clean,
+      "the staleness must actually perturb the search (else the test proves nothing)")
+  }
+
   test("ivfpq search leaves nothing newly persisted after its action") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Similarity.simIvfPqTopk(spark, dir).count()

@@ -33,10 +33,11 @@ object Media {
 
   /** ====== STUB — replace with real codecs when available ======
     * Deterministic fakes standing in for the codecs that genuinely
-    * need native libraries (JPEG, audio resample, video frames). The
+    * need native libraries (JPEG, compressed audio, video frames). The
     * interface (bytes in → pixels/samples out) is what a real codec
-    * (e.g. ffmpeg bindings) would implement; BMP and PNG are already
-    * real ([[BmpCodec]], [[PngCodec]]). */
+    * (e.g. ffmpeg bindings) would implement; BMP, PNG, and WAV/PCM
+    * (incl. resampling) are already real ([[BmpCodec]], [[PngCodec]],
+    * [[WavCodec]]). */
   object StubCodec {
     /** "Decode" = the raw bytes themselves (a real impl returns pixel
       * data). Deterministic, so tests can assert exact outputs. */
@@ -413,6 +414,63 @@ object Media {
       |       CAST(SUM(g) AS BIGINT) AS sum_g,
       |       CAST(SUM(b) AS BIGINT) AS sum_b
       |FROM px GROUP BY 1, 2, 3""".stripMargin
+
+  /** Audio gate: per-document synthetic PCM tone → [[WavCodec.encode]]
+    * → [[WavCodec.decode]] (round-trip asserted inline) →
+    * [[WavCodec.resampleLinear]] 8000 → 5000 Hz, emitting the resampled
+    * frame count and sample sum. The sample formula and the resampler
+    * are pure integer arithmetic over NON-NEGATIVE values (so truncating
+    * and floor division agree), which lets the DuckDB twin replay the
+    * interpolation exactly — the audio analog of [[mmPng]]'s
+    * decode-verification design. Per-row O(samples), zero shuffle. */
+  val WavSrcRate = 8000
+  val WavDstRate = 5000
+
+  def mmWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val n = (nc % 50 + 10).toInt
+          // sample t = (doc_id·31 + t·17) mod 32768 — non-negative PCM
+          val samples = Array.tabulate(n)(t => ((id * 31 + t * 17) % 32768).toShort)
+          val wav = WavCodec.encode(WavSrcRate, 1, samples)
+          val (rate, ch, back) = WavCodec.decode(wav)
+          require(rate == WavSrcRate && ch == 1 &&
+            java.util.Arrays.equals(back, samples),
+            s"WAV round-trip mismatch for media $id")
+          val res = WavCodec.resampleLinear(back, 1, WavSrcRate, WavDstRate)
+          (id, n, res.length, res.map(_.toLong).sum)
+        }
+      }.toDF("media_id", "n_frames", "n_resampled", "sum_resampled")
+  }
+
+  /** Analytic twin: replays the integer interpolation directly from the
+    * sample formula — agreement proves encode→decode→resample
+    * reproduced every frame. */
+  val mmWavSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, doc_id,
+       |         CAST(n_chars % 50 + 10 AS INT) AS n
+       |  FROM documents),
+       |o AS (
+       |  SELECT media_id, doc_id, n, i,
+       |         (i * $WavSrcRate) // $WavDstRate AS p,
+       |         (i * $WavSrcRate) % $WavDstRate AS r
+       |  FROM d,
+       |       LATERAL (SELECT unnest(generate_series(
+       |         0, n * $WavDstRate // $WavSrcRate - 1)) AS i) t),
+       |v AS (
+       |  SELECT media_id, n,
+       |         ((doc_id * 31 + p * 17) % 32768 * ($WavDstRate - r)
+       |          + (doc_id * 31 + LEAST(p + 1, n - 1) * 17) % 32768 * r)
+       |         // $WavDstRate AS val
+       |  FROM o)
+       |SELECT media_id, CAST(n AS INT) AS n_frames,
+       |       CAST(COUNT(1) AS INT) AS n_resampled,
+       |       CAST(SUM(val) AS BIGINT) AS sum_resampled
+       |FROM v GROUP BY 1, 2""".stripMargin
 
   val mmFeaturesSql: String =
     """SELECT doc_id AS media_id,

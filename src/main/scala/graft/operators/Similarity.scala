@@ -433,9 +433,13 @@ object Similarity {
     * centroids + PQ codebook — re-training is an offline event that
     * rebuilds the index wholesale; FAISS's `add` has the same
     * contract), then merged by [[Snapshots.upsertOver]]: one key
-    * shuffle of (index + batch), batch-bounded encode cost — the scan
-    * predicate is PUSHED, so the encode pass reads only arrival rows.
-    * At 100 TB the index table is vec_id-bucketed and the merge join is
+    * shuffle of (index + batch), batch-bounded encode COMPUTE (the
+    * filter sits below the encode kernel, so the N·(C+pqC)·dim dot
+    * work runs over arrival rows only; the mod predicate is a
+    * gate-scale stand-in and does not push to the parquet scan — in
+    * production the arrival batch is its own table and the stored side
+    * is read from the index table, not re-encoded at all). At 100 TB
+    * the index table is vec_id-bucketed and the merge join is
     * co-located ([[graft.sources.Bucketing]]), making the whole update
     * O(batch) I/O plus one bounded merge.
     *

@@ -181,11 +181,15 @@ object VecKernel {
     * pushed-down scans; the pass itself is shuffle-free. Output:
     * (vec_id, cell, probes, codes, lut).
     *
-    * `where` restricts WHICH vectors are encoded (pushed into the
-    * corpus scan) without touching the quantizer: centroids and
-    * codebook always come from the training-time prefix, exactly the
-    * frozen-quantizer contract an incremental index update needs —
-    * encoding an arrival batch costs O(batch), not O(corpus)
+    * `where` restricts WHICH vectors are encoded without touching the
+    * quantizer: centroids and codebook always come from the
+    * training-time prefix, exactly the frozen-quantizer contract an
+    * incremental index update needs — the encode kernel (the expensive
+    * part: N·(C+pqC)·dim integer dots) runs over batch rows only. The
+    * filter sits between scan and kernel; a mod predicate does not
+    * reach PushedFilters (verified in the plan), which is fine at gate
+    * scale and moot in production, where an arrival batch is its own
+    * table/files and needs no predicate at all
     * (see [[Similarity.simIndexUpsert]]). */
   def ivfPqEncode(s: SparkSession, dir: String, nCentroids: Int, nprobe: Int,
                   pqC: Int, pqM: Int, where: Option[Column] = None): DataFrame = {

@@ -10,7 +10,8 @@ object ExplainOne {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- args.drop(1))
       println(name + ":\n" + graft.SparkEntry.queries(name)(spark, args(0))
-        .queryExecution.executedPlan.toString.take(4000))
+        .queryExecution.executedPlan.toString
+        .take(sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_CHARS", "4000").toInt))
     spark.stop()
   }
 }

@@ -227,6 +227,94 @@ class MediaSpec extends AnyFunSuite {
     assert(out(23L).getInt(1) == (40 % 13 + 1) && out(23L).getInt(2) == (23 % 11 + 1))
   }
 
+  test("wav codec: round trip is lossless and the JDK's independent javax.sound reader agrees") {
+    import graft.multimodal.WavCodec
+    // stereo + negatives + a non-trivial length
+    val samples = Array.tabulate(1234)(i =>
+      ((i * 37 - 600) % 32768).toShort) // mixed-sign PCM
+    val wav = WavCodec.encode(44100, 2, samples)
+    val (rate, ch, back) = WavCodec.decode(wav)
+    assert(rate == 44100 && ch == 2 && back.sameElements(samples))
+    // independent oracle: the JDK's own WAV reader parses our encoding
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 44100f && fmt.getChannels == 2 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    val raw = ais.readAllBytes()
+    assert(raw.length == samples.length * 2)
+    val jdkSamples = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    assert(samples.indices.forall(i => jdkSamples.get(i) == samples(i)),
+      "JDK reader must see the same PCM frames")
+    // reverse direction: decode a JDK-written WAV
+    val jfmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](400)
+    java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(Array.tabulate(200)(i => (i * 91 - 5000).toShort))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), jfmt, 200),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val (r2, c2, s2) = WavCodec.decode(buf.toByteArray)
+    assert(r2 == 8000 && c2 == 1 &&
+      s2.sameElements(Array.tabulate(200)(i => (i * 91 - 5000).toShort)),
+      "JDK-written WAV must decode frame-for-frame")
+  }
+
+  test("wav codec: integer linear resample is exact; unsupported payloads fail loudly") {
+    import graft.multimodal.WavCodec
+    // hand-checked case: [0, 1000, 2000, 3000] at 4 Hz → 3 Hz
+    // out i reads p = i*4/3, r = (i*4)%3:
+    //  i=0: p=0 r=0 → 0; i=1: p=1 r=1 → (1000*2+2000*1)/3 = 1333;
+    //  i=2: p=2 r=2 → (2000*1+3000*2)/3 = 2666
+    val out = WavCodec.resampleLinear(
+      Array[Short](0, 1000, 2000, 3000), 1, 4, 3)
+    assert(out.toSeq == Seq[Short](0, 1333, 2666))
+    // upsample doubles frames, interpolating midpoints (incl. negatives)
+    val up = WavCodec.resampleLinear(Array[Short](-100, 100), 1, 1, 2)
+    assert(up.toSeq == Seq[Short](-100, 0, 100, 100))
+    // identity rate is a copy
+    val id = WavCodec.resampleLinear(Array[Short](5, -5, 7), 1, 8000, 8000)
+    assert(id.toSeq == Seq[Short](5, -5, 7))
+    intercept[IllegalArgumentException] {
+      WavCodec.decode("RIFFxxxxNOPE".getBytes ++ new Array[Byte](40))
+    }
+    // non-PCM format tag (IEEE float = 3) must be rejected, not misread
+    val wav = WavCodec.encode(8000, 1, Array[Short](1, 2, 3))
+    wav(20) = 3
+    val e = intercept[IllegalArgumentException] { WavCodec.decode(wav) }
+    assert(e.getMessage.contains("PCM"))
+    // truncated data chunk
+    val cut = WavCodec.encode(8000, 1, Array[Short](1, 2, 3)).dropRight(2)
+    intercept[IllegalArgumentException] { WavCodec.decode(cut) }
+  }
+
+  test("mm_wav gate: resampled sums match the analytic interpolation formula") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mmwav").toString
+    Seq((3L, "abc", "en", "s", 3L), (11L, "x" * 27, "en", "s", 27L),
+        (40L, "y" * 49, "de", "s", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Media.mmWav(spark, d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(3L, 11L, 40L))
+    for ((id, r) <- out) {
+      val n = r.getInt(1)
+      def sample(t: Int) = (id * 31 + t * 17) % 32768
+      val nOut = n * Media.WavDstRate / Media.WavSrcRate
+      val expect = (0 until nOut).map { i =>
+        val num = i.toLong * Media.WavSrcRate
+        val p = (num / Media.WavDstRate).toInt
+        val rr = (num % Media.WavDstRate).toInt
+        val p1 = math.min(p + 1, n - 1)
+        (sample(p) * (Media.WavDstRate - rr) + sample(p1) * rr) / Media.WavDstRate
+      }.sum
+      assert(r.getInt(2) == nOut && r.getLong(3) == expect,
+        s"resample mismatch for media $id")
+    }
+  }
+
   test("mm_dedup: byte-identical payloads collapse to the min-id canonical; one changed byte is a different asset") {
     val d = java.nio.file.Files.createTempDirectory("graft-mmdedup").toString
     // 0 == 2 byte-for-byte; 1 differs from 0 by ONE byte; 3 is distinct

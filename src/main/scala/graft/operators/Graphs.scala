@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over corpus-derived graphs.
@@ -173,29 +172,43 @@ object Graphs {
     *
     * Scale: the edge list is built once (the dedup family's bucketed
     * candidate generation, never all-pairs) and persisted across both
-    * traversals; the argmax is a per-cluster window — clusters are
-    * bucket-cap-bounded, so the partition-by-cluster exchange is skew-
-    * safe, and both windows (argmax + size) share one exchange. */
+    * traversals. The per-cluster argmax and size come from ONE
+    * aggregate + join-back, NOT windows over cluster_id: bucket caps
+    * bound EDGES per bucket, but a connected component chains across
+    * buckets without bound (boilerplate at 100 TB), and a window would
+    * land a mega-cluster's every member in one unsplittable task. The
+    * argmax is the struct-min idiom (min over (−pr, doc_id) ≡ highest
+    * PR, smallest doc_id tie-break — same as LPA's plurality argmax),
+    * partial-aggregated map-side; results are hash-identical to the
+    * windowed form. */
   def graphCanonical(s: SparkSession, dir: String): DataFrame = {
     val (mh, sym) = Dedup.ccSymEdges(s, dir)
     val docs = graft.Tables.documents(s, dir).select(col("doc_id")).localCheckpoint()
     val labels = Dedup.propagateMin(s,
       docs.select(col("doc_id"), col("doc_id").as("label")), sym, "graphCanonical")
     val pr = pagerankPrepared(s, docs, sym)
-    val wTop = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("pr_scaled").desc, col("doc_id"))
-    val wAll = Window.partitionBy(col("cluster_id"))
-    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+    val members = labels.select(col("doc_id"), col("label").as("cluster_id"))
       .join(pr.select(col("doc_id"), col("pr_scaled")), "doc_id")
-      .withColumn("canonical_id", first(col("doc_id")).over(wTop))
-      .withColumn("cluster_size", count(lit(1)).over(wAll))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        col("pr_scaled"), col("canonical_id"),
-        (col("doc_id") === col("canonical_id")).cast("int").as("is_canonical"))
+    val out = canonicalOver(members)
       .localCheckpoint() // sever lineage before releasing the edge cache
     sym.unpersist()
     mh.unpersist()
     out
+  }
+
+  /** The keeper-stats step over a (doc_id, cluster_id, pr_scaled)
+    * membership frame — separated so PlanSpec can pin its shape (the
+    * localCheckpoint in [[graphCanonical]] severs the plan). */
+  private[graft] def canonicalOver(members: DataFrame): DataFrame = {
+    val perCluster = members.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("pr_scaled")).as("neg_pr"), col("doc_id"))).as("top"),
+           count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("top.doc_id").as("canonical_id"),
+        col("cluster_size"))
+    members.join(perCluster, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("pr_scaled"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("int").as("is_canonical"))
   }
 
   // ------------------------------------------------ graph_communities

@@ -81,6 +81,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 2, s"keeper agg + join-back only:\n$p")
   }
 
+  test("mm_dedup / graph_canonical: per-group keeper stats aggregate, no window over the group key") {
+    // same skew argument as dedup_exact: duplicate groups and connected
+    // components are unbounded at corpus scale (boilerplate), so the
+    // canonical/size computations must be aggregate + join-back, never
+    // a window over checksum / cluster_id
+    val mmTxt = plan(graft.multimodal.Media.mmDedup(spark, dir)).toString
+    assert(!mmTxt.contains("windowspecdefinition"),
+      "mm_dedup keeper must not window over the checksum")
+    assert(mmTxt.contains("partial_min"),
+      "mm_dedup keeper min must partial-aggregate map-side")
+    import spark.implicits._
+    val members = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 3L, 5L))
+      .toDF("doc_id", "cluster_id", "pr_scaled")
+    val gcTxt = plan(graft.operators.Graphs.canonicalOver(members)).toString
+    assert(!gcTxt.contains("windowspecdefinition"),
+      "graph_canonical argmax/size must not window over cluster_id")
+    assert(gcTxt.contains("partial_min") && gcTxt.contains("partial_count"),
+      "graph_canonical per-cluster stats must partial-aggregate map-side")
+  }
+
   test("pii_mask / denylist scrub: pure per-row plans — zero shuffles") {
     def exchanges(df: DataFrame): Int =
       plan(df).collect { case e if e.getClass.getSimpleName.startsWith("ShuffleExchange") => e }.size

@@ -60,8 +60,19 @@ object Bench {
       // reference-parse problem must never break the bench itself
       scala.util.Try {
       val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+      // only CALM records may serve as the reference: a shipped record
+      // with errors, surviving outliers (non-empty remeasured), or a
+      // failed floor gate would silently RAISE the outlier thresholds
+      // by up to its own inflation — recreating the blind spot this
+      // check closes. (Records predating the errors/remeasured fields
+      // were only ever appended from calm sweeps.)
       val lines =
         try src.getLines().filter(_.startsWith("{\"metric\"")).toList
+          .filter { l =>
+            (!l.contains("\"errors\":") || l.contains("\"errors\":{}")) &&
+            (!l.contains("\"remeasured\":") || l.contains("\"remeasured\":{}")) &&
+            (!l.contains("\"passed\":") || l.contains("\"passed\":true"))
+          }
         finally src.close()
       val pair = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
       lines.flatMap { line =>

@@ -451,12 +451,16 @@ object Similarity {
     * not winning over a stale row) breaks the hash. */
   def simIndexUpsert(s: SparkSession, dir: String): DataFrame = {
     val c = nCentroids(Tables.embeddings(s, dir).count())
-    def enc(pred: Column) = VecKernel.ivfPqEncode(
-      s, dir, c, NProbe, KMeans.PqC, KMeans.PqM, Some(pred))
+    // ONE quantizer collect serves both encode passes — the frozen
+    // training-time artifact, collected once and broadcast per pass
+    // (ivfPqEncode would otherwise re-collect centroids + codebook for
+    // each side)
+    val q = VecKernel.collectQuantizer(s, dir, c, KMeans.PqC)
+    def enc(pred: Column) = VecKernel.ivfPqEncodeWith(
+      s, dir, q, NProbe, KMeans.PqC, KMeans.PqM, Some(pred))
     // the "stored" side: everything that was indexed at ingest time
     val stored = enc(col("vec_id") % IndexUpsertMod =!= 1)
-    // the arrival batch: encoded alone (pushed scan → batch-bounded),
-    // sharing the frozen quantizer broadcasts with the stored side
+    // the arrival batch: encoded alone — batch-bounded kernel work
     val batch = enc(col("vec_id") % IndexUpsertMod === 1)
     val merged = Snapshots.upsertOver(stored, batch, "vec_id").drop("op")
     simIvfPqTopkOver(merged.repartition(col("vec_id")))

@@ -39,20 +39,31 @@ object Snapshots {
     *   - NULL update columns KEEP the target's value (per-column
     *     COALESCE — last-known-good semantics). A pipeline that needs
     *     to write explicit NULLs or deletes models them as tombstone
-    *     values, the way append-only table formats do. */
+    *     values, the way append-only table formats do.
+    *   - the merge KEY must be non-NULL in `updates`. `ON t.key =
+    *     u.key` can never match a NULL, so a NULL-keyed update could
+    *     only ever insert — and would insert AGAIN on every replay
+    *     (NULLs don't match their own earlier insert either), breaking
+    *     the idempotence the sink contract relies on. The plan RAISES
+    *     on a NULL key instead of silently dropping or duplicating. */
   def upsertOver(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = target.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"upsert sides must share a schema: ${cols.mkString(",")} vs ${updates.columns.mkString(",")}")
-    // the guard is folded into the KEY COLUMN'S VALUE (raise_error on
-    // the never-taken branch), not a filter over an assert_true column:
-    // a filter depends on the optimizer never simplifying IsNull over
-    // the NullType assert column and then pruning it, while a
-    // projection the join key and output both consume cannot be
-    // dropped. Counts come from an aggregate + join-back (the skew-safe
-    // keeper idiom), not a window over the key.
-    val counts = updates.groupBy(col(key)).agg(count(lit(1)).as("_k_n"))
-    val uChecked = updates.join(counts, key)
+    // both guards are folded into the KEY COLUMN'S VALUE (raise_error
+    // on the never-taken branch), not a filter over an assert_true
+    // column: a filter depends on the optimizer never simplifying
+    // IsNull over the NullType assert column and then pruning it, while
+    // a projection the join key and output both consume cannot be
+    // dropped. The NULL guard must run BEFORE the count join-back — a
+    // null-rejecting equi-join would silently drop NULL-key rows on the
+    // way to the duplicate check. Counts come from an aggregate +
+    // join-back (the skew-safe keeper idiom), not a window over the key.
+    val uKeyed = updates.withColumn(key, expr(
+      s"if($key is not null, $key, " +
+        s"raise_error('upsert updates batch has a NULL $key'))"))
+    val counts = uKeyed.groupBy(col(key)).agg(count(lit(1)).as("_k_n"))
+    val uChecked = uKeyed.join(counts, key)
       .withColumn(key, expr(
         s"if(_k_n = 1, $key, raise_error(concat(" +
           s"'upsert updates batch has a duplicate $key: ', cast($key as string))))"))

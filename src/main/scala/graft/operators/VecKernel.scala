@@ -192,16 +192,39 @@ object VecKernel {
     * table/files and needs no predicate at all
     * (see [[Similarity.simIndexUpsert]]). */
   def ivfPqEncode(s: SparkSession, dir: String, nCentroids: Int, nprobe: Int,
-                  pqC: Int, pqM: Int, where: Option[Column] = None): DataFrame = {
-    import s.implicits._
+                  pqC: Int, pqM: Int, where: Option[Column] = None): DataFrame =
+    ivfPqEncodeWith(s, dir, collectQuantizer(s, dir, nCentroids, pqC),
+      nprobe, pqC, pqM, where)
+
+  /** The frozen quantizer as driver state: coarse centroids + PQ
+    * codebook, collected once. Callers that encode SEVERAL frames
+    * under one quantizer (index maintenance: stored side + arrival
+    * batch) collect and broadcast it once through
+    * [[ivfPqEncodeWith]] instead of paying the two pushed-scan
+    * collects per encode call. */
+  case class PqQuantizer(cids: Array[Long], cents: Array[Array[Long]],
+                         cb: Array[Array[Long]])
+
+  def collectQuantizer(s: SparkSession, dir: String, nCentroids: Int,
+      pqC: Int): PqQuantizer = {
     val (cids, cents) = collectScaled(s, dir, Some(col("vec_id") < nCentroids))
     val (cbIds, cb) = collectScaled(s, dir, Some(col("vec_id") < pqC))
     require(cids.nonEmpty, s"empty centroid set: no vec_id < $nCentroids rows")
     // shared with embPq/embPqTrained: one place owns the dense-0-based
-    // codebook and subspace-divisibility contract (which checks against
-    // KMeans.PqM — so pin the parameter to it)
-    require(pqM == KMeans.PqM, s"pqM ($pqM) must equal KMeans.PqM (${KMeans.PqM})")
+    // codebook and subspace-divisibility contract
     KMeans.requirePqCodebook(cbIds, cb)
+    PqQuantizer(cids, cents, cb)
+  }
+
+  /** [[ivfPqEncode]] under a pre-collected quantizer (one broadcast
+    * shared by every caller-side encode pass). */
+  def ivfPqEncodeWith(s: SparkSession, dir: String, q: PqQuantizer,
+      nprobe: Int, pqC: Int, pqM: Int, where: Option[Column]): DataFrame = {
+    import s.implicits._
+    val (cids, cents, cb) = (q.cids, q.cents, q.cb)
+    // the divisibility contract checks against KMeans.PqM — pin the
+    // parameter to it
+    require(pqM == KMeans.PqM, s"pqM ($pqM) must equal KMeans.PqM (${KMeans.PqM})")
     val bc = s.sparkContext.broadcast((cids, cents, cb))
     val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     where.fold(base)(base.where(_))

@@ -49,41 +49,57 @@ object ZMaintain {
     ZOrder.zkey(expr(s"n_chars % ${1 << ZOrder.ZBits}"),
       expr(s"doc_id % ${1 << ZOrder.ZBits}"))
 
+  /** ONE writer owns the layout recipe (bucket column, z-sort within
+    * buckets, partition-dir write) for both the initial write and
+    * maintenance — a recipe change that landed in only one of the two
+    * would silently give the table two different layouts, and the
+    * byte-stability spec only watches untouched buckets. */
+  private def writeZLayout(df: DataFrame, dir: String, key: String,
+      z: Column, dynamicOverwrite: Boolean): Unit = {
+    val w = df.withColumn("bucket", bucketOf(col(key)))
+      .withColumn("_z", z)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+    (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("bucket").parquet(dir)
+  }
+
   /** Initial snapshot write: bucket dirs + z-sorted files within each.
     * The z column itself is not stored — it is a pure function of
     * stored columns, recomputed by maintenance (the [[ZOrder]] layout
     * recipe). */
   def writeZBucketed(df: DataFrame, dir: String, key: String, z: Column): Unit =
-    df.withColumn("bucket", bucketOf(col(key)))
-      .withColumn("_z", z)
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+    writeZLayout(df, dir, key, z, dynamicOverwrite = false)
 
   /** Upsert `updates` into the maintained table at `dir`, then restore
     * the z-layout + file-size target over the touched buckets only.
-    * Returns the touched bucket ids. */
+    * Returns the touched bucket ids. An empty batch is a no-op; a
+    * touched bucket with no existing directory (every key in it is new
+    * — an empty write partition produces no dir, so sparse tables have
+    * legal holes) merges against an empty target instead of failing
+    * the read. */
   def upsertZBucketed(s: SparkSession, dir: String, updates: DataFrame,
       key: String, z: Column, targetBytes: Long = 256L << 20): Seq[Long] = {
     val cols = updates.columns.toSeq
     // the batch's bucket set: bounded driver state (≤ NBuckets values)
     val touched = updates.select(bucketOf(col(key)).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    val target = s.read.option("basePath", dir)
-      .parquet(touched.map(b => s"$dir/bucket=$b"): _*)
-      .select(cols.map(col): _*)
+    if (touched.isEmpty) return touched
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val existing = touched.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")))
+    val target =
+      if (existing.isEmpty) updates.limit(0)
+      else s.read.option("basePath", dir)
+        .parquet(existing.map(b => s"$dir/bucket=$b"): _*)
+        .select(cols.map(col): _*)
     val merged = Snapshots.upsertOver(target, updates, key).drop("op")
     // dynamic partition overwrite: ONLY the bucket dirs present in the
     // merged frame (= the touched set) are replaced
-    merged.withColumn("bucket", bucketOf(col(key)))
-      .withColumn("_z", z)
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(dir)
+    writeZLayout(merged, dir, key, z, dynamicOverwrite = true)
     touched.foreach(b =>
       Compaction.compactSorted(s, s"$dir/bucket=$b", targetBytes, z))
     touched
@@ -101,8 +117,13 @@ object ZMaintain {
     val target = docs.where(col("doc_id") % 3 =!= 0)
     val updates = docs.where(col("doc_id") % 5 === 0)
       .withColumn("text", upper(col("text")))
+    // per-process path: the gate can run concurrently from several
+    // drivers on the same fixtures (bench + verify + rehearsal), and a
+    // shared dir would let one process's whole-table Overwrite race
+    // another's bucket reads
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val tdir = s"${sys.props("java.io.tmpdir")}/graft-zmaintain-$sfTag"
+    val tdir = s"${sys.props("java.io.tmpdir")}/graft-zmaintain-$sfTag-" +
+      java.lang.Long.toHexString(ProcessHandle.current().pid())
     writeZBucketed(target, tdir, "doc_id", zDocs)
     upsertZBucketed(s, tdir, updates, "doc_id", zDocs)
     s.read.parquet(tdir)

@@ -28,7 +28,11 @@ import graft.operators.Snapshots
   * (deterministic path per batch + overwrite), upgraded from append
   * tables to read-modify-write tables; it is also the transactional
   * core of how Delta/Iceberg maintain tables (monotone versions,
-  * readers pin one, old ones are GC'd by retention).
+  * readers pin one, old ones are GC'd by retention). READERS are
+  * protected separately: only versions carrying Spark's `_SUCCESS`
+  * commit marker are visible (see [[versionsIn]]) — the replay
+  * argument above makes writes converge, the marker keeps a torn
+  * in-progress version from ever being read or merged against.
   *
   * Scale: each version rewrite costs one key-shuffle of target+batch
   * (the upsert's full-outer join) plus a table write. At 100 TB the
@@ -39,12 +43,25 @@ import graft.operators.Snapshots
   */
 object SnapshotStream {
 
+  /** Versions with a COMMIT MARKER only: a version dir is visible iff
+    * Spark's job-level `_SUCCESS` file exists in it. Without the
+    * filter, a reader racing a crash-mid-write sees the half-written
+    * `v=N` as newest and silently reads a torn table (the committed
+    * subset of part files — rows missing, no error); the writer-side
+    * replay safety below never protected readers. This is the same
+    * reader gate table formats implement with a commit record; it also
+    * keeps the SINK honest — a torn predecessor is skipped as a merge
+    * target too. (If `mapreduce.fileoutputcommitter.marksuccessfuljobs`
+    * is disabled, every version is invisible and [[currentSnapshot]]
+    * fails loudly rather than tearing — re-enable the marker.) */
   private def versionsIn(s: SparkSession, tableDir: String): Seq[Long] = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.drop(2).toLong)
       .sorted
   }
 

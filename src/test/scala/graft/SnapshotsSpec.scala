@@ -49,6 +49,22 @@ class SnapshotsSpec extends AnyFunSuite {
       s"error must name the violated contract: ${messages(e).mkString(" | ")}")
   }
 
+  test("upsert raises on a NULL key in the updates batch (no silent drop, no replay duplication)") {
+    // a NULL merge key can never match — not the target, and not its
+    // own earlier insert on a replay — so it must neither vanish into
+    // the null-rejecting count join nor insert unboundedly: it raises
+    val target = frame(1L -> "one")
+    val nullBatch = Seq((java.lang.Long.valueOf(2L), "ok"), (null.asInstanceOf[java.lang.Long], "bad"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Snapshots.upsertOver(target, nullBatch, "doc_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL doc_id")),
+      s"error must name the violated contract: ${messages(e).mkString(" | ")}")
+  }
+
   test("upsert rejects mismatched schemas loudly") {
     intercept[IllegalArgumentException] {
       Snapshots.upsertOver(frame(1L -> "x"),

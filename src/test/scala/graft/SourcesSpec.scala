@@ -207,6 +207,31 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("z-maintained table: insert-only batch into a bucket with no directory; empty batch is a no-op") {
+    import graft.sources.ZMaintain
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zmaintain-hole").toString + "/t"
+    // base populates buckets {0, 1} ONLY — every other bucket dir is a
+    // legal hole (empty write partitions produce no directory)
+    val base = Seq((0L, "a"), (8L, "b"), (1L, "c"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    ZMaintain.writeZBucketed(base, dir, "doc_id", ZMaintain.zDocs)
+    assert(!new java.io.File(s"$dir/bucket=5").exists())
+    // a batch whose only key lands in hole-bucket 5 must INSERT, not
+    // crash on the missing directory read
+    val batch = Seq((5L, "new"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val touched = ZMaintain.upsertZBucketed(spark, dir, batch, "doc_id", ZMaintain.zDocs)
+    assert(touched == Seq(5L))
+    val back = spark.read.parquet(dir).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(0L -> "a", 8L -> "b", 1L -> "c", 5L -> "new"))
+    // empty batch: no touched buckets, table untouched
+    assert(ZMaintain.upsertZBucketed(spark, dir, batch.limit(0), "doc_id",
+      ZMaintain.zDocs).isEmpty)
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
   test("TIMESTAMP_NTZ sort column defeats row-group pruning (store epoch longs instead)") {
     // Same sorted layout, but keyed on the raw timestamp_ntz column:
     // the range predicate appears in PushedFilters yet the parquet

@@ -472,6 +472,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(tableRows() == gate, "batch replay must be a no-op")
   }
 
+  test("versioned snapshot sink: a torn (uncommitted) version is invisible to readers and merges") {
+    import graft.streaming.SnapshotStream
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-torn-tab").toString
+    val init = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    SnapshotStream.versionedUpsertSink(table, "doc_id", init)(
+      Seq((2L, "TWO")).toDF("doc_id", "text"), 0L)
+    // simulate a crash mid-write of v=1: committed part files exist,
+    // but the job-level _SUCCESS marker does not
+    val torn = new java.io.File(s"$table/v=1"); torn.mkdirs()
+    val v0parts = new java.io.File(s"$table/v=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    Files.copy(v0parts.head.toPath, torn.toPath.resolve("part-torn.parquet"))
+    // readers must pin v=0, never the torn v=1
+    val seen = SnapshotStream.currentSnapshot(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(seen == Map(1L -> "one", 2L -> "TWO"),
+      "reader must not see the uncommitted version")
+    // the replayed batch 1 merges against v=0 (not the torn dir) and
+    // its completed write REPLACES the torn v=1
+    SnapshotStream.versionedUpsertSink(table, "doc_id", init)(
+      Seq((3L, "three")).toDF("doc_id", "text"), 1L)
+    val healed = SnapshotStream.currentSnapshot(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(healed == Map(1L -> "one", 2L -> "TWO", 3L -> "three"))
+  }
+
   test("checkpointed restart processes only new files (incremental pipeline)") {
     val src = Files.createTempDirectory("graft-inc-src")
     val out = Files.createTempDirectory("graft-inc-out").toString

@@ -220,14 +220,24 @@ object VecKernel {
     * shared by every caller-side encode pass). */
   def ivfPqEncodeWith(s: SparkSession, dir: String, q: PqQuantizer,
       nprobe: Int, pqC: Int, pqM: Int, where: Option[Column]): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    ivfPqEncodeFrame(where.fold(base)(base.where(_)), q, nprobe, pqC, pqM)
+  }
+
+  /** The encode kernel over an ARBITRARY (vec_id, embedding) frame —
+    * the entry streaming ingestion uses (a micro-batch of arriving
+    * vectors is not a table path); [[ivfPqEncodeWith]] is this over
+    * the embeddings-table scan. */
+  def ivfPqEncodeFrame(vecs: DataFrame, q: PqQuantizer,
+      nprobe: Int, pqC: Int, pqM: Int): DataFrame = {
+    val s = vecs.sparkSession
     import s.implicits._
     val (cids, cents, cb) = (q.cids, q.cents, q.cb)
     // the divisibility contract checks against KMeans.PqM — pin the
     // parameter to it
     require(pqM == KMeans.PqM, s"pqM ($pqM) must equal KMeans.PqM (${KMeans.PqM})")
     val bc = s.sparkContext.broadcast((cids, cents, cb))
-    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    where.fold(base)(base.where(_))
+    vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { rows =>
         val (cids, cents, cb) = bc.value

@@ -499,6 +499,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(healed == Map(1L -> "one", 2L -> "TWO", 3L -> "three"))
   }
 
+  test("streaming vector ingest maintains the stored ANN index == one-pass rebuild") {
+    // the round's two maintenance halves composed: arriving vectors are
+    // encoded under the FROZEN quantizer inside foreachBatch
+    // (VecKernel.ivfPqEncodeFrame) and merged into the stored IVF-PQ
+    // index table by the versioned snapshot sink — searching the
+    // maintained index must equal the one-pass rebuild exactly
+    import graft.operators.{KMeans, Similarity, VecKernel}
+    import graft.streaming.SnapshotStream
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val c = Similarity.nCentroids(emb.count())
+    val q = VecKernel.collectQuantizer(spark, dir, c, KMeans.PqC)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      VecKernel.ivfPqEncodeFrame(df, q, Similarity.NProbe, KMeans.PqC, KMeans.PqM)
+    val init = enc(emb.where(col("vec_id") % Similarity.IndexUpsertMod =!= 1))
+    // the arrival stream: the batch vectors land as two parquet files
+    val src = Files.createTempDirectory("graft-annstream-src")
+    val table = Files.createTempDirectory("graft-annstream-tab").toString
+    val ckpt = Files.createTempDirectory("graft-annstream-ckpt").toString
+    val arrivals = emb.where(col("vec_id") % Similarity.IndexUpsertMod === 1)
+    arrivals.where(col("vec_id") % 2 === 1).coalesce(1)
+      .write.parquet(src.resolve("w1").toString)
+    arrivals.where(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(src.resolve("w2").toString)
+    val qy = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString + "/*")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        SnapshotStream.versionedUpsertSink(table, "vec_id", init)(enc(batch), id)
+      }
+      .start()
+    qy.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val maintained = rows(Similarity.simIvfPqTopkOver(
+      SnapshotStream.currentSnapshot(spark, table)))
+    val rebuilt = rows(Similarity.simIvfPqTopk(spark, dir))
+    assert(maintained.nonEmpty && maintained == rebuilt,
+      "stream-maintained index must search exactly like the rebuilt index")
+  }
+
   test("checkpointed restart processes only new files (incremental pipeline)") {
     val src = Files.createTempDirectory("graft-inc-src")
     val out = Files.createTempDirectory("graft-inc-out").toString

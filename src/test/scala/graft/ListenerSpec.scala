@@ -56,4 +56,33 @@ class ListenerSpec extends AnyFunSuite {
     val multi = attempts.filter(_._2.size != 1)
     assert(multi.isEmpty, s"tasks ran more than once: $multi")
   }
+
+  test("in-flight data-quality counters (Observation API) match a separate audit query, at zero extra passes") {
+    // the production shape for pipeline health metrics at 100 TB: a
+    // run the pipeline is ALREADY making carries its own audit counters
+    // (row count, empty-text count, length extremes) via df.observe —
+    // no second scan, no separate audit job. The spec pins (a) the
+    // counters equal a standalone audit aggregate, and (b) they
+    // describe the rows AT the observe point even though the action
+    // only consumed a filtered subset downstream.
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val obs = Observation("dq")
+    val docs = Tables.documents(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(length(col("text")) === 0, 1).otherwise(0)).as("empty_text"),
+        max(col("n_chars")).as("max_chars"))
+    val enOnly = docs.where(col("lang") === "en").count() // the real action
+    val m = obs.get
+    val audit = Tables.documents(spark, sf)
+      .agg(count(lit(1)), sum(when(length(col("text")) === 0, 1).otherwise(0)),
+        max(col("n_chars"))).head()
+    assert(m("rows") == audit.getLong(0), "row counter == audit count")
+    assert(m("empty_text") == audit.getLong(1))
+    assert(m("max_chars") == audit.getLong(2))
+    assert(enOnly < audit.getLong(0),
+      "the downstream filter consumed a strict subset, yet counters saw every row")
+  }
 }

@@ -225,6 +225,38 @@ class DedupSpec extends AnyFunSuite {
     assert(p1x16.contains((0L, 1L)))
   }
 
+  test("containmentVs flags a batch doc embedded in a snapshot doc; never old×old or new×new pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // snapshot: 0 (the long page), 2 and 3 (snapshot-INTERNAL exact
+    // dups of each other); batch: 1 (verbatim substring of 0 — the
+    // containment case), 7 (batch-internal copy of 1), 4 (novel)
+    val docs = Seq(
+      (0L, long),
+      (2L, "old internal duplicate page body text here"),
+      (3L, "old internal duplicate page body text here"),
+      (1L, "beta gamma delta epsilon zeta"),
+      (7L, "beta gamma delta epsilon zeta"),
+      (4L, "unrelated zebra words nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentVs(
+        docs.where(col("doc_id").isin(1L, 7L, 4L)),
+        docs.where(col("doc_id").isin(0L, 2L, 3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(5), r.getLong(7), r.getInt(8)))).toMap
+    // ONLY the two new-doc-inside-old-doc pairs: the 2↔3 old dup pair
+    // and the 1↔7 batch dup pair are structurally out of scope
+    assert(out.keySet == Set((1L, 0L), (7L, 0L)),
+      s"new×old containment pairs only: ${out.keySet}")
+    for (((n, _), (cont, containedId, missed)) <- out) {
+      assert(cont == 1.0, "verbatim substring ⇒ containment 1.0")
+      assert(containedId == n, "the shorter (batch) doc is the contained one")
+      // J = 3 shared shingles / 8 total < CcThreshold: Jaccard misses it
+      assert(missed == 1, "the containment lens catches what Jaccard missed")
+    }
+  }
+
   test("dedup_minhash_incr flags batch docs near-duplicating the snapshot, never batch-internal dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"

@@ -96,7 +96,11 @@ final class Graft private (val spark: SparkSession, val dataDir: String) {
     // near-dup (MinHash) check of `left` vs `right`: best-match estimate
     // per incoming doc
     "dedup_minhash_vs" -> ((batch, snapshot) =>
-      operators.Dedup.dedupMinhashVs(spark, batch, snapshot)))
+      operators.Dedup.dedupMinhashVs(spark, batch, snapshot)),
+    // asymmetric containment of `left` (batch) docs vs `right`
+    // (snapshot): new×old pairs with containment ≥ the threshold
+    "dedup_containment_vs" -> ((batch, snapshot) =>
+      operators.Dedup.containmentVs(batch, snapshot)))
 
   /** Two-corpus operators available through [[runVs]]. */
   def vsOps: Seq[String] = vsCatalog.map(_._1)

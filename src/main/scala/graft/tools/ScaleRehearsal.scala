@@ -92,7 +92,7 @@ object ScaleRehearsal {
       // sim_ivfpq_topk): the DELTA is the maintenance cost, and it must
       // track the batch size, not the corpus
       "snapshot_zmaintain", "stream_upsert", "sim_index_upsert",
-      "sim_index_recall", "mm_png", "mm_wav")
+      "sim_index_recall", "mm_png", "mm_wav", "dedup_containment_incr")
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames

@@ -37,7 +37,7 @@ class GraftSpec extends AnyFunSuite {
   test("runVs: two-corpus operators run end-to-end on documents-shaped inputs") {
     import org.apache.spark.sql.functions._
     assert(g.vsOps == Seq("ta_lm_score_vs", "ta_decontaminate_vs",
-      "dedup_incremental_vs", "dedup_minhash_vs"))
+      "dedup_incremental_vs", "dedup_minhash_vs", "dedup_containment_vs"))
     intercept[IllegalArgumentException] {
       g.runVs("no_such_vs", g.table("documents"), g.table("documents"))
     }
@@ -63,6 +63,13 @@ class GraftSpec extends AnyFunSuite {
     assert(planted.length == 1 && planted.head.getLong(1) == 1L
       && planted.head.getBoolean(3),
       s"planted near-dup must match doc 1: ${planted.mkString}")
+
+    // containment vs snapshot: the planted doc is byte-identical to
+    // doc 1, so the (new, old) pair surfaces at containment 1.0
+    val cont = g.runVs("dedup_containment_vs", incoming, snapshot)
+      .where(col("new_id") === 999999L && col("old_id") === 1L).collect()
+    assert(cont.length == 1 && cont.head.getDouble(5) == 1.0,
+      s"planted exact copy must be fully contained: ${cont.mkString}")
 
     // scoring shapes: one row per left doc for LM score and decontaminate
     assert(g.runVs("ta_lm_score_vs", incoming, snapshot).count() == incoming.count())

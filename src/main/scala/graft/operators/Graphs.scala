@@ -328,4 +328,85 @@ object Graphs {
        |             FIRST_VALUE(l.doc_id) OVER (PARTITION BY l.cluster_id
        |               ORDER BY r.mass DESC, l.doc_id) AS canonical_id
        |      FROM lab l JOIN r$PrIters r ON l.doc_id = r.doc_id)""".stripMargin
+
+  // ---------------------------------------------------- graph_triangles
+  /** Per-node triangle counts over the near-dup pair graph — the
+    * transitivity/clustering-coefficient numerator. On a dup graph this
+    * measures how CLIQUE-LIKE clusters are: near-duplicate is not a
+    * transitive relation, so a cluster formed by chaining (A~B, B~C
+    * without A~C) has low triangle density, and triangle counts
+    * distinguish genuine replica groups from chain-collapse — the
+    * standard audit before trusting CC output at 100 TB.
+    *
+    * The Spark plan is the degree-ordered "compact-forward" algorithm
+    * (Suri & Vassilvitskii's MR-triangle shape): orient every
+    * undirected edge from its lower to its higher endpoint under the
+    * total order (degree, id), enumerate wedges by self-joining
+    * oriented edges on their source, and close each wedge with one join
+    * back against the oriented edge set. Orientation bounds out-degree
+    * by O(sqrt(E)), so the wedge fan-out is sum(outdeg^2) = O(E^1.5)
+    * worst-case instead of sum(deg^2) — a supernode (boilerplate hub in
+    * a dup graph) generates NO wedges from itself because all its edges
+    * point INTO it. The oracle enumerates triangles in the
+    * orientation-free a<b<c form: the triangle SET is identical, so the
+    * per-node counts hash-match while the plans differ — the oracle may
+    * be O(sum deg^2); the Spark side must not be.
+    *
+    * Both joins key on node ids (high cardinality); the only skew risk
+    * is a hot oriented-edge source, bounded by the O(sqrt(E)) out-degree
+    * cap that orientation provides. No windows anywhere. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOver(graft.Tables.documents(s, dir).select(col("doc_id")),
+      Dedup.dedupSimhashPairs(s, dir).select(col("da"), col("db")))
+
+  /** The count over any node set (doc_id) and canonical undirected pair
+    * list (da, db) with da < db, no duplicates. */
+  private[graft] def trianglesOver(nodes: DataFrame, rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs
+      .localCheckpoint() // the upstream pair pipeline feeds 3 scans below
+    val deg = Dedup.symmetrize(pairs)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("src").as("da"), col("deg").as("dega")), Seq("da"))
+      .join(deg.select(col("src").as("db"), col("deg").as("degb")), Seq("db"))
+    // orient low (deg, id) -> high (deg, id); keys carried as structs so
+    // the wedge inequality and the closing join compare the total order
+    val ka = struct(col("dega").as("d"), col("da").as("id"))
+    val kb = struct(col("degb").as("d"), col("db").as("id"))
+    val oriented = withDeg.select(
+        when(ka < kb, struct(ka.as("sk"), kb.as("dk")))
+          .otherwise(struct(kb.as("sk"), ka.as("dk"))).as("e"))
+      .select(col("e.sk").as("sk"), col("e.dk").as("dk"))
+      .localCheckpoint() // scanned twice (wedge self-join + closing join)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.sk") === col("e2.sk") && col("e1.dk") < col("e2.dk"))
+      .select(col("e1.sk").as("ak"), col("e1.dk").as("bk"), col("e2.dk").as("ck"))
+    val tris = wedges.join(oriented.as("e3"),
+        col("bk") === col("e3.sk") && col("ck") === col("e3.dk"))
+      .select(col("ak.id").as("a"), col("bk.id").as("b"), col("ck.id").as("c"))
+    val roles = tris.select(col("a").as("doc_id"))
+      .unionAll(tris.select(col("b").as("doc_id")))
+      .unionAll(tris.select(col("c").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("tri_cnt"))
+    nodes.join(roles, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+  }
+
+  /** Orientation-free twin: with da<db canonical pairs, each triangle
+    * {a<b<c} appears exactly once as (e1=(a,b), e2=(b,c), e3=(a,c)). */
+  lazy val graphTrianglesSql: String =
+    s"""WITH shp AS MATERIALIZED (${Dedup.dedupSimhashPairsSql}),
+       |e AS MATERIALIZED (SELECT da AS u, db AS v FROM shp),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.u = e1.v
+       |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |roles AS (
+       |  SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri),
+       |cnt AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n FROM roles GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(cnt.n, 0) AS tri_cnt
+       |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
 }

@@ -95,4 +95,115 @@ object Tokenizer {
        |  WHERE token_id <= $VocabSize)
        |SELECT t.doc_id, t.pos, CAST(COALESCE(v.token_id, 0) AS INT) AS token_id
        |FROM toks t LEFT JOIN vocab v ON t.term = v.term""".stripMargin
+
+  // ---------------------------------------------------------- vocab_bpe
+  /** BPE merge rounds to unroll (oracle replays each as one CTE step). */
+  val BpeMerges = 6
+
+  /** REAL byte-pair-encoding training — the merge-rule learning loop
+    * [[vocabBuild]]'s fixed-word vocabulary sidesteps. Exactly what
+    * Sennrich et al.'s reference algorithm does, on Spark:
+    *
+    *   1. collapse the corpus to its WORD-FREQUENCY table (one
+    *      map-side-combinable groupBy — the corpus is touched once and
+    *      never again; all [[BpeMerges]] rounds run over the vocabulary,
+    *      which is orders of magnitude smaller than the corpus),
+    *   2. seed each word as a space-joined character sequence,
+    *   3. per round: count adjacent symbol pairs weighted by word
+    *      frequency, pick the most frequent (count desc, then (a, b)
+    *      lexicographic — a total order, so the winner is deterministic
+    *      across engines and partitionings), and apply the merge to
+    *      every word's sequence.
+    *
+    * The merge application is an ENGINE-PORTABLE string kernel: pad
+    * `' ' || replace(seq, ' ', '  ') || ' '`, plain-replace
+    * `' a  b ' -> ' ab '`, collapse spaces. Doubling the separators
+    * gives every adjacent pair its own private delimiter pair, so
+    * candidate matches can never share a character — plain left-to-right
+    * non-overlapping replace() then implements exactly BPE's greedy
+    * leftmost-first application ("a a a" merges to "aa a", "a b a b" to
+    * "ab ab") in both Spark and DuckDB, with no lookaround regex (which
+    * DuckDB's RE2 lacks).
+    *
+    * Output: the trained segmentation table (term, freq, seq, n_sym) —
+    * one row per vocabulary word with its post-merge symbol sequence.
+    * Any divergence in any round's count, tie-break, or application
+    * changes some word's segmentation, so the gate hash covers the
+    * whole training trajectory, not just the final rule list.
+    *
+    * 100-TB shape: per round ONE aggregation over the vocabulary
+    * (shuffle = distinct symbol pairs, partial-aggregated map-side) and
+    * one 1-row driver collect (the argmax — same bounded-driver-state
+    * pattern as [[KMeans.embKmeans]]'s centroid collect); the merge
+    * itself is a broadcast-free map over the vocabulary. Round state is
+    * the small (term, freq, seq) table, localCheckpointed so lineage
+    * stays one round deep instead of re-deriving round k-1 inside
+    * round k. */
+  def vocabBpe(s: SparkSession, dir: String): DataFrame =
+    bpeOver(tokens(s, dir).groupBy(col("term")).agg(count(lit(1)).as("freq")))
+
+  /** The merge rounds over any (term, freq) word-frequency frame. */
+  private[graft] def bpeOver(wordFreq: DataFrame): DataFrame = {
+    var words = wordFreq
+      .withColumn("seq", concat_ws(" ", split(col("term"), "")))
+      .localCheckpoint()
+    for (_ <- 1 to BpeMerges) {
+      val best = words
+        .select(col("freq"), split(col("seq"), " ").as("l"))
+        .where(size(col("l")) >= 2)
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1))).as("p"))
+        .select(col("p.0").as("a"), col("p.1").as("b"), col("freq"))
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("wsum"))
+        .orderBy(col("wsum").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        // symbols are normalized-letter runs; anything else means the
+        // seed column drifted — fail loudly before interpolating
+        require(a.matches("[\\p{L}]+") && b.matches("[\\p{L}]+"),
+          s"non-letter BPE symbol: '$a' '$b'")
+        words = words.withColumn("seq",
+            expr(s"trim(regexp_replace(replace(' ' || replace(seq, ' ', '  ') || ' '," +
+              s" ' $a  $b ', ' $a$b '), ' +', ' '))"))
+          .localCheckpoint()
+      }
+    }
+    words.select(col("term"), col("freq"), col("seq"),
+      size(split(col("seq"), " ")).cast("long").as("n_sym"))
+  }
+
+  /** DuckDB twin: the [[BpeMerges]] rounds unrolled as a CTE chain
+    * w0/p_k/b_k/w_k with the identical padded-replace kernel. */
+  val vocabBpeSql: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      val prev = s"w${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS wsum
+         |  FROM (SELECT freq, string_split(seq, ' ') AS l FROM $prev),
+         |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) t
+         |  WHERE len(l) >= 2 GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY wsum DESC, a, b LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT term, freq,
+         |         trim(regexp_replace(
+         |           replace(' ' || replace(seq, ' ', '  ') || ' ',
+         |                   ' ' || a || '  ' || b || ' ', ' ' || a || b || ' '),
+         |           ' +', ' ', 'g')) AS seq
+         |  FROM $prev, b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ')) AS term
+       |  FROM documents),
+       |w0 AS MATERIALIZED (
+       |  SELECT term, CAST(COUNT(1) AS BIGINT) AS freq,
+       |         trim(regexp_replace(term, '(.)', '\\1 ', 'g')) AS seq
+       |  FROM toks WHERE term <> '' GROUP BY term),
+       |$rounds
+       |SELECT term, freq, seq,
+       |       CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+       |FROM w$BpeMerges""".stripMargin
+  }
 }

@@ -224,4 +224,38 @@ class GraphsSpec extends AnyFunSuite {
         s"community spans ${roots.size} connected components")
     }
   }
+
+  test("triangle counts: clique, wedge-only chain, and isolates on a hand-built graph") {
+    // K4 on {0..3}: 4 triangles, every member in 3; a path 10-11-12
+    // (one wedge, no triangle); a pendant triangle {20,21,22} plus a
+    // tail 22-23; isolate 30
+    val nodes = (Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 22L, 23L, 30L)).toDF("doc_id")
+    val pairs = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L), (20L, 22L), (21L, 22L), (22L, 23L)).toDF("da", "db")
+    val got = Graphs.trianglesOver(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      10L -> 0L, 11L -> 0L, 12L -> 0L,
+      20L -> 1L, 21L -> 1L, 22L -> 1L, 23L -> 0L, 30L -> 0L)
+    assert(got == want)
+  }
+
+  test("degree-ordered enumeration matches the naive a<b<c count on the fixture graph") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.operators.Dedup.dedupSimhashPairs(spark, dir)
+      .select(col("da"), col("db")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eset = pairs.toSet
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- pairs; (b2, c) <- pairs if b2 == b && eset((a, c))) {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    val got = Graphs.graphTriangles(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._2 > 0L) == naive.toMap)
+    // the near-dup graph on the fixture must actually contain triangles
+    // (otherwise this gate pins nothing)
+    assert(naive.nonEmpty, "fixture dup graph has no triangles")
+  }
 }

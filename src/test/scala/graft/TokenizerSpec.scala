@@ -79,4 +79,58 @@ class TokenizerSpec extends AnyFunSuite {
     assert(!encode.toString.contains("SortMergeJoin"),
       "a sort-merge join here would shuffle the whole corpus by term")
   }
+
+  test("BPE: greedy leftmost application of a run pair, pinned in the final state") {
+    import spark.implicits._
+    // five decoy words burn merge rounds 1-5 by frequency order; (a,a)
+    // (weight 4·10=40) wins exactly round BpeMerges=6, so its greedy
+    // application survives into the OUTPUT: "a a a a a" must become
+    // "aa aa a" — leftmost-first non-overlapping ("aa a a a" = a missed
+    // second match, the shared-boundary bug; "a aa aa" = right-to-left)
+    assert(graft.operators.Tokenizer.BpeMerges == 6, "decoy ladder sized for 6 rounds")
+    val words = Seq(("bc", 100L), ("de", 90L), ("fg", 80L), ("hi", 70L),
+      ("jk", 60L), ("aaaaa", 10L)).toDF("term", "freq")
+    val got = graft.operators.Tokenizer.bpeOver(words)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got("aaaaa") == "aa aa a")
+    assert(got("bc") == "bc" && got("jk") == "jk")
+  }
+
+  test("BPE: overlapping occurrences all count, pinned by the last-round winner") {
+    import spark.implicits._
+    // decoys burn rounds 1-5; round 6 decides between (a,a) — weight
+    // 2 adjacent pairs × freq 26 = 52, but only 26 if overlapping
+    // occurrences were miscounted as one — and (p,q) at 40. The correct
+    // count merges (a,a); the wrong one merges (p,q), so the final
+    // segmentations differ
+    val words = Seq(("bc", 100L), ("de", 90L), ("fg", 80L), ("hi", 70L),
+      ("jk", 60L), ("aaa", 26L), ("pq", 40L)).toDF("term", "freq")
+    val got = graft.operators.Tokenizer.bpeOver(words)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got("aaa") == "aa a" && got("pq") == "p q")
+  }
+
+  test("BPE: equal-count ties break to the lexicographically smaller pair") {
+    import spark.implicits._
+    // decoys burn rounds 1-5; round 6 ties (a,b)=50 with (x,y)=50 and
+    // must merge (a,b) — a wrong or nondeterministic tie-break leaves
+    // "ab" split and "xy" fused
+    val words = Seq(("bc", 100L), ("de", 90L), ("fg", 80L), ("hi", 70L),
+      ("jk", 60L), ("ab", 50L), ("xy", 50L)).toDF("term", "freq")
+    val got = graft.operators.Tokenizer.bpeOver(words)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got("ab") == "ab" && got("xy") == "x y")
+  }
+
+  test("BPE segmentations re-concatenate to their terms and the corpus gate is non-trivial") {
+    val rows = graft.operators.Tokenizer.vocabBpe(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getString(2).replace(" ", "") == r.getString(0),
+        s"segmentation of '${r.getString(0)}' lost characters: '${r.getString(2)}'")
+      assert(r.getLong(3) == r.getString(2).split(" ").length)
+    }
+    // the merges must have actually fused something
+    assert(rows.exists(_.getString(2).split(" ").exists(_.length > 1)),
+      "no multi-character symbol was ever produced")
+  }
 }

@@ -83,6 +83,92 @@ object ParagraphDedup {
   def dedupParagraph(s: SparkSession, dir: String): DataFrame =
     paragraphDedupOver(Tables.documents(s, dir))
 
+  /** Incremental member of the paragraph lens (the daily-crawl shape
+    * every other dedup family already has): an ARRIVAL BATCH is
+    * deduped against a standing snapshot — a batch paragraph drops if
+    * the snapshot contains it anywhere, else the within-batch
+    * first-occurrence rule applies. Genuine two-table entry; the gate
+    * uses the shared doc_id % [[Cleaning.IncomingMod]] split as the
+    * deterministic stand-in (batch = residue 0).
+    *
+    * Scale: the snapshot contributes only its DISTINCT paragraph set
+    * (at steady state that set is a stored table keyed by paragraph —
+    * the anti-join co-locates with no snapshot re-shuffle; here it is
+    * derived in-query, so the gate's wall time charges snapshot
+    * construction too, like `dedup_cc_incr`). The batch side is
+    * batch-bounded throughout: anti-join, min-struct keeper, and
+    * reassembly all touch batch paragraphs only. */
+  def paragraphDedupIncrVs(batch: DataFrame, snapshot: DataFrame): DataFrame =
+    paragraphDedupAgainst(batch, paragraphs(snapshot).select(col("chunk")).distinct())
+
+  /** The batch-bounded kernel: dedup `batch` against an explicit
+    * known-paragraph set (one `chunk` column — at steady state, the
+    * stored seen-paragraph table a streaming pipeline maintains; see
+    * [[graft.streaming.ParagraphStream]]). */
+  /** The batch's KEPT chunk texts (one `chunk` column) — what a
+    * maintained seen-paragraph table appends after processing the
+    * batch. Distinct by construction (each kept chunk is a keeper). */
+  private[graft] def keptChunksAgainst(batch: DataFrame, known: DataFrame): DataFrame =
+    paragraphs(batch).join(known, Seq("chunk"), "left_anti")
+      .select(col("chunk")).distinct()
+
+  private[graft] def paragraphDedupAgainst(batch: DataFrame, known: DataFrame): DataFrame = {
+    val bp = paragraphs(batch)
+    val fresh = bp.join(known, Seq("chunk"), "left_anti")
+    val kept = fresh.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.chunk_id").as("chunk_id"),
+        col("chunk"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+    bp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def dedupParagraphIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    paragraphDedupIncrVs(
+      docs.where(col("doc_id") % Cleaning.IncomingMod === 0),
+      docs.where(col("doc_id") % Cleaning.IncomingMod =!= 0))
+  }
+
+  val dedupParagraphIncrSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |         string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ') AS w
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, c AS chunk_id,
+       |         array_to_string(w[(c*$ParaWords+1):(c*$ParaWords+$ParaWords)], ' ') AS chunk
+       |  FROM docs, LATERAL (SELECT unnest(generate_series(0,
+       |         CAST(ceil(len(w) / $ParaWords.0) AS INT) - 1)) AS c) t
+       |  WHERE len(w) >= 1 AND w[1] <> ''),
+       |bp AS (SELECT * FROM chunks WHERE doc_id % ${Cleaning.IncomingMod} = 0),
+       |known AS (SELECT DISTINCT chunk FROM chunks
+       |          WHERE doc_id % ${Cleaning.IncomingMod} <> 0),
+       |fresh AS (SELECT * FROM bp WHERE chunk NOT IN (SELECT chunk FROM known)),
+       |win_doc AS (SELECT chunk, MIN(doc_id) AS kd FROM fresh GROUP BY chunk),
+       |kept AS (
+       |  SELECT c.chunk, w.kd AS doc_id, MIN(c.chunk_id) AS chunk_id
+       |  FROM fresh c JOIN win_doc w ON c.chunk = w.chunk AND c.doc_id = w.kd
+       |  GROUP BY c.chunk, w.kd),
+       |kept_agg AS (
+       |  SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_kept,
+       |         string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_chunks
+       |        FROM bp GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_chunks,
+       |       COALESCE(k.n_kept, 0) AS n_kept,
+       |       COALESCE(k.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN kept_agg k ON t.doc_id = k.doc_id""".stripMargin
+
   /** DuckDB twin. The two-step min (min doc_id, then min chunk_id
     * within it) is exact lexicographic min(struct) — the oracle may
     * use the straggler-prone shape; the Spark plan must not. */

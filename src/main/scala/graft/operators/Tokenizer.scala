@@ -175,9 +175,25 @@ object Tokenizer {
       size(split(col("seq"), " ")).cast("long").as("n_sym"))
   }
 
-  /** DuckDB twin: the [[BpeMerges]] rounds unrolled as a CTE chain
-    * w0/p_k/b_k/w_k with the identical padded-replace kernel. */
-  val vocabBpeSql: String = {
+  /** Corpus encoded under the trained BPE: per-document token and
+    * SYMBOL counts — "how long is each doc under this tokenizer", the
+    * number every packing/budgeting stage needs. The trained
+    * segmentation table is vocabulary-sized, so it BROADCASTS and the
+    * corpus stream is annotated map-side (the [[vocabEncode]]
+    * zero-corpus-shuffle discipline); the only exchange is the
+    * doc_id-keyed partial-aggregated count. */
+  def vocabBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val seg = vocabBpe(s, dir).select(col("term"), col("n_sym"))
+    tokens(s, dir)
+      .join(broadcast(seg), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("n_sym")).as("n_sym"))
+  }
+
+  /** The unrolled rounds as a CTE chain w0/p_k/b_k/w_k with the
+    * identical padded-replace kernel; assumes a doc-carrying `dtoks`
+    * (doc_id, term) CTE is already defined. */
+  private def bpeCtesSql: String = {
     val rounds = (1 to BpeMerges).map { k =>
       val prev = s"w${k - 1}"
       s"""p$k AS MATERIALIZED (
@@ -194,16 +210,36 @@ object Tokenizer {
          |           ' +', ' ', 'g')) AS seq
          |  FROM $prev, b$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (
-       |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ')) AS term
-       |  FROM documents),
-       |w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT term, CAST(COUNT(1) AS BIGINT) AS freq,
        |         trim(regexp_replace(term, '(.)', '\\1 ', 'g')) AS seq
-       |  FROM toks WHERE term <> '' GROUP BY term),
-       |$rounds
+       |  FROM dtoks GROUP BY term),
+       |$rounds""".stripMargin
+  }
+
+  private val dtoksCteSql: String =
+    s"""dtoks AS MATERIALIZED (
+       |  SELECT doc_id, w[i] AS term
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ') AS w
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+       |  WHERE w[i] <> '')""".stripMargin
+
+  val vocabBpeSql: String =
+    s"""WITH $dtoksCteSql,
+       |$bpeCtesSql
        |SELECT term, freq, seq,
        |       CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
        |FROM w$BpeMerges""".stripMargin
-  }
+
+  val vocabBpeEncodeSql: String =
+    s"""WITH $dtoksCteSql,
+       |$bpeCtesSql,
+       |seg AS (SELECT term, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+       |        FROM w$BpeMerges)
+       |SELECT t.doc_id, CAST(COUNT(1) AS BIGINT) AS n_tok,
+       |       CAST(SUM(s.n_sym) AS BIGINT) AS n_sym
+       |FROM dtoks t JOIN seg s ON t.term = s.term
+       |GROUP BY t.doc_id""".stripMargin
 }

@@ -54,7 +54,7 @@ object SnapshotStream {
     * target too. (If `mapreduce.fileoutputcommitter.marksuccessfuljobs`
     * is disabled, every version is invisible and [[currentSnapshot]]
     * fails loudly rather than tearing — re-enable the marker.) */
-  private def versionsIn(s: SparkSession, tableDir: String): Seq[Long] = {
+  private[graft] def versionsIn(s: SparkSession, tableDir: String): Seq[Long] = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty

@@ -46,6 +46,24 @@ class ParagraphDedupSpec extends AnyFunSuite {
       "fixture corpus has no cross-doc repeated paragraph")
   }
 
+  test("incremental: snapshot-known paragraphs drop, within-batch first occurrence wins") {
+    val boiler = para("footer")
+    val batch = Seq(
+      (3L, s"$boiler ${para("newa")}"),          // boiler known from snapshot
+      (6L, s"${para("newa")} ${para("newb")}"),  // newa already in batch doc 3
+      (9L, boiler)                               // nothing fresh
+    ).toDF("doc_id", "text")
+    val snapshot = Seq((1L, s"${para("old")} $boiler")).toDF("doc_id", "text")
+    val got = ParagraphDedup.paragraphDedupIncrVs(batch, snapshot)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // only batch docs appear; doc 3 keeps newa (first in batch), doc 6
+    // keeps only newb, doc 9 keeps nothing
+    assert(got.keySet == Set(3L, 6L, 9L))
+    assert(got(3L) == ((2L, 1L, para("newa"))))
+    assert(got(6L) == ((2L, 1L, para("newb"))))
+    assert(got(9L) == ((1L, 0L, "")))
+  }
+
   test("plan is window-free (the keeper aggregate replaces row_number over paragraph)") {
     val plan = ParagraphDedup.dedupParagraph(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan

@@ -581,4 +581,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.select(col("doc_id")).collect().map(_.getLong(0)).sorted
       === Array(1L, 2L, 3L))
   }
+
+  test("streaming paragraph dedup: checkpointed restart + replay converge on the one-shot dedup") {
+    // the paragraph lens's durable twin: doc_id-range batches fed in
+    // order through ParagraphStream.paragraphSink across TWO query
+    // launches; the union of cleaned batch outputs must equal the
+    // ONE-SHOT dedup_paragraph over the whole corpus (the order-fold
+    // identity the stream_paragraph gate pins), and a batch replay
+    // must not change it
+    import graft.streaming.ParagraphStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-pstream-src")
+    val table = Files.createTempDirectory("graft-pstream-tab").toString
+    val ckpt = Files.createTempDirectory("graft-pstream-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-pstream-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(ParagraphStream.paragraphSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    def outRows() = ParagraphStream.cleanedOutput(spark, table)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.ParagraphDedup.dedupParagraph(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val converged = outRows()
+    assert(converged.nonEmpty && converged == oneShot,
+      "streamed cleaned output must equal the one-shot paragraph dedup")
+    // at-least-once delivery: replaying batch 1 must converge, not
+    // double-drop or resurrect paragraphs
+    ParagraphStream.paragraphSink(table)(b2, 1L)
+    assert(outRows() == oneShot, "batch replay must be a no-op")
+  }
 }

@@ -122,6 +122,22 @@ class TokenizerSpec extends AnyFunSuite {
     assert(got("ab") == "ab" && got("xy") == "x y")
   }
 
+  test("BPE encode: per-doc totals reconcile with the corpus and the trained dictionary") {
+    val enc = graft.operators.Tokenizer.vocabBpeEncode(spark, dir).collect()
+    // a symbol covers >= 1 char, so every doc needs at least as many
+    // symbols as tokens, and fewer symbols than characters
+    enc.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"doc ${r.getLong(0)}: fewer symbols than tokens")
+    }
+    // token total equals an independent corpus-side count
+    val nTok = enc.map(_.getLong(1)).sum
+    val want = Tables.documents(spark, dir)
+      .select(explode(split(graft.operators.TextAnalysis.normalized(col("text")), " ")).as("t"))
+      .where(col("t") =!= "").count()
+    assert(nTok == want)
+  }
+
   test("BPE segmentations re-concatenate to their terms and the corpus gate is non-trivial") {
     val rows = graft.operators.Tokenizer.vocabBpe(spark, dir).collect()
     rows.foreach { r =>

@@ -737,4 +737,115 @@ object CorpusOps {
        |SELECT doc_id, shard,
        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
        |FROM sh""".stripMargin
+
+  // ------------------------------------------------ sample_importance
+  /** Hashed feature space for the importance model (md5 bucket per
+    * token — the [[Classifier]] idiom at DSIR's coarser granularity). */
+  val ImpBuckets = 1024
+  /** Docs selected by the resampling step. */
+  val ImpKeep = 50
+  /** The "target" (quality-reference) sources; everything else is the
+    * raw pool being selected FROM. */
+  val ImpTargetSources: Seq[String] = Seq("src1", "src2")
+
+  /** floor(log2(x)) for x ≥ 1 as pure integer arithmetic — bit length
+    * minus one via the binary-string rendering BOTH engines share
+    * (`bin`), so the log-ratio scores hash-check exactly (IEEE log
+    * would round differently per engine and per summation order). */
+  private def ilog2(c: Column): Column = length(bin(c)) - lit(1)
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each raw-pool document by how much more likely its hashed
+    * bag-of-words is under the TARGET unigram distribution than under
+    * the RAW pool's own, then keep the top scorers. The log-ratio is
+    * the add-one-smoothed integer floor-log2
+    * `lr[b] = ilog2(1 + cnt_target[b]) − ilog2(1 + cnt_raw[b])` and a
+    * doc's score is the sum of `lr` over its token OCCURRENCES — all
+    * integers, so the scores (not just the ranking) hash-check
+    * cross-engine. (True DSIR adds Gumbel noise before the top-k; the
+    * deterministic variant keeps the same estimator and breaks ties by
+    * doc_id, which is what makes an oracle possible at all.)
+    *
+    * Output: every raw-pool doc with its token count, score, and
+    * `kept` ∈ {0,1} marking top-[[ImpKeep]] membership (score desc,
+    * doc_id asc).
+    *
+    * 100-TB shape: the two bucket censuses are map-side-combinable
+    * counts onto [[ImpBuckets]] rows each; the joined log-ratio table
+    * is ~1024 rows and BROADCAST to the token stream, so scoring is
+    * one partial-aggregated sum per doc with zero corpus shuffle
+    * beyond the per-doc combine; selection is TakeOrdered (never a
+    * global sort), and `kept` is a broadcast semi-probe of that K-row
+    * result — the [[Tokenizer]] `vocab_build` discipline. */
+  def sampleImportance(s: SparkSession, dir: String): DataFrame =
+    sampleImportanceOver(Tables.documents(s, dir),
+      col("source").isin(ImpTargetSources: _*), ImpKeep)
+
+  /** The operator over any documents-shaped frame: `isTarget` names
+    * the quality-reference rows, `keepK` the resample size. */
+  private[graft] def sampleImportanceOver(docs: DataFrame, isTarget: Column,
+      keepK: Int): DataFrame = {
+    val s = docs.sparkSession
+    val toks = tokensOf(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), isTarget.as("tgt")), "doc_id")
+      .withColumn("bucket",
+        expr("cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint)") % ImpBuckets)
+    val census = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+      .select(col("bucket"),
+        (ilog2(col("ct") + 1) - ilog2(col("cr") + 1)).as("lr"))
+    val scored = toks.where(!col("tgt"))
+      .join(broadcast(census), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        coalesce(sum(col("lr")), lit(0L)).as("score"))
+    // localCheckpoint: the score table is read twice (the take-ordered
+    // action and the returned frame) and is tiny (3 integer columns) —
+    // materializing it runs the token pipeline ONCE, and unlike
+    // persist() leaves nothing registered after callers drop the frame
+    val raw = docs.where(!isTarget).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .localCheckpoint()
+    import s.implicits._
+    val top = raw.select(col("score"), col("doc_id"))
+      .as[(Long, Long)].rdd
+      .takeOrdered(keepK)(Ordering.by { case (sc, id) => (-sc, id) })
+      .map(_._2)
+    raw.withColumn("kept",
+      col("doc_id").isin(top.toSeq: _*).cast("int"))
+  }
+
+  val sampleImportanceSql: String = {
+    val tgt = ImpTargetSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH $tokensCteSql,
+       |tk AS (
+       |  SELECT t.doc_id,
+       |         CAST(('0x' || substr(md5(t.term), 1, 15)) AS BIGINT) % $ImpBuckets AS bucket,
+       |         d.source IN ($tgt) AS tgt
+       |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+       |  WHERE t.term <> ''),
+       |census AS (
+       |  SELECT bucket,
+       |         CAST(length(bin(1 + SUM(CASE WHEN tgt THEN 1 ELSE 0 END))) - 1 AS BIGINT)
+       |       - CAST(length(bin(1 + SUM(CASE WHEN tgt THEN 0 ELSE 1 END))) - 1 AS BIGINT) AS lr
+       |  FROM tk GROUP BY bucket),
+       |scored AS (
+       |  SELECT tk.doc_id, CAST(COUNT(1) AS BIGINT) AS n_toks,
+       |         CAST(SUM(census.lr) AS BIGINT) AS score
+       |  FROM tk JOIN census USING (bucket) WHERE NOT tk.tgt GROUP BY tk.doc_id),
+       |raw AS (
+       |  SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks,
+       |         COALESCE(s.score, 0) AS score
+       |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |  WHERE d.source NOT IN ($tgt)),
+       |top AS (SELECT doc_id FROM raw ORDER BY score DESC, doc_id LIMIT $ImpKeep)
+       |SELECT r.doc_id, r.n_toks, r.score,
+       |       CAST(r.doc_id IN (SELECT doc_id FROM top) AS INT) AS kept
+       |FROM raw r""".stripMargin
+  }
 }

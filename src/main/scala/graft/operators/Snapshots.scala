@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -109,4 +110,205 @@ object Snapshots {
        |            WHEN u.doc_id IS NOT NULL THEN 'insert'
        |            ELSE 'keep' END AS op
        |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id""".stripMargin
+
+  // ------------------------------------------------- snapshot_diff
+  /** Change-data-capture by version diff — `table_changes(v_old,
+    * v_new)` computed from the two materialized versions themselves,
+    * the way Delta/Iceberg derive a change feed for tables written
+    * without CDC logging. One full-outer join on the key classifies
+    * every key as insert / delete / update / keep; keep rows (the
+    * overwhelming majority of a 100-TB snapshot between adjacent
+    * versions) are dropped IMMEDIATELY after the join, before any
+    * further exchange, so downstream consumers see only O(changes).
+    *
+    * Output per changed key: the key, `op`, the NEW row values
+    * (deletes carry the last-known OLD values — what a downstream
+    * index needs to retract), and `changed_cols` — the
+    * comma-joined, schema-ordered list of columns whose value
+    * actually differs (empty for insert/delete), using null-safe
+    * comparison so NULL→value and value→NULL both count as changes.
+    *
+    * Scale: the join is the whole cost — with both versions bucketed
+    * on the key ([[graft.sources.Bucketing]]) it is a co-located
+    * sort-merge with ZERO shuffle; no window, no driver state. */
+  def diffOver(oldV: DataFrame, newV: DataFrame, key: String): DataFrame = {
+    val cols = oldV.columns.toSeq
+    require(newV.columns.toSeq == cols,
+      s"diff sides must share a schema: ${cols.mkString(",")} vs ${newV.columns.mkString(",")}")
+    val valueCols = cols.filterNot(_ == key)
+    val o = oldV.as("o")
+    val n = newV.as("n")
+    val joined = o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+    val anyChanged = valueCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    val op = when(col(s"o.$key").isNull, lit("insert"))
+      .when(col(s"n.$key").isNull, lit("delete"))
+      .when(anyChanged, lit("update"))
+      .otherwise(lit("keep"))
+    val changed = when(op === "update",
+      concat_ws(",", valueCols.map(c =>
+        when(!(col(s"o.$c") <=> col(s"n.$c")), lit(c))): _*))
+      .otherwise(lit(""))
+    val values = cols.map {
+      case `key` => coalesce(col(s"n.$key"), col(s"o.$key")).as(key)
+      case c     => when(op === "delete", col(s"o.$c"))
+                      .otherwise(col(s"n.$c")).as(c)
+    }
+    joined.select((values :+ op.as("op")) :+ changed.as("changed_cols"): _*)
+      .where(col("op") =!= "keep")
+  }
+
+  /** Gate: the change feed between the upsert gate's snapshot states,
+    * plus a delete — old is the base snapshot (doc_id ≢ 0 mod 3), new
+    * is the re-crawl applied ([[snapshotUpsert]]'s merge) with
+    * doc_id ≡ 1 (mod 7) subsequently dropped. The diff must recover
+    * exactly the upsert's insert/update rows (with `changed_cols` =
+    * "text" on updates, since the re-crawl only re-extracts text)
+    * and surface the dropped ids as deletes carrying old values. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val old = docs.where(col("doc_id") % 3 =!= 0)
+    val merged = upsertOver(old,
+        docs.where(col("doc_id") % 5 === 0).withColumn("text", upper(col("text"))),
+        "doc_id")
+      .drop("op")
+    val newV = merged.where(col("doc_id") % 7 =!= 1)
+    diffOver(old, newV, "doc_id")
+  }
+
+  /** Same classification via FULL OUTER + IS DISTINCT FROM. */
+  val snapshotDiffSql: String =
+    s"""WITH t AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+       |u AS (SELECT doc_id, upper(text) AS text, lang, source, n_chars
+       |      FROM documents WHERE doc_id % 5 = 0),
+       |m AS (SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
+       |             COALESCE(u.text, t.text) AS text,
+       |             COALESCE(u.lang, t.lang) AS lang,
+       |             COALESCE(u.source, t.source) AS source,
+       |             COALESCE(u.n_chars, t.n_chars) AS n_chars
+       |      FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id),
+       |n AS (SELECT * FROM m WHERE doc_id % 7 <> 1),
+       |d AS (SELECT
+       |  COALESCE(n.doc_id, t.doc_id) AS doc_id,
+       |  CASE WHEN t.doc_id IS NULL THEN 'insert'
+       |       WHEN n.doc_id IS NULL THEN 'delete'
+       |       WHEN t.text IS DISTINCT FROM n.text
+       |         OR t.lang IS DISTINCT FROM n.lang
+       |         OR t.source IS DISTINCT FROM n.source
+       |         OR t.n_chars IS DISTINCT FROM n.n_chars THEN 'update'
+       |       ELSE 'keep' END AS op,
+       |  CASE WHEN n.doc_id IS NULL THEN t.text ELSE n.text END AS text,
+       |  CASE WHEN n.doc_id IS NULL THEN t.lang ELSE n.lang END AS lang,
+       |  CASE WHEN n.doc_id IS NULL THEN t.source ELSE n.source END AS source,
+       |  CASE WHEN n.doc_id IS NULL THEN t.n_chars ELSE n.n_chars END AS n_chars,
+       |  concat_ws(',',
+       |    CASE WHEN t.text IS DISTINCT FROM n.text THEN 'text' END,
+       |    CASE WHEN t.lang IS DISTINCT FROM n.lang THEN 'lang' END,
+       |    CASE WHEN t.source IS DISTINCT FROM n.source THEN 'source' END,
+       |    CASE WHEN t.n_chars IS DISTINCT FROM n.n_chars THEN 'n_chars' END
+       |  ) AS chg
+       |  FROM t FULL OUTER JOIN n ON t.doc_id = n.doc_id)
+       |SELECT doc_id, text, lang, source, n_chars, op,
+       |       CASE WHEN op = 'update' THEN chg ELSE '' END AS changed_cols
+       |FROM d WHERE op <> 'keep'""".stripMargin
+
+  // ---------------------------------------------- snapshot_history
+  /** Sentinel `valid_to` for the open (current) row version — keeps
+    * the history table null-free so AS-OF filters are plain integer
+    * range predicates. */
+  val OpenVersion = 9999L
+
+  /** SCD-2 history build from an upsert LOG: given `(version, batch)`
+    * entries (the base table is the version-0 "batch"; later batches
+    * are [[upsertOver]] updates), produce one row per ROW VERSION
+    * with its validity interval: `valid_from` = the version that
+    * wrote it, `valid_to` = the next version that overwrote the key
+    * ([[OpenVersion]] when still current). Reading AS OF v is then
+    * `valid_from <= v < valid_to` — a plain filter, no fold — and
+    * folding [[upsertOver]] through the log reproduces exactly the
+    * AS-OF read at every v (the identity `snapshot_timetravel` pins).
+    *
+    * Scale: ONE union of the log batches and ONE window keyed on the
+    * merge key. The window partition for a key holds at most
+    * (log depth) rows — bounded by the number of VERSIONS, never by
+    * corpus size or key skew — which is the case where a window is
+    * the right tool and the aggregate+join-back idiom buys nothing. */
+  def historyOver(log: Seq[(Long, DataFrame)], key: String): DataFrame = {
+    require(log.nonEmpty, "history needs at least the base version")
+    val cols = log.head._2.columns.toSeq
+    val stamped = log.map { case (v, df) =>
+      require(df.columns.toSeq == cols,
+        s"all log batches must share a schema: ${cols.mkString(",")} vs ${df.columns.mkString(",")}")
+      df.withColumn("valid_from", lit(v))
+    }
+    val h = stamped.reduce(_ union _)
+    val w = Window.partitionBy(col(key)).orderBy(col("valid_from"))
+    h.withColumn("valid_to",
+      coalesce(lead(col("valid_from"), 1).over(w), lit(OpenVersion)))
+  }
+
+  /** The gate's three-version log: v0 = the base snapshot (doc_id ≢ 0
+    * mod 3), v1 = the re-crawl (doc_id ≡ 0 mod 5, uppercased), v2 = a
+    * second re-extraction (doc_id ≡ 0 mod 7, reversed text). */
+  private def docLog(s: SparkSession, dir: String): Seq[(Long, DataFrame)] = {
+    val docs = Tables.documents(s, dir)
+    Seq(
+      0L -> docs.where(col("doc_id") % 3 =!= 0),
+      1L -> docs.where(col("doc_id") % 5 === 0)
+        .withColumn("text", upper(col("text"))),
+      2L -> docs.where(col("doc_id") % 7 === 0)
+        .withColumn("text", reverse(col("text"))))
+  }
+
+  /** Gate: the full SCD-2 history table of the three-version log. */
+  def snapshotHistory(s: SparkSession, dir: String): DataFrame =
+    historyOver(docLog(s, dir), "doc_id")
+
+  private val docLogSql: String =
+    """v0 AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      |v1 AS (SELECT doc_id, upper(text) AS text, lang, source, n_chars
+      |       FROM documents WHERE doc_id % 5 = 0),
+      |v2 AS (SELECT doc_id, reverse(text) AS text, lang, source, n_chars
+      |       FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  val snapshotHistorySql: String =
+    s"""WITH $docLogSql,
+       |h AS (
+       |  SELECT *, 0 AS valid_from FROM v0
+       |  UNION ALL SELECT *, 1 FROM v1
+       |  UNION ALL SELECT *, 2 FROM v2)
+       |SELECT doc_id, text, lang, source, n_chars,
+       |       CAST(valid_from AS BIGINT) AS valid_from,
+       |       CAST(COALESCE(LEAD(valid_from) OVER (
+       |         PARTITION BY doc_id ORDER BY valid_from), $OpenVersion) AS BIGINT)
+       |         AS valid_to
+       |FROM h""".stripMargin
+
+  /** Gate: time travel — the AS-OF v=1 read of the history table.
+    * Its oracle is NOT the history filter but the direct UPSERT FOLD
+    * to v1 (base merged with the first re-crawl), so the gate pins
+    * the load-bearing identity: filtering the SCD-2 intervals at v
+    * reproduces exactly what sequentially applying the upsert log
+    * through v would have built. Any interval bug — wrong lead
+    * bound, half-open-range mistake, a lost overwrite — breaks the
+    * hash against the fold. */
+  def snapshotTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val v = 1L
+    snapshotHistory(s, dir)
+      .where(col("valid_from") <= v && col("valid_to") > v)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+  }
+
+  /** The upsert fold to v1, verbatim from [[snapshotUpsertSql]]'s
+    * merge shape — deliberately NOT the interval filter. */
+  val snapshotTimetravelSql: String =
+    s"""WITH $docLogSql
+       |SELECT COALESCE(v1.doc_id, v0.doc_id) AS doc_id,
+       |       COALESCE(v1.text, v0.text) AS text,
+       |       COALESCE(v1.lang, v0.lang) AS lang,
+       |       COALESCE(v1.source, v0.source) AS source,
+       |       COALESCE(v1.n_chars, v0.n_chars) AS n_chars
+       |FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id""".stripMargin
 }

@@ -274,4 +274,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(dup <= nd && q <= nd, "per-source counts bounded by docs")
     }
   }
+
+  test("sample_importance: target-like raw docs outrank off-distribution ones, deterministically") {
+    import org.apache.spark.sql.functions._
+    // target speaks "alpha beta gamma"; one raw doc speaks the target's
+    // language, one speaks words the target never uses, one is empty
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "t"),
+      (2L, "beta gamma alpha gamma", "t"),
+      (10L, "alpha beta gamma beta alpha gamma", "r"), // on-distribution
+      (11L, "zulu xray whiskey victor uniform zulu", "r"), // off-distribution
+      (12L, "", "r")) // zero tokens
+      .toDF("doc_id", "text", "side")
+    val out = CorpusOps.sampleImportanceOver(docs, col("side") === "t", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // target rows never appear in the output pool
+    assert(out.keySet == Set(10L, 11L, 12L))
+    val (n10, s10, k10) = out(10L)
+    val (n11, s11, k11) = out(11L)
+    val (n12, s12, k12) = out(12L)
+    assert(n10 == 6 && n11 == 6 && n12 == 0 && s12 == 0)
+    assert(s10 > s11, s"on-distribution doc must outscore off-distribution: $s10 vs $s11")
+    assert(s11 < 0, "tokens the target never uses score negative")
+    // keepK = 2: the empty doc's neutral 0 (likelihood ratio 1 — it
+    // contains no evidence either way) outranks the off-distribution
+    // doc's negative score, so {10, 12} are kept
+    assert(k10 == 1 && k12 == 1 && k11 == 0)
+  }
+
+  test("sample_importance keeps exactly min(K, pool) and ties break by doc_id") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "same words here", "t"),
+      (20L, "same words here", "r"),
+      (21L, "same words here", "r"),
+      (22L, "same words here", "r"))
+      .toDF("doc_id", "text", "side")
+    val out = CorpusOps.sampleImportanceOver(docs, col("side") === "t", 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // all three raw docs tie on score: the two SMALLEST ids win
+    assert(out == Map(20L -> 1, 21L -> 1, 22L -> 0))
+  }
 }

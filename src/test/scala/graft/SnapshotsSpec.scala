@@ -84,4 +84,71 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(rows.getOrElse("insert", 0L) == nBatch - nBoth)
     assert(rows.getOrElse("keep", 0L) == nTarget - nBoth)
   }
+
+  // ------------------------------------------------------------ CDC
+
+  test("diff classifies insert/update/delete, drops keeps, names the changed columns") {
+    val old  = Seq((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L))
+      .toDF("doc_id", "text", "n")
+    val newV = Seq((2L, "TWO", 20L), (3L, "three", 30L), (9L, "nine", 90L))
+      .toDF("doc_id", "text", "n")
+    val out = Snapshots.diffOver(old, newV, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(out == Map(
+      1L -> ("one", 10L, "delete", ""),   // deletes carry OLD values
+      2L -> ("TWO", 20L, "update", "text"),
+      9L -> ("nine", 90L, "insert", "")))
+    // key 3 is identical in both versions: no row at all
+    assert(!out.contains(3L))
+  }
+
+  test("diff counts changes as null-safe: NULL→value and value→NULL are updates") {
+    def f(rows: (java.lang.Long, String)*) = rows.toDF("doc_id", "text")
+    val old  = f(java.lang.Long.valueOf(1L) -> null,
+                 java.lang.Long.valueOf(2L) -> "x")
+    val newV = f(java.lang.Long.valueOf(1L) -> "now",
+                 java.lang.Long.valueOf(2L) -> null)
+    val out = Snapshots.diffOver(old, newV, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "update", 2L -> "update"))
+  }
+
+  test("diff of upsert output recovers the upsert's change feed exactly") {
+    // apply a batch, diff the before/after states: every upsert 'update'
+    // and 'insert' reappears with the same op, and nothing else does
+    val target = frame(1L -> "one", 2L -> "two", 3L -> "three")
+    val updates = frame(2L -> "TWO", 9L -> "NINE")
+    val after = Snapshots.upsertOver(target, updates, "doc_id").drop("op")
+    val d = Snapshots.diffOver(target, after, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(d == Map(2L -> "update", 9L -> "insert"))
+  }
+
+  test("history intervals tile each key's lifetime; AS-OF read == upsert fold at every version") {
+    val v0 = frame(1L -> "a", 2L -> "b")
+    val v1 = frame(2L -> "B", 3L -> "c")
+    val v2 = frame(1L -> "A2", 3L -> "C2")
+    val hist = Snapshots.historyOver(Seq(0L -> v0, 1L -> v1, 2L -> v2), "doc_id")
+    // intervals are half-open, consecutive, and end open
+    val byKey = hist.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(byKey(1L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq(("a", 0L, 2L), ("A2", 2L, Snapshots.OpenVersion)))
+    assert(byKey(2L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq(("b", 0L, 1L), ("B", 1L, Snapshots.OpenVersion)))
+    // AS-OF v equals the sequential upsert fold to v, for every v
+    def asOf(v: Long) = hist
+      .where(col("valid_from") <= v && col("valid_to") > v)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var folded = v0
+    assert(asOf(0L) == folded.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    for ((v, batch) <- Seq(1L -> v1, 2L -> v2)) {
+      folded = Snapshots.upsertOver(folded, batch, "doc_id").drop("op")
+      assert(asOf(v) == folded.collect().map(r => r.getLong(0) -> r.getString(1)).toMap,
+        s"AS-OF $v must equal the upsert fold to $v")
+    }
+  }
 }

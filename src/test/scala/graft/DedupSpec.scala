@@ -465,4 +465,22 @@ class DedupSpec extends AnyFunSuite {
     val others = m.keySet -- Set(5L, 6L, 20L, 21L, 16L, 17L, 9L, 19L)
     others.foreach(id => assert(m(id) == (id, 1L, 1), s"vec $id: ${m(id)}"))
   }
+
+  test("recall eval: sampled truth pairs surface with their LSH-candidacy verdict") {
+    // mod-2 sample of the planted corpus = {0, 2, 4}: the (0,2) 1-token
+    // edit is the only true pair ≥ threshold inside the sample — the
+    // (0,1) EXACT dup is excluded because 1 is odd (pair sampling at
+    // work), and (0,4) reverses word order so its 3-gram sets are
+    // nearly disjoint
+    val rows = Dedup.dedupRecallEval(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(4), r.getInt(5))).toMap
+    assert(rows.keySet == Set((0L, 2L)), s"truth set: ${rows.keySet}")
+    val (j, cand) = rows((0L, 2L))
+    assert(j >= Dedup.RecallThresh)
+    // a 1-token edit shares almost all shingles: LSH banding must
+    // surface it, or the index's recall story is broken at the easiest
+    // possible pair
+    assert(cand == 1)
+  }
 }

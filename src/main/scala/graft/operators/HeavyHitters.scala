@@ -104,15 +104,31 @@ object HeavyHitters {
     * the DuckDB twin replays the identical arithmetic. */
   def taCmsEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
-      // 32-bit item id, md5-derived — twin of Dedup's shingle id
-      .withColumn("x",
-        expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint) % 4294967296"))
+    val toks = cmsToksOf(Tables.documents(s, dir))
     val agg = cmsAgg
     val sketch = toks.select(col("x")).as[Long]
       .select(agg.toColumn.name("cms")).head().toIndexedSeq
+    cmsProbe(s, toks, sketch)
+  }
+
+  /** (token, x) occurrence stream — the 32-bit md5-derived item id
+    * twin of Dedup's shingle id. Shared by the one-shot eval and the
+    * streaming fold ([[graft.streaming.SketchStream]]). */
+  private[graft] def cmsToksOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .withColumn("x",
+        expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint) % 4294967296"))
+
+  /** Grade a FINISHED sketch against exact counts of the top-
+    * [[CmsTopK]] tokens of `toks` — the eval harness half, split out
+    * so any sketch (one-shot, batch-fold, stream-maintained) is graded
+    * by the identical probe. */
+  private[graft] def cmsProbe(s: SparkSession, toks: DataFrame,
+      sketch: IndexedSeq[Long]): DataFrame = {
+    import s.implicits._
+    val agg = cmsAgg
     val top = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("n_exact"), max(col("x")).as("x")) // x = f(token)
       .orderBy(col("n_exact").desc, col("token")).limit(CmsTopK)

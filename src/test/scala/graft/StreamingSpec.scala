@@ -630,4 +630,48 @@ class StreamingSpec extends AnyFunSuite {
     ParagraphStream.paragraphSink(table)(b2, 1L)
     assert(outRows() == oneShot, "batch replay must be a no-op")
   }
+
+  test("streaming CMS maintenance: checkpointed restart + replay converge on the one-shot sketch") {
+    // counter addition is associative/commutative, so the streamed fold
+    // must reproduce the one-shot sketch EXACTLY — and a replayed batch
+    // must not double-count (the versioned-state exactly-once claim)
+    import graft.streaming.SketchStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-cms-src")
+    val table = Files.createTempDirectory("graft-cms-tab").toString
+    val ckpt = Files.createTempDirectory("graft-cms-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-cms-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(SketchStream.cmsSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    val oneShot = SketchStream.sketchOf(docs)
+    assert(SketchStream.storedSketch(spark, table) == oneShot,
+      "streamed sketch must equal the one-shot aggregation")
+    assert(oneShot.sum > 0, "fixture must actually have tokens")
+    // at-least-once delivery: replaying batch 1 re-merges against the
+    // same predecessor version — counters must not double
+    SketchStream.cmsSink(table)(b2, 1L)
+    assert(SketchStream.storedSketch(spark, table) == oneShot,
+      "batch replay must be a no-op")
+  }
 }

@@ -409,4 +409,110 @@ object Graphs {
        |cnt AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n FROM roles GROUP BY 1)
        |SELECT d.doc_id, COALESCE(cnt.n, 0) AS tri_cnt
        |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
+
+  // ---------------------------------------------------- graph_bfs
+  /** Fixed BFS round count (unrolled in the oracle) — also the max
+    * reported hop distance; farther nodes stay at [[BfsInf]]. */
+  val BfsIters = 5
+
+  /** "Unreached" sentinel distance. */
+  val BfsInf = 9999L
+
+  /** Seed predicate for the gate: doc_id ≡ 0 (mod 10) plays the
+    * curated / known-contaminated set. */
+  val BfsSeedMod = 10
+
+  /** Multi-source BFS over the near-dup pair graph — provenance
+    * distance from a SEED set: for every doc, the hop distance to the
+    * nearest seed and WHICH seed (smallest seed id among equidistant
+    * ones — the deterministic tie-break that makes an oracle
+    * possible). The LLM-pipeline reading is benchmark-contamination
+    * blast radius: seeds are known benchmark docs, and a doc 2 hops
+    * away in the near-dup graph is a paraphrase-of-a-paraphrase the
+    * direct n-gram decontaminator no longer sees.
+    *
+    * One round is one edge join + a struct-MIN partial aggregation on
+    * dst (the [[labelPropagationPrepared]] argmax idiom — no window,
+    * supernode contributions combine map-side) + a join back onto the
+    * localCheckpointed frontier state; only REACHED nodes are joined
+    * against the edge list, so early rounds touch only the frontier's
+    * out-edges. Exactly [[BfsIters]] rounds run: distances beyond the
+    * cap report [[BfsInf]]/-1, the "outside the blast radius" verdict.
+    */
+  def bfsOver(s: SparkSession, nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    val nd = nodes.select(col("doc_id")).localCheckpoint()
+    val sym = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    var state = nd.join(seeds.select(col("doc_id"), lit(true).as("is_seed")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_seed"), lit(0L)).otherwise(lit(BfsInf)).as("dist"),
+        when(col("is_seed"), col("doc_id")).otherwise(lit(-1L)).as("seed"))
+      .localCheckpoint()
+    for (_ <- 1 to BfsIters) {
+      val cand = state.where(col("dist") < BfsInf)
+        .join(sym, col("doc_id") === col("src"))
+        .groupBy(col("dst"))
+        .agg(min(struct((col("dist") + 1).as("dist"), col("seed"))).as("c"))
+      state = state.join(cand, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(struct(col("dist"), col("seed")),
+            coalesce(col("c"), struct(lit(BfsInf).as("dist"), lit(-1L).as("seed"))))
+            .as("b"))
+        .select(col("doc_id"), col("b.dist").as("dist"), col("b.seed").as("seed"))
+        .localCheckpoint()
+    }
+    state.select(col("doc_id"), col("dist"), col("seed").as("seed_id"),
+      (col("dist") < BfsInf).cast("int").as("reached"))
+  }
+
+  /** Gate: blast radius of the mod-[[BfsSeedMod]] seed set over the
+    * SimHash pair graph (the [[graphPagerank]] edge set). */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    bfsOver(s, docs,
+      Dedup.symmetrize(Dedup.dedupSimhashPairs(s, dir).select(col("da"), col("db"))),
+      docs.where(col("doc_id") % BfsSeedMod === 0))
+  }
+
+  /** Unrolled rounds: per round candidate distances from the reached
+    * frontier, a ROW_NUMBER argmin (dist, seed), and a guarded merge —
+    * the same lexicographic (dist, seed) order as the struct-min. */
+  lazy val graphBfsSql: String = {
+    val rounds = (1 to BfsIters).map { k =>
+      val prev = s"b${k - 1}"
+      s"""cand$k AS MATERIALIZED (
+         |  SELECT e.dst, p.dist + 1 AS dist, p.seed
+         |  FROM $prev p JOIN sym e ON p.doc_id = e.src
+         |  WHERE p.dist < $BfsInf),
+         |best$k AS MATERIALIZED (
+         |  SELECT dst, dist, seed FROM (
+         |    SELECT dst, dist, seed,
+         |           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY dist, seed) AS rn
+         |    FROM cand$k) WHERE rn = 1),
+         |b$k AS MATERIALIZED (
+         |  SELECT p.doc_id,
+         |         CASE WHEN c.dst IS NOT NULL AND (c.dist < p.dist
+         |                   OR (c.dist = p.dist AND c.seed < p.seed))
+         |              THEN c.dist ELSE p.dist END AS dist,
+         |         CASE WHEN c.dst IS NOT NULL AND (c.dist < p.dist
+         |                   OR (c.dist = p.dist AND c.seed < p.seed))
+         |              THEN c.seed ELSE p.seed END AS seed
+         |  FROM $prev p LEFT JOIN best$k c ON p.doc_id = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH shp AS MATERIALIZED (${Dedup.dedupSimhashPairsSql}),
+       |sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM shp
+       |        UNION ALL SELECT db AS src, da AS dst FROM shp),
+       |nodes AS MATERIALIZED (SELECT doc_id FROM documents),
+       |b0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN doc_id % $BfsSeedMod = 0 THEN 0 ELSE $BfsInf END AS BIGINT) AS dist,
+       |         CAST(CASE WHEN doc_id % $BfsSeedMod = 0 THEN doc_id ELSE -1 END AS BIGINT) AS seed
+       |  FROM nodes),
+       |$rounds
+       |SELECT doc_id, dist, seed AS seed_id,
+       |       CAST(dist < $BfsInf AS INT) AS reached
+       |FROM b$BfsIters""".stripMargin
+  }
 }

@@ -258,4 +258,29 @@ class GraphsSpec extends AnyFunSuite {
     // (otherwise this gate pins nothing)
     assert(naive.nonEmpty, "fixture dup graph has no triangles")
   }
+
+  test("bfs: distances, nearest-seed tie-breaks, the round cap, and unreachability") {
+    // path 1-2-3-4-5 with seeds at both ends {1, 5}, plus an isolated
+    // node 9 and a far chain 10-...-17 seeded only at 10 (length > cap)
+    val chain = (10L to 17L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val nodes = (1L to 5L) ++ Seq(9L) ++ (10L to 17L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++ chain
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val seeds = Seq(1L, 5L, 10L)
+    val got = Graphs.bfsOver(spark, nodes.toDF("doc_id"),
+        sym.toDF("src", "dst"), seeds.toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // seeds are distance 0 from themselves
+    for (s <- seeds) assert(got(s) == (0L, s, 1), s"seed $s: ${got(s)}")
+    // node 3 is equidistant (2) from seeds 1 and 5: smallest seed wins
+    assert(got(3L) == (2L, 1L, 1))
+    assert(got(2L) == (1L, 1L, 1) && got(4L) == (1L, 5L, 1))
+    // the far chain: reached up to the round cap, sentinel beyond it
+    for (k <- 1 to Graphs.BfsIters)
+      assert(got(10L + k) == (k.toLong, 10L, 1), s"chain node ${10 + k}: ${got(10L + k)}")
+    for (id <- (10L + Graphs.BfsIters + 1) to 17L)
+      assert(got(id) == (Graphs.BfsInf, -1L, 0), s"beyond-cap node $id: ${got(id)}")
+    // isolated non-seed node: unreached
+    assert(got(9L) == (Graphs.BfsInf, -1L, 0))
+  }
 }

@@ -738,6 +738,66 @@ object CorpusOps {
        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
        |FROM sh""".stripMargin
 
+  // ------------------------------------------------ sample_epoch_mix
+  /** Per-source epoch multipliers (sources not listed run 1 epoch) —
+    * the integer-quantized data-mix recipe: a source you want
+    * over-sampled gets whole extra EPOCHS rather than a fractional
+    * per-row rate, which keeps the schedule exactly replayable. */
+  val EpochMixTargets: Map[String, Int] = Map("src1" -> 3, "src2" -> 2)
+
+  /** Multi-epoch training schedule — the composition of the mixture
+    * recipe with the deterministic epoch shuffle: each doc appears
+    * once per epoch its SOURCE is scheduled for, and every (epoch)
+    * pass is independently shuffled (the permutation is seeded by the
+    * epoch, so epoch 2 visits docs in a different order than epoch 1 —
+    * the property training loops rely on). Output: the full
+    * (doc_id, source, epoch, shard, pos) manifest, ready to stream
+    * shard-by-shard.
+    *
+    * Scale: ONE pass — the epoch fan-out is a per-row explode of at
+    * most max(multiplier) copies, the shard key is a per-row hash, and
+    * `pos` is a window over (epoch, shard): partitions are
+    * hash-balanced by CONSTRUCTION (md5 keys), so the window argument
+    * that disqualifies skewed-key windows does not apply — same
+    * budget as [[corpusShuffleWith]], times the mix's total epoch
+    * count. */
+  def sampleEpochMix(s: SparkSession, dir: String): DataFrame = {
+    val nEpochs = coalesce(
+      element_at(typedLit(EpochMixTargets), col("source")), lit(1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), nEpochs.as("n_ep"))
+      .withColumn("epoch", explode(expr("sequence(1, n_ep)")))
+      .withColumn("hkey", expr("md5(concat('ep', epoch, ':', cast(doc_id as string)))"))
+      .withColumn("shard",
+        (expr("cast(conv(substr(hkey, 1, 15), 16, 10) as bigint)") % EpochShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard")).orderBy(col("hkey"), col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("epoch"), col("shard"), col("pos"))
+  }
+
+  val sampleEpochMixSql: String = {
+    val cases = EpochMixTargets.toSeq.sortBy(_._1)
+      .map { case (src, n) => s"WHEN '$src' THEN $n" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CASE source $cases ELSE 1 END AS n_ep
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, source, CAST(unnest(generate_series(1, n_ep)) AS INT) AS epoch
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id, source, epoch,
+       |         md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS hkey
+       |  FROM e),
+       |sh AS (
+       |  SELECT doc_id, source, epoch, hkey,
+       |         CAST(CAST(('0x' || substr(hkey, 1, 15)) AS BIGINT) % $EpochShards AS INT) AS shard
+       |  FROM h)
+       |SELECT doc_id, source, epoch, shard,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY hkey, doc_id) AS INT) AS pos
+       |FROM sh""".stripMargin
+  }
+
   // ------------------------------------------------ sample_importance
   /** Hashed feature space for the importance model (md5 bucket per
     * token — the [[Classifier]] idiom at DSIR's coarser granularity). */

@@ -79,4 +79,26 @@ object SqlSurface {
     registerViews(s, dir)
     s.sql(sqlCte)
   }
+
+  /** LATERAL correlated derived table — per-group top-k as the SQL
+    * surface expresses it (the relational form of "for each nation,
+    * its 2 richest customers"). Catalyst plans the correlated LIMIT
+    * subquery as a LateralJoin and DuckDB as a dependent join; the
+    * (c_acctbal DESC, c_custkey) order makes the k rows deterministic,
+    * and the output carries raw column values (no float aggregation),
+    * so the one string hash-checks in both engines. */
+  val sqlLateral: String =
+    """SELECT n.n_name AS nation, t.c_custkey, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_name, c_acctbal
+      |  FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  LIMIT 2
+      |) t""".stripMargin
+
+  def qSqlLateral(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(sqlLateral)
+  }
 }

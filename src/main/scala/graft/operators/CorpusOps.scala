@@ -738,6 +738,59 @@ object CorpusOps {
        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
        |FROM sh""".stripMargin
 
+  // ------------------------------------------------------ ta_entropy
+  /** Token-entropy quality signal in EXACT integer arithmetic — the
+    * "is this document repetitive spam" filter, as the floor-log2
+    * surrogate
+    *
+    *   h_int = n·⌊log2 n⌋ − Σ_t c_t·⌊log2 c_t⌋
+    *
+    * (n = token count, c_t = per-term counts). h_int/n tracks Shannon
+    * token entropy (it IS n·H when every count is a power of two) and
+    * preserves its ordering signal: h_int = 0 ⟺ one term repeated
+    * (c = n), h_int maximal when all terms are distinct. Floor-log2 is
+    * bit-length − 1 via the shared `bin` rendering
+    * ([[sampleImportanceOver]]'s [[ilog2]]), so — unlike IEEE
+    * `log(x)/log(2)` whose last-ulp rounding differs per engine — the
+    * scores hash-check exactly. Complements [[Cleaning]]'s
+    * `ta_repetition` (which measures LOCAL n-gram repetition; entropy
+    * measures global term-distribution collapse).
+    *
+    * Scale: two partial-aggregated groupBys over the token stream
+    * ((doc, term) then doc) — both key on doc-scoped keys, so no
+    * corpus-global skew key exists. */
+  def taEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tc = tokens(s, dir)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val a = tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_terms"),
+        sum(col("c") * ilog2(col("c"))).as("sumc"))
+      .select(col("doc_id"), col("n"), col("n_terms"),
+        (col("n") * ilog2(col("n")) - col("sumc")).as("h_int"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(a, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_toks"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("h_int"), lit(0L)).as("h_int"))
+  }
+
+  val taEntropySql: String =
+    s"""WITH $tokensCteSql,
+       |tc AS (
+       |  SELECT doc_id, term, CAST(COUNT(1) AS BIGINT) AS c
+       |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+       |a AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |         CAST(COUNT(1) AS BIGINT) AS n_terms,
+       |         CAST(SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS sumc
+       |  FROM tc GROUP BY 1)
+       |SELECT d.doc_id,
+       |       COALESCE(a.n, 0) AS n_toks,
+       |       COALESCE(a.n_terms, 0) AS n_terms,
+       |       COALESCE(a.n * (length(bin(a.n)) - 1) - a.sumc, 0) AS h_int
+       |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
+
   // ------------------------------------------------ sample_epoch_mix
   /** Per-source epoch multipliers (sources not listed run 1 epoch) —
     * the integer-quantized data-mix recipe: a source you want

@@ -315,4 +315,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     // all three raw docs tie on score: the two SMALLEST ids win
     assert(out == Map(20L -> 1, 21L -> 1, 22L -> 0))
   }
+
+  test("epoch mix: per-source multiplicities, distinct per-epoch orders, contiguous positions") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val m = CorpusOps.sampleEpochMix(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    // each doc appears exactly (its source's multiplier) times
+    val perDoc = m.groupBy(col("doc_id"), col("source")).agg(countDistinct(col("epoch")).as("k"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val want = CorpusOps.EpochMixTargets.getOrElse(r.getString(1), 1).toLong
+      assert(r.getLong(2) == want && r.getLong(3) == want,
+        s"doc ${r.getLong(0)} (${r.getString(1)}): ${r.getLong(3)} copies, want $want")
+    }
+    assert(perDoc.length == docs.count())
+    // epochs permute independently: epoch 1 and 2 must order the shared
+    // src1 docs differently (md5 keyed by epoch — collisions would mean
+    // the training loop replays the same order every epoch)
+    val ord = m.where(col("source") === "src1")
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .collect().groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(r => (r.getInt(1), r.getInt(2))).map(_.getLong(3)).toSeq).toMap
+    assert(ord(1) != ord(2), "epoch permutations must differ")
+    assert(ord(1).toSet == ord(2).toSet && ord(2).toSet == ord(3).toSet)
+    // positions are 1..k contiguous within every (epoch, shard)
+    val bad = m.groupBy(col("epoch"), col("shard"))
+      .agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"), count(lit(1)).as("n"))
+      .where(col("lo") =!= 1 || col("hi") =!= col("n")).count()
+    assert(bad == 0L)
+  }
+
+  test("entropy: collapse scores zero, all-distinct scores n*ilog2(n), empty scores zero") {
+    val h = CorpusOps.taEntropy(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 5: "pepper pepper pepper salt salt sugar" — n=6, counts 3,2,1
+    // h = 6*ilog2(6) − (3*ilog2(3) + 2*ilog2(2) + 1*ilog2(1)) = 12 − 5 = 7
+    assert(h(5L) == (6L, 3L, 7L), s"doc 5: ${h(5L)}")
+    // doc 3: 11 distinct words — h = 11*ilog2(11) = 33
+    assert(h(3L) == (11L, 11L, 33L), s"doc 3: ${h(3L)}")
+    // identical docs score identically; a single-token doc scores 0
+    assert(h(0L) == h(1L))
+    // h_int = 0 iff the distribution is a single repeated term
+    val collapsed = Seq((100L, "spam spam spam spam", "en", "x", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    collapsed.write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val h2 = CorpusOps.taEntropy(spark, d2).collect()(0)
+    assert((h2.getLong(1), h2.getLong(2), h2.getLong(3)) == (4L, 1L, 0L))
+  }
 }

@@ -479,4 +479,61 @@ object Media {
       |  md5(text) AS checksum,
       |  CAST(octet_length(encode(text)) // 256 AS INT) AS size_class
       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------- mm_energy
+  /** Analysis frame width (samples per feature frame). */
+  val EnergyFrame = 16
+
+  /** Audio FEATURE EXTRACTION through the real codec — per-frame
+    * energy and peak amplitude over framed PCM, the first stage of any
+    * audio-quality / silence-trim / VAD pipeline. The samples pass
+    * through a genuine WAV encode→decode (the [[mmWav]] byte path —
+    * features are computed from DECODED bytes, not the formula), then
+    * frame into [[EnergyFrame]]-sample windows (tail partial frame
+    * kept): energy = Σ s², peak = max |s| — integers, so the features
+    * hash-check against the analytic twin that regenerates the same
+    * PCM relationally.
+    *
+    * Scale: embarrassingly row-parallel mapPartitions (the decode
+    * kernel is per-media CPU, zero shuffle); output is one row per
+    * frame, ~n/[[EnergyFrame]] per media item. */
+  def mmEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, nc) =>
+          val n = (nc % 50 + 10).toInt
+          val samples = Array.tabulate(n)(t => ((id * 31 + t * 17) % 32768).toShort)
+          val wav = WavCodec.encode(WavSrcRate, 1, samples)
+          val (_, _, pcm) = WavCodec.decode(wav)
+          pcm.grouped(EnergyFrame).zipWithIndex.map { case (fr, fi) =>
+            var e = 0L; var pk = 0L
+            fr.foreach { v =>
+              e += v.toLong * v.toLong
+              if (math.abs(v.toLong) > pk) pk = math.abs(v.toLong)
+            }
+            (id, fi, fr.length, e, pk)
+          }
+        }
+      }.toDF("media_id", "frame_id", "n_samples", "energy", "peak")
+  }
+
+  /** Analytic twin over the same generated PCM (samples here are
+    * non-negative, so |s| = s for the peak). */
+  val mmEnergySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, doc_id,
+       |         CAST(n_chars % 50 + 10 AS INT) AS n
+       |  FROM documents),
+       |sm AS (
+       |  SELECT media_id, t.t AS t,
+       |         (doc_id * 31 + t.t * 17) % 32768 AS v
+       |  FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS t) t)
+       |SELECT media_id,
+       |       CAST(t // $EnergyFrame AS INT) AS frame_id,
+       |       CAST(COUNT(1) AS INT) AS n_samples,
+       |       CAST(SUM(v * v) AS BIGINT) AS energy,
+       |       CAST(MAX(v) AS BIGINT) AS peak
+       |FROM sm GROUP BY 1, 2""".stripMargin
 }

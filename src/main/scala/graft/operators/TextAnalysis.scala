@@ -310,4 +310,92 @@ object TextAnalysis {
       |  md5(array_to_string(list_sort(list_distinct(
       |    string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' '))), ' ')) AS fp_bag
       |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- ta_winnow
+  /** Winnowing gram width (k) and window size (w). */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Position cap packed into the combined selection key (docs are
+    * capped at 2^20 grams by the pipeline's chunking stage upstream;
+    * the pack below requires it). */
+  val WinnowPosBits = 20
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS kernel): hash every [[WinnowK]]-token gram, slide
+    * a [[WinnowW]]-window over the hash sequence, keep each window's
+    * minimal hash (leftmost on ties), and emit the DISTINCT selected
+    * (position, fingerprint) pairs. The winnowing guarantee: any shared
+    * token run of ≥ w+k−1 tokens between two documents yields at least
+    * one IDENTICAL selected fingerprint in both — so matching on the
+    * ~1/w-density selected set finds every long-enough overlap at a
+    * fraction of the full-gram index cost (the plagiarism/provenance
+    * index shape, and the cheap pre-filter tier ahead of
+    * [[graft.operators.Dedup]]'s exact verify).
+    *
+    * Determinism device: (hash, pos) packs into ONE Int64
+    * (`hash·2^WinnowPosBits + pos`, exact while pos < 2^20 and
+    * hash < 2^32), so BOTH engines take a plain MIN over the sliding
+    * frame — no argmin/min_by whose tie behavior differs. Windows are
+    * evaluated only at full-width anchor positions (pos ≤ n−w; a doc
+    * shorter than w grams gets its global minimum at anchor 0), and
+    * selection dedups per doc.
+    *
+    * Scale: the sliding MIN is a doc_id-partitioned window — bounded
+    * by DOCUMENT length, never corpus size (the window-idiom carve-out
+    * [[graft.operators.Snapshots.historyOver]] documents); everything
+    * else is per-row hashing and a distinct over the ~G/w selected
+    * rows. */
+  def taWinnow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
+      .where(size(col("w")) >= WinnowK)
+      .select(col("doc_id"), size(col("w")).as("nw"),
+        posexplode(expr(
+          s"transform(sequence(0, size(w) - $WinnowK), i -> concat_ws(' ', ${
+            (0 until WinnowK).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")}))")))
+      .toDF("doc_id", "nw", "pos", "g")
+      .withColumn("h",
+        expr("cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint) % 4294967296"))
+      .withColumn("key",
+        col("h") * lit(1L << WinnowPosBits) + col("pos"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinnowW - 1)
+    grams
+      .withColumn("wmin", min(col("key")).over(frame))
+      .where(col("pos") <= greatest(col("nw") - WinnowK + 1 - WinnowW, lit(0)))
+      .select(col("doc_id"),
+        (col("wmin") % lit(1L << WinnowPosBits)).as("sel_pos"),
+        expr(s"wmin div ${1L << WinnowPosBits}").as("fp"))
+      .distinct()
+  }
+
+  val taWinnowSql: String = {
+    val pow = 1L << WinnowPosBits
+    val ws = (0 until WinnowK)
+      .map(k => s"w[i + ${k + 1}]").mkString(" || ' ' || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |         string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ') AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(w) AS nw, t.i AS pos, $ws AS g
+       |  FROM docs, LATERAL (SELECT unnest(generate_series(0, len(w) - $WinnowK)) AS i) t
+       |  WHERE len(w) >= $WinnowK),
+       |h AS (
+       |  SELECT doc_id, nw, pos,
+       |         (CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4294967296) * $pow + pos AS key
+       |  FROM g),
+       |m AS (
+       |  SELECT doc_id, nw, pos,
+       |         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+       |  FROM h)
+       |SELECT DISTINCT doc_id,
+       |       wmin % $pow AS sel_pos,
+       |       wmin // $pow AS fp
+       |FROM m
+       |WHERE pos <= GREATEST(nw - ${WinnowK - 1} - $WinnowW, 0)""".stripMargin
+  }
 }

@@ -51,4 +51,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(0L)._2 == m(4L)._2, "same word bag → same fp_bag")
     assert(m(0L)._1 != m(4L)._1, "different order → different fp_norm")
   }
+
+  test("winnowing guarantee: a shared >= w+k-1 token run yields a shared fingerprint") {
+    val d = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    // shared passage of w+k-1 = 6 tokens, embedded in different
+    // surroundings and at DIFFERENT positions; doc 2 shares nothing
+    val shared = "lorem ipsum dolor sit amet consectetur"
+    Seq(
+      (0L, s"alpha beta $shared gamma delta epsilon", "en", "s", 10L),
+      (1L, s"one two three four five six seven $shared", "en", "s", 10L),
+      (2L, "entirely unrelated words on some other topic here today", "en", "s", 10L),
+      (3L, "tiny", "en", "s", 4L)) // < k tokens: no grams, no rows
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val sel = TextAnalysis.taWinnow(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = sel.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(0L) intersect byDoc(1L)).nonEmpty,
+      "the winnowing theorem: the shared passage MUST surface in both docs")
+    assert((byDoc(0L) intersect byDoc(2L)).isEmpty &&
+           (byDoc(1L) intersect byDoc(2L)).isEmpty,
+      "no shared fingerprints without shared 3-gram content")
+    assert(!byDoc.contains(3L), "sub-k docs select nothing")
+    // density: selection keeps roughly 1/w of the grams, never more
+    // than the full gram count, and positions are in-range
+    sel.foreach { case (id, pos, _) =>
+      assert(pos >= 0, s"doc $id pos $pos")
+    }
+  }
 }

@@ -434,4 +434,74 @@ object Relational2 {
        |SELECT user_id, island, MIN(ts_us) AS island_start_us,
        |       MAX(ts_us) AS island_end_us, COUNT(1) AS n_events
        |FROM numbered GROUP BY user_id, island""".stripMargin
+
+  // ---------------------------------------------- events_attribution
+  /** Attribution lookback window (µs): 24 h — wide enough that the
+    * fixture exercises 1-, 2-, and ≥3-touch splits (an hour-wide
+    * window never produced a multi-touch purchase at gate SF, leaving
+    * the division path untested). */
+  val AttribWindowUs: Long = 24L * 3600L * 1000000L
+
+  /** Linear multi-touch attribution — each purchase's value split
+    * equally across the user's clicks inside the lookback window
+    * (strictly before the purchase); purchases with no touch attribute
+    * to the `click_id = -1` direct row at full value. Complements
+    * [[graft.operators.Relational.q18AsOf]] (single last-touch recall):
+    * linear attribution needs the full touch SET per conversion, so the
+    * shape is a user-keyed interval join, not a running window.
+    *
+    * The per-user purchase×click pairing is banded by the lookback
+    * interval via the join predicate; at 100 TB the same time-bucket
+    * banding as the salted as-of applies (join on (user, bucket) with
+    * bucket width = window, each click lands in 2 buckets) — the
+    * fixture-scale plan keeps the plain user-key equi-join + range
+    * filter that AQE can skew-split. `credit` is value/n — ONE IEEE
+    * division of an exact parquet double by an exact integer, the
+    * [[graft.operators.Dedup]] jaccard discipline, so it
+    * hash-checks. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_us").as("click_us"))
+    val touched = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_us") < col("purchase_us") &&
+        col("click_us") >= col("purchase_us") - AttribWindowUs)
+      .select(col("purchase_id"), col("click_id"), col("click_us"))
+    val counts = touched.groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_touches"))
+    purchases
+      .join(touched.join(counts, "purchase_id"), Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        when(col("n_touches").isNull, col("value"))
+          .otherwise(col("value") / col("n_touches").cast("double")).as("credit"))
+  }
+
+  val eventsAttributionSql: String =
+    Tables.eventsCteSql +
+    s""",
+       |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS purchase_us, value
+       |      FROM ev WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+       |      FROM ev WHERE event_type = 'click'),
+       |t AS (SELECT p.purchase_id, c.click_id
+       |      FROM p JOIN c ON p.user_id = c.user_id
+       |       AND c.click_us < p.purchase_us
+       |       AND c.click_us >= p.purchase_us - $AttribWindowUs),
+       |n AS (SELECT purchase_id, CAST(COUNT(1) AS BIGINT) AS n_touches
+       |      FROM t GROUP BY 1)
+       |SELECT p.purchase_id, p.user_id, p.purchase_us,
+       |       COALESCE(t.click_id, -1) AS click_id,
+       |       COALESCE(n.n_touches, 0) AS n_touches,
+       |       CASE WHEN n.n_touches IS NULL THEN p.value
+       |            ELSE p.value / CAST(n.n_touches AS DOUBLE) END AS credit
+       |FROM p
+       |LEFT JOIN t ON p.purchase_id = t.purchase_id
+       |LEFT JOIN n ON p.purchase_id = n.purchase_id""".stripMargin
 }

@@ -153,4 +153,33 @@ class Relational2Spec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(prepared).length
     assert(exchanges == 1, s"expected one exchange:\n$prepared")
   }
+
+  test("attribution conserves value, splits evenly, and covers every purchase once") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Relational2.eventsAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val purchases = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("value")).as[(Long, Double)]
+      .collect().toMap
+    val byP = rows.groupBy(_._1)
+    assert(byP.keySet == purchases.keySet, "every purchase appears, none twice-keyed")
+    byP.foreach { case (pid, rs) =>
+      val n = rs.head._3
+      assert(rs.forall(_._3 == n))
+      if (n == 0) {
+        // direct attribution: one full-value row at click_id = -1
+        assert(rs.toSeq == Seq((pid, -1L, 0L, purchases(pid))))
+      } else {
+        assert(rs.length == n.toInt && rs.map(_._2).distinct.length == rs.length,
+          s"purchase $pid: $n distinct touches")
+        assert(rs.forall(r => math.abs(r._4 - purchases(pid) / n) < 1e-12))
+        assert(math.abs(rs.map(_._4).sum - purchases(pid)) < 1e-9,
+          s"credits for $pid must sum to the purchase value")
+      }
+    }
+    // the fixture must exercise the split path, or this pins nothing
+    assert(byP.values.exists(_.head._3 >= 2), "need a multi-touch purchase at spec SF")
+  }
 }

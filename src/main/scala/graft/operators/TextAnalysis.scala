@@ -311,6 +311,58 @@ object TextAnalysis {
       |    string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' '))), ' ')) AS fp_bag
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------- ta_langid_eval
+  /** Classifier-quality evaluation of the language-ID heuristic
+    * against the labeled `lang` column — the per-class confusion
+    * summary (precision / recall) a pipeline reviews before trusting
+    * lang-ID for routing or filtering. The eval-harness discipline of
+    * `sim_recall_eval`/`dedup_recall_eval` applied to a classifier:
+    * integer hit counts hash-check, each rate is ONE IEEE division.
+    *
+    * Scale: two tiny aggregations (per-label and per-prediction — at
+    * most |languages| rows each) over the lang-ID output stream,
+    * full-outer-merged so a class that is only ever predicted (or only
+    * ever labeled) still surfaces instead of vanishing. */
+  def taLangIdEval(s: SparkSession, dir: String): DataFrame = {
+    val p = taLangId(s, dir).select(col("labeled_lang"), col("predicted_lang"))
+    val byTrue = p.groupBy(col("labeled_lang").as("lang"))
+      .agg(count(lit(1)).as("n_labeled"),
+        sum(when(col("predicted_lang") === col("labeled_lang"), 1L).otherwise(0L))
+          .as("n_correct"))
+    val byPred = p.groupBy(col("predicted_lang").as("lang"))
+      .agg(count(lit(1)).as("n_predicted"))
+    byTrue.join(byPred, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_labeled"), lit(0L)).as("n_labeled"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("precision",
+        when(col("n_predicted") === 0, lit(0.0))
+          .otherwise(col("n_correct").cast("double") / col("n_predicted").cast("double")))
+      .withColumn("recall",
+        when(col("n_labeled") === 0, lit(0.0))
+          .otherwise(col("n_correct").cast("double") / col("n_labeled").cast("double")))
+  }
+
+  /** Oracle nests the lang-ID gate's SQL verbatim — the eval cannot
+    * drift from the classifier it grades. */
+  lazy val taLangIdEvalSql: String =
+    s"""WITH pred AS ($taLangIdSql),
+       |bt AS (SELECT labeled_lang AS lang, CAST(COUNT(1) AS BIGINT) AS n_labeled,
+       |              CAST(SUM(CASE WHEN predicted_lang = labeled_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |       FROM pred GROUP BY 1),
+       |bp AS (SELECT predicted_lang AS lang, CAST(COUNT(1) AS BIGINT) AS n_predicted
+       |       FROM pred GROUP BY 1)
+       |SELECT COALESCE(bt.lang, bp.lang) AS lang,
+       |       COALESCE(bt.n_labeled, 0) AS n_labeled,
+       |       COALESCE(bp.n_predicted, 0) AS n_predicted,
+       |       COALESCE(bt.n_correct, 0) AS n_correct,
+       |       CASE WHEN COALESCE(bp.n_predicted, 0) = 0 THEN 0.0
+       |            ELSE CAST(COALESCE(bt.n_correct, 0) AS DOUBLE) / CAST(bp.n_predicted AS DOUBLE) END AS precision,
+       |       CASE WHEN COALESCE(bt.n_labeled, 0) = 0 THEN 0.0
+       |            ELSE CAST(COALESCE(bt.n_correct, 0) AS DOUBLE) / CAST(bt.n_labeled AS DOUBLE) END AS recall
+       |FROM bt FULL OUTER JOIN bp ON bt.lang = bp.lang""".stripMargin
+
   // --------------------------------------------------------- ta_winnow
   /** Winnowing gram width (k) and window size (w). */
   val WinnowK = 3

@@ -59,16 +59,38 @@ object Pca {
 
   def embPca(s: SparkSession, dir: String): DataFrame = {
     val el = elems(s, dir)
-    // ONE corpus pass: per-row outer product, map-side-combined into
-    // d² cells (inline+flatten keeps it join-free; Spark's partial
-    // aggregation absorbs the d² fan-out before any exchange)
+    // ONE corpus pass: each partition accumulates its LOCAL d×d outer-
+    // product sum in a flat long array and emits d² rows at the end —
+    // the [[KMeans.embKmeans]] contrib idiom. (A first cut expressed
+    // this as inline(flatten(transform(...))) over nested lambdas;
+    // Catalyst evaluates the inner quantization lambda per OUTER index,
+    // a d× blow-up that benched 7.5 s vs ~1 s for this shape.)
+    import s.implicits._
     val gramRows = Tables.embeddings(s, dir)
-      .select(expr(
-        """inline(flatten(transform(
-          |  transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint) div 1000),
-          |  (x, i) -> transform(
-          |    transform(embedding, y -> cast(round(cast(y as double) * 1000000.0) as bigint) div 1000),
-          |    (y, j) -> struct(i as i, j as j, x * y as p)))))""".stripMargin))
+      .select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { rows =>
+        var acc: Array[Long] = null
+        var d = 0
+        rows.foreach { emb =>
+          if (acc == null) { d = emb.length; acc = new Array[Long](d * d) }
+          val ev = new Array[Long](d)
+          var i = 0
+          while (i < d) { ev(i) = math.round(emb(i).toDouble * 1000000.0) / 1000L; i += 1 }
+          i = 0
+          while (i < d) {
+            var j = 0
+            val evi = ev(i)
+            while (j < d) { acc(i * d + j) += evi * ev(j); j += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else {
+          val dd = d
+          (0 until dd * dd).iterator.map(k => (k / dd, k % dd, acc(k)))
+        }
+      }
+      .toDF("i", "j", "p")
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
       .collect()
     val d = gramRows.map(_.getInt(0)).max + 1

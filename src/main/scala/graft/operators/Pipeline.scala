@@ -302,6 +302,81 @@ object Pipeline {
     * spells out truncation — `//` floors). Scale: additive — the
     * scored capstone's budget plus one 1-row broadcast, one K-bounded
     * aggregation, and one exchange on shard. */
+  // ------------------------------------------------- pipeline_incr
+  /** Quality floor for the incremental capstone (the `corpus_report`
+    * threshold). */
+  val IncrQualityFloor = 0.5
+
+  /** The STEADY-STATE capstone — what the pipeline runs every day once
+    * the initial corpus exists: an arrival batch (doc_id ≡ 1 mod 3) is
+    * content-deduped against the standing snapshot (md5-fingerprint
+    * anti-join, [[Cleaning.dedupIncrementalVs]]), deduped WITHIN
+    * itself (min-id keeper per fingerprint — two crawls of the same
+    * page in one batch must not both land), floored on quality
+    * (≥ [[IncrQualityFloor]]), and MERGED into the snapshot by the
+    * generic upsert — whose key-uniqueness guard the within-batch
+    * dedup satisfies by construction. Output: the post-merge snapshot
+    * manifest (doc_id, source, op) — `insert` rows are exactly the
+    * batch's surviving novel content, everything else `keep` (same-
+    * content recrawls die in the dedup, so `update` does not occur
+    * here; the update path is pinned by `snapshot_upsert` /
+    * `snapshot_diff`).
+    *
+    * Scale: every stage is the verified incremental member — the
+    * anti-join probes the snapshot's fingerprint index (batch-bounded
+    * with the Bloom escalation), quality is per-row, the merge is one
+    * co-locatable key shuffle. Nothing rescans the snapshot's text. */
+  def pipelineIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Cleaning, Snapshots}
+    val docs = Tables.documents(s, dir)
+    val batch = docs.where(col("doc_id") % 3 === 1)
+    val snapshot = docs.where(col("doc_id") % 3 =!= 1)
+    val fp = md5(TextAnalysis.normalized(col("text"))).as("fp_norm")
+    val novel = Cleaning.dedupIncrementalVs(
+        batch.select(col("doc_id"), fp),
+        snapshot.select(fp))
+      .where(col("is_new") === 1)
+    // within-batch keeper: first (min-id) occurrence per fingerprint
+    val keeper = novel.groupBy(col("fp_norm")).agg(min(col("doc_id")).as("doc_id"))
+    val survivors = batch
+      .join(keeper.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(TextAnalysis.taQuality(s, dir)
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+      .where(col("quality_score") >= IncrQualityFloor)
+      .select(docs.columns.map(col): _*)
+    Snapshots.upsertOver(snapshot, survivors, "doc_id")
+      .select(col("doc_id"), col("source"), col("op"))
+  }
+
+  /** Oracle composes the member oracles: the fingerprint anti-join,
+    * the min-id keeper, the quality gate's score (nested verbatim),
+    * and the full-outer merge — over the same mod-3 split. */
+  lazy val pipelineIncrSql: String =
+    s"""WITH b AS (SELECT * FROM documents WHERE doc_id % 3 = 1),
+       |snap AS (SELECT * FROM documents WHERE doc_id % 3 <> 1),
+       |fpb AS (SELECT doc_id,
+       |        md5(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))) AS fp
+       |        FROM b),
+       |fps AS (SELECT DISTINCT
+       |        md5(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))) AS fp
+       |        FROM snap),
+       |novel AS (
+       |  SELECT fpb.doc_id, fpb.fp FROM fpb LEFT JOIN fps USING (fp)
+       |  WHERE fps.fp IS NULL),
+       |keeper AS (SELECT MIN(doc_id) AS doc_id FROM novel GROUP BY fp),
+       |q AS (SELECT doc_id, quality_score FROM (${TextAnalysis.taQualitySql})),
+       |surv AS (
+       |  SELECT b.* FROM b
+       |  JOIN keeper USING (doc_id)
+       |  JOIN q USING (doc_id)
+       |  WHERE q.quality_score >= $IncrQualityFloor)
+       |SELECT COALESCE(surv.doc_id, snap.doc_id) AS doc_id,
+       |       COALESCE(surv.source, snap.source) AS source,
+       |       CASE WHEN surv.doc_id IS NOT NULL AND snap.doc_id IS NOT NULL THEN 'update'
+       |            WHEN surv.doc_id IS NOT NULL THEN 'insert'
+       |            ELSE 'keep' END AS op
+       |FROM snap FULL OUTER JOIN surv ON snap.doc_id = surv.doc_id""".stripMargin
+
   def pipelineMix(s: SparkSession, dir: String): DataFrame = {
     val scored = pipelineScored(s, dir)
     val thr = scored.agg(

@@ -135,9 +135,12 @@ object DotProductI64 {
 /** Build-time registration for users constructing their own session:
   * `SparkSession.builder().withExtensions(new GraftExtensions)...`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("dot_i64"),
       DotProductI64.info,
       (exprs: Seq[Expression]) => DotProductI64(exprs(0), exprs(1))))
+    // manifest-driven file skipping over registered z layouts
+    e.injectOptimizerRule(s => new graft.sources.ZPruneRule(s))
+  }
 }

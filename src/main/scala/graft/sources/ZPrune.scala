@@ -1,0 +1,249 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** MANIFEST-DRIVEN FILE SKIPPING as a Catalyst optimizer rule — the
+  * piece that turns [[Manifest]]'s stats table from an oracle-checked
+  * RESULT into live planner behavior, the way Delta/Iceberg data
+  * skipping actually works: a filter over a z-laid-out table is
+  * rewritten to also constrain the PARTITION column (`bucket IN
+  * (survivors)`), and Spark's own partition pruning then never lists,
+  * opens, or schedules the pruned directories. This is the correct
+  * altitude for the extension — we inject a provably-implied predicate
+  * and let FileSourceStrategy do the actual skipping, rather than
+  * rebuilding a parquet reader.
+  *
+  * Safety argument (why the rewrite can never change results): bounds
+  * are extracted only from TOP-LEVEL conjuncts of the filter that
+  * literally compare a manifest dimension column with a literal, and a
+  * bucket is pruned only when its stored [min, max] envelope is
+  * PROVABLY DISJOINT from those bounds on some dimension — rows in a
+  * pruned bucket cannot satisfy the filter. Anything the extractor
+  * does not understand (ORs, casts, expressions over the dim) simply
+  * contributes no bound, which can only keep more buckets. The rule
+  * skips plans whose filter already references the bucket column, so
+  * the fixpoint optimizer cannot re-inject.
+  *
+  * At 100 TB: the manifest is B·dims rows (B = file count — the table
+  * every planner holds), cached on the driver per layout root; the
+  * envelope test is O(B·dims) per query, and the reward is skipping
+  * full partition DIRECTORIES — I/O, listing, and task scheduling —
+  * exactly like a Delta OPTIMIZE ZORDER table under a box predicate.
+  * ZPruneSpec measures it: the scan's numFiles metric drops to the
+  * surviving buckets, with results bit-identical to the full scan.
+  *
+  * Wiring: [[graft.functions.GraftExtensions]] injects the rule at
+  * session build; [[ZPrune.attach]] also adds it to
+  * `spark.experimental.extraOptimizations` so driver-built sessions
+  * get it at runtime. Both paths are idempotent.
+  */
+object ZPrune {
+
+  /** Bits per manifest dimension (the [[Manifest]] domain model). */
+  val MBits = 6
+
+  /** Per-bucket envelopes of one layout root: dim → (lo, hi). */
+  private[sources] case class BucketEnv(bucket: Long, lo: Map[String, Long],
+    hi: Map[String, Long])
+
+  private[sources] case class Layout(dims: Seq[String], envs: Seq[BucketEnv])
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Layout]()
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+
+  /** Write `df` as a z-range-bucketed layout under `dir` (partition
+    * dirs `bucket=N`, z-sorted within each) plus the stats manifest at
+    * `_graft_manifest` (underscore-prefixed: invisible to Spark's file
+    * listing, the `_SUCCESS` convention). `dimA`/`dimB` must be
+    * non-negative columns < 2^[[MBits]]. */
+  def writeLayout(df: DataFrame, dir: String, dimA: String, dimB: String,
+      buckets: Int): Unit = {
+    val m = 1L << MBits
+    val width = math.max((m * m) / buckets, 1L)
+    val keyed = df
+      .withColumn("_z", ZOrder.zkey(col(dimA), col(dimB)))
+      .withColumn("bucket", expr(s"_z div $width"))
+    keyed
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+    val manifest = keyed.groupBy(col("bucket"))
+      .agg(min(col(dimA)).as("lo_a"), max(col(dimA)).as("hi_a"),
+        min(col(dimB)).as("lo_b"), max(col(dimB)).as("hi_b"))
+      .select(col("bucket").cast("long"),
+        explode(array(
+          struct(lit(dimA).as("dim"), col("lo_a").cast("long").as("lo"),
+            col("hi_a").cast("long").as("hi")),
+          struct(lit(dimB).as("dim"), col("lo_b").cast("long").as("lo"),
+            col("hi_b").cast("long").as("hi")))).as("e"))
+      .select(col("bucket"), col("e.dim"), col("e.lo"), col("e.hi"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/_graft_manifest")
+  }
+
+  /** Load `dir`'s manifest into the driver-side registry and make sure
+    * the rule is active on `spark` (runtime injection via
+    * `experimental.extraOptimizations` — idempotent). */
+  def attach(spark: SparkSession, dir: String): Unit = {
+    val rows = spark.read.parquet(s"$dir/_graft_manifest").collect()
+    val dims = rows.map(_.getString(1)).distinct.toSeq.sorted
+    val envs = rows.groupBy(_.getLong(0)).map { case (b, rs) =>
+      BucketEnv(b,
+        rs.map(r => r.getString(1) -> r.getLong(2)).toMap,
+        rs.map(r => r.getString(1) -> r.getLong(3)).toMap)
+    }.toSeq
+    registry.put(norm(dir), Layout(dims, envs))
+    val rule = new ZPruneRule(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ZPruneRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
+
+  private[sources] def layoutFor(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[Layout] =
+    rootPaths.flatMap(p => Option(registry.get(norm(p.toString)))).headOption
+
+  // ------------------------------------------------ layout_prune_scan
+  /** Gate box predicate (the [[Manifest]] box) and bucket count. */
+  val GateBuckets = 16
+
+  /** Gate: build the z-range layout from lineitem, attach the rule,
+    * and answer the box query THROUGH the pruned scan — the result
+    * must equal the oracle's plain relational evaluation over the
+    * source table, proving the injected partition filter is invisible
+    * to semantics while ZPruneSpec separately proves it skips files.
+    * The `bucket` column rides along so the layout assignment itself
+    * is hash-checked (the oracle recomputes the interleave). */
+  def layoutPruneScan(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val m = 1L << MBits
+    val out = java.nio.file.Files.createTempDirectory("graft-zprune-gate").toString
+    val df = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr(s"l_partkey % $m").as("pk"), expr(s"l_orderkey % $m").as("ok"))
+    writeLayout(df, out, "pk", "ok", GateBuckets)
+    attach(s, out)
+    s.read.parquet(out)
+      .where(col("pk") >= Manifest.PkLo && col("pk") <= Manifest.PkHi &&
+        col("ok") >= Manifest.OkLo && col("ok") <= Manifest.OkHi)
+      .select(col("l_orderkey"), col("l_linenumber"), col("pk"), col("ok"),
+        col("bucket").cast("long").as("bucket"))
+  }
+
+  /** Plain relational twin — no layout, no rule: the same box over the
+    * source rows with the bucket recomputed from the interleave. */
+  val layoutPruneScanSql: String = {
+    val m = 1L << MBits
+    val width = math.max((m * m) / GateBuckets, 1L)
+    val zexpr =
+      s"""CAST(list_sum(list_transform(generate_series(0, ${MBits - 1}),
+         |    i -> (((l_partkey % $m) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+         |       + (((l_orderkey % $m) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))))
+         |  AS BIGINT)""".stripMargin
+    s"""WITH keyed AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         l_partkey % $m AS pk, l_orderkey % $m AS ok,
+       |         $zexpr // $width AS bucket
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, pk, ok, bucket
+       |FROM keyed
+       |WHERE pk >= ${Manifest.PkLo} AND pk <= ${Manifest.PkHi}
+       |  AND ok >= ${Manifest.OkLo} AND ok <= ${Manifest.OkHi}""".stripMargin
+  }
+}
+
+/** The rule. Matches `Filter(cond, relation-over-registered-layout)`,
+  * extracts conservative per-dimension bounds from cond's top-level
+  * conjuncts, and ANDs `bucket IN (surviving buckets)` when that
+  * provably removes at least one bucket. */
+class ZPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other      => Seq(other)
+  }
+
+  private def longOf(l: Literal): Option[Long] = l.value match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _                   => None
+  }
+
+  /** (dim → lower bound, dim → upper bound) from literal comparisons. */
+  private def bounds(cs: Seq[Expression], dims: Set[String])
+      : (Map[String, Long], Map[String, Long]) = {
+    var lo = Map.empty[String, Long]
+    var hi = Map.empty[String, Long]
+    def tightenLo(d: String, v: Long): Unit =
+      lo = lo.updated(d, lo.get(d).fold(v)(math.max(_, v)))
+    def tightenHi(d: String, v: Long): Unit =
+      hi = hi.updated(d, hi.get(d).fold(v)(math.min(_, v)))
+    cs.foreach {
+      case GreaterThanOrEqual(a: Attribute, l: Literal) if dims(a.name) =>
+        longOf(l).foreach(tightenLo(a.name, _))
+      case GreaterThan(a: Attribute, l: Literal) if dims(a.name) =>
+        longOf(l).foreach(v => tightenLo(a.name, v + 1))
+      case LessThanOrEqual(a: Attribute, l: Literal) if dims(a.name) =>
+        longOf(l).foreach(tightenHi(a.name, _))
+      case LessThan(a: Attribute, l: Literal) if dims(a.name) =>
+        longOf(l).foreach(v => tightenHi(a.name, v - 1))
+      case EqualTo(a: Attribute, l: Literal) if dims(a.name) =>
+        longOf(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
+      // literal-on-the-left mirrors
+      case GreaterThanOrEqual(l: Literal, a: Attribute) if dims(a.name) =>
+        longOf(l).foreach(tightenHi(a.name, _))
+      case GreaterThan(l: Literal, a: Attribute) if dims(a.name) =>
+        longOf(l).foreach(v => tightenHi(a.name, v - 1))
+      case LessThanOrEqual(l: Literal, a: Attribute) if dims(a.name) =>
+        longOf(l).foreach(tightenLo(a.name, _))
+      case LessThan(l: Literal, a: Attribute) if dims(a.name) =>
+        longOf(l).foreach(v => tightenLo(a.name, v + 1))
+      case EqualTo(l: Literal, a: Attribute) if dims(a.name) =>
+        longOf(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
+      case _ => () // not understood → contributes no bound (safe)
+    }
+    (lo, hi)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)) =>
+      ZPrune.layoutFor(fs.location.rootPaths) match {
+        case Some(layout) =>
+          val bucketAttr = rel.output.find(_.name == "bucket")
+          val alreadyConstrained =
+            cond.references.exists(_.name == "bucket")
+          if (bucketAttr.isEmpty || alreadyConstrained) f
+          else {
+            val (lo, hi) = bounds(conjuncts(cond), layout.dims.toSet)
+            if (lo.isEmpty && hi.isEmpty) f
+            else {
+              val survivors = layout.envs.filter { e =>
+                !layout.dims.exists { d =>
+                  hi.get(d).exists(_ < e.lo(d)) || lo.get(d).exists(_ > e.hi(d))
+                }
+              }.map(_.bucket).sorted
+              if (survivors.size >= layout.envs.size) f
+              else {
+                val attr = bucketAttr.get
+                val lits = survivors.map { b =>
+                  val v: Any = attr.dataType match {
+                    case org.apache.spark.sql.types.IntegerType => b.toInt
+                    case _                                      => b
+                  }
+                  Literal.create(v, attr.dataType).asInstanceOf[Expression]
+                }
+                Filter(CAnd(cond, In(attr, lits)), rel)
+              }
+            }
+          }
+        case None => f
+      }
+  }
+}

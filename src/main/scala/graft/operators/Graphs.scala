@@ -467,6 +467,86 @@ object Graphs {
       (col("dist") < BfsInf).cast("int").as("reached"))
   }
 
+  // ---------------------------------------------------- graph_kcore
+  /** Core order (minimum within-core degree) and fixed peel rounds. */
+  val KCoreK = 2
+  val KCoreRounds = 4
+
+  /** k-core peeling over the near-dup pair graph — the structural
+    * audit between [[graphTriangles]] (local transitivity) and CC
+    * (mere reachability): a node is in the k-core iff it keeps ≥ k
+    * neighbors after everyone below k is recursively removed, so
+    * chain-collapse artifacts (degree-2 paths) peel away while true
+    * replica cliques survive intact. Exactly [[KCoreRounds]] peel
+    * rounds run (the unrolled-oracle contract — the fixed budget
+    * bounds peel DEPTH, which on a near-dup graph is the longest
+    * chain, not corpus size; DedupSpec-style fixtures converge in 2).
+    *
+    * One round = one edge join against the alive set (both endpoints)
+    * + a partial-agg degree count + a filter — no window, supernode
+    * in-degrees combine map-side; alive state localCheckpoints like
+    * every round loop in this family. Output: every doc with
+    * `in_core` and its within-core degree (0 outside). */
+  def kcoreOver(s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val nd = nodes.select(col("doc_id")).localCheckpoint()
+    val sym = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
+    def aliveDeg(alive: DataFrame): DataFrame =
+      sym
+        .join(alive.select(col("doc_id").as("src")), Seq("src"))
+        .join(alive.select(col("doc_id").as("dst")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    var alive = nd
+    for (_ <- 1 to KCoreRounds) {
+      alive = aliveDeg(alive)
+        .where(col("deg") >= KCoreK)
+        .select(col("doc_id"))
+        .localCheckpoint()
+    }
+    val coreDeg = aliveDeg(alive)
+    nd.join(alive.withColumn("in_core", lit(1)), Seq("doc_id"), "left")
+      .join(coreDeg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("in_core"), lit(0)).as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
+
+  /** Gate: the [[KCoreK]]-core of the SimHash pair graph. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    kcoreOver(s, docs,
+      Dedup.symmetrize(Dedup.dedupSimhashPairs(s, dir).select(col("da"), col("db"))))
+  }
+
+  /** Unrolled peel rounds; the final degree pass reuses the same
+    * alive-restricted count. */
+  lazy val graphKcoreSql: String = {
+    def degCte(name: String, alive: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT e.src AS doc_id, CAST(COUNT(1) AS BIGINT) AS deg
+         |  FROM sym e
+         |  JOIN $alive s ON e.src = s.doc_id
+         |  JOIN $alive t ON e.dst = t.doc_id
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to KCoreRounds).map { k =>
+      s"""${degCte(s"d$k", s"a${k - 1}")},
+         |a$k AS MATERIALIZED (SELECT doc_id FROM d$k WHERE deg >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH shp AS MATERIALIZED (${Dedup.dedupSimhashPairsSql}),
+       |sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM shp
+       |        UNION ALL SELECT db AS src, da AS dst FROM shp),
+       |nodes AS MATERIALIZED (SELECT doc_id FROM documents),
+       |a0 AS MATERIALIZED (SELECT doc_id FROM nodes),
+       |$rounds,
+       |${degCte("dfinal", s"a$KCoreRounds")}
+       |SELECT n.doc_id,
+       |       CAST(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_core,
+       |       COALESCE(d.deg, 0) AS core_deg
+       |FROM nodes n
+       |LEFT JOIN a$KCoreRounds a ON n.doc_id = a.doc_id
+       |LEFT JOIN dfinal d ON n.doc_id = d.doc_id""".stripMargin
+  }
+
   /** Gate: blast radius of the mod-[[BfsSeedMod]] seed set over the
     * SimHash pair graph (the [[graphPagerank]] edge set). */
   def graphBfs(s: SparkSession, dir: String): DataFrame = {

@@ -283,4 +283,21 @@ class GraphsSpec extends AnyFunSuite {
     // isolated non-seed node: unreached
     assert(got(9L) == (Graphs.BfsInf, -1L, 0))
   }
+
+  test("k-core: cliques survive peeling, chains and pendants peel away") {
+    // triangle {1,2,3} with a pendant 4 hanging off 1; a path 10-11-12;
+    // an isolated node 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (11L, 12L))
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = Graphs.kcoreOver(spark, nodes.toDF("doc_id"), sym.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // the triangle is the 2-core: every member keeps its 2 in-core
+    // neighbors (the pendant's removal does not break it)
+    assert(got(1L) == (1, 2L) && got(2L) == (1, 2L) && got(3L) == (1, 2L), s"$got")
+    // the pendant peels in round 1; the path peels from both ends
+    for (id <- Seq(4L, 10L, 11L, 12L, 20L))
+      assert(got(id) == (0, 0L), s"node $id must peel: ${got(id)}")
+  }
 }

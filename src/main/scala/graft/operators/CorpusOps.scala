@@ -207,6 +207,76 @@ object CorpusOps {
        |SELECT bigram, COUNT(1) AS cnt FROM bg GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $BigramTopN""".stripMargin
 
+  // ---------------------------------------------------- ta_collocations
+  /** Minimum pair/word count for a collocation candidate. */
+  val CollocMinCount = 5
+
+  /** PMI collocation mining — the "new-phrase discovery" pass ahead of
+    * tokenizer training (a bigram whose co-occurrence far exceeds the
+    * independence expectation is a unit the vocabulary should carry
+    * whole). PMI = log(c_xy·N / (c_x·c_y)) is ranked here by its
+    * integer floor-log2 surrogate
+    * `pmi_int = ilog2(c_xy·N) − ilog2(c_x·c_y)` (the [[ilog2]] `bin`
+    * device, exact in both engines), with the exact integer triple
+    * (c_xy, c_x, c_y) carried so any finer rescoring downstream is
+    * lossless. Low-count pairs are floored at [[CollocMinCount]] —
+    * PMI's classic rare-pair pathology.
+    *
+    * Scale: bigram and unigram counts partial-aggregate map-side; the
+    * unigram table joins the (already-MinCount-filtered) bigram table
+    * twice on single-word keys; N is a 1-row broadcast. (c_xy·N stays
+    * in Int64 while total tokens < ~3·10⁹ per training shard — beyond
+    * that, run per-shard and merge counts first, the same regime note
+    * as the classifier.) */
+  def taCollocations(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(s, dir)
+    val uni = tk.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val n = tk.agg(count(lit(1)).as("n"))
+    val pairs = Tables.documents(s, dir)
+      .select(split(normalized(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .selectExpr(
+        s"${TextAnalysis.gramExplodeExpr(2, distinctPerDoc = false)} as bigram")
+      .select(split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= CollocMinCount)
+    pairs
+      .join(uni.select(col("term").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c").as("c_y")), "w2")
+      .where(col("c_x") >= CollocMinCount && col("c_y") >= CollocMinCount)
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        (ilog2(col("c_xy") * col("n")) - ilog2(col("c_x") * col("c_y")))
+          .cast("long").as("pmi_int"))
+  }
+
+  val taCollocationsSql: String =
+    s"""WITH $tokensCteSql,
+       |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |uni AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS c FROM tk GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM tk),
+       |docs2 AS (
+       |  SELECT string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ') AS w
+       |  FROM documents),
+       |bg AS (
+       |  SELECT w[i] AS w1, w[i+1] AS w2
+       |  FROM docs2, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+       |  WHERE len(w) >= 2),
+       |pairs AS (
+       |  SELECT w1, w2, CAST(COUNT(1) AS BIGINT) AS c_xy
+       |  FROM bg WHERE w1 <> '' AND w2 <> ''
+       |  GROUP BY 1, 2 HAVING COUNT(1) >= $CollocMinCount)
+       |SELECT p.w1, p.w2, p.c_xy, ux.c AS c_x, uy.c AS c_y,
+       |       CAST((length(bin(p.c_xy * nn.n)) - 1)
+       |          - (length(bin(ux.c * uy.c)) - 1) AS BIGINT) AS pmi_int
+       |FROM pairs p
+       |JOIN uni ux ON p.w1 = ux.term
+       |JOIN uni uy ON p.w2 = uy.term
+       |CROSS JOIN nn
+       |WHERE ux.c >= $CollocMinCount AND uy.c >= $CollocMinCount""".stripMargin
+
   // -------------------------------------------------------- ta_lm_score
   /** Corpus-bigram-LM quality scoring (the CCNet/RedPajama filter
     * family's "how typical is this text" signal, minus the external

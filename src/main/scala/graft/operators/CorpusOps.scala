@@ -207,6 +207,51 @@ object CorpusOps {
        |SELECT bigram, COUNT(1) AS cnt FROM bg GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $BigramTopN""".stripMargin
 
+  // --------------------------------------------------- sample_temperature
+  /** Sample budget denominator (target kept = corpus div this). */
+  val TempBudgetDen = 2
+
+  /** Temperature-based source re-balancing at α = 1/2 — the
+    * multilingual-training recipe (sampled share ∝ n_source^α flattens
+    * the head without starving the tail; XLM-R popularized α ≈ 0.3–0.7
+    * over languages). α = 1/2 is the one exponent with an EXACT
+    * integer form: weight = ⌊√n⌋, where IEEE sqrt of an integer
+    * < 2^52 floors exactly in both engines (perfect squares are exact;
+    * near-misses sit 1/(2k) away, orders beyond the ulp) — so unlike
+    * arbitrary-α pow() the rates hash-check. Keep-rates follow
+    * [[sampleMixture]]'s integer-ppm discipline with per-row md5
+    * membership: deterministic, retry-stable, census-broadcast. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val census = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .withColumn("w", expr("cast(floor(sqrt(cast(n_src as double))) as bigint)"))
+    val tot = census.agg(sum(col("n_src")).as("total"), sum(col("w")).as("sw"))
+    val rates = census.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1000000L),
+          expr(s"((total div $TempBudgetDen) * w) * 1000000 div (sw * n_src)"))
+          .as("rate_ppm"))
+    docs.join(broadcast(rates), "source")
+      .where((expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+        % 1000000L) < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("rate_ppm"))
+  }
+
+  val sampleTemperatureSql: String =
+    s"""WITH c AS (
+       |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_src,
+       |         CAST(floor(sqrt(CAST(COUNT(1) AS DOUBLE))) AS BIGINT) AS w
+       |  FROM documents GROUP BY 1),
+       |n AS (SELECT CAST(SUM(n_src) AS BIGINT) AS total,
+       |             CAST(SUM(w) AS BIGINT) AS sw FROM c),
+       |r AS (
+       |  SELECT c.source,
+       |         LEAST(1000000, ((n.total // $TempBudgetDen) * c.w) * 1000000 // (n.sw * c.n_src)) AS rate_ppm
+       |  FROM c CROSS JOIN n)
+       |SELECT d.doc_id, d.source, r.rate_ppm
+       |FROM documents d JOIN r USING (source)
+       |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.rate_ppm""".stripMargin
+
   // ---------------------------------------------------- ta_collocations
   /** Minimum pair/word count for a collocation candidate. */
   val CollocMinCount = 5

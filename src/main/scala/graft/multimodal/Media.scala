@@ -480,6 +480,95 @@ object Media {
       |  CAST(octet_length(encode(text)) // 256 AS INT) AS size_class
       |FROM documents""".stripMargin
 
+  // -------------------------------------------------------- mm_phash
+  /** Thumbnail edge for the perceptual hash (t×t grayscale). */
+  val PhashT = 8
+
+  /** Perceptual average-hash — IMAGE near-dup, the lens [[mmDedup]]'s
+    * exact payload-md5 cannot provide (a re-encoded or slightly
+    * brightness-shifted copy changes every byte but barely moves the
+    * hash): decode the real BMP bytes, nearest-neighbor down to
+    * [[PhashT]]², grayscale by integer mean, threshold each cell at
+    * the thumbnail mean, pack the 64 bits. All arithmetic is integer
+    * with non-negative truncating division, so the analytic twin
+    * replays it exactly; the hash ships as two 32-bit halves because a
+    * bit-63 set would overflow a BIGINT SUM differently per engine
+    * (Spark wraps, DuckDB widens to HUGEINT and raises on the cast).
+    *
+    * Hamming-banding these hashes for candidate pairs is exactly the
+    * [[graft.operators.Dedup]] simhash machinery — the hash column
+    * plugs into that family unchanged. Per-row O(pixels), zero
+    * shuffle. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = PhashT
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val w = (nc % 13 + 1).toInt
+          val h = (id % 11 + 1).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < rgb.length) {
+            val p = i / 3
+            rgb(i) = ((id + 3L * (p % w) + 5L * (p / w) + 7L * (i % 3)) % 256L).toByte
+            i += 1
+          }
+          val bmp = BmpCodec.encode(w, h, rgb)
+          val (dw, dh, back) = BmpCodec.decode(bmp)
+          require(dw == w && dh == h && java.util.Arrays.equals(back, rgb),
+            s"BMP round-trip mismatch for media $id")
+          val thumb = BmpCodec.resizeNearest(w, h, back, t, t)
+          val gray = Array.tabulate(t * t) { p =>
+            ((thumb(3 * p) & 0xFF) + (thumb(3 * p + 1) & 0xFF) +
+              (thumb(3 * p + 2) & 0xFF)) / 3
+          }
+          val mean = gray.map(_.toLong).sum / (t * t)
+          var lo = 0L; var hi = 0L; var ones = 0L
+          var p = 0
+          while (p < t * t) {
+            if (gray(p) > mean) {
+              if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+              ones += 1
+            }
+            p += 1
+          }
+          (id, w, h, lo, hi, ones)
+        }
+      }.toDF("media_id", "width", "height", "phash_lo", "phash_hi", "n_ones")
+  }
+
+  /** Analytic twin: the pixel formula sampled at the nearest-neighbor
+    * source coordinates (sx = x·w div t — floor == truncation on these
+    * non-negative values), then the same mean/threshold/pack. */
+  val mmPhashSql: String = {
+    val t = PhashT
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id, doc_id,
+       |         CAST(n_chars % 13 + 1 AS INT) AS width,
+       |         CAST(doc_id % 11 + 1 AS INT) AS height
+       |  FROM documents),
+       |g AS (
+       |  SELECT media_id, width, height, ty.y * $t + tx.x AS p,
+       |         ((doc_id + 3 * ((tx.x * width) // $t) + 5 * ((ty.y * height) // $t)) % 256
+       |        + (doc_id + 3 * ((tx.x * width) // $t) + 5 * ((ty.y * height) // $t) + 7) % 256
+       |        + (doc_id + 3 * ((tx.x * width) // $t) + 5 * ((ty.y * height) // $t) + 14) % 256) // 3 AS gray
+       |  FROM dims,
+       |       LATERAL (SELECT unnest(generate_series(0, $t - 1)) AS x) tx,
+       |       LATERAL (SELECT unnest(generate_series(0, $t - 1)) AS y) ty),
+       |m AS (SELECT media_id, CAST(SUM(gray) // ${t * t} AS BIGINT) AS mean
+       |      FROM g GROUP BY 1)
+       |SELECT g.media_id, g.width, g.height,
+       |       CAST(COALESCE(SUM(CASE WHEN g.gray > m.mean AND g.p < 32
+       |              THEN CAST(1 AS BIGINT) << g.p END), 0) AS BIGINT) AS phash_lo,
+       |       CAST(COALESCE(SUM(CASE WHEN g.gray > m.mean AND g.p >= 32
+       |              THEN CAST(1 AS BIGINT) << (g.p - 32) END), 0) AS BIGINT) AS phash_hi,
+       |       CAST(COALESCE(SUM(CASE WHEN g.gray > m.mean THEN 1 END), 0) AS BIGINT) AS n_ones
+       |FROM g JOIN m ON g.media_id = m.media_id
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   // ------------------------------------------------------- mm_energy
   /** Analysis frame width (samples per feature frame). */
   val EnergyFrame = 16

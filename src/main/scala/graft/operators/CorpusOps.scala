@@ -207,6 +207,44 @@ object CorpusOps {
        |SELECT bigram, COUNT(1) AS cnt FROM bg GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $BigramTopN""".stripMargin
 
+  // ------------------------------------------------------ corpus_budget
+  /** Training-token budget projection — the planning table behind every
+    * data-mix decision: per source, document and token counts (the
+    * BPE-ish token measure from `ta_token_count`), the scheduled epoch
+    * multiplier ([[EpochMixTargets]]), and the tokens the model will
+    * actually SEE (`n_tokens × epochs`). Composes the verified token
+    * counter with the verified mix recipe, so "will this mix reach 2T
+    * tokens" is answered by the same arithmetic that builds the
+    * schedule. One partial-aggregated pass; the multiplier is a
+    * literal map lookup. */
+  def corpusBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = TextAnalysis.taTokenCount(s, dir).select(col("doc_id"), col("n_bpe"))
+    docs.select(col("doc_id"), col("source")).join(toks, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("n_tokens"))
+      .withColumn("n_epochs",
+        coalesce(element_at(typedLit(EpochMixTargets), col("source")), lit(1))
+          .cast("long"))
+      .withColumn("training_tokens", col("n_tokens") * col("n_epochs"))
+  }
+
+  /** (lazy: references [[EpochMixTargets]], declared later in this
+    * object — a strict val would capture null at class init.) */
+  lazy val corpusBudgetSql: String = {
+    val cases = EpochMixTargets.toSeq.sortBy(_._1)
+      .map { case (src, n) => s"WHEN '$src' THEN $n" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(text, '[\\p{L}]+|[0-9]+|[^\\s\\p{L}0-9]')) AS BIGINT) AS n_bpe
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+       |       CAST(CASE source $cases ELSE 1 END AS BIGINT) AS n_epochs,
+       |       CAST(SUM(n_bpe) * (CASE source $cases ELSE 1 END) AS BIGINT) AS training_tokens
+       |FROM t GROUP BY source""".stripMargin
+  }
+
   // --------------------------------------------------- sample_temperature
   /** Sample budget denominator (target kept = corpus div this). */
   val TempBudgetDen = 2

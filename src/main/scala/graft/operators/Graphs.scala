@@ -431,13 +431,15 @@ object Graphs {
     * away in the near-dup graph is a paraphrase-of-a-paraphrase the
     * direct n-gram decontaminator no longer sees.
     *
-    * One round is one edge join + a struct-MIN partial aggregation on
-    * dst (the [[labelPropagationPrepared]] argmax idiom — no window,
-    * supernode contributions combine map-side) + a join back onto the
-    * localCheckpointed frontier state; only REACHED nodes are joined
-    * against the edge list, so early rounds touch only the frontier's
-    * out-edges. Exactly [[BfsIters]] rounds run: distances beyond the
-    * cap report [[BfsInf]]/-1, the "outside the blast radius" verdict.
+    * One round is one FRONTIER edge join + a struct-MIN partial
+    * aggregation on dst (the [[labelPropagationPrepared]] argmax idiom
+    * — no window, supernode contributions combine map-side) + a join
+    * back onto the localCheckpointed state. Only rows whose
+    * (dist, seed) improved last round relax their out-edges — delta
+    * propagation; the inline note argues round-for-round equality with
+    * the full relaxation the oracle unrolls. Exactly [[BfsIters]]
+    * rounds run: distances beyond the cap report [[BfsInf]]/-1, the
+    * "outside the blast radius" verdict.
     */
   def bfsOver(s: SparkSession, nodes: DataFrame, edges: DataFrame,
       seeds: DataFrame): DataFrame = {
@@ -450,18 +452,31 @@ object Graphs {
         when(col("is_seed"), lit(0L)).otherwise(lit(BfsInf)).as("dist"),
         when(col("is_seed"), col("doc_id")).otherwise(lit(-1L)).as("seed"))
       .localCheckpoint()
+    // DELTA propagation: only rows whose (dist, seed) CHANGED last
+    // round relax their out-edges. A settled node's contribution was
+    // folded into its neighbors the round it changed, and min is
+    // idempotent — so the per-round state equals the full-relax
+    // oracle's exactly, while each round's edge join touches only the
+    // frontier's out-edges (full-relax re-shuffles ~O(E) per round on
+    // a dense graph once most nodes are reached).
+    var frontier = state.where(col("dist") === 0L)
     for (_ <- 1 to BfsIters) {
-      val cand = state.where(col("dist") < BfsInf)
+      val cand = frontier
         .join(sym, col("doc_id") === col("src"))
         .groupBy(col("dst"))
-        .agg(min(struct((col("dist") + 1).as("dist"), col("seed"))).as("c"))
-      state = state.join(cand, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
-          least(struct(col("dist"), col("seed")),
-            coalesce(col("c"), struct(lit(BfsInf).as("dist"), lit(-1L).as("seed"))))
-            .as("b"))
-        .select(col("doc_id"), col("b.dist").as("dist"), col("b.seed").as("seed"))
+        .agg(min(struct((col("dist") + 1).as("dist"), col("seed").as("seed"))).as("c"))
+      val merged = state.join(cand, col("doc_id") === col("dst"), "left")
+        .withColumn("cc", coalesce(col("c"),
+          struct(lit(BfsInf).as("dist"), lit(-1L).as("seed"))))
+        .withColumn("improved",
+          col("cc") < struct(col("dist").as("dist"), col("seed").as("seed")))
+        .select(col("doc_id"), col("improved"),
+          when(col("improved"), col("cc.dist")).otherwise(col("dist")).as("dist"),
+          when(col("improved"), col("cc.seed")).otherwise(col("seed")).as("seed"))
         .localCheckpoint()
+      state = merged.select(col("doc_id"), col("dist"), col("seed"))
+      frontier = merged.where(col("improved"))
+        .select(col("doc_id"), col("dist"), col("seed"))
     }
     state.select(col("doc_id"), col("dist"), col("seed").as("seed_id"),
       (col("dist") < BfsInf).cast("int").as("reached"))

@@ -112,9 +112,28 @@ object ParagraphDedup {
     paragraphs(batch).join(known, Seq("chunk"), "left_anti")
       .select(col("chunk")).distinct()
 
+  /** ONE-PASS batch processing for sinks that need BOTH outputs: the
+    * paragraph split and the seen anti-join run once (localCheckpointed
+    * — the cleaned write and the seen-append are separate actions, and
+    * without materialization each would re-run the split + anti-join,
+    * doubling the dominant per-batch cost). Returns (cleaned batch,
+    * kept chunk texts). */
+  private[graft] def processAgainst(batch: DataFrame, known: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val bp = paragraphs(batch).localCheckpoint()
+    val fresh = bp.join(known, Seq("chunk"), "left_anti").localCheckpoint()
+    (cleanedFrom(bp, fresh), fresh.select(col("chunk")).distinct())
+  }
+
   private[graft] def paragraphDedupAgainst(batch: DataFrame, known: DataFrame): DataFrame = {
     val bp = paragraphs(batch)
-    val fresh = bp.join(known, Seq("chunk"), "left_anti")
+    cleanedFrom(bp, bp.join(known, Seq("chunk"), "left_anti"))
+  }
+
+  /** Cleaned-batch assembly from the (already anti-joined) fresh
+    * paragraph stream — shared by the single-output and one-pass
+    * entries so the keeper rule has exactly one definition. */
+  private def cleanedFrom(bp: DataFrame, fresh: DataFrame): DataFrame = {
     val kept = fresh.groupBy(col("chunk"))
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.chunk_id").as("chunk_id"),

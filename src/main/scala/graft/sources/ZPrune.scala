@@ -45,8 +45,10 @@ import org.apache.spark.sql.functions._
   */
 object ZPrune {
 
-  /** Bits per manifest dimension (the [[Manifest]] domain model). */
-  val MBits = 6
+  /** Bits per manifest dimension — ONE constant with [[Manifest]] (the
+    * gate evaluates Manifest's box against this layout, so a drift
+    * between the two would quietly change the measured domain). */
+  val MBits: Int = Manifest.MBits
 
   /** Per-bucket envelopes of one layout root: dim → (lo, hi). */
   private[sources] case class BucketEnv(bucket: Long, lo: Map[String, Long],
@@ -65,8 +67,25 @@ object ZPrune {
     * `_graft_manifest` (underscore-prefixed: invisible to Spark's file
     * listing, the `_SUCCESS` convention). `dimA`/`dimB` must be
     * non-negative columns < 2^[[MBits]]. */
+  private[sources] def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   def writeLayout(df: DataFrame, dir: String, dimA: String, dimB: String,
       buckets: Int): Unit = {
+    // INTEGRAL dims only: the rule's strict-inequality bound arithmetic
+    // (`> v` → lower bound v+1) and the manifest's long envelopes are
+    // both unsound on fractional values (a DOUBLE pk in (16, 17) would
+    // round into an envelope that `pk > 16` then wrongly prunes)
+    Seq(dimA, dimB).foreach { d =>
+      require(isIntegral(df.schema(d).dataType),
+        s"z-layout dims must be integral; $d is ${df.schema(d).dataType}")
+    }
+    // a re-written layout invalidates any previously-attached manifest:
+    // stale envelopes would misprune the NEW data silently
+    registry.remove(norm(dir))
     val m = 1L << MBits
     val width = math.max((m * m) / buckets, 1L)
     val keyed = df
@@ -131,11 +150,21 @@ object ZPrune {
         expr(s"l_partkey % $m").as("pk"), expr(s"l_orderkey % $m").as("ok"))
     writeLayout(df, out, "pk", "ok", GateBuckets)
     attach(s, out)
-    s.read.parquet(out)
+    val result = s.read.parquet(out)
       .where(col("pk") >= Manifest.PkLo && col("pk") <= Manifest.PkHi &&
         col("ok") >= Manifest.OkLo && col("ok") <= Manifest.OkHi)
       .select(col("l_orderkey"), col("l_linenumber"), col("pk"), col("ok"),
         col("bucket").cast("long").as("bucket"))
+    // the box result is bounded (~box-fraction of lineitem): materialize
+    // it so the scratch layout and its registry entry can be reclaimed
+    // NOW — a bench loop re-invoking this gate must not accumulate
+    // layout copies under /tmp or envelopes on the driver
+    val rows = result.collect()
+    val materialized = s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1), result.schema)
+    registry.remove(norm(out))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    materialized
   }
 
   /** Plain relational twin — no layout, no rule: the same box over the
@@ -177,8 +206,17 @@ class ZPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** (dim → lower bound, dim → upper bound) from literal comparisons. */
-  private def bounds(cs: Seq[Expression], dims: Set[String])
+  private def bounds(cs: Seq[Expression], dims0: Set[String])
       : (Map[String, Long], Map[String, Long]) = {
+    // defense in depth on top of writeLayout's integral-dims contract:
+    // the ±1 strict-bound arithmetic is only sound on integral columns,
+    // so a comparison over a non-integral attribute (or a non-integral
+    // literal, e.g. `pk > 16.5`) contributes no bound — which can only
+    // keep MORE buckets, never prune a matching row
+    def dims(a: Attribute): Boolean =
+      dims0(a.name) && ZPrune.isIntegral(a.dataType)
+    def longOfIntegral(l: Literal): Option[Long] =
+      if (ZPrune.isIntegral(l.dataType)) longOf(l) else None
     var lo = Map.empty[String, Long]
     var hi = Map.empty[String, Long]
     def tightenLo(d: String, v: Long): Unit =
@@ -186,27 +224,27 @@ class ZPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def tightenHi(d: String, v: Long): Unit =
       hi = hi.updated(d, hi.get(d).fold(v)(math.min(_, v)))
     cs.foreach {
-      case GreaterThanOrEqual(a: Attribute, l: Literal) if dims(a.name) =>
-        longOf(l).foreach(tightenLo(a.name, _))
-      case GreaterThan(a: Attribute, l: Literal) if dims(a.name) =>
-        longOf(l).foreach(v => tightenLo(a.name, v + 1))
-      case LessThanOrEqual(a: Attribute, l: Literal) if dims(a.name) =>
-        longOf(l).foreach(tightenHi(a.name, _))
-      case LessThan(a: Attribute, l: Literal) if dims(a.name) =>
-        longOf(l).foreach(v => tightenHi(a.name, v - 1))
-      case EqualTo(a: Attribute, l: Literal) if dims(a.name) =>
-        longOf(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
+      case GreaterThanOrEqual(a: Attribute, l: Literal) if dims(a) =>
+        longOfIntegral(l).foreach(tightenLo(a.name, _))
+      case GreaterThan(a: Attribute, l: Literal) if dims(a) =>
+        longOfIntegral(l).foreach(v => tightenLo(a.name, v + 1))
+      case LessThanOrEqual(a: Attribute, l: Literal) if dims(a) =>
+        longOfIntegral(l).foreach(tightenHi(a.name, _))
+      case LessThan(a: Attribute, l: Literal) if dims(a) =>
+        longOfIntegral(l).foreach(v => tightenHi(a.name, v - 1))
+      case EqualTo(a: Attribute, l: Literal) if dims(a) =>
+        longOfIntegral(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
       // literal-on-the-left mirrors
-      case GreaterThanOrEqual(l: Literal, a: Attribute) if dims(a.name) =>
-        longOf(l).foreach(tightenHi(a.name, _))
-      case GreaterThan(l: Literal, a: Attribute) if dims(a.name) =>
-        longOf(l).foreach(v => tightenHi(a.name, v - 1))
-      case LessThanOrEqual(l: Literal, a: Attribute) if dims(a.name) =>
-        longOf(l).foreach(tightenLo(a.name, _))
-      case LessThan(l: Literal, a: Attribute) if dims(a.name) =>
-        longOf(l).foreach(v => tightenLo(a.name, v + 1))
-      case EqualTo(l: Literal, a: Attribute) if dims(a.name) =>
-        longOf(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
+      case GreaterThanOrEqual(l: Literal, a: Attribute) if dims(a) =>
+        longOfIntegral(l).foreach(tightenHi(a.name, _))
+      case GreaterThan(l: Literal, a: Attribute) if dims(a) =>
+        longOfIntegral(l).foreach(v => tightenHi(a.name, v - 1))
+      case LessThanOrEqual(l: Literal, a: Attribute) if dims(a) =>
+        longOfIntegral(l).foreach(tightenLo(a.name, _))
+      case LessThan(l: Literal, a: Attribute) if dims(a) =>
+        longOfIntegral(l).foreach(v => tightenLo(a.name, v + 1))
+      case EqualTo(l: Literal, a: Attribute) if dims(a) =>
+        longOfIntegral(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
       case _ => () // not understood → contributes no bound (safe)
     }
     (lo, hi)

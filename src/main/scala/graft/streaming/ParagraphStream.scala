@@ -54,11 +54,14 @@ object ParagraphStream {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("chunk",
             org.apache.spark.sql.types.StringType)))))
-    ParagraphDedup.paragraphDedupAgainst(batch, seen)
-      .write.mode("overwrite").parquet(s"$tableDir/out/v=$batchId")
+    // ONE split + anti-join feeds both writes (processAgainst
+    // localCheckpoints the shared frames — the two writes are separate
+    // actions and would otherwise each re-run the batch scan)
+    val (cleaned, keptChunks) = ParagraphDedup.processAgainst(batch, seen)
+    cleaned.write.mode("overwrite").parquet(s"$tableDir/out/v=$batchId")
     // fresh paragraphs = the batch's kept occurrences; the union stays
     // distinct because kept chunks were anti-joined against `seen`
-    seen.unionByName(ParagraphDedup.keptChunksAgainst(batch, seen))
+    seen.unionByName(keptChunks)
       .write.mode("overwrite").parquet(s"$seenDir/v=$batchId")
   }
 
@@ -85,8 +88,7 @@ object ParagraphStream {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("chunk",
           org.apache.spark.sql.types.StringType))))
-    val out1 = ParagraphDedup.paragraphDedupAgainst(b1, empty)
-    val seen1 = ParagraphDedup.keptChunksAgainst(b1, empty)
+    val (out1, seen1) = ParagraphDedup.processAgainst(b1, empty)
     val out2 = ParagraphDedup.paragraphDedupAgainst(b2, seen1)
     out1.unionByName(out2)
   }

@@ -207,6 +207,75 @@ object CorpusOps {
        |SELECT bigram, COUNT(1) AS cnt FROM bg GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $BigramTopN""".stripMargin
 
+  // ----------------------------------------------------- corpus_overlap
+  /** Cross-source duplication matrix — the release-engineering table
+    * behind "how much of source A is already in source B" (dataset
+    * provenance audits, crawl-vendor overlap, benchmark-split
+    * leakage between sources): for every ordered source pair, the
+    * number of exact-content fingerprints present in BOTH, with each
+    * side's distinct-fingerprint total and the containment ratio
+    * |A∩B| / |A| (one IEEE division of exact integers).
+    *
+    * Scale: the per-(source, fp) distinct table partial-aggregates
+    * map-side; the self-join key is the FINGERPRINT, whose cross-source
+    * multiplicity is bounded by the SOURCE COUNT (each source
+    * contributes one distinct row per fp) — so the pair fan-out per fp
+    * is ≤ sources², independent of how many documents share the
+    * content. */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    // two lenses per document: the exact-content fp and the reorder-
+    // invariant bag fp (shuffled boilerplate — ingredient lists, tag
+    // clouds — shows up cross-source ONLY under the bag lens)
+    val fp = Tables.documents(s, dir)
+      .select(col("source"), explode(array(
+        struct(lit("norm").as("kind"),
+          md5(TextAnalysis.normalized(col("text"))).as("fp")),
+        struct(lit("bag").as("kind"),
+          md5(array_join(array_sort(array_distinct(
+            split(TextAnalysis.normalized(col("text")), " "))), " ")).as("fp"))))
+        .as("e"))
+      .select(col("source"), col("e.kind").as("kind"), col("e.fp").as("fp"))
+      .distinct()
+    val totals = fp.groupBy(col("source"), col("kind")).agg(count(lit(1)).as("n"))
+    val shared = fp.as("a").join(fp.as("b"),
+        col("a.kind") === col("b.kind") && col("a.fp") === col("b.fp") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.kind").as("kind"),
+        col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(totals.select(col("source").as("src_a"), col("kind"),
+        col("n").as("n_a")), Seq("src_a", "kind"))
+      .join(totals.select(col("source").as("src_b"), col("kind"),
+        col("n").as("n_b")), Seq("src_b", "kind"))
+      .select(col("kind"), col("src_a"), col("src_b"),
+        col("n_a"), col("n_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_a").cast("double"))
+          .as("overlap_of_a"))
+  }
+
+  val corpusOverlapSql: String =
+    """WITH nz AS (
+      |  SELECT source,
+      |         trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')) AS t
+      |  FROM documents),
+      |fp AS (
+      |  SELECT DISTINCT source, 'norm' AS kind, md5(t) AS fp FROM nz
+      |  UNION
+      |  SELECT DISTINCT source, 'bag' AS kind,
+      |         md5(array_to_string(list_sort(list_distinct(string_split(t, ' '))), ' ')) AS fp
+      |  FROM nz),
+      |tt AS (SELECT source, kind, CAST(COUNT(1) AS BIGINT) AS n FROM fp GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT a.kind, a.source AS src_a, b.source AS src_b,
+      |         CAST(COUNT(1) AS BIGINT) AS n_shared
+      |  FROM fp a JOIN fp b ON a.kind = b.kind AND a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2, 3)
+      |SELECT sh.kind, sh.src_a, sh.src_b, ta.n AS n_a, tb.n AS n_b, sh.n_shared,
+      |       CAST(sh.n_shared AS DOUBLE) / CAST(ta.n AS DOUBLE) AS overlap_of_a
+      |FROM sh JOIN tt ta ON sh.src_a = ta.source AND sh.kind = ta.kind
+      |        JOIN tt tb ON sh.src_b = tb.source AND sh.kind = tb.kind""".stripMargin
+
   // ------------------------------------------------------ corpus_budget
   /** Training-token budget projection — the planning table behind every
     * data-mix decision: per source, document and token counts (the

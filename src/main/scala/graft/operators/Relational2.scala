@@ -435,6 +435,49 @@ object Relational2 {
        |       MAX(ts_us) AS island_end_us, COUNT(1) AS n_events
        |FROM numbered GROUP BY user_id, island""".stripMargin
 
+  // ---------------------------------------------- events_transitions
+  /** Per-user event-flow Markov table — the behavioral bigram LM: for
+    * every (from, to) pair of CONSECUTIVE event types within a user's
+    * timeline, the transition count and conditional probability
+    * P(to | from) = c(from,to) / c(from,·). The lens funnels can't
+    * give: funnels test ONE hypothesized path, the transition matrix
+    * surfaces the paths users actually take (and `error` loops).
+    *
+    * One user-keyed lag window (user-bounded partitions — the window
+    * carve-out) + two partial-aggregated counts; the probability is a
+    * single integer division per output row ([[eventsAttribution]]'s
+    * IEEE discipline). */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outdeg = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(outdeg, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
+  val eventsTransitionsSql: String =
+    Tables.eventsCteSql +
+    """,
+      |seq AS (
+      |  SELECT event_type,
+      |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+      |  FROM ev),
+      |pairs AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |         CAST(COUNT(1) AS BIGINT) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |od AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.n, od.n_from,
+      |       CAST(p.n AS DOUBLE) / CAST(od.n_from AS DOUBLE) AS p
+      |FROM pairs p JOIN od USING (from_type)""".stripMargin
+
   // ---------------------------------------------- events_attribution
   /** Attribution lookback window (µs): 24 h — wide enough that the
     * fixture exercises 1-, 2-, and ≥3-touch splits (an hour-wide

@@ -1119,9 +1119,10 @@ object CorpusOps {
 
   /** The operator over any documents-shaped frame: `isTarget` names
     * the quality-reference rows, `keepK` the resample size. */
-  private[graft] def sampleImportanceOver(docs: DataFrame, isTarget: Column,
-      keepK: Int): DataFrame = {
-    val s = docs.sparkSession
+  /** The un-materialized score pipeline — split out so PlanSpec can
+    * assert its shape (the gate path localCheckpoints it, which cuts
+    * the visible plan at the checkpoint). */
+  private[graft] def importanceScores(docs: DataFrame, isTarget: Column): DataFrame = {
     val toks = tokensOf(docs.select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), isTarget.as("tgt")), "doc_id")
       .withColumn("bucket",
@@ -1136,16 +1137,21 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
         coalesce(sum(col("lr")), lit(0L)).as("score"))
-    // localCheckpoint: the score table is read twice (the take-ordered
-    // action and the returned frame) and is tiny (3 integer columns) —
-    // materializing it runs the token pipeline ONCE, and unlike
-    // persist() leaves nothing registered after callers drop the frame
-    val raw = docs.where(!isTarget).select(col("doc_id"))
+    docs.where(!isTarget).select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         coalesce(col("score"), lit(0L)).as("score"))
-      .localCheckpoint()
+  }
+
+  private[graft] def sampleImportanceOver(docs: DataFrame, isTarget: Column,
+      keepK: Int): DataFrame = {
+    val s = docs.sparkSession
+    // localCheckpoint: the score table is read twice (the take-ordered
+    // action and the returned frame) and is tiny (3 integer columns) —
+    // materializing it runs the token pipeline ONCE, and unlike
+    // persist() leaves nothing registered after callers drop the frame
+    val raw = importanceScores(docs, isTarget).localCheckpoint()
     import s.implicits._
     val top = raw.select(col("score"), col("doc_id"))
       .as[(Long, Long)].rdd

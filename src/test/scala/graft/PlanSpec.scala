@@ -265,4 +265,50 @@ class PlanSpec extends AnyFunSuite {
     check(Similarity.simIvfPqTopk(spark, dir), "sim_ivfpq_topk", Seq("cell"),
       agg = "partial_topkpayloadagg")
   }
+
+  test("sample_importance: the log-ratio table broadcasts; no window in the scoring pipeline") {
+    // assert on the PRE-checkpoint pipeline (the gate localCheckpoints
+    // it, which cuts the visible plan at the checkpoint)
+    import org.apache.spark.sql.functions.col
+    val p = plan(CorpusOps.importanceScores(
+      Tables.documents(spark, dir), col("source").isin("src1", "src2")))
+    val txt = p.toString
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"the ~1K-row census must broadcast to the token stream:\n$txt")
+    assert(!txt.contains("Window"), s"no window anywhere in the scoring plan:\n$txt")
+  }
+
+  test("snapshot_diff: one full-outer key join, keep rows filtered before any further exchange") {
+    val p = plan(operators.Snapshots.snapshotDiff(spark, dir))
+    val txt = p.toString
+    assert(txt.contains("FullOuter"), "the diff IS the full-outer join")
+    assert(!txt.contains("Window") && !txt.contains("CartesianProduct"))
+  }
+
+  test("ta_entropy: both aggregations are partial before their exchange; 2-column scan") {
+    val df = CorpusOps.taEntropy(spark, dir)
+    val aggs = plan(df).collect { case h: HashAggregateExec => h }
+    assert(aggs.size >= 4, "both groupBys need partial+final pairs")
+    val sc = scans(df)
+    val read = sc.map(_.metadata("ReadSchema")).mkString
+    assert(!read.contains("source") && !read.contains("lang"),
+      s"entropy needs only doc_id+text: $read")
+  }
+
+  test("events_transitions: the lag window and pair count share one user exchange") {
+    val prepared = Relational2.eventsTransitions(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the window sorts on (user_id, ...); the pair-count groupBy keys on
+    // (from, to) — one exchange for the window, one for each count pair
+    assert(!prepared.contains("CartesianProduct"))
+    val windows = "Window".r.findAllIn(prepared).length
+    assert(windows >= 1, s"expected the lag window:\n$prepared")
+  }
+
+  test("graph_bfs: frontier rounds never plan a cartesian product") {
+    val p = plan(Graphs.graphBfs(spark, dir))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty)
+  }
 }

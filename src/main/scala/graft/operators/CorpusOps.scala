@@ -207,6 +207,62 @@ object CorpusOps {
        |SELECT bigram, COUNT(1) AS cnt FROM bg GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $BigramTopN""".stripMargin
 
+  // ------------------------------------------------------ corpus_drift
+  /** Hashed feature space for the drift monitor (coarser than the
+    * importance model's — drift wants stable per-bucket mass). */
+  val DriftBuckets = 256
+
+  /** Distribution-drift monitor — "does today's crawl still look like
+    * the corpus": hashed-unigram bucket masses for the arrival batch
+    * (doc_id ≡ 1 mod 3) vs the standing snapshot, summarized per
+    * bucket with both sides' counts and the batch's expected count
+    * under the snapshot distribution (exact integer
+    * `n_batch·c_snap div n_snap` — the χ²-style per-bucket expectation
+    * a monitoring system thresholds on), plus the absolute deviation.
+    * Everything is integer, so the drift table hash-checks; the IEEE
+    * log-ratio tests (KL/JSD) a notebook might run downstream consume
+    * these counts, which is the part a 100-TB engine must get
+    * exactly right.
+    *
+    * Scale: two map-side-combinable censuses onto [[DriftBuckets]]
+    * rows; the comparison is a [[DriftBuckets]]-row join — driver-size
+    * state at any corpus size. */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = tokensOf(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"),
+        (col("doc_id") % 3 === 1).as("is_batch")), "doc_id")
+      .withColumn("bucket",
+        expr("cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint)") % DriftBuckets)
+    val census = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("is_batch"), 1L).otherwise(0L)).as("c_batch"),
+        sum(when(col("is_batch"), 0L).otherwise(1L)).as("c_snap"))
+    val tot = census.agg(sum(col("c_batch")).as("n_batch"),
+      sum(col("c_snap")).as("n_snap"))
+    census.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_batch"), col("c_snap"),
+        expr("n_batch * c_snap div n_snap").as("expected"),
+        abs(col("c_batch") - expr("n_batch * c_snap div n_snap")).as("abs_dev"))
+  }
+
+  val corpusDriftSql: String =
+    s"""WITH $tokensCteSql,
+       |tk AS (
+       |  SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % $DriftBuckets AS bucket,
+       |         doc_id % 3 = 1 AS is_batch
+       |  FROM toks WHERE term <> ''),
+       |c AS (
+       |  SELECT bucket,
+       |         CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS c_batch,
+       |         CAST(SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT) AS c_snap
+       |  FROM tk GROUP BY 1),
+       |n AS (SELECT CAST(SUM(c_batch) AS BIGINT) AS n_batch,
+       |             CAST(SUM(c_snap) AS BIGINT) AS n_snap FROM c)
+       |SELECT bucket, c_batch, c_snap,
+       |       (n.n_batch * c.c_snap) // n.n_snap AS expected,
+       |       ABS(c.c_batch - (n.n_batch * c.c_snap) // n.n_snap) AS abs_dev
+       |FROM c CROSS JOIN n""".stripMargin
+
   // ----------------------------------------------------- corpus_overlap
   /** Cross-source duplication matrix — the release-engineering table
     * behind "how much of source A is already in source B" (dataset

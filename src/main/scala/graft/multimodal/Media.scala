@@ -539,6 +539,90 @@ object Media {
       }.toDF("media_id", "width", "height", "phash_lo", "phash_hi", "n_ones")
   }
 
+  // --------------------------------------------------- mm_phash_pairs
+  /** Per-(band, key) membership cap (the [[graft.operators.Dedup]]
+    * MaxBucket discipline — synthetic fixtures produce exact-hash
+    * mega-clusters, and real corpora produce blank-image ones). */
+  val PhashMaxBucket = 64
+
+  /** Max Hamming distance for a verified near-dup image pair. The
+    * 4×16-bit banding below catches EVERY pair within this radius that
+    * survives the bucket cap (pigeonhole: ≤ 3 differing bits cannot
+    * touch all 4 bands). */
+  val PhashMaxHam = 3
+
+  /** Image NEAR-DUP pairing — [[mmPhash]]'s hashes pushed through the
+    * simhash family's machinery: the 64-bit hash splits into 4×16-bit
+    * bands, candidates collide on any band (bucket-capped via the
+    * bounded mergeable top-K aggregate, never a window), and each
+    * candidate pair verifies by exact XOR popcount ≤ [[PhashMaxHam]].
+    * Canonical (ma < mb) pairs with their Hamming distance. */
+  def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val ph = mmPhash(s, dir)
+      .select(col("media_id"), col("phash_lo"), col("phash_hi"))
+      // three readers below (banding + both verify joins): root them in
+      // one exchange so the decode kernel runs once (the minhashEst
+      // repartition discipline)
+      .repartition(col("media_id"))
+    val banded = ph.select(col("media_id"),
+        explode(expr(
+          """array(
+            |  struct(0 as band_id, phash_lo & 65535 as band_key),
+            |  struct(1 as band_id, shiftright(phash_lo, 16) & 65535 as band_key),
+            |  struct(2 as band_id, phash_hi & 65535 as band_key),
+            |  struct(3 as band_id, shiftright(phash_hi, 16) & 65535 as band_key))""".stripMargin))
+          .as("b"))
+      .select(col("media_id"), col("b.band_id").as("band_id"),
+        col("b.band_key").as("band_key"))
+    val qa = udaf(new graft.functions.TopKLongAgg(PhashMaxBucket))
+    val capped = banded.groupBy(col("band_id"), col("band_key"))
+      .agg(qa(col("media_id")).as("members"))
+      .select(col("band_id"), col("band_key"), explode(col("members")).as("media_id"))
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      .distinct()
+    cand
+      .join(ph.as("pa"), col("ma") === col("pa.media_id"))
+      .join(ph.as("pb"), col("mb") === col("pb.media_id"))
+      .select(col("ma"), col("mb"),
+        (expr("bit_count(pa.phash_lo ^ pb.phash_lo)") +
+         expr("bit_count(pa.phash_hi ^ pb.phash_hi)")).cast("long").as("hamming"))
+      .where(col("hamming") <= PhashMaxHam)
+  }
+
+  /** Twin: [[mmPhashSql]]'s hash table verbatim, then the identical
+    * band/cap/verify chain (ROW_NUMBER cap = the same smallest-id
+    * selection as the bounded aggregate). */
+  lazy val mmPhashPairsSql: String =
+    s"""WITH ph AS ($mmPhashSql),
+       |bands0 AS (
+       |  SELECT media_id, 0 AS band_id, phash_lo & 65535 AS band_key FROM ph
+       |  UNION ALL SELECT media_id, 1, (phash_lo >> 16) & 65535 FROM ph
+       |  UNION ALL SELECT media_id, 2, phash_hi & 65535 FROM ph
+       |  UNION ALL SELECT media_id, 3, (phash_hi >> 16) & 65535 FROM ph),
+       |bands AS (
+       |  SELECT media_id, band_id, band_key FROM (
+       |    SELECT media_id, band_id, band_key,
+       |           ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY media_id) AS rn
+       |    FROM bands0) WHERE rn <= $PhashMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.media_id < b.media_id)
+       |SELECT c.ma, c.mb,
+       |       CAST(bit_count(xor(pa.phash_lo, pb.phash_lo))
+       |          + bit_count(xor(pa.phash_hi, pb.phash_hi)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN ph pa ON c.ma = pa.media_id
+       |JOIN ph pb ON c.mb = pb.media_id
+       |WHERE bit_count(xor(pa.phash_lo, pb.phash_lo))
+       |    + bit_count(xor(pa.phash_hi, pb.phash_hi)) <= $PhashMaxHam""".stripMargin
+
   /** Analytic twin: the pixel formula sampled at the nearest-neighbor
     * source coordinates (sx = x·w div t — floor == truncation on these
     * non-negative values), then the same mean/threshold/pack. */

@@ -402,4 +402,98 @@ object KMeans {
        |SELECT af.vec_id, af.cell, sizes.n_members
        |FROM af JOIN sizes ON af.cell = sizes.cell""".stripMargin
   }
+
+  // ----------------------------------------------------- emb_kmeans_pp
+  /** Seeds selected by the farthest-point init. */
+  val PpSeeds = 6
+
+  /** DETERMINISTIC k-means seeding — farthest-point (maximin) init,
+    * the derandomized k-means++ (k-means++ D²-samples; maximin takes
+    * the argmax, which is its greedy limit and the only variant an
+    * oracle can replay): seed 1 is the min-id vector, each next seed
+    * is the vector farthest (scaled-integer squared L2) from ALL
+    * chosen seeds, ties to the smallest id. Good seeding is why Lloyd
+    * converges in the few fixed rounds `emb_kmeans` runs — this is
+    * the missing first stage of that pipeline, and at 100 TB it is
+    * the textbook scalable init (k passes, each one broadcast +
+    * map + argmax aggregation).
+    *
+    * Round state is one (vec_id, dmin) table maintained
+    * INCREMENTALLY: each round broadcasts ONLY the newest seed vector
+    * (a d-long literal), updates dmin = least(dmin, dist²(v, seed)),
+    * localCheckpoints, and takes the argmax via max(struct(dmin,
+    * −vec_id)) — a partial-aggregated 1-row collect, no window, no
+    * k×N distance matrix. Output: (round, vec_id, d2) where d2 is the
+    * chosen vector's distance-to-cover at selection time (0 for the
+    * first seed) — the init-quality curve an operator actually reads
+    * (d2 collapsing early = intrinsic cluster count reached). */
+  def embKmeansPp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = scaledDs(s, dir).toDF("vec_id", "ev").localCheckpoint()
+    def centerOf(id: Long): Seq[Long] =
+      sc.where(col("vec_id") === id).select(col("ev"))
+        .as[Seq[Long]].head()
+    def dist2To(center: Seq[Long]): org.apache.spark.sql.Column =
+      expr(s"""aggregate(
+        |  zip_with(ev, array(${center.mkString(",")}), (x, y) -> (x - y) * (x - y)),
+        |  cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin)
+    val first = sc.agg(min(col("vec_id"))).head().getLong(0)
+    var chosen = Vector((first, 0L))
+    var dmin = sc.select(col("vec_id"), dist2To(centerOf(first)).as("dmin"))
+      .localCheckpoint()
+    for (_ <- 2 to PpSeeds) {
+      // argmax (dmin, -vec_id): farthest vector, smallest id on ties
+      val pick = dmin.agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("p"))
+        .select(col("p.nid"), col("p.dmin")).head()
+      val (id, d2) = (-pick.getLong(0), pick.getLong(1))
+      chosen = chosen :+ (id, d2)
+      if (chosen.size < PpSeeds) {
+        dmin = dmin.join(
+            sc.select(col("vec_id"), dist2To(centerOf(id)).as("d2new")), "vec_id")
+          .select(col("vec_id"), least(col("dmin"), col("d2new")).as("dmin"))
+          .localCheckpoint()
+      }
+    }
+    chosen.zipWithIndex
+      .map { case ((id, d2), i) => (i + 1, id, d2) }
+      .toDF("round", "vec_id", "d2")
+  }
+
+  /** Unrolled rounds: each round a LEAST-update CTE against the
+    * previous pick's vector and a (dmin DESC, vec_id) argmin pick. */
+  val embKmeansPpSql: String = {
+    val rounds = (2 to PpSeeds).map { k =>
+      val prev = s"d${k - 1}"
+      val prevPick = s"p${k - 1}"
+      s"""d$k AS MATERIALIZED (
+         |  SELECT d.vec_id,
+         |         LEAST(d.dmin, (
+         |           SELECT list_sum(list_transform(generate_series(1, len(e.ev)),
+         |             i -> (e.ev[i] - c.ev[i]) * (e.ev[i] - c.ev[i])))
+         |           FROM ev c WHERE c.vec_id = (SELECT vec_id FROM $prevPick)
+         |         )) AS dmin
+         |  FROM $prev d JOIN ev e ON d.vec_id = e.vec_id),
+         |p$k AS MATERIALIZED (
+         |  SELECT vec_id, dmin FROM d$k ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val seedRows = (2 to PpSeeds)
+      .map(k => s"SELECT $k AS round, vec_id, dmin AS d2 FROM p$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ev
+       |  FROM embeddings),
+       |p1 AS (SELECT MIN(vec_id) AS vec_id FROM ev),
+       |d1 AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         (SELECT list_sum(list_transform(generate_series(1, len(e.ev)),
+       |            i -> (e.ev[i] - c.ev[i]) * (e.ev[i] - c.ev[i])))
+       |          FROM ev c WHERE c.vec_id = (SELECT vec_id FROM p1)) AS dmin
+       |  FROM ev e),
+       |$rounds
+       |SELECT CAST(1 AS INT) AS round, vec_id, CAST(0 AS BIGINT) AS d2 FROM p1
+       |UNION ALL
+       |SELECT CAST(round AS INT), vec_id, CAST(d2 AS BIGINT) FROM (
+       |  $seedRows)""".stripMargin
+  }
 }

@@ -54,4 +54,30 @@ class PcaSpec extends AnyFunSuite {
     val b = Pca.embPca(spark, sf).collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("farthest-point seeding picks the spread, not the crowd") {
+    import graft.operators.KMeans
+    // a tight cluster near the origin (ids 0-3), one far point right,
+    // one far point up: maximin must pick origin-cluster min-id first,
+    // then the two far points BEFORE any other cluster member
+    val d = java.nio.file.Files.createTempDirectory("graft-pp").toString
+    Seq(
+      (0L, Seq(0.00f, 0.01f), 0), (1L, Seq(0.01f, 0.00f), 0),
+      (2L, Seq(0.01f, 0.01f), 0), (3L, Seq(0.00f, 0.00f), 0),
+      (10L, Seq(5.0f, 0.0f), 1),
+      (11L, Seq(0.0f, 4.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val picks = KMeans.embKmeansPp(spark, d)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getLong(2)))
+    assert(picks(0)._1 == 0L && picks(0)._2 == 0L, "first seed: min id, d2 = 0")
+    // the two far points come next, farthest first (5.0 beats 4.0)
+    assert(picks(1)._1 == 10L, s"${picks.toSeq}")
+    assert(picks(2)._1 == 11L, s"${picks.toSeq}")
+    // selection distances never increase (maximin is monotone)
+    val d2s = picks.drop(1).map(_._2)
+    assert(d2s.sameElements(d2s.sortBy(-_)), s"d2 must be non-increasing: ${d2s.toSeq}")
+    // remaining rounds fill from the near cluster with positive d2
+    assert(picks.drop(3).forall(p => Set(1L, 2L, 3L)(p._1)))
+  }
 }

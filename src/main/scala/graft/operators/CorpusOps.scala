@@ -229,9 +229,10 @@ object CorpusOps {
     * state at any corpus size. */
   def corpusDrift(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // is_batch derives from doc_id, which the token stream already
+    // carries — no join back onto documents on the per-token hot path
     val toks = tokensOf(docs.select(col("doc_id"), col("text")))
-      .join(docs.select(col("doc_id"),
-        (col("doc_id") % 3 === 1).as("is_batch")), "doc_id")
+      .withColumn("is_batch", col("doc_id") % 3 === 1)
       .withColumn("bucket",
         expr("cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint)") % DriftBuckets)
     val census = toks.groupBy(col("bucket"))
@@ -239,10 +240,16 @@ object CorpusOps {
         sum(when(col("is_batch"), 0L).otherwise(1L)).as("c_snap"))
     val tot = census.agg(sum(col("c_batch")).as("n_batch"),
       sum(col("c_snap")).as("n_snap"))
+    // the n_batch·c_snap product overflows Int64 once both sides carry
+    // ~10⁹+ tokens (Spark would wrap silently, DuckDB's HUGEINT twin
+    // would not) — widen through DECIMAL(38,0) and come back to BIGINT
+    // after the division, whose result is ≤ n_batch by construction
+    val expected = expr(
+      "cast((cast(n_batch as decimal(38,0)) * c_snap) div n_snap as bigint)")
     census.crossJoin(broadcast(tot))
       .select(col("bucket"), col("c_batch"), col("c_snap"),
-        expr("n_batch * c_snap div n_snap").as("expected"),
-        abs(col("c_batch") - expr("n_batch * c_snap div n_snap")).as("abs_dev"))
+        expected.as("expected"),
+        abs(col("c_batch") - expected).as("abs_dev"))
   }
 
   val corpusDriftSql: String =
@@ -259,18 +266,20 @@ object CorpusOps {
        |n AS (SELECT CAST(SUM(c_batch) AS BIGINT) AS n_batch,
        |             CAST(SUM(c_snap) AS BIGINT) AS n_snap FROM c)
        |SELECT bucket, c_batch, c_snap,
-       |       (n.n_batch * c.c_snap) // n.n_snap AS expected,
-       |       ABS(c.c_batch - (n.n_batch * c.c_snap) // n.n_snap) AS abs_dev
+       |       CAST((CAST(n.n_batch AS HUGEINT) * c.c_snap) // n.n_snap AS BIGINT) AS expected,
+       |       ABS(c.c_batch - CAST((CAST(n.n_batch AS HUGEINT) * c.c_snap) // n.n_snap AS BIGINT)) AS abs_dev
        |FROM c CROSS JOIN n""".stripMargin
 
   // ----------------------------------------------------- corpus_overlap
   /** Cross-source duplication matrix — the release-engineering table
     * behind "how much of source A is already in source B" (dataset
     * provenance audits, crawl-vendor overlap, benchmark-split
-    * leakage between sources): for every ordered source pair, the
-    * number of exact-content fingerprints present in BOTH, with each
-    * side's distinct-fingerprint total and the containment ratio
-    * |A∩B| / |A| (one IEEE division of exact integers).
+    * leakage between sources): one row per UNORDERED source pair
+    * (src_a < src_b lexicographically) and lens, carrying the shared
+    * fingerprint count, BOTH sides' distinct totals, and
+    * `overlap_of_a` = |A∩B| / |A| for the smaller-named side (the
+    * B-side containment is n_shared / n_b from the same row — both
+    * totals ship so neither direction needs a second lookup).
     *
     * Scale: the per-(source, fp) distinct table partial-aggregates
     * map-side; the self-join key is the FINGERPRINT, whose cross-source
@@ -1173,8 +1182,6 @@ object CorpusOps {
     sampleImportanceOver(Tables.documents(s, dir),
       col("source").isin(ImpTargetSources: _*), ImpKeep)
 
-  /** The operator over any documents-shaped frame: `isTarget` names
-    * the quality-reference rows, `keepK` the resample size. */
   /** The un-materialized score pipeline — split out so PlanSpec can
     * assert its shape (the gate path localCheckpoints it, which cuts
     * the visible plan at the checkpoint). */
@@ -1200,6 +1207,8 @@ object CorpusOps {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** The operator over any documents-shaped frame: `isTarget` names
+    * the quality-reference rows, `keepK` the resample size. */
   private[graft] def sampleImportanceOver(docs: DataFrame, isTarget: Column,
       keepK: Int): DataFrame = {
     val s = docs.sparkSession

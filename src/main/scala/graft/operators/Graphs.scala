@@ -461,25 +461,33 @@ object Graphs {
     // a dense graph once most nodes are reached).
     var frontier = state.where(col("dist") === 0L)
     for (_ <- 1 to BfsIters) {
-      val cand = frontier
-        .join(sym, col("doc_id") === col("src"))
-        .groupBy(col("dst"))
-        .agg(min(struct((col("dist") + 1).as("dist"), col("seed").as("seed"))).as("c"))
-      val merged = state.join(cand, col("doc_id") === col("dst"), "left")
-        .withColumn("cc", coalesce(col("c"),
-          struct(lit(BfsInf).as("dist"), lit(-1L).as("seed"))))
-        .withColumn("improved",
-          col("cc") < struct(col("dist").as("dist"), col("seed").as("seed")))
-        .select(col("doc_id"), col("improved"),
-          when(col("improved"), col("cc.dist")).otherwise(col("dist")).as("dist"),
-          when(col("improved"), col("cc.seed")).otherwise(col("seed")).as("seed"))
-        .localCheckpoint()
+      val merged = bfsRound(state, frontier, sym).localCheckpoint()
       state = merged.select(col("doc_id"), col("dist"), col("seed"))
       frontier = merged.where(col("improved"))
         .select(col("doc_id"), col("dist"), col("seed"))
     }
     state.select(col("doc_id"), col("dist"), col("seed").as("seed_id"),
       (col("dist") < BfsInf).cast("int").as("reached"))
+  }
+
+  /** ONE un-materialized BFS round (frontier relax + min-merge with a
+    * per-row `improved` flag) — split out so PlanSpec can assert the
+    * round's plan shape (the loop localCheckpoints each round, which
+    * cuts the visible plan at the checkpoint). */
+  private[graft] def bfsRound(state: DataFrame, frontier: DataFrame,
+      sym: DataFrame): DataFrame = {
+    val cand = frontier
+      .join(sym, col("doc_id") === col("src"))
+      .groupBy(col("dst"))
+      .agg(min(struct((col("dist") + 1).as("dist"), col("seed").as("seed"))).as("c"))
+    state.join(cand, col("doc_id") === col("dst"), "left")
+      .withColumn("cc", coalesce(col("c"),
+        struct(lit(BfsInf).as("dist"), lit(-1L).as("seed"))))
+      .withColumn("improved",
+        col("cc") < struct(col("dist").as("dist"), col("seed").as("seed")))
+      .select(col("doc_id"), col("improved"),
+        when(col("improved"), col("cc.dist")).otherwise(col("dist")).as("dist"),
+        when(col("improved"), col("cc.seed")).otherwise(col("seed")).as("seed"))
   }
 
   // ---------------------------------------------------- graph_kcore

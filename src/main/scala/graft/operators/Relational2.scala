@@ -456,8 +456,14 @@ object Relational2 {
       .where(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val outdeg = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
-    pairs.join(outdeg, "from_type")
+    // out-degree via a window over the AGGREGATED pair table (at most
+    // |types|² rows — the tiny-table case where a window is free) so
+    // the token-scale lag subtree is evaluated ONCE, not re-computed
+    // for a separate out-degree branch (PlanSpec pins one user_id
+    // exchange)
+    pairs
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         (col("n").cast("double") / col("n_from").cast("double")).as("p"))
   }

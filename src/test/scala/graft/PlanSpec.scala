@@ -295,20 +295,39 @@ class PlanSpec extends AnyFunSuite {
       s"entropy needs only doc_id+text: $read")
   }
 
-  test("events_transitions: the lag window and pair count share one user exchange") {
+  test("events_transitions: exactly one user-keyed exchange (the lag window's), no cartesian") {
     val prepared = Relational2.eventsTransitions(spark, dir)
       .queryExecution.executedPlan.toString
-    // the window sorts on (user_id, ...); the pair-count groupBy keys on
-    // (from, to) — one exchange for the window, one for each count pair
     assert(!prepared.contains("CartesianProduct"))
-    val windows = "Window".r.findAllIn(prepared).length
-    assert(windows >= 1, s"expected the lag window:\n$prepared")
+    assert(prepared.contains("Window"), s"expected the lag window:\n$prepared")
+    // the window is the ONLY operator keyed on user_id; the pair and
+    // out-degree counts re-key on event types (tiny domains)
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(prepared).length
+    assert(userExchanges == 1,
+      s"expected exactly one user_id exchange, got $userExchanges:\n$prepared")
   }
 
-  test("graph_bfs: frontier rounds never plan a cartesian product") {
-    val p = plan(Graphs.graphBfs(spark, dir))
+  test("graph_bfs: a round's plan (pre-checkpoint) joins the frontier, no cartesian, partial min") {
+    // assert on ONE un-materialized round: the loop localCheckpoints
+    // each round, so the gate query's own plan stops at the checkpoint
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val state = nodes.select(col("doc_id"),
+      when(col("doc_id") === 1L, lit(0L)).otherwise(lit(Graphs.BfsInf)).as("dist"),
+      when(col("doc_id") === 1L, col("doc_id")).otherwise(lit(-1L)).as("seed"))
+    val frontier = state.where(col("dist") === 0L)
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val p = plan(Graphs.bfsRound(state, frontier, sym))
     assert(p.collect {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-    }.isEmpty)
+    }.isEmpty, s"no cartesian in a BFS round:\n$p")
+    // min over a STRUCT cannot use hash aggregation — it plans as
+    // Sort/ObjectHashAggregate — so match the common base class
+    val aggs = p.collect {
+      case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+    }
+    assert(aggs.size >= 2,
+      s"the struct-min must partial-aggregate before its exchange:\n$p")
   }
 }

@@ -248,6 +248,33 @@ object Snapshots {
       coalesce(lead(col("valid_from"), 1).over(w), lit(OpenVersion)))
   }
 
+  /** ONE incremental SCD-2 step — how the history table is MAINTAINED
+    * (vs [[historyOver]], which rebuilds from the whole log): rows of
+    * `hist` whose key arrives in `batch` and are still OPEN get their
+    * interval closed at `v`; every batch row appends as the new open
+    * row-version. Folding this step over the log reproduces
+    * [[historyOver]] EXACTLY (the `stream_history` gate pins the
+    * identity), and each step is one key join of the history against
+    * the batch + an append — batch-bounded, no window at all (the
+    * rebuild's lead() is replaced by the open-interval update).
+    * Re-applying the same (batch, v) yields the same table
+    * byte-for-byte: the close is idempotent (`valid_to` already `v`
+    * matches nothing open) only when fed the PRE-step history, which
+    * is what the versioned-directory sink discipline guarantees. */
+  def historyStep(hist: DataFrame, batch: DataFrame, v: Long): DataFrame = {
+    val cols = batch.columns.toSeq
+    val keys = batch.select(col("doc_id")).withColumn("_hit", lit(1))
+    val closed = hist.join(keys, Seq("doc_id"), "left")
+      .withColumn("valid_to",
+        when(col("_hit").isNotNull && col("valid_to") === OpenVersion, lit(v))
+          .otherwise(col("valid_to")))
+      .drop("_hit")
+    val appended = batch
+      .withColumn("valid_from", lit(v))
+      .withColumn("valid_to", lit(OpenVersion))
+    closed.unionByName(appended.select(closed.columns.map(col): _*))
+  }
+
   /** The gate's three-version log: v0 = the base snapshot (doc_id ≢ 0
     * mod 3), v1 = the re-crawl (doc_id ≡ 0 mod 5, uppercased), v2 = a
     * second re-extraction (doc_id ≡ 0 mod 7, reversed text). */
@@ -264,6 +291,20 @@ object Snapshots {
   /** Gate: the full SCD-2 history table of the three-version log. */
   def snapshotHistory(s: SparkSession, dir: String): DataFrame =
     historyOver(docLog(s, dir), "doc_id")
+
+  /** Gate: the [[historyStep]] FOLD over the same log — its oracle is
+    * deliberately the REBUILD's SQL ([[snapshotHistorySql]]), pinning
+    * the maintenance identity: incrementally closing and appending
+    * intervals batch-by-batch equals rebuilding the history from the
+    * whole log, for any split. StreamingSpec drives the same fold
+    * through a checkpointed foreachBatch with a restart and a replay. */
+  def streamHistory(s: SparkSession, dir: String): DataFrame = {
+    val log = docLog(s, dir)
+    val empty = log.head._2
+      .withColumn("valid_from", lit(0L)).withColumn("valid_to", lit(0L))
+      .where(lit(false))
+    log.foldLeft(empty) { case (h, (v, b)) => historyStep(h, b, v) }
+  }
 
   private val docLogSql: String =
     """v0 AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),

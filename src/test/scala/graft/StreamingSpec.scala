@@ -674,4 +674,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(SketchStream.storedSketch(spark, table) == oneShot,
       "batch replay must be a no-op")
   }
+
+  test("streaming SCD-2 maintenance: checkpointed restart + replay equal the whole-log rebuild") {
+    import graft.streaming.HistoryStream
+    import graft.operators.Snapshots
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // version 0 = even ids, version 1 = odd ids with re-extracted text
+    // (an id overlap would only occur across versions; here version 1
+    // also UPDATES a slice of version 0 to exercise interval closing)
+    val v0 = docs.where(col("doc_id") % 2 === 0)
+    val v1 = docs.where(col("doc_id") % 3 === 0)
+      .withColumn("text", upper(col("text")))
+    val src = Files.createTempDirectory("graft-hist-src")
+    val table = Files.createTempDirectory("graft-hist-tab").toString
+    val ckpt = Files.createTempDirectory("graft-hist-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-hist-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(HistoryStream.historySink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(v0, "b0.parquet"); run()          // launch 1: batch 0
+    addFile(v1, "b1.parquet"); run()          // RESTART: batch 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val rebuilt = Snapshots.historyOver(Seq(0L -> v0, 1L -> v1), "doc_id")
+    val maintained = HistoryStream.currentHistory(spark, table)
+    assert(rows(maintained) == rows(rebuilt),
+      "stream-maintained history must equal the whole-log rebuild")
+    assert(rows(maintained).nonEmpty)
+    // interval closing actually happened: ids in both versions have a
+    // closed row at valid_to = 1 and an open one
+    val both = maintained.where(col("doc_id") % 6 === 0)
+    assert(both.where(col("valid_to") === 1L).count() > 0)
+    assert(both.where(col("valid_to") === Snapshots.OpenVersion).count() > 0)
+    // replaying batch 1 must rewrite the same table, not re-close
+    HistoryStream.historySink(table)(v1, 1L)
+    assert(rows(HistoryStream.currentHistory(spark, table)) == rows(rebuilt),
+      "batch replay must be a no-op")
+  }
 }

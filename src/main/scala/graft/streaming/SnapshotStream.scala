@@ -135,4 +135,35 @@ object SnapshotStream {
       |            WHEN u.doc_id IS NOT NULL THEN 'insert'
       |            ELSE 'keep' END AS op
       |FROM t1 t FULL OUTER JOIN u2 u ON t.doc_id = u.doc_id""".stripMargin
+
+  /** Version retention — the VACUUM for the versioned-state sinks: a
+    * long-running stream accumulates one snapshot directory per batch;
+    * this keeps the newest `keep` COMMITTED versions and deletes the
+    * rest, plus any TORN version (no `_SUCCESS`) older than the newest
+    * committed one (a torn dir newer than every committed version may
+    * be a write in progress and is left alone). Readers are unaffected
+    * by construction: they resolve through [[versionsIn]], which only
+    * ever serves committed versions, and the newest `keep` survive.
+    * Returns the deleted version ids (committed ones only).
+    *
+    * Replay caveat, stated loudly: a batch replay REREADS the latest
+    * version strictly below its own id — vacuum must therefore keep at
+    * least as many versions as the stream's maximum replay depth
+    * (`keep` ≥ 2 covers the restart-last-batch case the specs pin). */
+  def vacuum(s: SparkSession, tableDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the current version")
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val committed = versionsIn(s, tableDir)
+    val dropCommitted = committed.dropRight(keep)
+    val newestCommitted = committed.lastOption.getOrElse(Long.MinValue)
+    val tornOld = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") &&
+        !fs.exists(new Path(p, "_SUCCESS")) &&
+        p.getName.drop(2).toLong < newestCommitted)
+    dropCommitted.foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+    tornOld.foreach(p => fs.delete(p, true))
+    dropCommitted
+  }
 }

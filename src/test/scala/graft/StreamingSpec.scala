@@ -725,4 +725,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(HistoryStream.currentHistory(spark, table)) == rows(rebuilt),
       "batch replay must be a no-op")
   }
+
+  test("vacuum keeps the newest committed versions, reaps torn dirs, readers unaffected") {
+    import graft.streaming.SnapshotStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vacuum").toString
+    def write(v: Long): Unit =
+      Seq((v, s"payload$v")).toDF("k", "x")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$v")
+    (0L to 4L).foreach(write)
+    // a torn OLD version (no _SUCCESS) and a torn NEWEST one
+    def tear(v: Long): Unit = {
+      write(v)
+      Files.delete(java.nio.file.Paths.get(s"$dir/v=$v/_SUCCESS"))
+    }
+    tear(2L) // old torn: reaped
+    tear(9L) // newer than every committed version: maybe in-flight, kept
+    val dropped = SnapshotStream.vacuum(spark, dir, keep = 2)
+    assert(dropped == Seq(0L, 1L), s"dropped $dropped")
+    def dirExists(v: Long) = new java.io.File(s"$dir/v=$v").exists()
+    assert(!dirExists(0L) && !dirExists(1L) && !dirExists(2L))
+    assert(dirExists(3L) && dirExists(4L) && dirExists(9L))
+    // reader view: latest committed version still serves
+    assert(SnapshotStream.versionsIn(spark, dir) == Seq(3L, 4L))
+    assert(spark.read.parquet(s"$dir/v=4").collect()
+      .map(_.getString(1)).toSeq == Seq("payload4"))
+    // idempotent
+    assert(SnapshotStream.vacuum(spark, dir, keep = 2).isEmpty)
+  }
 }

@@ -435,6 +435,50 @@ object Relational2 {
        |       MAX(ts_us) AS island_end_us, COUNT(1) AS n_events
        |FROM numbered GROUP BY user_id, island""".stripMargin
 
+  // ------------------------------------------------- events_anomaly
+  /** Tukey-fence outlier detection over the event stream — the DQ
+    * primitive behind "which readings are broken": per event type,
+    * exact quartiles of `value` give fences q1 − 1.5·IQR / q3 +
+    * 1.5·IQR, and every event OUTSIDE its type's fences is emitted
+    * with the bounds that convicted it. All arithmetic after the
+    * quartile selection is a fixed IEEE expression of matched inputs
+    * (the q23 discipline — interpolated quantiles hash-check
+    * cross-engine), so the verdict table hash-checks too.
+    *
+    * Scale: the fence table is |event types| rows, computed once and
+    * BROADCAST to the stream — per-row comparison, zero additional
+    * shuffle; at 100 TB the exact quartiles swap for the mergeable
+    * quantile sketch (`ta_quantile_eval`'s UDAF), same fence shape. */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val fences = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .select(col("event_type"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    ev.join(broadcast(fences), "event_type")
+      .where(col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"))
+  }
+
+  val eventsAnomalySql: String =
+    Tables.eventsCteSql +
+    """,
+      |f AS (
+      |  SELECT event_type,
+      |         quantile_cont(value, 0.25) AS q1,
+      |         quantile_cont(value, 0.75) AS q3
+      |  FROM ev GROUP BY 1),
+      |b AS (SELECT event_type,
+      |             q1 - (q3 - q1) * 1.5 AS lo,
+      |             q3 + (q3 - q1) * 1.5 AS hi
+      |      FROM f)
+      |SELECT e.event_id, e.event_type, e.value, b.lo, b.hi
+      |FROM ev e JOIN b USING (event_type)
+      |WHERE e.value < b.lo OR e.value > b.hi""".stripMargin
+
   // ---------------------------------------------- events_transitions
   /** Per-user event-flow Markov table — the behavioral bigram LM: for
     * every (from, to) pair of CONSECUTIVE event types within a user's

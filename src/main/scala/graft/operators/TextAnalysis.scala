@@ -311,6 +311,64 @@ object TextAnalysis {
       |    string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' '))), ' ')) AS fp_bag
       |FROM documents""".stripMargin
 
+  // -------------------------------------------------------- ta_lang_mix
+  /** Code-switching / mixed-language detection — the routing signal
+    * lang-ID's single verdict hides: a doc whose SECOND language's
+    * marker mass is a substantial fraction of the first's is mixed
+    * (bilingual boilerplate, quoted translations, wrong-language
+    * spans), and single-language pipelines mis-handle it silently.
+    * Melts the per-language marker scores of [[taLangId]]'s kernel to
+    * (doc, lang, s) rows and ranks per doc — a DOC-bounded window (≤
+    * |languages| rows per partition key, the window carve-out).
+    * `is_mixed` = second's doubled mass reaches the top's and is
+    * nonzero. Ties rank lexicographically (this op's own contract —
+    * independent of lang-ID's fixed preference cascade). */
+  def taLangMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = taLangId(s, dir)
+    val langs = markers.map(_._1)
+    val melted = base.select(col("doc_id"),
+        explode(expr(
+          s"array(${langs.map(l => s"struct('$l' as lang, s_$l as s)").mkString(", ")})"))
+          .as("e"))
+      .select(col("doc_id"), col("e.lang").as("lang"), col("e.s").as("s"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("lang"))
+    melted.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("rk") === 1, col("lang"))).as("top_lang"),
+        max(when(col("rk") === 1, col("s"))).as("s_top"),
+        max(when(col("rk") === 2, col("lang"))).as("second_lang"),
+        max(when(col("rk") === 2, col("s"))).as("s_second"))
+      .select(col("doc_id"), col("top_lang"), col("s_top"),
+        col("second_lang"), col("s_second"),
+        (col("s_second") > 0 && col("s_second") * 2 >= col("s_top"))
+          .cast("int").as("is_mixed"))
+  }
+
+  lazy val taLangMixSql: String = {
+    val melt = markers.map(_._1)
+      .map(l => s"SELECT doc_id, '$l' AS lang, s_$l AS s FROM base")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS ($taLangIdSql),
+       |m AS (
+       |  $melt),
+       |r AS (
+       |  SELECT doc_id, lang, s,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rk
+       |  FROM m)
+       |SELECT doc_id,
+       |       MAX(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+       |       MAX(CASE WHEN rk = 1 THEN s END) AS s_top,
+       |       MAX(CASE WHEN rk = 2 THEN lang END) AS second_lang,
+       |       MAX(CASE WHEN rk = 2 THEN s END) AS s_second,
+       |       CAST(MAX(CASE WHEN rk = 2 THEN s END) > 0
+       |        AND MAX(CASE WHEN rk = 2 THEN s END) * 2 >= MAX(CASE WHEN rk = 1 THEN s END)
+       |          AS INT) AS is_mixed
+       |FROM r WHERE rk <= 2
+       |GROUP BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------- ta_langid_eval
   /** Classifier-quality evaluation of the language-ID heuristic
     * against the labeled `lang` column — the per-class confusion

@@ -753,4 +753,58 @@ class StreamingSpec extends AnyFunSuite {
     // idempotent
     assert(SnapshotStream.vacuum(spark, dir, keep = 2).isEmpty)
   }
+
+  test("streaming view maintenance: checkpointed restart + replay equal the recompute") {
+    import graft.streaming.ViewStream
+    import graft.operators.Ivm
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // v0 = even ids; v1 = thirds with re-extracted lengths and a lang
+    // migration (doc 6k rows move groups), ids % 5 == 1 deleted
+    val v0 = docs.where(col("doc_id") % 2 === 0)
+    val v1raw = docs.where(col("doc_id") % 3 === 0)
+      .withColumn("lang", when(col("doc_id") % 6 === 0, lit("zz"))
+        .otherwise(col("lang")))
+      .withColumn("n_chars", col("n_chars") + 3)
+    val v1 = graft.operators.Snapshots.upsertOver(v0, v1raw, "doc_id")
+      .drop("op").where(col("doc_id") % 5 =!= 1)
+    // the stream carries CHANGE FEEDS: batch 0 bootstraps (∅ → v0),
+    // batch 1 maintains (v0 → v1)
+    val f0 = Ivm.changeFeedOver(v0.where(lit(false)), v0, "doc_id")
+    val f1 = Ivm.changeFeedOver(v0, v1, "doc_id")
+    val src = Files.createTempDirectory("graft-ivm-src")
+    val table = Files.createTempDirectory("graft-ivm-tab").toString
+    val ckpt = Files.createTempDirectory("graft-ivm-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ivm-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(f0.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(ViewStream.viewSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(f0, "b0.parquet"); run()          // launch 1: bootstrap
+    addFile(f1, "b1.parquet"); run()          // RESTART: maintain
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val recomputed = Ivm.viewOf(v1)
+    val maintained = ViewStream.currentView(spark, table)
+    assert(rows(maintained) == rows(recomputed),
+      "stream-maintained view must equal the from-scratch recompute")
+    assert(rows(maintained).nonEmpty)
+    // replay safety is LOAD-BEARING for signed deltas (applying a feed
+    // twice double-counts): re-running batch 1 must rewrite the same
+    // version from the same predecessor, not re-apply the deltas
+    ViewStream.viewSink(table)(f1, 1L)
+    assert(rows(ViewStream.currentView(spark, table)) == rows(recomputed),
+      "batch replay must be a no-op")
+  }
 }

@@ -54,7 +54,14 @@ object ZPrune {
   private[sources] case class BucketEnv(bucket: Long, lo: Map[String, Long],
     hi: Map[String, Long])
 
-  private[sources] case class Layout(dims: Seq[String], envs: Seq[BucketEnv])
+  /** `bloomDim`/`blooms`: optional MEMBERSHIP half of the manifest —
+    * one [[graft.functions.BloomAgg]] bitmap per bucket over a key
+    * column, consulted for `key = v` / `key IN (...)` conjuncts that
+    * min-max envelopes cannot skip (a key uniform across buckets has a
+    * vacuous envelope everywhere). */
+  private[sources] case class Layout(dims: Seq[String], envs: Seq[BucketEnv],
+    bloomDim: Option[String] = None,
+    blooms: Map[Long, IndexedSeq[Long]] = Map.empty)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Layout]()
@@ -74,7 +81,7 @@ object ZPrune {
   }
 
   def writeLayout(df: DataFrame, dir: String, dimA: String, dimB: String,
-      buckets: Int): Unit = {
+      buckets: Int, bloomCol: Option[String] = None): Unit = {
     // INTEGRAL dims only: the rule's strict-inequality bound arithmetic
     // (`> v` → lower bound v+1) and the manifest's long envelopes are
     // both unsound on fractional values (a DOUBLE pk in (16, 17) would
@@ -108,6 +115,16 @@ object ZPrune {
       .select(col("bucket"), col("e.dim"), col("e.lo"), col("e.hi"))
     manifest.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/_graft_manifest")
+    bloomCol.foreach { bc =>
+      require(isIntegral(df.schema(bc).dataType),
+        s"bloom column must be integral; $bc is ${df.schema(bc).dataType}")
+      val bloomUdaf = udaf(new graft.functions.BloomAgg)
+      keyed.groupBy(col("bucket"))
+        .agg(bloomUdaf(col(bc).cast("long")).as("words"))
+        .select(col("bucket").cast("long"), lit(bc).as("dim"), col("words"))
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/_graft_bloom")
+    }
   }
 
   /** Load `dir`'s manifest into the driver-side registry and make sure
@@ -121,7 +138,17 @@ object ZPrune {
         rs.map(r => r.getString(1) -> r.getLong(2)).toMap,
         rs.map(r => r.getString(1) -> r.getLong(3)).toMap)
     }.toSeq
-    registry.put(norm(dir), Layout(dims, envs))
+    // the membership half is optional — present only when the layout
+    // was written with a bloom column
+    val bloomRows =
+      if (new java.io.File(s"${norm(dir)}/_graft_bloom").exists())
+        spark.read.parquet(s"$dir/_graft_bloom").collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val bloomDim = bloomRows.headOption.map(_.getString(1))
+    val blooms = bloomRows.map { r =>
+      r.getLong(0) -> r.getSeq[Long](2).toIndexedSeq
+    }.toMap
+    registry.put(norm(dir), Layout(dims, envs, bloomDim, blooms))
     val rule = new ZPruneRule(spark)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ZPruneRule]))
       spark.experimental.extraOptimizations =
@@ -187,6 +214,73 @@ object ZPrune {
        |WHERE pk >= ${Manifest.PkLo} AND pk <= ${Manifest.PkHi}
        |  AND ok >= ${Manifest.OkLo} AND ok <= ${Manifest.OkHi}""".stripMargin
   }
+  // ------------------------------------------------ layout_bloom_scan
+  /** The point key the bloom gate looks up (present at every fixture
+    * SF; 3–7 lineitem rows). */
+  val BloomKey = 7L
+
+  /** Bloom-gate bucket count — finer than the box gate's so the
+    * membership skip is visible at fixture scale. */
+  val BloomBuckets = 64
+
+  /** Gate: MEMBERSHIP data skipping — the case min-max envelopes
+    * cannot touch. The layout's z dims are (l_suppkey mod 2^MBits,
+    * l_partkey mod 2^MBits), so l_orderkey is UNIFORM across buckets:
+    * every bucket's orderkey envelope spans the whole domain and a
+    * point predicate `l_orderkey = K` prunes NOTHING by range. The
+    * layout therefore stores one [[graft.functions.BloomAgg]] bitmap
+    * per bucket over l_orderkey, and the rule consults it for
+    * EqualTo/In conjuncts: only buckets that might contain K are
+    * scanned (ZPruneSpec measures numFiles dropping to the true
+    * buckets plus the sketch's small false-positive tail). The result
+    * rides through the pruned scan and must equal the oracle's plain
+    * filter — the skip must be semantically invisible.
+    *
+    * 100-TB shape: bitmaps are 4 KiB per file regardless of file size
+    * (fixed-state mergeable aggregate, map-side combined), the probe
+    * is O(files) driver work, and the reward is skipping every file
+    * that provably lacks the key — Delta's bloom index / Parquet
+    * column blooms, surfaced as an oracle-checked operator. */
+  def layoutBloomScan(s: SparkSession, dir: String): DataFrame = {
+    val m = 1L << MBits
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom-gate").toString
+    val df = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr(s"l_suppkey % $m").as("sd"), expr(s"l_partkey % $m").as("pd"))
+    writeLayout(df, out, "sd", "pd", BloomBuckets, bloomCol = Some("l_orderkey"))
+    attach(s, out)
+    val result = s.read.parquet(out)
+      .where(col("l_orderkey") === BloomKey)
+      .select(col("l_orderkey"), col("l_linenumber"), col("sd"), col("pd"),
+        col("bucket").cast("long").as("bucket"))
+    // bounded output (one order's lineitems): materialize, then reclaim
+    // the scratch layout and its driver-side envelopes immediately
+    val rows = result.collect()
+    val materialized = s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1), result.schema)
+    registry.remove(norm(out))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    materialized
+  }
+
+  /** Plain relational twin — the same point lookup with the bucket
+    * recomputed from the interleave; pruning must be invisible. */
+  val layoutBloomScanSql: String = {
+    val m = 1L << MBits
+    val width = math.max((m * m) / BloomBuckets, 1L)
+    val zexpr =
+      s"""CAST(list_sum(list_transform(generate_series(0, ${MBits - 1}),
+         |    i -> (((l_suppkey % $m) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+         |       + (((l_partkey % $m) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))))
+         |  AS BIGINT)""".stripMargin
+    s"""WITH keyed AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         l_suppkey % $m AS sd, l_partkey % $m AS pd,
+       |         $zexpr // $width AS bucket
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, sd, pd, bucket
+       |FROM keyed WHERE l_orderkey = $BloomKey""".stripMargin
+  }
 }
 
 /** The rule. Matches `Filter(cond, relation-over-registered-layout)`,
@@ -250,6 +344,31 @@ class ZPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     (lo, hi)
   }
 
+  /** Point-lookup probe sets for the layout's bloom column: one entry
+    * per understood conjunct; a bucket survives a conjunct when ANY of
+    * its candidate values might be contained (so `key IN (a,b)` keeps
+    * a bucket that might hold either). A conjunct with a non-integral
+    * value or a non-literal member contributes NO probe — which can
+    * only keep more buckets, the same conservative stance as
+    * [[bounds]]. */
+  private def bloomProbes(cs: Seq[Expression], layout: ZPrune.Layout)
+      : Seq[Seq[Long]] = layout.bloomDim match {
+    case None => Nil
+    case Some(bd) =>
+      def ok(a: Attribute) = a.name == bd && ZPrune.isIntegral(a.dataType)
+      def v(l: Literal): Option[Long] =
+        if (ZPrune.isIntegral(l.dataType)) longOf(l) else None
+      cs.flatMap {
+        case EqualTo(a: Attribute, l: Literal) if ok(a) => v(l).map(Seq(_))
+        case EqualTo(l: Literal, a: Attribute) if ok(a) => v(l).map(Seq(_))
+        case In(a: Attribute, ls) if ok(a) && ls.nonEmpty =>
+          val vs = ls.collect { case l: Literal => v(l) }
+          if (vs.size == ls.size && vs.forall(_.isDefined)) Some(vs.flatten)
+          else None
+        case _ => None
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, rel @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)) =>
       ZPrune.layoutFor(fs.location.rootPaths) match {
@@ -259,14 +378,21 @@ class ZPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             cond.references.exists(_.name == "bucket")
           if (bucketAttr.isEmpty || alreadyConstrained) f
           else {
-            val (lo, hi) = bounds(conjuncts(cond), layout.dims.toSet)
-            if (lo.isEmpty && hi.isEmpty) f
+            val cs = conjuncts(cond)
+            val (lo, hi) = bounds(cs, layout.dims.toSet)
+            val probes = bloomProbes(cs, layout)
+            if (lo.isEmpty && hi.isEmpty && probes.isEmpty) f
             else {
               val survivors = layout.envs.filter { e =>
                 !layout.dims.exists { d =>
                   hi.get(d).exists(_ < e.lo(d)) || lo.get(d).exists(_ > e.hi(d))
                 }
-              }.map(_.bucket).sorted
+              }.map(_.bucket).filter { b =>
+                // a bucket with no stored bitmap is KEPT (safe), and a
+                // false positive only keeps a bucket — never skips one
+                probes.forall(vs => layout.blooms.get(b).forall(words =>
+                  vs.exists(graft.functions.BloomAgg.mightContain(words, _))))
+              }.sorted
               if (survivors.size >= layout.envs.size) f
               else {
                 val attr = bucketAttr.get

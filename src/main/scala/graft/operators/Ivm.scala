@@ -168,6 +168,107 @@ object Ivm {
       .select(col("source"), col("lang"), col("n_docs"), col("sum_chars"))
   }
 
+  // ---------------------------------------------------------- ivm_join
+  /** JOIN-VIEW maintenance — the hard IVM case: the view aggregates a
+    * FACT⋈DIM join (per-nation order counts and revenue, orders ⋈
+    * customer), and the fact table changes. The delta rule for a join
+    * view under single-side changes is Δ(R ⋈ S) = ΔR ⋈ S: each signed
+    * fact contribution joins the DIMENSION (broadcast — dims are the
+    * small side by construction) to find its group, then merges into
+    * the view exactly like [[applyFeed]]. Cost: O(|changes|) fact rows
+    * × one broadcast dim lookup — the 100-TB fact table is never
+    * re-joined or re-aggregated. Money goes through DECIMAL(18,2) in
+    * both engines (the cross-engine sum contract every revenue gate in
+    * this repo uses) and back to DOUBLE at the output edge.
+    *
+    * Group migration is doubly indirect here: an update that re-points
+    * o_custkey moves the order to ANOTHER NATION — the old nation
+    * retracts, the new one gains — which the gate's batch exercises on
+    * half its keys. */
+  private def decP(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** The join view (what a recompute evaluates). Revenue stays DECIMAL
+    * internally; callers cast at the output edge. */
+  def joinViewOf(facts: DataFrame, customer: DataFrame): DataFrame =
+    facts.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(decP(col("o_totalprice"))).as("revenue"))
+
+  /** Apply an ORDERS change feed ([[changeFeedOver]] output) to the
+    * stored join view. */
+  def applyJoinFeed(view: DataFrame, feed: DataFrame, customer: DataFrame): DataFrame = {
+    val retr = feed.where(col("op").isin("update", "delete"))
+      .select(col("o_o_custkey").as("o_custkey"),
+        decP(col("o_o_totalprice")).as("price"), lit(-1L).as("w"))
+    val ins = feed.where(col("op").isin("update", "insert"))
+      .select(col("n_o_custkey").as("o_custkey"),
+        decP(col("n_o_totalprice")).as("price"), lit(1L).as("w"))
+    val delta = retr.union(ins)
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      // signed price via negate-not-multiply: keeps the delta the same
+      // DECIMAL(18,2)-summed type as the stored view's revenue
+      .agg(sum(col("w")).as("d_n"),
+        sum(when(col("w") > 0, col("price")).otherwise(-col("price")))
+          .as("d_rev"))
+    val v = view.as("v")
+    val d = delta.as("d")
+    v.join(d, col("v.nationkey") <=> col("d.nationkey"), "full_outer")
+      .select(
+        coalesce(col("v.nationkey"), col("d.nationkey")).as("nationkey"),
+        (coalesce(col("v.n_orders"), lit(0L)) + coalesce(col("d.d_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("v.revenue"), decP(lit(0))) +
+          coalesce(col("d.d_rev"), decP(lit(0)))).as("revenue"))
+      .where(col("n_orders") > 0)
+  }
+
+  private[graft] def ordersV0(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).where(col("o_orderkey") % 3 =!= 0)
+
+  /** Re-pricing batch; even keys also MIGRATE to another customer —
+    * and thereby (usually) another nation. */
+  private def ordersBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 2 === 0, col("o_custkey") % 50 + 1)
+          .otherwise(col("o_custkey")))
+      .withColumn("o_totalprice", col("o_totalprice") + 10)
+
+  private[graft] def ordersV1(s: SparkSession, dir: String): DataFrame =
+    Snapshots.upsertOver(ordersV0(s, dir), ordersBatch(s, dir), "o_orderkey")
+      .drop("op").where(col("o_orderkey") % 7 =!= 1)
+
+  /** Gate: maintain the per-nation join view from v0 to v1 through the
+    * orders change feed; oracle recomputes over v1. */
+  def ivmJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val feed = changeFeedOver(ordersV0(s, dir), ordersV1(s, dir), "o_orderkey")
+    applyJoinFeed(joinViewOf(ordersV0(s, dir), cust), feed, cust)
+      .select(col("nationkey"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"))
+  }
+
+  val ivmJoinSql: String =
+    """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      |b AS (SELECT o_orderkey,
+      |             CASE WHEN o_orderkey % 2 = 0 THEN (o_custkey % 50) + 1
+      |                  ELSE o_custkey END AS o_custkey,
+      |             o_orderstatus, o_totalprice + 10 AS o_totalprice,
+      |             o_orderdate, o_orderpriority
+      |      FROM orders WHERE o_orderkey % 5 = 0),
+      |m AS (SELECT COALESCE(b.o_orderkey, v0.o_orderkey) AS o_orderkey,
+      |             COALESCE(b.o_custkey, v0.o_custkey) AS o_custkey,
+      |             COALESCE(b.o_totalprice, v0.o_totalprice) AS o_totalprice
+      |      FROM v0 FULL OUTER JOIN b ON v0.o_orderkey = b.o_orderkey),
+      |v1 AS (SELECT * FROM m WHERE o_orderkey % 7 <> 1)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |       CAST(COUNT(1) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM v1 JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------ oracle SQL
   // The oracles recompute the view from the VERSION STATE built by the
   // same upsert-then-delete algebra (COALESCE merge = update wins),

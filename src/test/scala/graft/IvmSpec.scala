@@ -64,6 +64,28 @@ class IvmSpec extends AnyFunSuite {
     assert(setOf(Ivm.ivmFold(spark, dir)) == setOf(Ivm.viewOf(Ivm.v2(spark, dir))))
   }
 
+  test("join view: fact-side feed maintains the joined aggregate, incl. nation migration") {
+    val dir = "/root/testdata/sf0.001"
+    val cust = Tables.customer(spark, dir)
+    val maintained = Ivm.ivmJoin(spark, dir)
+    val recomputed = Ivm.joinViewOf(Ivm.ordersV1(spark, dir), cust)
+      .select(col("nationkey"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"))
+    assert(setOf(maintained) == setOf(recomputed))
+    assert(maintained.count() > 1, "several nations or this pins nothing")
+    // the migration case really fires: at least one update re-points
+    // o_custkey to a customer in a DIFFERENT nation
+    val feed = Ivm.changeFeedOver(
+      Ivm.ordersV0(spark, dir), Ivm.ordersV1(spark, dir), "o_orderkey")
+    val nk = cust.select(col("c_custkey"), col("c_nationkey"))
+    val migrated = feed.where(col("op") === "update" &&
+        col("o_o_custkey") =!= col("n_o_custkey"))
+      .join(nk.as("a"), col("o_o_custkey") === col("a.c_custkey"))
+      .join(nk.as("b"), col("n_o_custkey") === col("b.c_custkey"))
+      .where(col("a.c_nationkey") =!= col("b.c_nationkey"))
+    assert(migrated.count() > 0, "need at least one cross-nation migration")
+  }
+
   test("the delta aggregation partial-aggregates before the exchange") {
     // the maintenance cost claim is O(|changes|) with map-side combine:
     // the plan must show a partial HashAggregate below the exchange for

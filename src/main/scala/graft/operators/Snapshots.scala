@@ -352,4 +352,102 @@ object Snapshots {
        |       COALESCE(v1.source, v0.source) AS source,
        |       COALESCE(v1.n_chars, v0.n_chars) AS n_chars
        |FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id""".stripMargin
+
+  // ---------------------------------------------- snapshot_restore
+  /** RESTORE TO VERSION v — Delta/Iceberg's rollback command as its
+    * relational core: make the AS-OF-v state current again WITHOUT
+    * rewriting history (a restore is a new version whose content is an
+    * old version — audits must still see what was briefly live).
+    * Mechanics: diff the CURRENT state (open rows) against the target
+    * state via [[Ivm.changeFeedOver]]; keys that changed since v (or
+    * were inserted after v) get their open interval closed at `vNew`,
+    * and the target's values for changed/removed-then-restored keys
+    * append as new open row-versions. Untouched keys keep their open
+    * row — a restore after no changes is a no-op, not a full rewrite.
+    *
+    * Scale: the diff is one key join of two states; the close is one
+    * key join of the history against the TOUCHED keys only; the append
+    * is change-bounded. Nothing rewrites rows whose key did not move
+    * since v — at 100 TB a rollback of yesterday's bad batch costs
+    * O(batch), not O(table). */
+  def restoreStep(hist: DataFrame, target: DataFrame, vNew: Long): DataFrame = {
+    val cols = target.columns.toSeq
+    val current = hist.where(col("valid_to") === OpenVersion)
+      .select(cols.map(col): _*)
+    val feed = Ivm.changeFeedOver(current, target, "doc_id")
+    val toClose = feed.where(col("op").isin("update", "delete"))
+      .select(col("doc_id")).withColumn("_hit", lit(1))
+    val closed = hist.join(toClose, Seq("doc_id"), "left")
+      .withColumn("valid_to",
+        when(col("_hit").isNotNull && col("valid_to") === OpenVersion, lit(vNew))
+          .otherwise(col("valid_to")))
+      .drop("_hit")
+    val appended = feed.where(col("op").isin("update", "insert"))
+      .select(col("doc_id") +: cols.filterNot(_ == "doc_id")
+        .map(c => col(s"n_$c").as(c)): _*)
+      .withColumn("valid_from", lit(vNew))
+      .withColumn("valid_to", lit(OpenVersion))
+    closed.unionByName(appended.select(closed.columns.map(col): _*))
+  }
+
+  /** Gate: the three-version log's history after RESTORE TO v=1 as
+    * version 3 — v2's re-extraction is rolled back, so v2-batch keys
+    * that existed at v1 reopen with their v1 values, and keys v2
+    * INSERTED (absent at v1) close without a successor. The oracle
+    * rebuilds the same table relationally; SnapshotsSpec additionally
+    * pins that the restored OPEN state equals the AS-OF-1 read and
+    * that re-restoring is a no-op. */
+  def snapshotRestore(s: SparkSession, dir: String): DataFrame = {
+    val hist = snapshotHistory(s, dir)
+    val target = snapshotTimetravel(s, dir) // the AS-OF v=1 state
+    restoreStep(hist, target, vNew = 3L)
+  }
+
+  val snapshotRestoreSql: String =
+    s"""WITH $docLogSql,
+       |h AS (
+       |  SELECT *, 0 AS valid_from FROM v0
+       |  UNION ALL SELECT *, 1 FROM v1
+       |  UNION ALL SELECT *, 2 FROM v2),
+       |hist AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |         CAST(valid_from AS BIGINT) AS valid_from,
+       |         CAST(COALESCE(LEAD(valid_from) OVER (
+       |           PARTITION BY doc_id ORDER BY valid_from), $OpenVersion) AS BIGINT)
+       |           AS valid_to
+       |  FROM h),
+       |tgt AS (
+       |  SELECT COALESCE(v1.doc_id, v0.doc_id) AS doc_id,
+       |         COALESCE(v1.text, v0.text) AS text,
+       |         COALESCE(v1.lang, v0.lang) AS lang,
+       |         COALESCE(v1.source, v0.source) AS source,
+       |         COALESCE(v1.n_chars, v0.n_chars) AS n_chars
+       |  FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id),
+       |cur AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM hist
+       |  WHERE valid_to = $OpenVersion),
+       |feed AS (
+       |  SELECT COALESCE(tgt.doc_id, cur.doc_id) AS doc_id,
+       |         CASE WHEN cur.doc_id IS NULL THEN 'insert'
+       |              WHEN tgt.doc_id IS NULL THEN 'delete'
+       |              WHEN cur.text IS DISTINCT FROM tgt.text
+       |                OR cur.lang IS DISTINCT FROM tgt.lang
+       |                OR cur.source IS DISTINCT FROM tgt.source
+       |                OR cur.n_chars IS DISTINCT FROM tgt.n_chars THEN 'update'
+       |              ELSE 'keep' END AS op,
+       |         tgt.text AS n_text, tgt.lang AS n_lang,
+       |         tgt.source AS n_source, tgt.n_chars AS n_n_chars
+       |  FROM cur FULL OUTER JOIN tgt ON cur.doc_id = tgt.doc_id),
+       |closed AS (
+       |  SELECT hist.doc_id, text, lang, source, n_chars, valid_from,
+       |         CASE WHEN valid_to = $OpenVersion AND hist.doc_id IN (
+       |                SELECT doc_id FROM feed WHERE op IN ('update','delete'))
+       |              THEN 3 ELSE valid_to END AS valid_to
+       |  FROM hist),
+       |appended AS (
+       |  SELECT doc_id, n_text AS text, n_lang AS lang, n_source AS source,
+       |         n_n_chars AS n_chars, CAST(3 AS BIGINT) AS valid_from,
+       |         CAST($OpenVersion AS BIGINT) AS valid_to
+       |  FROM feed WHERE op IN ('update','insert'))
+       |SELECT * FROM closed UNION ALL SELECT * FROM appended""".stripMargin
 }

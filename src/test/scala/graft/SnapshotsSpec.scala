@@ -151,4 +151,36 @@ class SnapshotsSpec extends AnyFunSuite {
         s"AS-OF $v must equal the upsert fold to $v")
     }
   }
+
+  test("restore: opens the AS-OF state, closes post-v inserts, keeps history, no-ops twice") {
+    val v0 = frame(1L -> "a", 2L -> "b")
+    val v1 = frame(2L -> "B", 3L -> "c")
+    val v2 = frame(1L -> "A2", 4L -> "d") // touches 1, INSERTS 4
+    val hist = Snapshots.historyOver(Seq(0L -> v0, 1L -> v1, 2L -> v2), "doc_id")
+    // the AS-OF 1 state: 1→a, 2→B, 3→c
+    val target = hist.where(col("valid_from") <= 1L && col("valid_to") > 1L)
+      .select(col("doc_id"), col("text"))
+    val restored = Snapshots.restoreStep(hist, target, vNew = 3L)
+    def openState(h: org.apache.spark.sql.DataFrame) =
+      h.where(col("valid_to") === Snapshots.OpenVersion)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(openState(restored) == Map(1L -> "a", 2L -> "B", 3L -> "c"),
+      "restored current state must equal the AS-OF target")
+    // key 4 (inserted after v) closes at 3 with NO successor
+    val k4 = restored.where(col("doc_id") === 4L).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(k4 == Seq(("d", 2L, 3L)))
+    // key 2 was NOT touched after v=1: its open row survives untouched
+    // (a restore is change-bounded, not a table rewrite)
+    val k2 = restored.where(col("doc_id") === 2L && col("valid_to") === Snapshots.OpenVersion)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(k2 == Seq(("B", 1L)))
+    // history is preserved: what was briefly live at v=2 is still there
+    assert(restored.where(col("doc_id") === 1L && col("text") === "A2").count() == 1)
+    // restoring again to the same state is a no-op
+    val again = Snapshots.restoreStep(restored, target, vNew = 4L)
+    assert(again.collect().map(_.toSeq).toSet ==
+      restored.collect().map(_.toSeq).toSet)
+  }
 }

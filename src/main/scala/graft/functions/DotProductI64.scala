@@ -142,5 +142,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProductI64(exprs(0), exprs(1))))
     // manifest-driven file skipping over registered z layouts
     e.injectOptimizerRule(s => new graft.sources.ZPruneRule(s))
+    // materialized-view rewrite over registered fresh views
+    e.injectOptimizerRule(s => new graft.plans.MvRewriteRule(s))
   }
 }

@@ -508,4 +508,93 @@ object TextAnalysis {
        |FROM m
        |WHERE pos <= GREATEST(nw - ${WinnowK - 1} - $WinnowW, 0)""".stripMargin
   }
+
+  // ------------------------------------------------------ gopher_rules
+  /** Rule-based document filter in the style of the published Gopher /
+    * Dolma heuristics (word-count bounds, mean-word-length bounds,
+    * minimum distinct-stopword presence, symbol-to-character ratio):
+    * the cheap pre-filter a training pipeline applies BEFORE any
+    * dedup or model scoring, so it must be a pure per-row projection.
+    *
+    * Scale: zero shuffles — one scan, per-row expressions only, fully
+    * inside whole-stage codegen; at 100 TB this runs at scan speed and
+    * the `passes` column is the pushdown-friendly predicate later
+    * stages filter on. Cross-engine determinism: every RULE is an
+    * integer comparison (e.g. mean-word-length ∈ [3,10] is tested as
+    * `3·n_words ≤ n_letters ≤ 10·n_words`, never via the division);
+    * the two reported ratios are single IEEE divisions of exact
+    * integers, zero-guarded the [[taQuality]] way. */
+  private val GopherStops = Seq("the", "a", "and", "of", "to", "in", "is", "for")
+  private val GopherMinWords = 20
+  private val GopherMaxWords = 100000
+
+  def taGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val inList = GopherStops.map(w => s"'$w'").mkString(", ")
+    val t = col("text")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), t, split(normalized(t), " ").as("w"))
+      .select(col("doc_id"), t, expr("filter(w, x -> x <> '')").as("wf"))
+    val nWords = size(col("wf")).cast("long")
+    val nLetters = classCount(t, "[\\p{L}]")
+    val nChars = length(t).cast("long")
+    val nSpace = classCount(t, "\\s")
+    val nStopDistinct =
+      size(expr(s"filter(array_distinct(wf), x -> x IN ($inList))")).cast("long")
+    val nStopTokens = size(expr(s"filter(wf, x -> x IN ($inList))")).cast("long")
+    d.select(col("doc_id"),
+        nWords.as("n_words"), nLetters.as("n_letters"),
+        nChars.as("n_chars"), nSpace.as("n_space"),
+        nStopDistinct.as("n_stop_distinct"), nStopTokens.as("n_stop_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_letters"),
+        col("n_stop_distinct"), col("n_stop_tokens"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(col("n_letters").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(col("n_stop_tokens").cast("double") / col("n_words").cast("double"))
+          .as("stop_ratio"),
+        (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+          .cast("int").as("r_word_count"),
+        (col("n_words") > 0 &&
+          col("n_letters") >= col("n_words") * 3 &&
+          col("n_letters") <= col("n_words") * 10).cast("int").as("r_mean_word_len"),
+        (col("n_stop_distinct") >= 2).cast("int").as("r_stopwords"),
+        ((col("n_chars") - col("n_letters") - col("n_space")) * 10 <= col("n_chars"))
+          .cast("int").as("r_symbol"))
+      .withColumn("passes",
+        (col("r_word_count") === 1 && col("r_mean_word_len") === 1 &&
+          col("r_stopwords") === 1 && col("r_symbol") === 1).cast("int"))
+  }
+
+  val taGopherRulesSql: String = {
+    val inList = GopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' '),
+       |                x -> x <> '') AS wf
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(wf) AS BIGINT) AS n_words,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\p{L}]', '', 'g')) AS BIGINT) AS n_letters,
+       |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_space,
+       |    CAST(len(list_filter(list_distinct(wf), x -> x IN ($inList))) AS BIGINT) AS n_stop_distinct,
+       |    CAST(len(list_filter(wf, x -> x IN ($inList))) AS BIGINT) AS n_stop_tokens
+       |  FROM d)
+       |SELECT doc_id, n_words, n_letters, n_stop_distinct, n_stop_tokens,
+       |  CASE WHEN n_words = 0 THEN 0.0
+       |       ELSE CAST(n_letters AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+       |  CASE WHEN n_words = 0 THEN 0.0
+       |       ELSE CAST(n_stop_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) END AS stop_ratio,
+       |  CAST(n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS INT) AS r_word_count,
+       |  CAST(n_words > 0 AND n_letters >= n_words * 3 AND n_letters <= n_words * 10 AS INT) AS r_mean_word_len,
+       |  CAST(n_stop_distinct >= 2 AS INT) AS r_stopwords,
+       |  CAST((n_chars - n_letters - n_space) * 10 <= n_chars AS INT) AS r_symbol,
+       |  CAST(n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |   AND n_words > 0 AND n_letters >= n_words * 3 AND n_letters <= n_words * 10
+       |   AND n_stop_distinct >= 2
+       |   AND (n_chars - n_letters - n_space) * 10 <= n_chars AS INT) AS passes
+       |FROM m""".stripMargin
+  }
 }

@@ -106,6 +106,9 @@ class PlanSpec extends AnyFunSuite {
       plan(df).collect { case e if e.getClass.getSimpleName.startsWith("ShuffleExchange") => e }.size
     assert(exchanges(Cleaning.piiMask(spark, dir)) == 0)
     assert(exchanges(Cleaning.taDenylistScrub(spark, dir)) == 0)
+    // the Gopher rule bundle is the pre-filter that must run at scan
+    // speed: per-row expressions only, nothing may introduce a shuffle
+    assert(exchanges(TextAnalysis.taGopherRules(spark, dir)) == 0)
   }
 
   test("decontaminate: benchmark gram set broadcasts; the corpus side never shuffles to the probe") {

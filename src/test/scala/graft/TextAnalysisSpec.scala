@@ -16,7 +16,11 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, "der hund ist nicht in das haus und der garten ist grün", "de", "s", 54L),
       (2L, "12345 67890 !!!", "en", "s", 15L),
       (3L, "word " * 200, "en", "s", 1000L),
-      (4L, "mat the on sat cat The, house the in is dog the and now. for", "en", "s", 60L))
+      (4L, "mat the on sat cat The, house the in is dog the and now. for", "en", "s", 60L),
+      // 28 words, 2 distinct stopwords, mean word length 4.5:
+      // passes every Gopher rule
+      (5L, "The quick brown foxes jumped over the lazy sleeping dogs in the garden today " +
+        "The quick brown foxes jumped over the lazy sleeping dogs in the garden today", "en", "s", 155L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
@@ -77,6 +81,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     // than the full gram count, and positions are in-range
     sel.foreach { case (id, pos, _) =>
       assert(pos >= 0, s"doc $id pos $pos")
+    }
+  }
+
+  test("gopher rules: planted docs trip exactly the intended rules") {
+    val rows = TextAnalysis.taGopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): (Int, Int, Int, Int, Int) = {
+      val r = rows(id)
+      (r.getAs[Int]("r_word_count"), r.getAs[Int]("r_mean_word_len"),
+        r.getAs[Int]("r_stopwords"), r.getAs[Int]("r_symbol"),
+        r.getAs[Int]("passes"))
+    }
+    // doc 2 is letterless: zero words, every word-based rule fails and
+    // the zero-guard keeps ratios at 0.0 (not NaN/NULL)
+    assert(flags(2L) == (0, 0, 0, 0, 0))
+    assert(rows(2L).getAs[Double]("mean_word_len") == 0.0)
+    assert(rows(2L).getAs[Double]("stop_ratio") == 0.0)
+    // doc 3 is "word" x200: long enough and clean, but no stopwords —
+    // the repetition Gopher's stopword rule exists to catch
+    assert(flags(3L) == (1, 1, 0, 1, 0))
+    // doc 0 is natural text but too short (15 words < 20), and its
+    // function-word-heavy mean word length (44/15 ≈ 2.9) sits just
+    // under the published [3, 10] band — the rule is intentionally
+    // strict about short-word soup
+    assert(flags(0L) == (0, 0, 1, 1, 0))
+    // doc 5 is the same text doubled: 28 words, passes everything
+    assert(flags(5L) == (1, 1, 1, 1, 1))
+    // passes is exactly the conjunction, on every row
+    rows.values.foreach { r =>
+      val conj = Seq("r_word_count", "r_mean_word_len", "r_stopwords", "r_symbol")
+        .forall(c => r.getAs[Int](c) == 1)
+      assert(r.getAs[Int]("passes") == (if (conj) 1 else 0),
+        s"doc ${r.getLong(0)}: passes must be the conjunction of the rules")
     }
   }
 }

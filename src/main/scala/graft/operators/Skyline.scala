@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Skyline (Pareto-frontier) operator — the multi-criteria "best
+  * trade-offs" query (Börzsönyi/Kossmann/Stocker's skyline operator,
+  * ICDE 2001): rows no other row dominates, where `a` dominates `b`
+  * iff `a` is at least as good on every criterion and strictly better
+  * on one. The gate maximizes `p_size` and minimizes `p_retailprice`
+  * over `part` and reports, per frontier point, how many rows it
+  * dominates.
+  *
+  * Not in the reference (whose surface is key/value MapReduce —
+  * SURVEY.md §2.4 extended relational); skylines are standard in
+  * procurement/eval pipelines ("largest part at the lowest price").
+  *
+  * Scale design — local-frontier-then-global-refine, the distributed
+  * divide-and-conquer from the skyline literature:
+  *   1. one `mapPartitions` pass computes each partition's OWN
+  *      non-dominated set (a globally non-dominated row is trivially
+  *      non-dominated within its partition, so the prune is lossless);
+  *      runs at scan parallelism, no shuffle of the big side;
+  *   2. the surviving candidates — the union of local frontiers, in
+  *      practice a few rows per partition for correlated dims — are
+  *      `repartition(1)`-ed (NOT coalesce(1), which would collapse the
+  *      wide local pass into the single task) and refined by the same
+  *      kernel;
+  *   3. `n_dominated` is a broadcast nested-loop count: the tiny final
+  *      frontier broadcasts against one scan of the input — comparisons
+  *      per input row are |skyline|, so the pass stays scan-bounded.
+  * Honest bound: 2-D skyline cardinality is data-dependent (O(n) for
+  * perfectly anti-correlated dims); this operator targets the usual
+  * correlated/independent case where frontiers are tiny. A corpus with
+  * a known-huge frontier should pre-bucket one dimension.
+  *
+  * Determinism: dominance uses exact comparisons only (int size,
+  * double price compared, never arithmetic on them); ties on both
+  * dimensions are BOTH kept (equal points do not dominate each other).
+  */
+object Skyline {
+
+  /** Partition-local skyline in O(n log n): sort by (price asc, size
+    * desc, key), then one scan keeping a row iff its size strictly
+    * exceeds the best size seen at any strictly lower price AND it ties
+    * the best size of its own price group (within equal price, a larger
+    * size strictly dominates; equal (price, size) rows all survive). */
+  // (key, size, price) tuples: tuple encoders stay inside Spark's
+  // built-in codegen paths (a non-public case class does not)
+  private def localSkyline(
+      it: Iterator[(Long, Int, Double)]): Iterator[(Long, Int, Double)] = {
+    val rows = it.toArray
+    if (rows.isEmpty) return Iterator.empty
+    java.util.Arrays.sort(rows, (a: (Long, Int, Double), b: (Long, Int, Double)) => {
+      val c = java.lang.Double.compare(a._3, b._3)
+      if (c != 0) c
+      else {
+        val d = java.lang.Integer.compare(b._2, a._2)
+        if (d != 0) d else java.lang.Long.compare(a._1, b._1)
+      }
+    })
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    var maxSizeBefore = Int.MinValue // best size among strictly cheaper rows
+    var i = 0
+    while (i < rows.length) {
+      var j = i
+      while (j < rows.length && rows(j)._3 == rows(i)._3) j += 1
+      val groupMax = rows(i)._2 // sorted desc within the price group
+      if (groupMax > maxSizeBefore) {
+        var k = i
+        while (k < j && rows(k)._2 == groupMax) { out += rows(k); k += 1 }
+      }
+      if (groupMax > maxSizeBefore) maxSizeBefore = groupMax
+      i = j
+    }
+    out.iterator
+  }
+
+  /** The reusable frontier kernel over any (key, size, price) frame. */
+  private[graft] def skylineOver(points: DataFrame): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
+    val ds = points.toDF("key", "size", "price").as[(Long, Int, Double)]
+    ds.mapPartitions(localSkyline)      // wide local prune
+      .repartition(1)                   // candidates only cross the wire
+      .mapPartitions(localSkyline)      // global refine, one tiny task
+      .toDF("key", "size", "price")
+  }
+
+  def q44Skyline(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val sky = skylineOver(part)
+      .select(col("key").as("p_partkey"), col("size").as("p_size"),
+        col("price").as("p_retailprice"))
+    // dominance census: broadcast the frontier, count per frontier point
+    // in ONE pass over the input (no shuffle of the big side)
+    val dominated = part.as("b")
+      .join(broadcast(sky.as("s")),
+        col("s.p_size") >= col("b.p_size") &&
+          col("s.p_retailprice") <= col("b.p_retailprice") &&
+          (col("s.p_size") > col("b.p_size") ||
+            col("s.p_retailprice") < col("b.p_retailprice")))
+      .groupBy(col("s.p_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+    sky.join(dominated, Seq("p_partkey"), "left")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"),
+        coalesce(col("n_dominated"), lit(0L)).as("n_dominated"))
+  }
+
+  val q44SkylineSql: String =
+    """WITH sky AS (
+      |  SELECT p_partkey, p_size, p_retailprice FROM part a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM part b
+      |    WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+      |      AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)))
+      |SELECT s.p_partkey, s.p_size, s.p_retailprice,
+      |  CAST((SELECT COUNT(*) FROM part b
+      |        WHERE s.p_size >= b.p_size AND s.p_retailprice <= b.p_retailprice
+      |          AND (s.p_size > b.p_size OR s.p_retailprice < b.p_retailprice))
+      |       AS BIGINT) AS n_dominated
+      |FROM sky s""".stripMargin
+}

@@ -55,6 +55,53 @@ object KMeans {
     best
   }
 
+  /** Frozen seed centroids (the [[embKmeans]] round-1 init): the first
+    * [[KmC]] vectors by id — a corpus-MEMBERSHIP-independent rule, so
+    * every batch of an incremental fold sees identical seeds (the
+    * precondition for the centroid-state fold identity
+    * [[graft.streaming.CentroidStream]] gates). */
+  private[graft] def frozenSeeds(s: SparkSession, dir: String): Array[Array[Long]] = {
+    val (ids, vecs) = VecKernel.collectScaled(s, dir, Some(col("vec_id") < KmC))
+    require(ids.length == KmC, s"need $KmC seed vectors, got ${ids.length}")
+    vecs
+  }
+
+  /** Batch-local centroid state: assign each vector of `batch` (an
+    * embeddings-shaped frame) to its argmax-dot frozen seed, then
+    * aggregate (Σe, count) per (cell, dim) — the MERGEABLE half of a
+    * Lloyd update round. (Σ, n) addition is associative/commutative,
+    * so any batching folds to the one-shot round exactly. */
+  private[graft] def cellStateOf(batch: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val scaled = batch.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
+      .as[(Long, Seq[Long])]
+    val bc = s.sparkContext.broadcast(cents)
+    scaled.mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (_, emb) =>
+          val ev = emb.toArray
+          val cell = bestCell(ev, cs)
+          ev.iterator.zipWithIndex.map { case (e, i) => (cell, i, e) }
+        }
+      }.toDF("cell", "i", "e")
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("e")).as("s"), count(lit(1)).as("n"))
+  }
+
+  /** Seed centroids as a (cell, i, e) frame (driver-built: KmC×dim
+    * rows), for joining maintained state back to its init. */
+  private[graft] def seedFrame(s: SparkSession,
+      cents: Array[Array[Long]]): DataFrame = {
+    import s.implicits._
+    cents.iterator.zipWithIndex.flatMap { case (v, c) =>
+      v.iterator.zipWithIndex.map { case (e, i) => (c, i, e) }
+    }.toSeq.toDF("cell", "i", "e0")
+  }
+
   def embKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scaled = scaledDs(s, dir) // shared ×10⁶ convention with the PQ family

@@ -675,6 +675,53 @@ class StreamingSpec extends AnyFunSuite {
       "batch replay must be a no-op")
   }
 
+  test("streaming centroid maintenance: checkpointed restart + replay equal the one-shot Lloyd round") {
+    // frozen seeds + associative (Σ, n) merge ⇒ the streamed fold must
+    // equal the one-shot assign/update round exactly, and a replayed
+    // batch must not double-count (versioned-state exactly-once)
+    import graft.streaming.CentroidStream
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val ids = emb.select(min(col("vec_id")), max(col("vec_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = emb.where(col("vec_id") <= mid)
+    val b2 = emb.where(col("vec_id") > mid)
+    val src = Files.createTempDirectory("graft-cent-src")
+    val table = Files.createTempDirectory("graft-cent-tab").toString
+    val ckpt = Files.createTempDirectory("graft-cent-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-cent-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(emb.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(CentroidStream.centroidSink(table, sf) _)
+        .start()
+      q.awaitTermination()
+    }
+    def stored(): Set[(Long, Long, Long, Long)] =
+      CentroidStream.storedCentroids(spark, table, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    val oneShot = CentroidStream.streamKmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stored() == oneShot,
+      "streamed centroid state must equal the one-shot Lloyd round")
+    assert(oneShot.exists(_._3 > 0), "fixture must populate some cell")
+    // at-least-once delivery: replaying batch 1 re-merges against the
+    // same predecessor version — (Σ, n) must not double
+    CentroidStream.centroidSink(table, sf)(b2, 1L)
+    assert(stored() == oneShot, "batch replay must be a no-op")
+  }
+
   test("streaming SCD-2 maintenance: checkpointed restart + replay equal the whole-log rebuild") {
     import graft.streaming.HistoryStream
     import graft.operators.Snapshots

@@ -109,6 +109,50 @@ object Skyline {
         coalesce(col("n_dominated"), lit(0L)).as("n_dominated"))
   }
 
+  /** INCREMENTAL skyline maintenance — frontier under an insert batch.
+    * Skyline is a lossless-merge operator:
+    * `skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))` (a row
+    * dominated in a subset is dominated in the union; a row dominated
+    * in the union is dominated by some union row, which is itself on
+    * one side's frontier or dominated by it — dominance is
+    * transitive). So the maintained state is the TINY stored frontier,
+    * and an insert batch costs `skyline(stored ∪ batch-local-frontier)`
+    * — batch-bounded, never a corpus rescan. Deletes invalidate (a
+    * removed frontier row can resurrect dominated rows); this operator
+    * is for append-only feeds — route deletes through a rebuild, the
+    * same contract as the stored ANN index.
+    *
+    * The gate folds the fixture in two halves through the merge; its
+    * oracle IS [[q44SkylineSql]] — the identity is exact, so the
+    * hashes must match byte-for-byte. (The dominance census is shared
+    * with [[q44Skyline]]'s final pass and is over the full input — at
+    * scale it is the one full-scan pass, amortized by running it only
+    * when the census is actually read.) */
+  def skylineIncr(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val Array(org.apache.spark.sql.Row(lo: Long, hi: Long)) =
+      part.agg(min(col("p_partkey")), max(col("p_partkey"))).collect()
+    val mid = lo + (hi - lo) / 2
+    // stored state = yesterday's frontier; batch folds through the merge
+    val stored = skylineOver(part.where(col("p_partkey") <= mid))
+    val batchF = skylineOver(part.where(col("p_partkey") > mid))
+    val sky = skylineOver(stored.unionByName(batchF))
+      .select(col("key").as("p_partkey"), col("size").as("p_size"),
+        col("price").as("p_retailprice"))
+    val dominated = part.as("b")
+      .join(broadcast(sky.as("s")),
+        col("s.p_size") >= col("b.p_size") &&
+          col("s.p_retailprice") <= col("b.p_retailprice") &&
+          (col("s.p_size") > col("b.p_size") ||
+            col("s.p_retailprice") < col("b.p_retailprice")))
+      .groupBy(col("s.p_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+    sky.join(dominated, Seq("p_partkey"), "left")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"),
+        coalesce(col("n_dominated"), lit(0L)).as("n_dominated"))
+  }
+
   val q44SkylineSql: String =
     """WITH sky AS (
       |  SELECT p_partkey, p_size, p_retailprice FROM part a

@@ -50,6 +50,26 @@ class SkylineSpec extends AnyFunSuite {
       assert(run(pts, p) == expect, s"partitions=$p must not change the frontier")
   }
 
+  test("merge identity: skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B))") {
+    val rng = new scala.util.Random(11)
+    val pts = (0 until 400).map(i =>
+      (i.toLong, rng.nextInt(60), (50 + rng.nextInt(100)).toDouble))
+    for (cut <- Seq(0, 97, 200, 400)) { // incl. empty-side folds
+      val (a, b) = pts.splitAt(cut)
+      val merged = run(brute(a).toSeq ++ brute(b).toSeq, 2)
+      assert(merged == brute(pts), s"cut=$cut broke the merge identity")
+    }
+  }
+
+  test("incremental gate equals the one-shot gate on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val one = Skyline.q44Skyline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val incr = Skyline.skylineIncr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(incr == one)
+  }
+
   test("q44 gate: n_dominated matches per-point brute force on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val all = Tables.part(spark, dir)

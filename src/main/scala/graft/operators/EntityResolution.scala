@@ -14,23 +14,35 @@ import graft.Tables
   * standard pre-join cleanup any warehouse runs over vendor/product
   * catalogs, here gated over `part` names.
   *
-  * Scale design:
-  *   - BLOCKING: candidates are generated only within a block (the
-  *     name's head noun), never corpus×corpus. Block sizes are bounded
-  *     by the same count-first/df-cap discipline as the ngram posting
-  *     lists ([[Dedup]] MaxDf): a block over [[ErMaxBlock]] records is
-  *     dropped (a stop-noun; its members stay as singletons), so pair
-  *     fan-out is ≤ ErMaxBlock² per block BY CONSTRUCTION and the
-  *     count censusing it partial-aggregates map-side.
-  *   - VERIFY: `levenshtein` ≤ [[ErMaxDist]] on the normalized name —
-  *     a codegen'd built-in, evaluated only on within-block pairs.
-  *   - CLUSTER: min-label propagation over the verified match edges
-  *     (the shared [[Dedup.propagateMin]] kernel); entity id = min
-  *     part key of the component, sizes via the skew-safe
-  *     aggregate+join-back idiom.
-  * The blocking-recall eval quantifies what the block key loses,
-  * the [[Dedup.dedupRecallEval]]/[[Similarity.simRecallEval]]
-  * discipline: measure the trade, don't hide it.
+  * Scale design — the decisive trick for duplicate-heavy catalogs is
+  * to COLLAPSE EXACT-IDENTICAL NAMES FIRST: a name occurring 10⁶ times
+  * is one node with a count, not 10¹² intra-name pairs. The first
+  * version of this operator matched at record level and spent 45 s at
+  * sf0.1 almost entirely on distance-0 copies of the same 64 strings —
+  * the textbook blocking failure the distinct-name contraction exists
+  * to prevent. The pipeline:
+  *   1. CONTRACT: group records by normalized name → (name, min-key
+  *      representative, count). |distinct names| is vocabulary-bounded,
+  *      orders of magnitude below |records| on any real catalog.
+  *   2. BLOCK: candidates only within a block (the name's head noun);
+  *      blocks over [[ErMaxBlock]] DISTINCT names are dropped (the
+  *      stop-noun analog of [[Dedup]]'s MaxDf — a count census that
+  *      partial-aggregates map-side), so pair fan-out is ≤ ErMaxBlock²
+  *      per block by construction.
+  *   3. VERIFY: `levenshtein` ≤ [[ErMaxDist]] per distinct-name pair —
+  *      a codegen'd built-in, evaluated once per name pair no matter
+  *      how many records carry the names.
+  *   4. CLUSTER: min-label propagation over representative keys (the
+  *      shared [[Dedup.propagateMin]] kernel); labels broadcast back
+  *      to records through the name table. Records with identical
+  *      names are one entity EVEN in dropped blocks (they share a
+  *      representative) — exact-dup merging never degrades.
+  * Entity id = min part key of the component (representatives are
+  * per-name minima, so the component minimum is the true record-level
+  * minimum); sizes via the skew-safe aggregate + join-back idiom.
+  * The blocking-recall eval quantifies what the block key loses, the
+  * [[Dedup.dedupRecallEval]] discipline: measure the trade, don't
+  * hide it.
   *
   * Determinism: levenshtein is exact integer edit distance; blocks,
   * caps and thresholds are integer comparisons; entity ids are min()
@@ -38,113 +50,138 @@ import graft.Tables
   */
 object EntityResolution {
 
-  /** Drop blocks larger than this (stop-noun analog of Dedup.MaxDf):
-    * bounds per-block pair fan-out at any corpus size. */
+  /** Drop blocks with more DISTINCT names than this (stop-noun analog
+    * of Dedup.MaxDf): bounds per-block pair fan-out at any corpus
+    * size. */
   private val ErMaxBlock = 4096
   /** Max edit distance for a verified match. */
   private val ErMaxDist = 2
-  /** Deterministic key-sample modulus for the blocking-recall eval. */
+  /** Deterministic representative-key sample modulus for the
+    * blocking-recall eval. */
   private val ErSampleMod = 7
 
-  /** (k, name, blk) — normalized name + blocking key for any
-    * part-shaped frame. */
+  /** (k, name, blk) — normalized name + blocking key per RECORD. */
   private def names(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir).select(
       col("p_partkey").as("k"),
       lower(col("p_name")).as("name"),
       element_at(split(lower(col("p_name")), " "), 2).as("blk"))
 
+  /** The exact-name contraction: one node per distinct name, with its
+    * min-key representative and record count. (blk is functionally
+    * determined by name, so the group key is just a carry.) */
+  private def distinctNames(s: SparkSession, dir: String): DataFrame =
+    names(s, dir).groupBy(col("name"), col("blk"))
+      .agg(min(col("k")).as("rep"), count(lit(1)).as("cnt"))
+
   private val namesSql: String =
     """names AS (
       |  SELECT p_partkey AS k, lower(p_name) AS name,
       |         split_part(lower(p_name), ' ', 2) AS blk
-      |  FROM part)""".stripMargin
+      |  FROM part),
+      |dn AS (
+      |  SELECT name, blk, MIN(k) AS rep, CAST(COUNT(1) AS BIGINT) AS cnt
+      |  FROM names GROUP BY name, blk)""".stripMargin
 
-  /** Verified within-block match pairs. Count-first block cap, then
-    * the self-join generates ≤ cap² candidates per block; levenshtein
-    * verifies each once (key_a < key_b). */
-  def erPairs(s: SparkSession, dir: String): DataFrame = {
-    val n = names(s, dir)
-    val keep = n.groupBy(col("blk")).agg(count(lit(1)).as("df"))
+  /** Verified distinct-name match pairs, with representative keys for
+    * clustering. */
+  private def pairsWithReps(s: SparkSession, dir: String): DataFrame = {
+    val dn = distinctNames(s, dir)
+    val keep = dn.groupBy(col("blk")).agg(count(lit(1)).as("df"))
       .where(col("df") <= ErMaxBlock).select(col("blk"))
-    val kept = n.join(keep, Seq("blk"), "left_semi")
+    val kept = dn.join(keep, Seq("blk"), "left_semi")
     kept.as("a").join(kept.as("b"),
-        col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
-      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
-        col("a.name").as("name_a"), col("b.name").as("name_b"),
-        levenshtein(col("a.name"), col("b.name")).cast("int").as("dist"))
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("int").as("dist"),
+        col("a.cnt").as("n_a"), col("b.cnt").as("n_b"),
+        col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
       .where(col("dist") <= ErMaxDist)
   }
 
-  /** The pairs CTE chain (names/keep/kept/pairs), shared textually by
-    * the pairs, entities, and recall oracles. */
+  /** The pairs CTE chain (names/dn/keep/kept/pairs), shared textually
+    * by the pairs, entities, and recall oracles. */
   private val pairsCtesSql: String =
     s"""$namesSql,
-       |keep AS (SELECT blk FROM names GROUP BY blk HAVING COUNT(1) <= $ErMaxBlock),
-       |kept AS (SELECT names.* FROM names JOIN keep ON names.blk = keep.blk),
+       |keep AS (SELECT blk FROM dn GROUP BY blk HAVING COUNT(1) <= $ErMaxBlock),
+       |kept AS (SELECT dn.* FROM dn JOIN keep ON dn.blk = keep.blk),
        |pairs AS (
-       |  SELECT a.k AS key_a, b.k AS key_b, a.name AS name_a, b.name AS name_b,
-       |         CAST(levenshtein(a.name, b.name) AS INT) AS dist
-       |  FROM kept a JOIN kept b ON a.blk = b.blk AND a.k < b.k
+       |  SELECT a.name AS name_a, b.name AS name_b,
+       |         CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+       |         a.cnt AS n_a, b.cnt AS n_b, a.rep AS rep_a, b.rep AS rep_b
+       |  FROM kept a JOIN kept b ON a.blk = b.blk AND a.name < b.name
        |  WHERE levenshtein(a.name, b.name) <= $ErMaxDist)""".stripMargin
+
+  /** Gate: the verified distinct-name pairs with their record counts
+    * (record-level pair mass is n_a·n_b, derivable — never
+    * materialized). */
+  def erPairs(s: SparkSession, dir: String): DataFrame =
+    pairsWithReps(s, dir)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
 
   val erPairsSql: String =
     s"""WITH $pairsCtesSql
-       |SELECT key_a, key_b, name_a, name_b, dist FROM pairs""".stripMargin
+       |SELECT name_a, name_b, dist, n_a, n_b FROM pairs""".stripMargin
 
-  /** Transitive entity clusters over the verified pairs: every part
+  /** Transitive entity clusters broadcast back to records: every part
     * keyed to the min part key of its match component; singletons keep
     * themselves. Sizes via aggregate + join-back (no window over
     * entity_id — a mega-entity would serialize into one window task). */
   def erEntities(s: SparkSession, dir: String): DataFrame = {
-    val n = names(s, dir)
+    val dn = distinctNames(s, dir)
     val sym = Dedup.symmetrize(
-        erPairs(s, dir).select(col("key_a").as("da"), col("key_b").as("db")))
+        pairsWithReps(s, dir).select(col("rep_a").as("da"), col("rep_b").as("db")))
       .repartition(col("src")).persist()
     val labels = Dedup.propagateMin(s,
-      n.select(col("k").as("doc_id"), col("k").as("label")),
+      dn.select(col("rep").as("doc_id"), col("rep").as("label")),
       sym, "erEntities")
     sym.unpersist()
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("entity_size"))
-    labels.join(sizes, "label")
-      .select(col("doc_id").as("p_partkey"), col("label").as("entity_id"),
+    val rec = names(s, dir)
+      .join(dn.select(col("name"), col("rep")), "name")
+      .join(labels.withColumnRenamed("doc_id", "rep"), "rep")
+    val sizes = rec.groupBy(col("label")).agg(count(lit(1)).as("entity_size"))
+    rec.join(sizes, "label")
+      .select(col("k").as("p_partkey"), col("label").as("entity_id"),
         col("entity_size"),
-        (col("doc_id") === col("label")).cast("int").as("is_canonical"))
+        (col("k") === col("label")).cast("int").as("is_canonical"))
   }
 
   val erEntitiesSql: String =
     s"""WITH RECURSIVE $pairsCtesSql,
-       |e AS MATERIALIZED (SELECT key_a AS da, key_b AS db FROM pairs),
+       |e AS MATERIALIZED (SELECT rep_a AS da, rep_b AS db FROM pairs),
        |sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM e
        |        UNION ALL SELECT db, da FROM e),
        |reach(src, dst) AS (
-       |  SELECT k, k FROM names
+       |  SELECT rep, rep FROM dn
        |  UNION
        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst),
        |lab AS MATERIALIZED (
-       |  SELECT src AS p_partkey, MIN(dst) AS entity_id FROM reach GROUP BY src),
-       |sizes AS (SELECT entity_id, COUNT(1) AS entity_size FROM lab GROUP BY entity_id)
-       |SELECT l.p_partkey, l.entity_id, s.entity_size,
-       |       CAST(l.p_partkey = l.entity_id AS INT) AS is_canonical
-       |FROM lab l JOIN sizes s ON l.entity_id = s.entity_id""".stripMargin
+       |  SELECT src AS rep, MIN(dst) AS entity_id FROM reach GROUP BY src),
+       |rec AS (
+       |  SELECT n.k, l.entity_id
+       |  FROM names n JOIN dn ON n.name = dn.name JOIN lab l ON dn.rep = l.rep),
+       |sizes AS (SELECT entity_id, COUNT(1) AS entity_size FROM rec GROUP BY entity_id)
+       |SELECT rec.k AS p_partkey, rec.entity_id, sizes.entity_size,
+       |       CAST(rec.k = rec.entity_id AS INT) AS is_canonical
+       |FROM rec JOIN sizes ON rec.entity_id = sizes.entity_id""".stripMargin
 
-  /** Blocking-recall eval: over a deterministic key sample, compare the
-    * blocked pipeline's matches against EXHAUSTIVE pairwise truth
-    * (every sample pair, no blocking). The exhaustive side is the eval
-    * harness, not the production path — it is quadratic ON THE SAMPLE
-    * ONLY (sample² pairs, broadcastable), the sampled-truth discipline
-    * of [[Dedup.dedupRecallEval]]. One output row: truth size, found
-    * size, recall. */
+  /** Blocking-recall eval: over a deterministic representative-key
+    * sample of DISTINCT names, compare the blocked pipeline's matches
+    * against EXHAUSTIVE pairwise truth (every sampled name pair, no
+    * blocking). The exhaustive side is the eval harness, not the
+    * production path — quadratic ON THE SAMPLE ONLY (broadcastable),
+    * the sampled-truth discipline of [[Dedup.dedupRecallEval]]. One
+    * output row: truth size, found size, recall. */
   def erBlockRecall(s: SparkSession, dir: String): DataFrame = {
-    val sample = names(s, dir).where(col("k") % ErSampleMod === 0)
+    val sample = distinctNames(s, dir).where(col("rep") % ErSampleMod === 0)
     val truth = sample.as("a").join(broadcast(sample.as("b")),
-        col("a.k") < col("b.k") &&
+        col("a.name") < col("b.name") &&
           levenshtein(col("a.name"), col("b.name")) <= ErMaxDist)
-      .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
-    val found = erPairs(s, dir)
-      .where(col("key_a") % ErSampleMod === 0 && col("key_b") % ErSampleMod === 0)
-      .select(col("key_a"), col("key_b"))
-    val joined = truth.join(found, Seq("key_a", "key_b"), "left_semi")
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    val found = pairsWithReps(s, dir)
+      .where(col("rep_a") % ErSampleMod === 0 && col("rep_b") % ErSampleMod === 0)
+      .select(col("name_a"), col("name_b"))
+    val joined = truth.join(found, Seq("name_a", "name_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth")).crossJoin(
         joined.agg(count(lit(1)).as("n_found")))
       .select(col("n_truth"), col("n_found"),
@@ -155,17 +192,17 @@ object EntityResolution {
 
   val erBlockRecallSql: String =
     s"""WITH $pairsCtesSql,
-       |sample AS (SELECT * FROM names WHERE k % $ErSampleMod = 0),
+       |sample AS (SELECT * FROM dn WHERE rep % $ErSampleMod = 0),
        |truth AS (
-       |  SELECT a.k AS key_a, b.k AS key_b
-       |  FROM sample a JOIN sample b ON a.k < b.k
+       |  SELECT a.name AS name_a, b.name AS name_b
+       |  FROM sample a JOIN sample b ON a.name < b.name
        |  WHERE levenshtein(a.name, b.name) <= $ErMaxDist),
        |found AS (
-       |  SELECT key_a, key_b FROM pairs
-       |  WHERE key_a % $ErSampleMod = 0 AND key_b % $ErSampleMod = 0),
+       |  SELECT p.name_a, p.name_b FROM pairs p
+       |  WHERE p.rep_a % $ErSampleMod = 0 AND p.rep_b % $ErSampleMod = 0),
        |hit AS (SELECT t.* FROM truth t
        |        WHERE EXISTS (SELECT 1 FROM found f
-       |                      WHERE f.key_a = t.key_a AND f.key_b = t.key_b))
+       |                      WHERE f.name_a = t.name_a AND f.name_b = t.name_b))
        |SELECT (SELECT CAST(COUNT(1) AS BIGINT) FROM truth) AS n_truth,
        |       (SELECT CAST(COUNT(1) AS BIGINT) FROM hit) AS n_found,
        |       CASE WHEN (SELECT COUNT(1) FROM truth) = 0 THEN 1.0

@@ -207,7 +207,8 @@ object SparkEntry {
     "er_entities"       -> (EntityResolution.erEntities _),
     "er_block_recall"   -> (EntityResolution.erBlockRecall _),
     "stream_kmeans"     -> (graft.streaming.CentroidStream.streamKmeans _),
-    "skyline_incr"      -> (Skyline.skylineIncr _)
+    "skyline_incr"      -> (Skyline.skylineIncr _),
+    "er_incr"           -> (EntityResolution.erIncr _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,7 +434,11 @@ object SparkEntry {
     // the frontier-merge identity: skyline(A ∪ B) =
     // skyline(skyline(A) ∪ skyline(B)) — the incremental fold must
     // reproduce the one-shot frontier exactly
-    "skyline_incr"      -> Skyline.q44SkylineSql
+    "skyline_incr"      -> Skyline.q44SkylineSql,
+    // the incremental-ER identity: contraction + delta propagation
+    // must reproduce the full recompute exactly (append-only keys,
+    // cap not newly binding)
+    "er_incr"           -> EntityResolution.erEntitiesSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

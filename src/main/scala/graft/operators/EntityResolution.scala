@@ -60,19 +60,26 @@ object EntityResolution {
     * blocking-recall eval. */
   private val ErSampleMod = 7
 
-  /** (k, name, blk) — normalized name + blocking key per RECORD. */
-  private def names(s: SparkSession, dir: String): DataFrame =
-    Tables.part(s, dir).select(
+  /** (k, name, blk) — normalized name + blocking key per RECORD, for
+    * any part-shaped frame. */
+  private def namesOf(parts: DataFrame): DataFrame =
+    parts.select(
       col("p_partkey").as("k"),
       lower(col("p_name")).as("name"),
       element_at(split(lower(col("p_name")), " "), 2).as("blk"))
 
+  private def names(s: SparkSession, dir: String): DataFrame =
+    namesOf(Tables.part(s, dir))
+
   /** The exact-name contraction: one node per distinct name, with its
     * min-key representative and record count. (blk is functionally
     * determined by name, so the group key is just a carry.) */
-  private def distinctNames(s: SparkSession, dir: String): DataFrame =
-    names(s, dir).groupBy(col("name"), col("blk"))
+  private def dnOf(names: DataFrame): DataFrame =
+    names.groupBy(col("name"), col("blk"))
       .agg(min(col("k")).as("rep"), count(lit(1)).as("cnt"))
+
+  private def distinctNames(s: SparkSession, dir: String): DataFrame =
+    dnOf(names(s, dir))
 
   private val namesSql: String =
     """names AS (
@@ -164,6 +171,125 @@ object EntityResolution {
        |SELECT rec.k AS p_partkey, rec.entity_id, sizes.entity_size,
        |       CAST(rec.k = rec.entity_id AS INT) AS is_canonical
        |FROM rec JOIN sizes ON rec.entity_id = sizes.entity_id""".stripMargin
+
+  // ------------------------------------------------------------ er_incr
+  /** INCREMENTAL entity resolution — the daily-catalog shape: the
+    * stored state is the distinct-name table + prior entity labels per
+    * representative; an arriving record batch costs O(batch-new names ×
+    * touched blocks), never a corpus re-match. Pipeline:
+    *   1. contract the batch to its own distinct names; split into
+    *      ALREADY-KNOWN names (counts grow, zero new edges — their
+    *      pairs are baked into the prior labels) and NEW names;
+    *   2. verify new names against (snapshot ∪ new) names within
+    *      blocks, under the COMBINED block census (the full-recompute
+    *      cap semantics — the [[Dedup]] incremental-containment
+    *      lesson: per-side caps admit pairs the single-table rule
+    *      drops);
+    *   3. contract snapshot endpoints to their prior entity label and
+    *      propagate over the reduced graph (new reps + touched
+    *      entities) — a new name bridging two prior entities merges
+    *      them here;
+    *   4. relabel: snapshot reps through their (possibly re-merged)
+    *      label, new reps from the reduced fixpoint; broadcast back to
+    *      records through the merged name table; sizes recomputed.
+    * EXACTNESS: bit-identical to the full recompute (the gate's oracle
+    * IS [[erEntitiesSql]]) under two documented preconditions — batch
+    * keys ≥ stored keys (append-only ingest keeps representatives
+    * stable; a smaller key re-entering an old name routes to rebuild)
+    * and the block cap not NEWLY binding (same caveat as
+    * dedup_cc_incr's bucket caps; gate SFs sit far below it).
+    *
+    * (The snapshot-side state here is computed in-process as the
+    * stand-in for the stored table, like the other incremental gates;
+    * a real pipeline reads `dn` and `prior` from storage and runs only
+    * the batch-sized stages.) */
+  def erIncr(s: SparkSession, dir: String): DataFrame = {
+    val all = names(s, dir)
+    val Array(org.apache.spark.sql.Row(lo: Long, hi: Long)) =
+      all.agg(min(col("k")), max(col("k"))).collect()
+    val mid = lo + (hi - lo) / 2
+    // ---- stand-in for yesterday's stored state
+    val dnS = dnOf(all.where(col("k") <= mid)).persist()
+    val keepS = dnS.groupBy(col("blk")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= ErMaxBlock).select(col("blk"))
+    val keptS = dnS.join(keepS, Seq("blk"), "left_semi")
+    val edgesS = keptS.as("a").join(keptS.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name") &&
+          levenshtein(col("a.name"), col("b.name")) <= ErMaxDist)
+      .select(col("a.rep").as("da"), col("b.rep").as("db"))
+    val symS = Dedup.symmetrize(edgesS).repartition(col("src")).persist()
+    val prior = Dedup.propagateMin(s,
+      dnS.select(col("rep").as("doc_id"), col("rep").as("label")),
+      symS, "erIncr/prior")
+    symS.unpersist()
+    // ---- steady-state stages (batch-bounded): updated name → entity state
+    val state = erEntitiesVs(s, all.where(col("k") > mid), dnS, prior)
+    // ---- write-back: records relabeled through the name column (a
+    // real pipeline materializes this lazily as a view over the stored
+    // record table; it is a label join, not a re-match)
+    val sizes = state.groupBy(col("label")).agg(sum(col("cnt")).as("entity_size"))
+    all.select(col("k"), col("name"))
+      .join(state.select(col("name"), col("label")), "name")
+      .join(sizes, "label")
+      .select(col("k").as("p_partkey"), col("label").as("entity_id"),
+        col("entity_size"),
+        (col("k") === col("label")).cast("int").as("is_canonical"))
+  }
+
+  /** The genuine steady-state entry: `batchNames` (k, name, blk) rows,
+    * the STORED distinct-name table, and the STORED prior labels
+    * (rep → entity). Returns the UPDATED name state
+    * (name, rep, cnt, label) — the table a real pipeline writes back;
+    * per-record output is a label join over it (see [[erIncr]]). */
+  def erEntitiesVs(s: SparkSession, batchNames: DataFrame, dnS: DataFrame,
+      prior: DataFrame): DataFrame = {
+    val dnB = dnOf(batchNames)
+    val dnBNew = dnB.join(dnS.select(col("name")), Seq("name"), "left_anti")
+    // merged state: reps stay stable under append-only keys (min is
+    // the stored rep for known names), counts add
+    val dnAll = dnS.unionByName(dnB).groupBy(col("name"), col("blk"))
+      .agg(min(col("rep")).as("rep"), sum(col("cnt")).as("cnt"))
+      .persist()
+    // combined census — full-recompute cap semantics
+    val keep = dnAll.groupBy(col("blk")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= ErMaxBlock).select(col("blk"))
+    val keptNew = dnBNew.join(keep, Seq("blk"), "left_semi")
+    val keptAll = dnAll.join(keep, Seq("blk"), "left_semi")
+    val newEdges = keptNew.as("a").join(keptAll.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") =!= col("b.name") &&
+          levenshtein(col("a.name"), col("b.name")) <= ErMaxDist)
+      .select(col("a.rep").as("da"), col("b.rep").as("db"))
+    // contract snapshot endpoints to their prior entity label (batch-new
+    // endpoints have no prior row and keep themselves)
+    val contracted = newEdges
+      .join(prior.withColumnRenamed("doc_id", "srep"),
+        col("db") === col("srep"), "left")
+      .select(col("da"), coalesce(col("label"), col("db")).as("db"))
+    val redNodes = dnBNew.select(col("rep").as("doc_id"))
+      .unionByName(contracted.select(col("db").as("doc_id")))
+      .distinct()
+    val symR = Dedup.symmetrize(contracted).persist()
+    val red = Dedup.propagateMin(s,
+      redNodes.select(col("doc_id"), col("doc_id").as("label")),
+      symR, "erIncr/delta")
+    symR.unpersist()
+    val redLab = red.select(col("doc_id").as("rid"), col("label").as("rlabel"))
+    // final rep → entity: snapshot reps re-route through their prior
+    // label's (possibly re-merged) reduced fixpoint; batch-new reps
+    // read the fixpoint directly
+    val snapLab = prior.join(redLab, col("label") === col("rid"), "left")
+      .select(col("doc_id").as("rep"), coalesce(col("rlabel"), col("label")).as("label"))
+    val newLab = red.join(dnBNew.select(col("rep")),
+        col("doc_id") === col("rep"))
+      .select(col("rep"), col("label"))
+    val repLab = snapLab.unionByName(newLab)
+    val state = dnAll.select(col("name"), col("rep"), col("cnt"))
+      .join(repLab, "rep")
+      .select(col("name"), col("rep"), col("cnt"), col("label"))
+      .localCheckpoint()
+    dnAll.unpersist()
+    state
+  }
 
   /** Blocking-recall eval: over a deterministic representative-key
     * sample of DISTINCT names, compare the blocked pipeline's matches

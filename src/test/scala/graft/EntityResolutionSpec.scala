@@ -52,6 +52,30 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(got(35L) == (35L, 1L, 1))
   }
 
+  test("incremental ER: a batch name bridging two prior entities merges them; equals full recompute") {
+    val d = java.nio.file.Files.createTempDirectory("graft-er-incr").toString
+    Seq(
+      // snapshot side (keys <= mid = 53)
+      (2L, "aaaa widget"),  // prior entity X
+      (4L, "cccc widget"),  // prior entity Y (dist to X = 4: separate)
+      (6L, "gggg anvil"),   // prior singleton
+      // batch side (keys > mid)
+      (100L, "aacc widget"), // dist 2 to BOTH X and Y — must bridge them
+      (102L, "cccc widget"), // exact duplicate of a known name
+      (104L, "zzzz gear"))   // brand-new singleton
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val incr = EntityResolution.erIncr(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    val full = EntityResolution.erEntities(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(incr == full, "incremental must equal the full recompute exactly")
+    assert(incr(2L) == (2L, 4L, 1) && incr(4L) == (2L, 4L, 0) &&
+      incr(100L) == (2L, 4L, 0) && incr(102L) == (2L, 4L, 0),
+      s"bridged entity wrong: $incr")
+    assert(incr(6L) == (6L, 1L, 1) && incr(104L) == (104L, 1L, 1))
+  }
+
   test("blocking recall eval counts the cross-block miss honestly") {
     val r = EntityResolution.erBlockRecall(spark, dir).head()
     // truth: (red widgex, red widget), (blue, bluu), (blue, bluz),

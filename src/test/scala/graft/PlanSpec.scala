@@ -333,4 +333,51 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs.size >= 2,
       s"the struct-min must partial-aggregate before its exchange:\n$p")
   }
+
+  test("er_pairs: name contraction partial-aggregates; no cartesian; 2-column scan") {
+    val p = plan(graft.operators.EntityResolution.erPairs(spark, dir))
+    val txt = p.toString
+    // the distinct-name contraction must combine map-side — at scale
+    // the raw record stream never crosses the wire. (Catalyst prunes
+    // the unused min(k) representative and the p_partkey column out of
+    // this path entirely — the pairs gate reads ONE column.)
+    assert(txt.contains("partial_count"),
+      s"contraction must partial-aggregate:\n$txt")
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no cartesian in blocked ER:\n$txt")
+    val rs = scans(graft.operators.EntityResolution.erPairs(spark, dir))
+      .head.metadata("ReadSchema")
+    assert(rs.contains("p_name") && !rs.contains("p_partkey") &&
+      !rs.contains("p_type") && !rs.contains("p_retailprice"),
+      s"only the name column may be read: $rs")
+  }
+
+  test("skyline: one shuffle total (the candidate repartition); census broadcasts") {
+    val p = plan(graft.operators.Skyline.q44Skyline(spark, dir))
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // local frontiers → repartition(1) is the ONLY shuffle of point
+    // data; the dominance census joins via broadcast, and the final
+    // n_dominated aggregation groups the already-tiny frontier
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"census must broadcast, not cartesian:\n$p")
+    assert(p.toString.contains("BroadcastNestedLoopJoin"),
+      s"dominance census must be a broadcast nested-loop join:\n$p")
+    assert(exchanges.size <= 3, s"frontier shuffle + census agg only:\n$p")
+  }
+
+  test("stream_kmeans state: (Σ, n) partial-aggregates before one exchange") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val p = plan(graft.operators.KMeans.cellStateOf(emb,
+      graft.operators.KMeans.frozenSeeds(spark, dir)))
+    assert(p.toString.contains("partial_sum") && p.toString.contains("partial_count"),
+      s"cell state must combine map-side:\n$p")
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size <= 1, s"one state exchange only:\n$p")
+  }
 }

@@ -746,4 +746,45 @@ object Relational {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM ev
       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- dq_skew_report
+  /** Join-key skew census — the report an engineer reads BEFORE
+    * keying a 100-TB shuffle on a column: per-key row counts for
+    * `orders.o_custkey` reduced to the distribution summary that
+    * decides between a plain shuffle join, AQE skew splitting, or
+    * salting. Two aggregations: per-key counts (map-side combined),
+    * then a |keys|-row summary — exact percentiles over the COUNT
+    * table, never the row table (q23's `percentile`/`quantile_cont`
+    * cross-engine pair). `top1_share_ppm` is integer parts-per-million
+    * so the headline skew number hash-checks without an IEEE division.
+    */
+  def dqSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      min(col("cnt")).as("min_cnt"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5)").as("p50_cnt"),
+      expr("percentile(cnt, 0.9)").as("p90_cnt"),
+      expr("percentile(cnt, 0.99)").as("p99_cnt"))
+      .select(col("n_keys"), col("n_rows"), col("min_cnt"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        expr("(max_cnt * 1000000) div n_rows").as("top1_share_ppm"))
+  }
+
+  val dqSkewReportSql: String =
+    """WITH counts AS (
+      |  SELECT o_custkey, CAST(COUNT(1) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT CAST(COUNT(1) AS BIGINT) AS n_keys,
+      |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |       MIN(cnt) AS min_cnt,
+      |       MAX(cnt) AS max_cnt,
+      |       quantile_cont(cnt, 0.5) AS p50_cnt,
+      |       quantile_cont(cnt, 0.9) AS p90_cnt,
+      |       quantile_cont(cnt, 0.99) AS p99_cnt,
+      |       MAX(cnt) * 1000000 // CAST(SUM(cnt) AS BIGINT) AS top1_share_ppm
+      |FROM counts""".stripMargin
 }

@@ -597,4 +597,48 @@ object Relational2 {
        |FROM p
        |LEFT JOIN t ON p.purchase_id = t.purchase_id
        |LEFT JOIN n ON p.purchase_id = n.purchase_id""".stripMargin
+
+  // -------------------------------------------------- events_paths
+  /** Entry-path mining — the top-of-funnel table `events_transitions`'
+    * bigram view cannot give: each user's FIRST [[PathK]] event types
+    * in time order, concatenated to a path key, counted across users.
+    * Path cardinality is bounded by |event_types|^K (the reason K is
+    * small and fixed), so the aggregation output is tiny however large
+    * the corpus. The per-user window is user-bounded (the window
+    * carve-out); the rank prefilter drops everything beyond rank K
+    * BEFORE the path aggregation. Ordering inside the path uses the
+    * deterministic (ts_us, event_id) tie-break shared with
+    * transitions/funnel. */
+  private val PathK = 3
+
+  def eventsPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= PathK)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"),
+        count(lit(1)).as("len"))
+      .groupBy(col("path"), col("len"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val eventsPathsSql: String =
+    Tables.eventsCteSql +
+    s""",
+       |r AS (
+       |  SELECT user_id, event_type,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+       |  FROM ev),
+       |paths AS (
+       |  SELECT user_id,
+       |         string_agg(event_type, '>' ORDER BY rn) AS path,
+       |         CAST(COUNT(1) AS BIGINT) AS len
+       |  FROM r WHERE rn <= $PathK GROUP BY user_id)
+       |SELECT path, len, CAST(COUNT(1) AS BIGINT) AS n_users
+       |FROM paths GROUP BY path, len""".stripMargin
 }

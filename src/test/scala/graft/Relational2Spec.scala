@@ -182,4 +182,36 @@ class Relational2Spec extends AnyFunSuite {
     // the fixture must exercise the split path, or this pins nothing
     assert(byP.values.exists(_.head._3 >= 2), "need a multi-touch purchase at spec SF")
   }
+
+  test("events_paths: user partition, time order, and coverage") {
+    val ev = Tables.events(spark, dir)
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val rows = Relational2.eventsPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every user lands in exactly one path bucket
+    assert(rows.map(_._3).sum == nUsers)
+    rows.foreach { case (path, len, _) =>
+      assert(len >= 1 && len <= 3)
+      assert(path.split(">").length == len, s"path '$path' vs len $len")
+    }
+    // differential: rebuild one user's prefix by hand
+    val u = ev.select(col("user_id")).head().getLong(0)
+    val expect = ev.where(col("user_id") === u)
+      .orderBy(col("ts_us"), col("event_id")).limit(3)
+      .collect().map(_.getAs[String]("event_type")).mkString(">")
+    assert(rows.exists(_._1 == expect),
+      s"user $u's prefix '$expect' must appear as a path")
+  }
+
+  test("dq_skew_report: internally consistent against the raw count table") {
+    val r = graft.operators.Relational.dqSkewReport(spark, dir).head()
+    val counts = Tables.orders(spark, dir).groupBy(col("o_custkey")).count()
+      .collect().map(_.getLong(1)).sorted
+    assert(r.getLong(0) == counts.length)           // n_keys
+    assert(r.getLong(1) == counts.sum)              // n_rows
+    assert(r.getLong(2) == counts.head && r.getLong(3) == counts.last)
+    assert(r.getLong(7) == counts.last * 1000000L / counts.sum)
+    // percentile ordering sanity
+    assert(r.getDouble(4) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(6))
+  }
 }

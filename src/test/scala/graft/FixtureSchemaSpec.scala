@@ -112,4 +112,20 @@ class FixtureSchemaSpec extends AnyFunSuite {
       "embedding" -> one(ArrayType(FloatType, containsNull = true)),
       "label" -> one(IntegerType)))
   }
+
+  test("dq_profile contract covers real columns and agrees with direct counts") {
+    // the profiling map is a static two-engine contract — every column
+    // it names must exist (drift fails here with the column named)
+    val prof = graft.operators.Profiling.dqProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(prof.size == 48, s"expected 48 profiled columns, got ${prof.size}")
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val (n, nd) = (docs.count(), docs.select(col("lang")).distinct().count())
+    assert(prof(("documents", "lang")) == (n, 0L, nd))
+    val li = Tables.lineitem(spark, dir)
+    assert(prof(("lineitem", "l_orderkey")) ==
+      (li.count(), 0L, li.select(col("l_orderkey")).distinct().count()))
+  }
 }

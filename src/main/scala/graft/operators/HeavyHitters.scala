@@ -366,4 +366,79 @@ object HeavyHitters {
        |JOIN ex x ON x.lang = t.lang AND x.pct = t.pct
        |JOIN est s ON s.lang = t.lang AND s.pct = t.pct""".stripMargin
   }
+
+  // ------------------------------------------------ dq_join_estimate
+  /** Equi-join cardinality estimation by Count-Min INNER PRODUCT
+    * (Cormode & Muthukrishnan 2005, §4.3): |R ⋈ S| on a key is
+    * Σ_v f_R(v)·f_S(v), and the sketch estimate is
+    * min_r Σ_j cms_R[r][j]·cms_S[r][j] — an upper bound with expected
+    * overcount |R||S|/w. The planner-side use: decide broadcast vs
+    * shuffle vs skew handling from two O(d·w) sketches WITHOUT
+    * touching either table again (sketches are maintained
+    * incrementally by the [[graft.streaming.SketchStream]] fold).
+    *
+    * This gate uses a wider row than the token sketch
+    * ([[JoinW]] = 2¹⁶: |lineitem|·|orders|/w ≈ 23% at sf0.01, vs the
+    * useless 512-bucket row whose collision mass would swamp the
+    * answer — the width is THE accuracy knob and is sized from the
+    * expected |R||S|). Estimate arithmetic is exact integer (counter
+    * dot products, min over d rows) so it hash-checks; the exact join
+    * count rides along with the signed overcount — the eval-harness
+    * discipline: measure the estimator against truth, don't trust it.
+    * Driver state: two d·w counter arrays (512 KiB at JoinW) — the
+    * same bounded-collect contract as the sketch family. */
+  val JoinW = 65536
+
+  def dqJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.CountMinAgg(
+      CmsD, JoinW, CmsA.toArray, CmsB.toArray, Dedup.P)
+    def sketchOf(df: org.apache.spark.sql.DataFrame, key: String): IndexedSeq[Long] =
+      df.select(expr(
+          s"cast(conv(substr(md5(cast($key as string)), 1, 15), 16, 10) as bigint) % 4294967296")
+          .as("x"))
+        .as[Long].select(agg.toColumn.name("cms")).head().toIndexedSeq
+    val l = sketchOf(Tables.lineitem(s, dir), "l_orderkey")
+    val o = sketchOf(Tables.orders(s, dir), "o_orderkey")
+    var est = Long.MaxValue
+    var r = 0
+    while (r < CmsD) {
+      var dot = 0L
+      var j = 0
+      while (j < JoinW) { dot += l(r * JoinW + j) * o(r * JoinW + j); j += 1 }
+      if (dot < est) est = dot
+      r += 1
+    }
+    val exact = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    Seq((est, exact, est - exact)).toDF("est_join", "exact_join", "overcount")
+  }
+
+  val dqJoinEstimateSql: String = {
+    val hrows = (0 until CmsD).map(r => s"($r, ${CmsA(r)}, ${CmsB(r)})").mkString(", ")
+    s"""WITH hs AS (SELECT * FROM (VALUES $hrows) AS v(r, ha, hb)),
+       |lx AS (
+       |  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+       |           % 4294967296 AS x
+       |  FROM lineitem),
+       |ox AS (
+       |  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+       |           % 4294967296 AS x
+       |  FROM orders),
+       |lb AS (SELECT r, ((ha * x + hb) % ${Dedup.P}) % $JoinW AS bkt,
+       |              CAST(COUNT(1) AS BIGINT) AS c
+       |       FROM lx CROSS JOIN hs GROUP BY 1, 2),
+       |ob AS (SELECT r, ((ha * x + hb) % ${Dedup.P}) % $JoinW AS bkt,
+       |              CAST(COUNT(1) AS BIGINT) AS c
+       |       FROM ox CROSS JOIN hs GROUP BY 1, 2),
+       |ip AS (SELECT l.r, CAST(SUM(l.c * o.c) AS BIGINT) AS dotp
+       |       FROM lb l JOIN ob o ON l.r = o.r AND l.bkt = o.bkt GROUP BY l.r),
+       |est AS (SELECT MIN(dotp) AS est_join FROM ip),
+       |ex AS (SELECT CAST(COUNT(1) AS BIGINT) AS exact_join
+       |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT est.est_join, ex.exact_join, est.est_join - ex.exact_join AS overcount
+       |FROM est, ex""".stripMargin
+  }
 }

@@ -57,4 +57,18 @@ class CountMinSpec extends AnyFunSuite {
       assert(o == e - c)
     }
   }
+
+  test("dq_join_estimate: CMS inner product upper-bounds the exact join size") {
+    val r = HeavyHitters.dqJoinEstimate(spark, "/root/testdata/sf0.001").head()
+    val (est, exact, over) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // collisions only ADD counter mass: the inner-product estimate can
+    // never undercount the true Σ f_R(v)·f_S(v)
+    assert(est >= exact, s"est $est < exact $exact")
+    assert(over == est - exact)
+    assert(exact > 0, "fixture join must be non-empty")
+    // width sized so collision mass stays a fraction of the signal:
+    // E[over] = |R||S|/w per row; keep the gate honest about it
+    assert(over.toDouble <= exact.toDouble,
+      s"overcount $over must not swamp the signal $exact at spec SF")
+  }
 }

@@ -212,7 +212,8 @@ object SparkEntry {
     "events_paths"      -> (Relational2.eventsPaths _),
     "dq_skew_report"    -> (Relational.dqSkewReport _),
     "dq_profile"        -> (Profiling.dqProfile _),
-    "dq_join_estimate"  -> (HeavyHitters.dqJoinEstimate _)
+    "dq_join_estimate"  -> (HeavyHitters.dqJoinEstimate _),
+    "ivm_dim"           -> (Ivm.ivmDim _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -446,7 +447,10 @@ object SparkEntry {
     "events_paths"      -> Relational2.eventsPathsSql,
     "dq_skew_report"    -> Relational.dqSkewReportSql,
     "dq_profile"        -> Profiling.dqProfileSql,
-    "dq_join_estimate"  -> HeavyHitters.dqJoinEstimateSql
+    "dq_join_estimate"  -> HeavyHitters.dqJoinEstimateSql,
+    // dim-side view maintenance: remapping the fact pre-aggregate
+    // through the dim feed must equal re-joining against the new dim
+    "ivm_dim"           -> Ivm.ivmDimSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

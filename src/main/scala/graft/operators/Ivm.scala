@@ -310,4 +310,89 @@ object Ivm {
        |SELECT source, lang, CAST(COUNT(1) AS BIGINT) AS n_docs,
        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM v2 GROUP BY source, lang""".stripMargin
+
+  // ----------------------------------------------------------- ivm_dim
+  /** Join-view maintenance under DIMENSION changes — the direction
+    * [[ivmJoin]] doesn't cover, and the one that naively forces a fact
+    * rescan (a customer moving nations invalidates every one of their
+    * orders' contributions). The classic IVM answer is a KEY-LEVEL
+    * PRE-AGGREGATE on the fact side: `preagg(c_custkey) → (n, rev)` —
+    * O(|dim|) state maintained by the fact feed for free — so a dim
+    * change only REMAPS already-aggregated rows:
+    * retract (old nation ← preagg(key)), add (new nation ← preagg(key)),
+    * for exactly the customers whose nation changed (plus dim
+    * deletes/inserts). Cost: |Δdim| join rows against the pre-aggregate
+    * + one view merge — the fact table is never rescanned.
+    *
+    * The feed is RELEVANCE-FILTERED first: an update that doesn't move
+    * the view's group-by column (an address change) contributes nothing
+    * and is dropped before the join. Updates that do move: the same
+    * signed retract/add algebra as [[applyJoinFeed]], DECIMAL money
+    * discipline throughout. */
+  def applyDimFeed(view: DataFrame, feed: DataFrame, preagg: DataFrame): DataFrame = {
+    val relevant = feed.where(col("op") === "delete" || col("op") === "insert" ||
+      !(col("o_c_nationkey") <=> col("n_c_nationkey")))
+    val retr = relevant.where(col("op").isin("update", "delete"))
+      .select(col("c_custkey"), col("o_c_nationkey").as("nationkey"), lit(-1L).as("w"))
+    val ins = relevant.where(col("op").isin("update", "insert"))
+      .select(col("c_custkey"), col("n_c_nationkey").as("nationkey"), lit(1L).as("w"))
+    val delta = retr.union(ins)
+      .join(preagg, Seq("c_custkey")) // inner: a dim key with no facts is a no-op
+      .groupBy(col("nationkey").cast("long").as("nationkey"))
+      .agg(sum(col("w") * col("pn")).as("d_n"),
+        sum(when(col("w") > 0, col("prev")).otherwise(-col("prev"))).as("d_rev"))
+    val v = view.as("v")
+    val d = delta.as("d")
+    v.join(d, col("v.nationkey") <=> col("d.nationkey"), "full_outer")
+      .select(
+        coalesce(col("v.nationkey"), col("d.nationkey")).as("nationkey"),
+        (coalesce(col("v.n_orders"), lit(0L)) + coalesce(col("d.d_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("v.revenue"), decP(lit(0))) +
+          coalesce(col("d.d_rev"), decP(lit(0)))).as("revenue"))
+      .where(col("n_orders") > 0)
+  }
+
+  /** The fact-side pre-aggregate (per dim key): maintained by the fact
+    * change feed in a real pipeline; built in-process here as the
+    * stored-state stand-in. */
+  private def custPreagg(facts: DataFrame): DataFrame =
+    facts.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("pn"), sum(decP(col("o_totalprice"))).as("prev"))
+
+  /** Nation migration on every 4th customer; every 9th ≡ 2 customer
+    * churns (delete) — their orders drop out of the view entirely. */
+  private def custBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).where(col("c_custkey") % 4 === 0)
+      .withColumn("c_nationkey", ((col("c_nationkey") + 7) % 25).cast("int"))
+
+  private[graft] def custV1(s: SparkSession, dir: String): DataFrame =
+    Snapshots.upsertOver(Tables.customer(s, dir), custBatch(s, dir), "c_custkey")
+      .drop("op").where(col("c_custkey") % 9 =!= 2)
+
+  /** Gate: maintain the per-nation join view under the customer-dim
+    * change from v0 to v1; oracle recomputes the join over v1. */
+  def ivmDim(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir)
+    val cust0 = Tables.customer(s, dir)
+    val feed = changeFeedOver(cust0, custV1(s, dir), "c_custkey")
+    applyDimFeed(joinViewOf(facts, cust0), feed, custPreagg(facts))
+      .select(col("nationkey"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"))
+  }
+
+  val ivmDimSql: String =
+    """WITH b AS (SELECT c_custkey, c_name,
+      |                  CAST((c_nationkey + 7) % 25 AS INT) AS c_nationkey,
+      |                  c_acctbal, c_mktsegment
+      |           FROM customer WHERE c_custkey % 4 = 0),
+      |m AS (SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+      |             COALESCE(b.c_nationkey, c.c_nationkey) AS c_nationkey
+      |      FROM customer c FULL OUTER JOIN b ON c.c_custkey = b.c_custkey),
+      |c1 AS (SELECT * FROM m WHERE c_custkey % 9 <> 2)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |       CAST(COUNT(1) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN c1 ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
 }

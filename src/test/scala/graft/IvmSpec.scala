@@ -86,6 +86,25 @@ class IvmSpec extends AnyFunSuite {
     assert(migrated.count() > 0, "need at least one cross-nation migration")
   }
 
+  test("dim view: dim-side feed remaps the fact pre-aggregate, incl. churn") {
+    val dir = "/root/testdata/sf0.001"
+    val maintained = Ivm.ivmDim(spark, dir)
+    val recomputed = Ivm.joinViewOf(
+        Tables.orders(spark, dir), Ivm.custV1(spark, dir))
+      .select(col("nationkey"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"))
+    assert(setOf(maintained) == setOf(recomputed))
+    // the hard cases really fire on this fixture: a nation migration
+    // and a customer deletion both appear in the feed
+    val feed = Ivm.changeFeedOver(
+      Tables.customer(spark, dir), Ivm.custV1(spark, dir), "c_custkey")
+    assert(feed.where(col("op") === "update" &&
+      col("o_c_nationkey") =!= col("n_c_nationkey")).count() > 0,
+      "need at least one nation migration")
+    assert(feed.where(col("op") === "delete").count() > 0,
+      "need at least one churned customer")
+  }
+
   test("the delta aggregation partial-aggregates before the exchange") {
     // the maintenance cost claim is O(|changes|) with map-side combine:
     // the plan must show a partial HashAggregate below the exchange for

@@ -213,7 +213,8 @@ object SparkEntry {
     "dq_skew_report"    -> (Relational.dqSkewReport _),
     "dq_profile"        -> (Profiling.dqProfile _),
     "dq_join_estimate"  -> (HeavyHitters.dqJoinEstimate _),
-    "ivm_dim"           -> (Ivm.ivmDim _)
+    "ivm_dim"           -> (Ivm.ivmDim _),
+    "sql_recursive"     -> (SqlSurface.qSqlRecursive _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -450,7 +451,9 @@ object SparkEntry {
     "dq_join_estimate"  -> HeavyHitters.dqJoinEstimateSql,
     // dim-side view maintenance: remapping the fact pre-aggregate
     // through the dim feed must equal re-joining against the new dim
-    "ivm_dim"           -> Ivm.ivmDimSql
+    "ivm_dim"           -> Ivm.ivmDimSql,
+    // one recursive-CTE string, both engines verbatim
+    "sql_recursive"     -> SqlSurface.sqlRecursive
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -101,4 +101,28 @@ object SqlSurface {
     registerViews(s, dir)
     s.sql(sqlLateral)
   }
+
+  /** RECURSIVE CTE — ONE ANSI string both engines execute verbatim
+    * (Spark 4.x `WITH RECURSIVE` / DuckDB native): a doubling-threshold
+    * ladder (1, 2, 4, … 2²⁰) LEFT-joined against orders to read the
+    * revenue distribution by order size. The recursion is a bounded
+    * integer ladder (21 rows — provably terminating, no cycle hazard);
+    * the fan-out is a 21×|orders| theta join where the 21-row side
+    * broadcasts. DECIMAL money discipline as everywhere; COUNT(col)
+    * counts matched rows only, so empty thresholds surface as 0. */
+  val sqlRecursive: String =
+    """WITH RECURSIVE t(p) AS (
+      |  SELECT 1
+      |  UNION ALL
+      |  SELECT p * 2 FROM t WHERE p < 1048576)
+      |SELECT t.p AS threshold,
+      |       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_below,
+      |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_below
+      |FROM t LEFT JOIN orders o ON o.o_totalprice < t.p
+      |GROUP BY t.p""".stripMargin
+
+  def qSqlRecursive(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(sqlRecursive)
+  }
 }

@@ -214,7 +214,8 @@ object SparkEntry {
     "dq_profile"        -> (Profiling.dqProfile _),
     "dq_join_estimate"  -> (HeavyHitters.dqJoinEstimate _),
     "ivm_dim"           -> (Ivm.ivmDim _),
-    "sql_recursive"     -> (SqlSurface.qSqlRecursive _)
+    "sql_recursive"     -> (SqlSurface.qSqlRecursive _),
+    "pipeline_rules"    -> (Pipeline.pipelineRules _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -453,7 +454,8 @@ object SparkEntry {
     // through the dim feed must equal re-joining against the new dim
     "ivm_dim"           -> Ivm.ivmDimSql,
     // one recursive-CTE string, both engines verbatim
-    "sql_recursive"     -> SqlSurface.sqlRecursive
+    "sql_recursive"     -> SqlSurface.sqlRecursive,
+    "pipeline_rules"    -> Pipeline.pipelineRulesSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -425,4 +425,59 @@ object Pipeline {
        |SELECT doc_id, source, shard,
        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
        |FROM sh""".stripMargin
+
+  // --------------------------------------------------- pipeline_rules
+  /** Rule-gated ingestion funnel — the per-source accounting of the
+    * standard "filter cheap, dedup what survives" front half:
+    * [[graft.operators.TextAnalysis.taGopherRules]]' `passes` is the
+    * scan-speed floor, exact-dup keepers are chosen AMONG THE PASSERS
+    * (filter-then-dedup: the dedup shuffle carries only surviving
+    * rows), and the per-source card reports docs in → rule-passers →
+    * kept canonicals → kept token mass (the gopher pass's own
+    * `n_words` — ONE scan feeds both the rules and the budget).
+    * Composes three verified operators; the oracle nests the gopher
+    * SQL verbatim, so a rule change re-verifies the whole funnel. */
+  def pipelineRules(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val g = TextAnalysis.taGopherRules(s, dir)
+      .select(col("doc_id"), col("n_words"), col("passes"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      md5(TextAnalysis.normalized(col("text"))).as("fp"))
+    val p = d.join(g, "doc_id").where(col("passes") === 1)
+    val keep = p.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    val kept = p.join(keep,
+      p("fp") === keep("fp") && p("doc_id") === keep("keeper"))
+    val tot = Tables.documents(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val pass = p.groupBy(col("source")).agg(count(lit(1)).as("n_pass"))
+    val kk = kept.groupBy(p("source").as("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_words")).as("tokens_kept"))
+    tot.join(pass, Seq("source"), "left").join(kk, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_pass"), lit(0L)).as("n_pass"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+  }
+
+  val pipelineRulesSql: String =
+    s"""WITH g AS (${graft.operators.TextAnalysis.taGopherRulesSql}),
+       |d AS (SELECT doc_id, source,
+       |             md5(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))) AS fp
+       |      FROM documents),
+       |p AS (SELECT d.doc_id, d.source, d.fp, g.n_words
+       |      FROM d JOIN g ON d.doc_id = g.doc_id WHERE g.passes = 1),
+       |k AS (SELECT fp, MIN(doc_id) AS keeper FROM p GROUP BY fp),
+       |kept AS (SELECT p.* FROM p JOIN k ON p.fp = k.fp AND p.doc_id = k.keeper),
+       |tot AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs
+       |        FROM documents GROUP BY source),
+       |pp AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n_pass FROM p GROUP BY source),
+       |kk AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n_kept,
+       |              CAST(SUM(n_words) AS BIGINT) AS tokens_kept
+       |       FROM kept GROUP BY source)
+       |SELECT tot.source, tot.n_docs,
+       |       COALESCE(pp.n_pass, 0) AS n_pass,
+       |       COALESCE(kk.n_kept, 0) AS n_kept,
+       |       COALESCE(kk.tokens_kept, 0) AS tokens_kept
+       |FROM tot LEFT JOIN pp ON tot.source = pp.source
+       |LEFT JOIN kk ON tot.source = kk.source""".stripMargin
 }

@@ -80,4 +80,46 @@ object Profiling {
     }
     Tables.eventsCteSql + "\n" + selects.mkString("\nUNION ALL\n")
   }
+
+  // ------------------------------------------------------ dq_fk_check
+  /** Referential-integrity audit over the warehouse's FK edges: per
+    * edge, child row count and ORPHAN count (child keys with no parent
+    * row) — the join-before-you-join check that catches a truncated
+    * parent load before a silent inner-join row loss. Each edge is one
+    * LEFT ANTI join on the key (broadcast when the parent is small, a
+    * key-only shuffle otherwise — the child's payload columns are
+    * pruned); the edge list is the same static-contract style as
+    * [[ProfileTables]]. */
+  private val FkEdges: Seq[(String, String, String, String)] = Seq(
+    // (childTable, childKey, parentTable, parentKey)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  def dqFkCheck(s: SparkSession, dir: String): DataFrame = {
+    val perEdge = FkEdges.map { case (ct, ck, pt, pk) =>
+      val child = tableOf(s, dir, ct).select(col(ck))
+      val parent = tableOf(s, dir, pt).select(col(pk))
+      val orphans = child.join(parent, col(ck) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(s"$ct.$ck").as("fk"), lit(s"$pt.$pk").as("ref"),
+          col("n_child"), col("n_orphans"))
+    }
+    perEdge.reduce(_.unionByName(_))
+  }
+
+  val dqFkCheckSql: String = {
+    val selects = FkEdges.map { case (ct, ck, pt, pk) =>
+      s"""SELECT '$ct.$ck' AS fk, '$pt.$pk' AS ref,
+         |  (SELECT CAST(COUNT(1) AS BIGINT) FROM $ct) AS n_child,
+         |  (SELECT CAST(COUNT(1) AS BIGINT) FROM $ct c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE c.$ck = p.$pk)) AS n_orphans""".stripMargin
+    }
+    selects.mkString("\nUNION ALL\n")
+  }
 }

@@ -216,7 +216,8 @@ object SparkEntry {
     "ivm_dim"           -> (Ivm.ivmDim _),
     "sql_recursive"     -> (SqlSurface.qSqlRecursive _),
     "pipeline_rules"    -> (Pipeline.pipelineRules _),
-    "dq_fk_check"       -> (Profiling.dqFkCheck _)
+    "dq_fk_check"       -> (Profiling.dqFkCheck _),
+    "stream_er"         -> (EntityResolution.streamEr _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -457,7 +458,10 @@ object SparkEntry {
     // one recursive-CTE string, both engines verbatim
     "sql_recursive"     -> SqlSurface.sqlRecursive,
     "pipeline_rules"    -> Pipeline.pipelineRulesSql,
-    "dq_fk_check"       -> Profiling.dqFkCheckSql
+    "dq_fk_check"       -> Profiling.dqFkCheckSql,
+    // the ER maintenance identity: bootstrap + steady-state fold must
+    // equal the full recompute
+    "stream_er"         -> EntityResolution.erEntitiesSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -71,6 +71,10 @@ object EntityResolution {
   private def names(s: SparkSession, dir: String): DataFrame =
     namesOf(Tables.part(s, dir))
 
+  /** Public batch-ingest entry for the streaming sink: any part-shaped
+    * frame → (k, name, blk) rows. */
+  private[graft] def namesOfParts(parts: DataFrame): DataFrame = namesOf(parts)
+
   /** The exact-name contraction: one node per distinct name, with its
     * min-key representative and record count. (blk is functionally
     * determined by name, so the group key is just a carry.) */
@@ -227,13 +231,7 @@ object EntityResolution {
     // ---- write-back: records relabeled through the name column (a
     // real pipeline materializes this lazily as a view over the stored
     // record table; it is a label join, not a re-match)
-    val sizes = state.groupBy(col("label")).agg(sum(col("cnt")).as("entity_size"))
-    all.select(col("k"), col("name"))
-      .join(state.select(col("name"), col("label")), "name")
-      .join(sizes, "label")
-      .select(col("k").as("p_partkey"), col("label").as("entity_id"),
-        col("entity_size"),
-        (col("k") === col("label")).cast("int").as("is_canonical"))
+    recordsUnder(all, state)
   }
 
   /** The genuine steady-state entry: `batchNames` (k, name, blk) rows,
@@ -289,6 +287,57 @@ object EntityResolution {
       .localCheckpoint()
     dnAll.unpersist()
     state
+  }
+
+  // --------------------------------------------- stream_er (state fold)
+  /** Empty name-state frame (the bootstrap predecessor): erEntitiesVs
+    * run against it degenerates to a from-scratch build over the batch
+    * alone — ONE code path backfills and maintains, the
+    * [[Ivm.streamIvm]] discipline. */
+  private[graft] def emptyState(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long, Long, Long)].toDF("name", "rep", "cnt", "label")
+  }
+
+  /** Stored state → the (dn, prior) pair the steady-state entry reads.
+    * blk is functionally determined by name, so it is recomputed rather
+    * than stored. */
+  private[graft] def dnOfState(state: DataFrame): DataFrame =
+    state.select(col("name"),
+      element_at(split(col("name"), " "), 2).as("blk"),
+      col("rep"), col("cnt"))
+
+  private[graft] def priorOfState(state: DataFrame): DataFrame =
+    state.select(col("rep").as("doc_id"), col("label")).distinct()
+
+  /** Record-level output from a name state: label join + skew-safe
+    * sizes — the write-back view shared by [[erIncr]] and the stream
+    * gate. */
+  private def recordsUnder(records: DataFrame, state: DataFrame): DataFrame = {
+    val sizes = state.groupBy(col("label")).agg(sum(col("cnt")).as("entity_size"))
+    records.select(col("k"), col("name"))
+      .join(state.select(col("name"), col("label")), "name")
+      .join(sizes, "label")
+      .select(col("k").as("p_partkey"), col("label").as("entity_id"),
+        col("entity_size"),
+        (col("k") === col("label")).cast("int").as("is_canonical"))
+  }
+
+  /** Gate: the two-range-batch fold of the catalog through the ER
+    * state maintenance (bootstrap-from-empty, then one steady-state
+    * step), relabeled over all records; oracle IS the full recompute
+    * ([[erEntitiesSql]]) — the maintenance identity under the same
+    * preconditions as [[erIncr]]. */
+  def streamEr(s: SparkSession, dir: String): DataFrame = {
+    val all = names(s, dir)
+    val Array(org.apache.spark.sql.Row(lo: Long, hi: Long)) =
+      all.agg(min(col("k")), max(col("k"))).collect()
+    val mid = lo + (hi - lo) / 2
+    val s1 = erEntitiesVs(s, all.where(col("k") <= mid),
+      dnOfState(emptyState(s)), priorOfState(emptyState(s)))
+    val s2 = erEntitiesVs(s, all.where(col("k") > mid),
+      dnOfState(s1), priorOfState(s1))
+    recordsUnder(all, s2)
   }
 
   /** Blocking-recall eval: over a deterministic representative-key

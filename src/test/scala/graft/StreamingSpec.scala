@@ -722,6 +722,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored() == oneShot, "batch replay must be a no-op")
   }
 
+  test("streaming ER maintenance: checkpointed restart + replay equal the full recompute") {
+    import graft.streaming.ErStream
+    import graft.operators.EntityResolution
+    val sf = "/root/testdata/sf0.001"
+    val part = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), col("p_name"))
+    val ids = part.select(min(col("p_partkey")), max(col("p_partkey"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = part.where(col("p_partkey") <= mid)
+    val b2 = part.where(col("p_partkey") > mid)
+    val src = Files.createTempDirectory("graft-er-src")
+    val table = Files.createTempDirectory("graft-er-tab").toString
+    val ckpt = Files.createTempDirectory("graft-er-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-er-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(b1.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(ErStream.erSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    def stateLabels(): Set[(String, Long, Long, Long)] =
+      ErStream.storedState(spark, table).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    addFile(b1, "b1.parquet"); run()          // launch 1: bootstrap
+    addFile(b2, "b2.parquet"); run()          // RESTART: steady-state step
+    // the streamed fold must label records exactly like the recompute
+    val full = EntityResolution.erEntities(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val folded = EntityResolution.streamEr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(folded == full, "two-batch fold must equal the recompute")
+    val viaSink = stateLabels()
+    // at-least-once delivery: replaying the steady-state batch re-reads
+    // the same predecessor — the state must not change
+    ErStream.erSink(table)(b2, 1L)
+    assert(stateLabels() == viaSink, "batch replay must be a no-op")
+    // and the sink's state agrees with the in-process fold's labels
+    val foldState = {
+      val all = EntityResolution.namesOfParts(part)
+      val s1 = EntityResolution.erEntitiesVs(spark, all.where(col("k") <= mid),
+        EntityResolution.dnOfState(EntityResolution.emptyState(spark)),
+        EntityResolution.priorOfState(EntityResolution.emptyState(spark)))
+      EntityResolution.erEntitiesVs(spark, all.where(col("k") > mid),
+        EntityResolution.dnOfState(s1), EntityResolution.priorOfState(s1))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(viaSink == foldState, "sink state must equal the in-process fold")
+  }
+
   test("streaming SCD-2 maintenance: checkpointed restart + replay equal the whole-log rebuild") {
     import graft.streaming.HistoryStream
     import graft.operators.Snapshots

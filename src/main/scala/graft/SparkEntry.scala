@@ -217,7 +217,9 @@ object SparkEntry {
     "sql_recursive"     -> (SqlSurface.qSqlRecursive _),
     "pipeline_rules"    -> (Pipeline.pipelineRules _),
     "dq_fk_check"       -> (Profiling.dqFkCheck _),
-    "stream_er"         -> (EntityResolution.streamEr _)
+    "stream_er"         -> (EntityResolution.streamEr _),
+    "stream_hll"        -> (graft.streaming.SketchStream.streamHll _),
+    "stream_quantile"   -> (graft.streaming.SketchStream.streamQuantile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -461,7 +463,12 @@ object SparkEntry {
     "dq_fk_check"       -> Profiling.dqFkCheckSql,
     // the ER maintenance identity: bootstrap + steady-state fold must
     // equal the full recompute
-    "stream_er"         -> EntityResolution.erEntitiesSql
+    "stream_er"         -> EntityResolution.erEntitiesSql,
+    // keyed-sketch fold identities: register max / counter addition
+    // over any batching must equal the one-shot aggregation, so each
+    // stream gate's oracle IS its one-shot eval's SQL
+    "stream_hll"        -> HeavyHitters.taHllEvalSql,
+    "stream_quantile"   -> HeavyHitters.taQuantileEvalSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -184,6 +184,29 @@ object HeavyHitters {
 
   private[graft] def hllAgg = new HllAgg(HllM, HllRCap)
 
+  /** (lang, token) raw token stream — shared by the one-shot eval and
+    * the streaming register-state twin ([[graft.streaming.SketchStream
+    * .hllRegsOf]]). */
+  private[graft] def hllLangToks(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+      explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+
+  /** 60-bit item id: md5-derived, the engine's shared hash idiom. */
+  private[graft] def hllItemCol =
+    expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)")
+
+  /** Eval projection over a (lang, n_exact, regs) frame: untouched
+    * registers, the integer-scaled harmonic sum, and the raw estimate —
+    * shared verbatim by [[taHllEval]] and the streamed fold gate so the
+    * two cannot drift. */
+  private[graft] def hllEvalOver(withRegs: DataFrame): DataFrame =
+    withRegs.select(col("lang"), col("n_exact"),
+      expr("size(filter(regs, r -> r = 0))").cast("long").as("v_zero"),
+      expr(s"aggregate(regs, cast(0 as bigint), (acc, r) -> acc + shiftleft(cast(1 as bigint), $HllRCap - r))")
+        .as("s_scaled"))
+      .withColumn("n_est", lit(HllC) / col("s_scaled").cast("double"))
+
   /** Distinct-token ESTIMATION per language — the sketch answer to
     * COUNT(DISTINCT) at 100 TB, graded against the exact count the way
     * [[taCmsEval]] grades point frequencies. Output per language:
@@ -205,22 +228,13 @@ object HeavyHitters {
     * ints per group at any corpus size, and sketches for disjoint
     * shards union by pointwise max. */
   def taHllEval(s: SparkSession, dir: String): DataFrame = {
-    val distinctToks = Tables.documents(s, dir)
-      .select(col("lang"),
-        explode(split(TextAnalysis.normalized(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
+    val distinctToks = hllLangToks(Tables.documents(s, dir))
       .distinct()
-      // 60-bit item id: md5-derived, the engine's shared hash idiom
-      .withColumn("x", expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"))
+      .withColumn("x", hllItemCol)
     val hll = udaf(hllAgg)
-    distinctToks
+    hllEvalOver(distinctToks
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_exact"), hll(col("x")).as("regs"))
-      .select(col("lang"), col("n_exact"),
-        expr("size(filter(regs, r -> r = 0))").cast("long").as("v_zero"),
-        expr(s"aggregate(regs, cast(0 as bigint), (acc, r) -> acc + shiftleft(cast(1 as bigint), $HllRCap - r))")
-          .as("s_scaled"))
-      .withColumn("n_est", lit(HllC) / col("s_scaled").cast("double"))
+      .agg(count(lit(1)).as("n_exact"), hll(col("x")).as("regs")))
   }
 
   /** The register table replayed relationally: j = low-10-bits bucket,
@@ -290,21 +304,23 @@ object HeavyHitters {
     * replays the identical integer arithmetic and the gate
     * hash-checks the ESTIMATES. Driver traffic: #langs × (sketch +
     * |QuantPcts| rows) — bounded at any corpus size. */
-  def taQuantileEval(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val vals = Tables.documents(s, dir).select(
+  /** (lang, v) per-document word-count stream — shared by the one-shot
+    * eval and the streaming sketch-state twin. */
+  private[graft] def quantileValsOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("lang"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
         .cast("long").as("v"))
+
+  /** Eval assembly over collected per-lang (n, sketch) state: driver
+    * estimates per percentile + the exact rank-walk harness over
+    * `vals` — shared verbatim by [[taQuantileEval]] and the streamed
+    * fold gate so the two cannot drift. */
+  private[graft] def quantileEvalOver(s: SparkSession, vals: DataFrame,
+      perLang: Seq[(String, Long, IndexedSeq[Long])]): DataFrame = {
+    import s.implicits._
     val agg = quantileAgg
-    val qa = udaf(agg)
-    // ONE mergeable aggregation carries sketch + group size
-    val perLang = vals.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n"), qa(col("v")).as("sk"))
-      .collect() // ≤ #languages rows, QuantSize longs each — bounded
-    val est = perLang.toSeq.flatMap { r =>
-      val (lang, n) = (r.getString(0), r.getLong(1))
-      val sk = r.getSeq[Long](2).toIndexedSeq
+    val est = perLang.flatMap { case (lang, n, sk) =>
       QuantPcts.map { p => (lang, p, n, agg.estimate(sk, (n * p + 99L) / 100L)) }
     }.toDF("lang", "pct", "n", "v_est")
     // exact side (eval harness): per-value counts + rank walk
@@ -317,6 +333,19 @@ object HeavyHitters {
       .agg(min(col("v")).as("v_exact"))
     exact.join(est, Seq("lang", "pct"))
       .select(col("lang"), col("pct"), col("n"), col("v_exact"), col("v_est"))
+  }
+
+  def taQuantileEval(s: SparkSession, dir: String): DataFrame = {
+    val vals = quantileValsOf(Tables.documents(s, dir))
+    val qa = udaf(quantileAgg)
+    // ONE mergeable aggregation carries sketch + group size
+    val perLang = vals.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), qa(col("v")).as("sk"))
+      .collect() // ≤ #languages rows, QuantSize longs each — bounded
+      .toSeq.map { r =>
+        (r.getString(0), r.getLong(1), r.getSeq[Long](2).toIndexedSeq)
+      }
+    quantileEvalOver(s, vals, perLang)
   }
 
   /** The sketch replayed relationally: bucket index via

@@ -675,6 +675,97 @@ class StreamingSpec extends AnyFunSuite {
       "batch replay must be a no-op")
   }
 
+  test("streaming keyed HLL maintenance: checkpointed restart + replay converge on the one-shot registers") {
+    // register max is associative/commutative/idempotent, so the keyed
+    // fold must reproduce the one-shot per-lang registers exactly, and
+    // a replayed batch is a no-op twice over (arithmetic + versioning)
+    import graft.streaming.SketchStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-hll-src")
+    val table = Files.createTempDirectory("graft-hll-tab").toString
+    val ckpt = Files.createTempDirectory("graft-hll-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-hll-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(SketchStream.hllSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    def regsMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val oneShot = regsMap(SketchStream.hllRegsOf(docs))
+    assert(oneShot.nonEmpty && oneShot.values.exists(_.exists(_ > 0)),
+      "fixture must touch registers")
+    assert(regsMap(SketchStream.storedHllRegs(spark, table)) == oneShot,
+      "streamed keyed registers must equal the one-shot aggregation")
+    SketchStream.hllSink(table)(b2, 1L)
+    assert(regsMap(SketchStream.storedHllRegs(spark, table)) == oneShot,
+      "batch replay must be a no-op")
+  }
+
+  test("streaming keyed quantile maintenance: checkpointed restart + replay converge on the one-shot state") {
+    // counter addition is associative but NOT idempotent — convergence
+    // under replay is carried entirely by the versioned-state
+    // discipline, which is exactly what this pins
+    import graft.streaming.SketchStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-qnt-src")
+    val table = Files.createTempDirectory("graft-qnt-tab").toString
+    val ckpt = Files.createTempDirectory("graft-qnt-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-qnt-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(SketchStream.quantileSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    def stateMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    val oneShot = stateMap(SketchStream.quantileStateOf(docs))
+    assert(oneShot.values.map(_._1).sum == docs.count(),
+      "one-shot state must count every document")
+    assert(stateMap(SketchStream.storedQuantileState(spark, table)) == oneShot,
+      "streamed keyed quantile state must equal the one-shot aggregation")
+    // the dangerous replay: counters would double without versioning
+    SketchStream.quantileSink(table)(b2, 1L)
+    assert(stateMap(SketchStream.storedQuantileState(spark, table)) == oneShot,
+      "batch replay must not double-count")
+  }
+
   test("streaming centroid maintenance: checkpointed restart + replay equal the one-shot Lloyd round") {
     // frozen seeds + associative (Σ, n) merge ⇒ the streamed fold must
     // equal the one-shot assign/update round exactly, and a replayed

@@ -219,7 +219,9 @@ object SparkEntry {
     "dq_fk_check"       -> (Profiling.dqFkCheck _),
     "stream_er"         -> (EntityResolution.streamEr _),
     "stream_hll"        -> (graft.streaming.SketchStream.streamHll _),
-    "stream_quantile"   -> (graft.streaming.SketchStream.streamQuantile _)
+    "stream_quantile"   -> (graft.streaming.SketchStream.streamQuantile _),
+    "mm_audio_fp"       -> (graft.multimodal.Media.mmAudioFp _),
+    "mm_audio_pairs"    -> (graft.multimodal.Media.mmAudioPairs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -468,7 +470,9 @@ object SparkEntry {
     // over any batching must equal the one-shot aggregation, so each
     // stream gate's oracle IS its one-shot eval's SQL
     "stream_hll"        -> HeavyHitters.taHllEvalSql,
-    "stream_quantile"   -> HeavyHitters.taQuantileEvalSql
+    "stream_quantile"   -> HeavyHitters.taQuantileEvalSql,
+    "mm_audio_fp"       -> graft.multimodal.Media.mmAudioFpSql,
+    "mm_audio_pairs"    -> graft.multimodal.Media.mmAudioPairsSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

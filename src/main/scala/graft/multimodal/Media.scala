@@ -709,4 +709,162 @@ object Media {
        |       CAST(SUM(v * v) AS BIGINT) AS energy,
        |       CAST(MAX(v) AS BIGINT) AS peak
        |FROM sm GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------- mm_audio_fp
+  /** Fingerprint analysis frame (samples). Smaller than
+    * [[EnergyFrame]] so every fixture clip yields 3–15 frames and a
+    * 2–14-bit fingerprint. */
+  val FpFrame = 4
+
+  /** The fingerprint kernel: per-frame energies Σs² over
+    * [[FpFrame]]-sample windows, one bit per adjacent frame pair — `1`
+    * iff the energy ROSE. Returns (n_frames, packed bits, popcount).
+    * Energies scale by g² under uniform gain, so the delta-signs — and
+    * the whole fingerprint — are GAIN-INVARIANT (MediaSpec pins it):
+    * a re-encoded, re-amplified copy whose every byte changed keeps
+    * the same fingerprint, which is the point of fingerprinting over
+    * checksumming. (A DC offset does NOT preserve energy deltas; that
+    * robustness would need mean-removal first.) */
+  private[graft] def audioFpBits(pcm: Array[Short]): (Int, Long, Long) = {
+    val es = pcm.grouped(FpFrame)
+      .map(fr => fr.foldLeft(0L)((a, v) => a + v.toLong * v.toLong))
+      .toArray
+    var fp = 0L; var ones = 0L
+    var i = 0
+    while (i < es.length - 1) {
+      if (es(i + 1) > es(i)) { fp |= 1L << i; ones += 1 }
+      i += 1
+    }
+    (es.length, fp, ones)
+  }
+
+  /** Acoustic fingerprint — AUDIO near-dup, the lens the byte-exact
+    * [[mmDedup]] cannot provide, mirroring what [[mmPhash]] does for
+    * images (Chromaprint/Shazam lineage, radically simplified): decode
+    * the real WAV bytes, then [[audioFpBits]] over the DECODED frames.
+    * All integer arithmetic, so the analytic twin replays the bits
+    * exactly. Per-row O(samples), zero shuffle. */
+  def mmAudioFp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val n = (nc % 50 + 10).toInt
+          val samples = Array.tabulate(n)(t => ((id * 31 + t * 17) % 32768).toShort)
+          val wav = WavCodec.encode(WavSrcRate, 1, samples)
+          val (_, _, pcm) = WavCodec.decode(wav)
+          val (nf, fp, ones) = audioFpBits(pcm)
+          (id, nf, fp, ones)
+        }
+      }.toDF("media_id", "n_frames", "fp", "n_ones")
+  }
+
+  /** Analytic twin: per-frame energies relationally, the rose-bit per
+    * adjacent pair via a self-join on f+1, the same bit pack. */
+  val mmAudioFpSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, doc_id,
+       |         CAST(n_chars % 50 + 10 AS INT) AS n
+       |  FROM documents),
+       |sm AS (
+       |  SELECT media_id, t.t AS t,
+       |         (doc_id * 31 + t.t * 17) % 32768 AS v
+       |  FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS t) t),
+       |fe AS (
+       |  SELECT media_id, t // $FpFrame AS f, SUM(v * v) AS e
+       |  FROM sm GROUP BY 1, 2),
+       |db AS (
+       |  SELECT a.media_id, a.f AS i,
+       |         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+       |  FROM fe a JOIN fe b ON a.media_id = b.media_id AND b.f = a.f + 1)
+       |SELECT media_id,
+       |       CAST(COUNT(1) + 1 AS INT) AS n_frames,
+       |       CAST(COALESCE(SUM(CASE WHEN bit = 1
+       |              THEN CAST(1 AS BIGINT) << i END), 0) AS BIGINT) AS fp,
+       |       CAST(COALESCE(SUM(bit), 0) AS BIGINT) AS n_ones
+       |FROM db GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------- mm_audio_pairs
+  /** Per-(band, key) membership cap — the [[PhashMaxBucket]]
+    * discipline; short clips have tiny fingerprint spaces, so
+    * mega-buckets are STRUCTURAL here, not just a fixture artifact. */
+  val AudioMaxBucket = 64
+  /** Max Hamming distance for a verified near-dup clip pair; the
+    * 2-band split below is pigeonhole-complete for it (1 differing bit
+    * cannot touch both bands). */
+  val AudioMaxHam = 1
+  /** Fixed band split: bits 0–6 vs 7–14. Uniform across clips (bands
+    * must be comparable keys); clips only ever pair within the same
+    * `n_frames`, so the varying fingerprint WIDTH never makes two
+    * different-length fingerprints collide as equals. */
+  val AudioBandBits = 7
+
+  /** Audio NEAR-DUP pairing — [[mmAudioFp]] through the simhash-family
+    * machinery (same shape as [[mmPhashPairs]]): candidates collide on
+    * (n_frames, either band), buckets capped via the bounded mergeable
+    * top-K aggregate (never a window), verify by exact XOR popcount ≤
+    * [[AudioMaxHam]]. Canonical (ma < mb) pairs with distance. */
+  def mmAudioPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = mmAudioFp(s, dir)
+      .select(col("media_id"), col("n_frames"), col("fp"))
+      // banding + both verify joins read this: one decode pass
+      .repartition(col("media_id"))
+    val mask = (1L << AudioBandBits) - 1
+    val banded = fps.select(col("media_id"), col("n_frames"),
+        explode(expr(
+          s"""array(
+             |  struct(0 as band_id, fp & $mask as band_key),
+             |  struct(1 as band_id, shiftright(fp, $AudioBandBits) as band_key))""".stripMargin))
+          .as("b"))
+      .select(col("media_id"), col("n_frames"),
+        col("b.band_id").as("band_id"), col("b.band_key").as("band_key"))
+    val qa = udaf(new graft.functions.TopKLongAgg(AudioMaxBucket))
+    val capped = banded.groupBy(col("n_frames"), col("band_id"), col("band_key"))
+      .agg(qa(col("media_id")).as("members"))
+      .select(col("n_frames"), col("band_id"), col("band_key"),
+        explode(col("members")).as("media_id"))
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.n_frames") === col("b.n_frames") &&
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      .distinct()
+    cand
+      .join(fps.as("pa"), col("ma") === col("pa.media_id"))
+      .join(fps.as("pb"), col("mb") === col("pb.media_id"))
+      .select(col("ma"), col("mb"),
+        expr("bit_count(pa.fp ^ pb.fp)").cast("long").as("hamming"))
+      .where(col("hamming") <= AudioMaxHam)
+  }
+
+  /** Twin: [[mmAudioFpSql]]'s fingerprint table verbatim, then the
+    * identical band/cap/verify chain (ROW_NUMBER cap = the same
+    * smallest-id selection as the bounded aggregate). */
+  lazy val mmAudioPairsSql: String = {
+    val mask = (1L << AudioBandBits) - 1
+    s"""WITH fps AS ($mmAudioFpSql),
+       |bands0 AS (
+       |  SELECT media_id, n_frames, 0 AS band_id, fp & $mask AS band_key FROM fps
+       |  UNION ALL SELECT media_id, n_frames, 1, fp >> $AudioBandBits FROM fps),
+       |bands AS (
+       |  SELECT media_id, n_frames, band_id, band_key FROM (
+       |    SELECT media_id, n_frames, band_id, band_key,
+       |           ROW_NUMBER() OVER (PARTITION BY n_frames, band_id, band_key
+       |                              ORDER BY media_id) AS rn
+       |    FROM bands0) WHERE rn <= $AudioMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+       |  FROM bands a JOIN bands b
+       |    ON a.n_frames = b.n_frames AND a.band_id = b.band_id
+       |   AND a.band_key = b.band_key AND a.media_id < b.media_id)
+       |SELECT c.ma, c.mb,
+       |       CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN fps pa ON c.ma = pa.media_id
+       |JOIN fps pb ON c.mb = pb.media_id
+       |WHERE bit_count(xor(pa.fp, pb.fp)) <= $AudioMaxHam""".stripMargin
+  }
 }

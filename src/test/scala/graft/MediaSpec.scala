@@ -315,6 +315,52 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("audio fingerprint: gain-invariant, offset- and shape-sensitive") {
+    // the robustness claim that justifies fingerprinting over
+    // checksumming: a uniformly re-amplified copy (every byte changed)
+    // keeps the fingerprint; a genuinely different energy shape does not
+    val pcm = Array.tabulate(37)(t => ((t * t * 7) % 150 + 3).toShort)
+    val (nf, fp, ones) = Media.audioFpBits(pcm)
+    assert(nf == (37 + Media.FpFrame - 1) / Media.FpFrame)
+    assert(ones > 0 && ones < nf - 1, "fixture must have a mixed profile")
+    val gained = pcm.map(v => (v * 3).toShort) // no clipping: max 459
+    assert(Media.audioFpBits(gained) == ((nf, fp, ones)),
+      "uniform gain must not move the fingerprint")
+    // reversing the clip reverses the energy ramp -> different bits
+    val (nfR, fpR, _) = Media.audioFpBits(pcm.reverse)
+    assert(nfR == nf && fpR != fp, "a different energy shape must differ")
+  }
+
+  test("mm_audio_pairs: pigeonhole-complete within the bucket cap at sf0.001") {
+    // every same-length pair within Hamming <= AudioMaxHam whose BOTH
+    // endpoints survive the band caps must be found (1 differing bit
+    // cannot touch both bands); no pair beyond the radius may appear
+    val sf = "/root/testdata/sf0.001"
+    val fps = Media.mmAudioFp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val got = Media.mmAudioPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.forall(p => p._3 <= Media.AudioMaxHam))
+    // brute-force truth, restricted to cap survivors per (nf, band, key)
+    val mask = (1L << Media.AudioBandBits) - 1
+    val surv = fps.toSeq.flatMap { case (id, nf, fp) =>
+      Seq((nf, 0, fp & mask) -> id, (nf, 1, fp >>> Media.AudioBandBits) -> id)
+    }.groupBy(_._1).toSeq.flatMap { case (k, xs) =>
+      xs.map(_._2).sorted.take(Media.AudioMaxBucket).map(k -> _)
+    }.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val byNf = fps.groupBy(_._2)
+    for ((_, xs) <- byNf; i <- xs.indices; j <- (i + 1) until xs.length) {
+      val (a, _, fa) = xs(i); val (b, _, fb) = xs(j)
+      val ham = java.lang.Long.bitCount(fa ^ fb)
+      if (ham <= Media.AudioMaxHam &&
+          surv.getOrElse(a, Set.empty).exists(surv.getOrElse(b, Set.empty))) {
+        val (lo, hi) = if (a < b) (a, b) else (b, a)
+        assert(got.contains((lo, hi, ham.toLong)),
+          s"missed pair ($lo, $hi) at hamming $ham")
+      }
+    }
+  }
+
   test("mm_dedup: byte-identical payloads collapse to the min-id canonical; one changed byte is a different asset") {
     val d = java.nio.file.Files.createTempDirectory("graft-mmdedup").toString
     // 0 == 2 byte-for-byte; 1 differs from 0 by ONE byte; 3 is distinct

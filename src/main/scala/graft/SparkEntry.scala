@@ -221,7 +221,8 @@ object SparkEntry {
     "stream_hll"        -> (graft.streaming.SketchStream.streamHll _),
     "stream_quantile"   -> (graft.streaming.SketchStream.streamQuantile _),
     "mm_audio_fp"       -> (graft.multimodal.Media.mmAudioFp _),
-    "mm_audio_pairs"    -> (graft.multimodal.Media.mmAudioPairs _)
+    "mm_audio_pairs"    -> (graft.multimodal.Media.mmAudioPairs _),
+    "graph_jaccard"     -> (Graphs.graphJaccard _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -472,7 +473,8 @@ object SparkEntry {
     "stream_hll"        -> HeavyHitters.taHllEvalSql,
     "stream_quantile"   -> HeavyHitters.taQuantileEvalSql,
     "mm_audio_fp"       -> graft.multimodal.Media.mmAudioFpSql,
-    "mm_audio_pairs"    -> graft.multimodal.Media.mmAudioPairsSql
+    "mm_audio_pairs"    -> graft.multimodal.Media.mmAudioPairsSql,
+    "graph_jaccard"     -> Graphs.graphJaccardSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

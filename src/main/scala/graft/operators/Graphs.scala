@@ -410,6 +410,85 @@ object Graphs {
        |SELECT d.doc_id, COALESCE(cnt.n, 0) AS tri_cnt
        |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
 
+  // ---------------------------------------------------- graph_jaccard
+  /** Wedge centers above this degree are EXCLUDED from common-neighbor
+    * enumeration — the count-first df-cap discipline applied to link
+    * prediction: a boilerplate hub with 10⁶ neighbors would fan out
+    * 10¹² wedges while carrying ~zero Jaccard signal (its presence in
+    * N(u)∩N(v) says "both touch the hub", not "u and v are alike").
+    * With the cap, \|wedges\| ≤ Σ_{deg≤D} deg² ≤ D·E — linear in edges. */
+  val JacMaxCenterDeg = 32
+  /** Minimum common-neighbor count for a reported candidate link. */
+  val JacMinCommon = 2
+
+  /** Link prediction by neighborhood overlap (Liben-Nowell &
+    * Kleinberg 2003) over the near-dup pair graph: for node pairs NOT
+    * directly connected, the count of shared LOW-DEGREE neighbors and
+    * the Jaccard coefficient \|N(u)∩N(v)\| / \|N(u)∪N(v)\| in ppm. On a
+    * dup graph this is the "missed pair" auditor — two docs that share
+    * [[JacMinCommon]]+ near-dup neighbors but no direct edge are a
+    * likely banding miss (the same reading `dedup_recall_eval`
+    * quantifies globally, here localized to concrete candidates).
+    *
+    * Plan: degree census (map-side combined) → filter centers ≤
+    * [[JacMaxCenterDeg]] (count FIRST, never collect) → wedge
+    * self-join on the center → (u,v) partial-agg count → LEFT ANTI
+    * against the edge list → degree join + one integer division.
+    * The numerator restriction to low-degree commons makes the
+    * reported coefficient a documented LOWER BOUND; the denominator
+    * uses full degrees. No windows, no collects. */
+  def graphJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardOver(Dedup.dedupSimhashPairs(s, dir).select(col("da"), col("db")))
+
+  /** Over any canonical (da < db, distinct) undirected pair list. */
+  private[graft] def jaccardOver(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.localCheckpoint() // feeds sym + the anti-join
+    val sym = Dedup.symmetrize(pairs)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val centers = deg.where(col("deg") <= JacMaxCenterDeg)
+      .select(col("src"))
+    val adj = sym.join(centers, Seq("src"))
+    val wedges = adj.as("e1").join(adj.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+    val common = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= JacMinCommon)
+    val unlinked = common.join(pairs,
+        col("u") === col("da") && col("v") === col("db"), "left_anti")
+    unlinked
+      .join(deg.select(col("src").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u").as("da"), col("v").as("db"), col("common"),
+        expr("1000000 * common div (du + dv - common)")
+          .cast("long").as("jaccard_ppm"))
+  }
+
+  /** Twin: the identical census → cap → wedge → anti-join chain. */
+  lazy val graphJaccardSql: String =
+    s"""WITH shp AS MATERIALIZED (${Dedup.dedupSimhashPairsSql}),
+       |e AS MATERIALIZED (SELECT da AS u, db AS v FROM shp),
+       |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |deg AS (SELECT u AS n, CAST(COUNT(1) AS BIGINT) AS deg FROM sym GROUP BY 1),
+       |adj AS (
+       |  SELECT s.u AS c, s.v AS x
+       |  FROM sym s JOIN deg d ON s.u = d.n
+       |  WHERE d.deg <= $JacMaxCenterDeg),
+       |cm AS (
+       |  SELECT a.x AS u, b.x AS v, CAST(COUNT(1) AS BIGINT) AS common
+       |  FROM adj a JOIN adj b ON a.c = b.c AND a.x < b.x
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(1) >= $JacMinCommon),
+       |ne AS (
+       |  SELECT cm.u, cm.v, cm.common
+       |  FROM cm LEFT JOIN e ON cm.u = e.u AND cm.v = e.v
+       |  WHERE e.u IS NULL)
+       |SELECT ne.u AS da, ne.v AS db, ne.common,
+       |       CAST(1000000 * ne.common // (du.deg + dv.deg - ne.common) AS BIGINT) AS jaccard_ppm
+       |FROM ne
+       |JOIN deg du ON ne.u = du.n
+       |JOIN deg dv ON ne.v = dv.n""".stripMargin
+
   // ---------------------------------------------------- graph_bfs
   /** Fixed BFS round count (unrolled in the oracle) — also the max
     * reported hop distance; farther nodes stay at [[BfsInf]]. */

@@ -259,6 +259,32 @@ class GraphsSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "fixture dup graph has no triangles")
   }
 
+  test("jaccard link prediction: planted banding miss found, direct edges and hub-only overlap excluded") {
+    // butterfly: 2 and 3 share neighbors {1, 4} but no direct edge ->
+    // the planted "missed pair", common=2, J = 2/(2+2-2) = 1.0;
+    // 1 and 4 also share {2, 3} with no edge -> symmetric prediction;
+    // a hub 50 linked to everything under a tiny cap must contribute
+    // NO wedges once its degree exceeds JacMaxCenterDeg (exercised
+    // via jaccardOver on a hub wider than the cap)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("da", "db")
+    val got = Graphs.jaccardOver(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map((2L, 3L) -> ((2L, 1000000L)), (1L, 4L) -> ((2L, 1000000L))),
+      s"butterfly predictions wrong: $got")
+    // hub wider than the cap: 0..JacMaxCenterDeg all linked to hub 999
+    // only (a star) — no common-neighbor pair may be reported because
+    // the only shared neighbor is the over-cap hub
+    val star = (0L to Graphs.JacMaxCenterDeg.toLong)
+      .map(i => (i, 999L)).toDF("da", "db")
+    assert(Graphs.jaccardOver(star).collect().isEmpty,
+      "over-cap hub must not generate predictions")
+    // one UNDER the cap: the star's leaves all pair through the hub
+    val small = (0L until Graphs.JacMinCommon.toLong + 1L)
+      .map(i => (i, 999L)).toDF("da", "db")
+    assert(Graphs.jaccardOver(small).collect().isEmpty,
+      "leaves sharing ONE hub are below JacMinCommon and stay unreported")
+  }
+
   test("bfs: distances, nearest-seed tie-breaks, the round cap, and unreachability") {
     // path 1-2-3-4-5 with seeds at both ends {1, 5}, plus an isolated
     // node 9 and a far chain 10-...-17 seeded only at 10 (length > cap)

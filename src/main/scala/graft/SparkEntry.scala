@@ -222,7 +222,8 @@ object SparkEntry {
     "stream_quantile"   -> (graft.streaming.SketchStream.streamQuantile _),
     "mm_audio_fp"       -> (graft.multimodal.Media.mmAudioFp _),
     "mm_audio_pairs"    -> (graft.multimodal.Media.mmAudioPairs _),
-    "graph_jaccard"     -> (Graphs.graphJaccard _)
+    "graph_jaccard"     -> (Graphs.graphJaccard _),
+    "vocab_coverage"    -> (Tokenizer.vocabCoverage _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -474,7 +475,8 @@ object SparkEntry {
     "stream_quantile"   -> HeavyHitters.taQuantileEvalSql,
     "mm_audio_fp"       -> graft.multimodal.Media.mmAudioFpSql,
     "mm_audio_pairs"    -> graft.multimodal.Media.mmAudioPairsSql,
-    "graph_jaccard"     -> Graphs.graphJaccardSql
+    "graph_jaccard"     -> Graphs.graphJaccardSql,
+    "vocab_coverage"    -> Tokenizer.vocabCoverageSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -732,9 +732,18 @@ object CorpusOps {
     * violates and leakage audits depend on). Zero shuffle, zero
     * coordination; the same predicate can gate any downstream operator
     * ("train-split only") without materializing anything. */
+  /** The salted split bucket as a reusable predicate kernel — any
+    * operator can gate on "train-split only" without materializing the
+    * assignment ([[graft.operators.Tokenizer.vocabCoverage]] does). */
+  private[graft] def splitBucketExpr =
+    expr("cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 100")
+
+  /** DuckDB twin of [[splitBucketExpr]]. */
+  private[graft] val splitBucketSql =
+    "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
   def corpusSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket =
-      expr("cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 100")
+    val bucket = splitBucketExpr
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), bucket.as("bucket"))
       .select(col("doc_id"), col("lang"),

@@ -43,7 +43,13 @@ object Tokenizer {
     * the unpartitioned row_number — the classic single-task trap on a
     * corpus-sized input — sees exactly V rows. */
   def vocabBuild(s: SparkSession, dir: String): DataFrame =
-    tokens(s, dir)
+    vocabOf(tokens(s, dir))
+
+  /** The builder over any (term) token stream — shared by the
+    * full-corpus gate and the train-split build inside
+    * [[vocabCoverage]]. */
+  private[graft] def vocabOf(toks: DataFrame): DataFrame =
+    toks
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
       .limit(VocabSize)
@@ -95,6 +101,89 @@ object Tokenizer {
        |  WHERE token_id <= $VocabSize)
        |SELECT t.doc_id, t.pos, CAST(COALESCE(v.token_id, 0) AS INT) AS token_id
        |FROM toks t LEFT JOIN vocab v ON t.term = v.term""".stripMargin
+
+  // ------------------------------------------------------ vocab_coverage
+
+  /** Tokenizer COVERAGE EVAL under the held-out discipline: the
+    * vocabulary is built on the TRAIN split only (the
+    * [[CorpusOps.corpusSplit]] salted-md5 predicate — a pure per-row
+    * function, so "train" here is the same frozen set every other
+    * operator sees) and evaluated on the HELD-OUT docs it never saw —
+    * the number that predicts OOV behavior on incoming data, which
+    * in-sample coverage systematically overstates. Per source: token
+    * occurrences, OOV occurrences and ppm rate, character mass and OOV
+    * character mass (coverage BY MASS — long rare words hurt more than
+    * short ones), and distinct-term counts. All integers + one integer
+    * division; the vocab side is V rows — broadcast, zero corpus
+    * shuffle (the [[vocabEncode]] plan discipline).
+    *
+    * Scale: one train-split aggregation (the builder's own budget),
+    * one held-out scan encoded map-side, one #sources-keyed aggregate.
+    * The two count_distincts add one Expand over the token stream —
+    * the [[Profiling.dqProfile]] multi-distinct trade, swap to the HLL
+    * UDAF at extreme scale. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bucket = CorpusOps.splitBucketExpr
+    val trainToks = docs.where(bucket < CorpusOps.SplitTrainPct)
+      .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+    val dict = vocabOf(trainToks).select(col("term"), col("token_id"))
+    val heldOut = docs.where(bucket >= CorpusOps.SplitTrainPct)
+      .select(col("source"),
+        explode(split(TextAnalysis.normalized(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+    heldOut
+      .join(broadcast(dict), Seq("term"), "left")
+      .withColumn("oov", col("token_id").isNull)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(length(col("term")).cast("long")).as("n_chars"),
+        sum(when(col("oov"), length(col("term")).cast("long")).otherwise(0L))
+          .as("oov_chars"),
+        count_distinct(col("term")).as("distinct_terms"),
+        count_distinct(when(col("oov"), col("term"))).as("distinct_oov"))
+      .withColumn("oov_ppm", expr("1000000 * n_oov div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("oov_ppm"),
+        col("n_chars"), col("oov_chars"), col("distinct_terms"),
+        col("distinct_oov"))
+  }
+
+  /** Twin: train-bucket CASE inline, the same builder CTE restricted
+    * to it, LEFT JOIN encode of the held-out stream. */
+  val vocabCoverageSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source, text,
+       |         ${CorpusOps.splitBucketSql} AS bucket
+       |  FROM documents),
+       |train_toks AS (
+       |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ')) AS term
+       |  FROM b WHERE bucket < ${CorpusOps.SplitTrainPct}),
+       |cnts AS (SELECT term, COUNT(1) AS cnt FROM train_toks WHERE term <> '' GROUP BY term),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS token_id
+       |    FROM cnts)
+       |  WHERE token_id <= $VocabSize),
+       |held AS (
+       |  SELECT source,
+       |         unnest(string_split(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')), ' ')) AS term
+       |  FROM b WHERE bucket >= ${CorpusOps.SplitTrainPct}),
+       |enc AS (
+       |  SELECT h.source, h.term, v.term IS NULL AS oov
+       |  FROM held h LEFT JOIN vocab v ON h.term = v.term
+       |  WHERE h.term <> '')
+       |SELECT source,
+       |       CAST(COUNT(1) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       CAST(1000000 * SUM(CASE WHEN oov THEN 1 ELSE 0 END) // COUNT(1) AS BIGINT) AS oov_ppm,
+       |       CAST(SUM(length(term)) AS BIGINT) AS n_chars,
+       |       CAST(SUM(CASE WHEN oov THEN length(term) ELSE 0 END) AS BIGINT) AS oov_chars,
+       |       CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms,
+       |       CAST(COUNT(DISTINCT CASE WHEN oov THEN term END) AS BIGINT) AS distinct_oov
+       |FROM enc GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------- vocab_bpe
   /** BPE merge rounds to unroll (oracle replays each as one CTE step). */

@@ -80,6 +80,42 @@ class TokenizerSpec extends AnyFunSuite {
       "a sort-merge join here would shuffle the whole corpus by term")
   }
 
+  test("coverage eval: full driver-side differential + the held-out discipline") {
+    // independent Scala recount: same split predicate (via corpusSplit),
+    // same tokenization, top-V vocab from TRAIN tokens only, per-source
+    // held-out metrics — must match the operator row-for-row. Also pins
+    // the held-out discipline itself: every reported OOV term is absent
+    // from the train vocab, even when frequent in the held-out split.
+    val sf = dir
+    val split = graft.operators.CorpusOps.corpusSplit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim.split(" ").toSeq
+        .filter(_.nonEmpty)
+    val trainToks = docs.filter(d => split(d._1) == "train").flatMap(d => toks(d._3))
+    val vocab = trainToks.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(Tokenizer.VocabSize).map(_._1).toSet
+    val held = docs.filter(d => split(d._1) != "train")
+    assert(held.nonEmpty, "fixture must have held-out docs")
+    val want = held.groupBy(_._2).map { case (src, ds) =>
+      val ts = ds.flatMap(d => toks(d._3))
+      val oov = ts.filterNot(vocab)
+      src -> ((ts.size.toLong, oov.size.toLong,
+        1000000L * oov.size / ts.size,
+        ts.map(_.length.toLong).sum, oov.map(_.length.toLong).sum,
+        ts.distinct.size.toLong, oov.distinct.size.toLong))
+    }
+    val got = Tokenizer.vocabCoverage(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    }.toMap
+    assert(got == want, s"coverage differs:\n got=$got\nwant=$want")
+    assert(got.values.exists(_._2 > 0), "eval must actually see OOV tokens")
+  }
+
   test("BPE: greedy leftmost application of a run pair, pinned in the final state") {
     import spark.implicits._
     // five decoy words burn merge rounds 1-5 by frequency order; (a,a)

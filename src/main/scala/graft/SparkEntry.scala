@@ -223,7 +223,8 @@ object SparkEntry {
     "mm_audio_fp"       -> (graft.multimodal.Media.mmAudioFp _),
     "mm_audio_pairs"    -> (graft.multimodal.Media.mmAudioPairs _),
     "graph_jaccard"     -> (Graphs.graphJaccard _),
-    "vocab_coverage"    -> (Tokenizer.vocabCoverage _)
+    "vocab_coverage"    -> (Tokenizer.vocabCoverage _),
+    "sim_hard_negatives" -> (Similarity.simHardNegatives _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -476,7 +477,8 @@ object SparkEntry {
     "mm_audio_fp"       -> graft.multimodal.Media.mmAudioFpSql,
     "mm_audio_pairs"    -> graft.multimodal.Media.mmAudioPairsSql,
     "graph_jaccard"     -> Graphs.graphJaccardSql,
-    "vocab_coverage"    -> Tokenizer.vocabCoverageSql
+    "vocab_coverage"    -> Tokenizer.vocabCoverageSql,
+    "sim_hard_negatives" -> Similarity.simHardNegativesSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -158,7 +158,10 @@ object Similarity {
        |  WHERE mrn <= $IvfMaxCell),
        |probes AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked_c WHERE rn <= $NProbe)""".stripMargin
 
-  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  /** The probed-cell candidate set every IVF consumer shares:
+    * (query_id, neighbor_id) pairs from the capped cell membership of
+    * each query's [[NProbe]] nearest cells. */
+  private[operators] def ivfCandidates(s: SparkSession, dir: String): DataFrame = {
     val c = nCentroids(Tables.embeddings(s, dir).count())
     // the cell table is referenced twice (assignment + probe explode);
     // it roots in a mapPartitions kernel with no exchange, so a
@@ -169,10 +172,14 @@ object Similarity {
     val assign = cappedAssign(cells)
     val probes = cells.select(col("vec_id").as("query_id"),
       explode(col("probes")).as("cell"))
-    val cand = probes.join(assign, "cell")
+    probes.join(assign, "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+  }
+
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val cand = ivfCandidates(s, dir)
     VecKernel.pairDots(s, dir, cand)
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("dot_scaled").desc, col("neighbor_id"))))
@@ -199,6 +206,59 @@ object Similarity {
        |SELECT query_id, neighbor_id, dot_scaled, CAST(rank AS INT) AS rank,
        |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
        |FROM ranked WHERE rank <= $IvfTopK""".stripMargin
+
+  // ----------------------------------------------- sim_hard_negatives
+  /** Hard negatives mined per anchor. */
+  val NegK = 3
+
+  /** Hard-negative mining for contrastive training (the DPR recipe,
+    * Karpukhin et al. 2020, applied corpus-wide): for EVERY vector,
+    * the most-similar candidates that are NOT near-duplicates — high
+    * similarity makes the negative informative, and the dup exclusion
+    * keeps false negatives (actual positives mislabeled as negatives,
+    * the classic contrastive-training poison) out of the batch. "Not a
+    * near-duplicate" is pinned to the SAME threshold `dedup_semantic`
+    * flags dups at ([[Dedup.SemDedupTauScaled]], compared on the EXACT
+    * integer dot), so the mined set is exactly the complement of what
+    * the dedup would remove — one shared definition across the corpus
+    * pipeline.
+    *
+    * Plan: the [[ivfCandidates]] chain verbatim (cell-bucketed, capped
+    * — never all-pairs), exact integer re-rank, band filter BELOW the
+    * rank window (the pool per anchor is ≤ NProbe·[[IvfMaxCell]], so
+    * the window is candidate-bounded). At 100 TB this is the
+    * mining-over-the-stored-index pattern; `sim_index_upsert` holds
+    * the maintained-index side. */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val cand = ivfCandidates(s, dir)
+    VecKernel.pairDots(s, dir, cand)
+      .where(col("dot_scaled") < Dedup.SemDedupTauScaled)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dot_scaled").desc, col("neighbor_id"))))
+      .where(col("rank") <= NegK)
+      .withColumn("cos_sim", col("dot_scaled").cast("double") / lit(1e12))
+  }
+
+  /** Twin: the IVF index chain verbatim + the dup-threshold band. */
+  val simHardNegativesSql: String =
+    s"""WITH $ivfIndexCtesSql,
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       |exact AS (
+       |  SELECT c.query_id, c.neighbor_id, CAST(SUM(ea.e * eb.e) AS BIGINT) AS dot_scaled
+       |  FROM cand c
+       |  JOIN ev ea ON ea.vec_id = c.query_id
+       |  JOIN ev eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dot_scaled,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY dot_scaled DESC, neighbor_id) AS rank
+       |  FROM exact WHERE dot_scaled < ${Dedup.SemDedupTauScaled})
+       |SELECT query_id, neighbor_id, dot_scaled, CAST(rank AS INT) AS rank,
+       |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
+       |FROM ranked WHERE rank <= $NegK""".stripMargin
 
   // --------------------------------------------------- sim_ivfpq_topk
   /** Neighbors returned per query by the IVF-PQ search. */

@@ -117,6 +117,40 @@ class SimilaritySpec extends AnyFunSuite {
       "logical 19's first copy ties the champion rrf and sorts second")
   }
 
+  test("hard negatives: below the dup threshold, dense ranks, exact dots, and the exclusion actually binds") {
+    import graft.operators.Dedup
+    val rows = Similarity.simHardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty, "fixture must mine some negatives")
+    // every mined negative is strictly below the semantic-dup threshold
+    assert(rows.forall(_._3 < Dedup.SemDedupTauScaled))
+    // ranks are dense 1..k per anchor, ordered by (dot desc, id asc)
+    for ((q, g0) <- rows.groupBy(_._1)) {
+      val g = g0.sortBy(_._4)
+      assert(g.map(_._4).toSeq == (1 to g.length),
+        s"ranks not dense for anchor $q")
+      assert(g.map(x => (-x._3, x._2)).toSeq ==
+        g.map(x => (-x._3, x._2)).sortBy(identity).toSeq,
+        s"order wrong for anchor $q")
+    }
+    // dots are exact: recompute from the raw embeddings
+    val ev = scaledVecs()
+    for ((q, n, dot, _) <- rows.take(200)) {
+      val want = ev(q).zip(ev(n)).map { case (a, b) => a * b }.sum
+      assert(dot == want, s"dot mismatch for ($q, $n)")
+    }
+    // the false-negative exclusion must actually bind on the fixture:
+    // the UNFILTERED candidate re-rank (sim_ivf_topk) returns pairs at
+    // or above the threshold that mining must have dropped
+    val dupPairs = Similarity.simIvfTopk(spark, dir).collect()
+      .filter(_.getLong(2) >= Dedup.SemDedupTauScaled)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.nonEmpty, "fixture has no dup-range candidates — exclusion untested")
+    val mined = rows.map(x => (x._1, x._2)).toSet
+    assert(dupPairs.forall(!mined.contains(_)),
+      "a dup-range pair leaked into the mined negatives")
+  }
+
   test("ivfpq search over a stored (parquet round-tripped) index equals the inline path") {
     val c = Similarity.nCentroids(
       spark.read.parquet(s"$dir/embeddings.parquet").count())

@@ -224,7 +224,8 @@ object SparkEntry {
     "mm_audio_pairs"    -> (graft.multimodal.Media.mmAudioPairs _),
     "graph_jaccard"     -> (Graphs.graphJaccard _),
     "vocab_coverage"    -> (Tokenizer.vocabCoverage _),
-    "sim_hard_negatives" -> (Similarity.simHardNegatives _)
+    "sim_hard_negatives" -> (Similarity.simHardNegatives _),
+    "events_dau"        -> (Relational2.eventsDau _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -478,7 +479,8 @@ object SparkEntry {
     "mm_audio_pairs"    -> graft.multimodal.Media.mmAudioPairsSql,
     "graph_jaccard"     -> Graphs.graphJaccardSql,
     "vocab_coverage"    -> Tokenizer.vocabCoverageSql,
-    "sim_hard_negatives" -> Similarity.simHardNegativesSql
+    "sim_hard_negatives" -> Similarity.simHardNegativesSql,
+    "events_dau"        -> Relational2.eventsDauSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

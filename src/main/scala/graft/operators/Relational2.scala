@@ -479,6 +479,56 @@ object Relational2 {
       |FROM ev e JOIN b USING (event_type)
       |WHERE e.value < b.lo OR e.value > b.hi""".stripMargin
 
+  // ----------------------------------------------------- events_dau
+  /** µs per UTC day ([[Tables.eventsCteSql]]'s non-negative ts_us
+    * contract makes truncating and flooring division agree). */
+  val DayUs = 86400000000L
+
+  /** Daily activity / growth curve: per day, event volume, DAU
+    * (distinct users), NEW users, and CUMULATIVE distinct users since
+    * the start. The cumulative-distinct column is the one that breaks
+    * naive plans at 100 TB — a running set union over days is either a
+    * re-scan per day (quadratic) or a giant distinct state. The
+    * FIRST-SEEN trick makes it linear: cum_users(d) = Σ_{d'≤d}
+    * new_users(d'), and new_users is just a per-user MIN(day) —
+    * one map-side-combinable user-keyed aggregation — re-aggregated
+    * by day. The only window runs over the \|days\|-row curve itself.
+    * The per-day DAU count_distinct is the [[Profiling.dqProfile]]
+    * Expand trade (HLL-swappable). */
+  def eventsDau(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+    val perDay = ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("dau"))
+    val newUsers = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    perDay.join(newUsers, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("day")).rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("day"), col("n_events"), col("dau"),
+        col("new_users"), col("cum_users"))
+  }
+
+  val eventsDauSql: String =
+    Tables.eventsCteSql +
+    s""",
+       |d AS (SELECT user_id, ts_us // $DayUs AS day FROM ev),
+       |per_day AS (
+       |  SELECT day, CAST(COUNT(1) AS BIGINT) AS n_events,
+       |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+       |  FROM d GROUP BY 1),
+       |fs AS (SELECT user_id, MIN(day) AS day FROM d GROUP BY 1),
+       |nu AS (SELECT day, CAST(COUNT(1) AS BIGINT) AS new_users FROM fs GROUP BY 1)
+       |SELECT p.day, p.n_events, p.dau,
+       |       COALESCE(n.new_users, 0) AS new_users,
+       |       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY p.day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+       |FROM per_day p LEFT JOIN nu n ON p.day = n.day""".stripMargin
+
   // ---------------------------------------------- events_transitions
   /** Per-user event-flow Markov table — the behavioral bigram LM: for
     * every (from, to) pair of CONSECUTIVE event types within a user's

@@ -203,6 +203,36 @@ class Relational2Spec extends AnyFunSuite {
       s"user $u's prefix '$expect' must appear as a path")
   }
 
+  test("events_dau: first-seen cumulative reconciles with true distinct counts day by day") {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div ${Relational2.DayUs}").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Relational2.eventsDau(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // the load-bearing identity: cum_users(d) == |{u : first_seen(u) <= d}|
+    // == |distinct users in the prefix| — the set-union semantics the
+    // first-seen rewrite must reproduce
+    val days = got.map(_._1)
+    for (d <- days) {
+      val prefix = ev.filter(_._2 <= d).map(_._1).distinct.length.toLong
+      assert(got.toMap.apply(d)._4 == prefix, s"cum_users wrong at day $d")
+    }
+    // per-day dau/new/volume against a direct recount
+    for ((d, (n, dau, nu, _)) <- got) {
+      val todays = ev.filter(_._2 == d)
+      assert(n == todays.length.toLong && dau == todays.map(_._1).distinct.length.toLong)
+      val firstSeen = ev.groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).min) }
+      assert(nu == firstSeen.count(_._2 == d).toLong)
+    }
+    // monotone non-decreasing cumulative, and dau never exceeds it
+    assert(days.zip(days.drop(1)).forall { case (a, b) => a < b })
+    val cums = got.map(_._2._4)
+    assert(cums.zip(cums.drop(1)).forall { case (a, b) => a <= b })
+    assert(got.forall { case (_, (_, dau, _, cum)) => dau <= cum })
+  }
+
   test("dq_skew_report: internally consistent against the raw count table") {
     val r = graft.operators.Relational.dqSkewReport(spark, dir).head()
     val counts = Tables.orders(spark, dir).groupBy(col("o_custkey")).count()

@@ -380,4 +380,47 @@ class PlanSpec extends AnyFunSuite {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }.size <= 1, s"one state exchange only:\n$p")
   }
+
+  test("keyed sketch batch states: ONE mergeable aggregation each, partial before the exchange") {
+    // a batch's cost must be one scan + one combine no matter the
+    // history size — the property that makes the streaming fold linear
+    val docs = Tables.documents(spark, dir)
+    val hll = plan(graft.streaming.SketchStream.hllRegsOf(docs))
+    assert(hll.toString.contains("partial_hllagg"),
+      s"HLL registers must combine map-side:\n$hll")
+    val qnt = plan(graft.streaming.SketchStream.quantileStateOf(docs))
+    assert(qnt.toString.contains("partial_quantileagg"),
+      s"quantile counters must combine map-side:\n$qnt")
+    for ((p, n) <- Seq((hll, "hll"), (qnt, "quantile")))
+      assert(p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.size <= 1, s"$n: one state exchange only:\n$p")
+  }
+
+  test("vocab_coverage: dict broadcasts to the held-out stream (no corpus re-key)") {
+    val p = plan(Tokenizer.vocabCoverage(spark, dir))
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"the V-row dictionary must broadcast:\n$p")
+  }
+
+  test("graph_jaccard / events_dau: no cartesian; dau windows only the day curve") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def noCartesian(df: DataFrame, name: String): Unit = {
+      val p = plan(df)
+      assert(p.collect {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }.isEmpty, s"$name must not plan a cartesian:\n$p")
+    }
+    noCartesian(Graphs.graphJaccard(spark, dir), "graph_jaccard")
+    val dau = Relational2.eventsDau(spark, dir)
+    noCartesian(dau, "events_dau")
+    // the only window may be the |days|-row running sum: it must sort
+    // on `day`, never partition by user
+    val wins = plan(dau).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1 && wins.head.partitionSpec.isEmpty,
+      s"one unpartitioned curve window expected:\n${plan(dau)}")
+  }
 }

@@ -1034,6 +1034,54 @@ object CorpusOps {
        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
        |FROM sh""".stripMargin
 
+  // ------------------------------------------------------ ta_novelty
+  /** Per-document NOVELTY score — the data-pruning signal "how much of
+    * this doc has the corpus never seen before": the fraction of its
+    * distinct 3-grams whose GLOBAL first occurrence (min doc_id —
+    * arrival order) is this document. Late exact copies score 0, the
+    * template-spam tail scores low, genuinely new material scores high
+    * — the per-doc lens on the same redundancy the dedup family
+    * removes pairwise.
+    *
+    * The plan never joins back on the gram key (a hot stop-gram would
+    * be a skewed join key): n_novel(d) = \|{g : first_doc(g) = d}\| is
+    * read DIRECTLY off the first-occurrence aggregation by regrouping
+    * its (gram → min doc) output on the doc — two map-side-combinable
+    * aggregations over the (doc, gram) stream plus one doc-keyed join
+    * of two per-doc tables. Gram idiom shared with the dedup/bigram
+    * family ([[TextAnalysis.gramExplodeExpr]]). */
+  def taNovelty(s: SparkSession, dir: String): DataFrame = {
+    val dg = Tables.documents(s, dir)
+      .select(col("doc_id"), split(TextAnalysis.normalized(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .selectExpr("doc_id",
+        s"${TextAnalysis.gramExplodeExpr(3, distinctPerDoc = true)} as g")
+    val perDoc = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val novel = dg.groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_ppm", expr("1000000 * n_novel div n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty_ppm"))
+  }
+
+  val taNoveltySql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |dg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w)-2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      |  FROM docs WHERE len(w) >= 3),
+      |per_doc AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_grams FROM dg GROUP BY 1),
+      |fo AS (SELECT g, MIN(doc_id) AS doc_id FROM dg GROUP BY 1),
+      |novel AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_novel FROM fo GROUP BY 1)
+      |SELECT p.doc_id, p.n_grams,
+      |       COALESCE(n.n_novel, 0) AS n_novel,
+      |       CAST(1000000 * COALESCE(n.n_novel, 0) // p.n_grams AS BIGINT) AS novelty_ppm
+      |FROM per_doc p LEFT JOIN novel n ON p.doc_id = n.doc_id""".stripMargin
+
   // ------------------------------------------------------ ta_entropy
   /** Token-entropy quality signal in EXACT integer arithmetic — the
     * "is this document repetitive spam" filter, as the floor-log2

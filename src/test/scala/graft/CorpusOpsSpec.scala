@@ -366,4 +366,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     val h2 = CorpusOps.taEntropy(spark, d2).collect()(0)
     assert((h2.getLong(1), h2.getLong(2), h2.getLong(3)) == (4L, 1L, 0L))
   }
+
+  test("novelty: originals score full, late copies zero, partial overlap in between, short docs absent") {
+    // arrival order IS doc_id order: 0 = original, 1 = exact copy (all
+    // grams first seen in 0), 2 = fresh, 3 = front half copied from 0 +
+    // fresh back half, 4 = too short for a 3-gram
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "x", 30L),
+      (1L, "alpha beta gamma delta epsilon", "en", "x", 30L),
+      (2L, "zeta eta theta iota kappa", "en", "x", 25L),
+      (3L, "alpha beta gamma nu xi omicron", "en", "x", 30L),
+      (4L, "pi rho", "en", "x", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = java.nio.file.Files.createTempDirectory("graft-nov").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = CorpusOps.taNovelty(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((3L, 3L, 1000000L)), s"original: ${got(0L)}")
+    assert(got(1L) == ((3L, 0L, 0L)), s"late copy: ${got(1L)}")
+    assert(got(2L) == ((3L, 3L, 1000000L)), s"fresh: ${got(2L)}")
+    // doc 3 grams: "alpha beta gamma" (seen in 0), "beta gamma nu",
+    // "gamma nu xi", "nu xi omicron" (novel) -> 3/4
+    assert(got(3L) == ((4L, 3L, 750000L)), s"half copy: ${got(3L)}")
+    assert(!got.contains(4L), "sub-3-token docs have no gram row")
+  }
 }

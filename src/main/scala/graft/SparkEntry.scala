@@ -226,7 +226,8 @@ object SparkEntry {
     "vocab_coverage"    -> (Tokenizer.vocabCoverage _),
     "sim_hard_negatives" -> (Similarity.simHardNegatives _),
     "events_dau"        -> (Relational2.eventsDau _),
-    "ta_novelty"        -> (CorpusOps.taNovelty _)
+    "ta_novelty"        -> (CorpusOps.taNovelty _),
+    "stream_novelty"    -> (graft.streaming.NoveltyStream.streamNovelty _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -482,7 +483,10 @@ object SparkEntry {
     "vocab_coverage"    -> Tokenizer.vocabCoverageSql,
     "sim_hard_negatives" -> Similarity.simHardNegativesSql,
     "events_dau"        -> Relational2.eventsDauSql,
-    "ta_novelty"        -> CorpusOps.taNoveltySql
+    "ta_novelty"        -> CorpusOps.taNoveltySql,
+    // the min-merge fold identity: first-occurrence state over any
+    // batching must reproduce the one-shot novelty exactly
+    "stream_novelty"    -> CorpusOps.taNoveltySql
   )
 
   /** Headline subset used by Bench (keep it representative, not

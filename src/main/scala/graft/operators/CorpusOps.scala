@@ -1050,19 +1050,31 @@ object CorpusOps {
     * aggregations over the (doc, gram) stream plus one doc-keyed join
     * of two per-doc tables. Gram idiom shared with the dedup/bigram
     * family ([[TextAnalysis.gramExplodeExpr]]). */
-  def taNovelty(s: SparkSession, dir: String): DataFrame = {
-    val dg = Tables.documents(s, dir)
+  /** The per-doc distinct-3-gram stream — shared by [[taNovelty]] and
+    * its streaming first-occurrence twin. */
+  private[graft] def noveltyGramsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(TextAnalysis.normalized(col("text")), " ").as("w"))
       .where(size(col("w")) >= 3)
       .selectExpr("doc_id",
         s"${TextAnalysis.gramExplodeExpr(3, distinctPerDoc = true)} as g")
+
+  /** The novelty projection over any (doc_id, g) gram stream and any
+    * (g, doc_id) first-occurrence table — shared by the one-shot gate
+    * and the streamed fold so the two cannot drift. */
+  private[graft] def noveltyOver(dg: DataFrame, firstSeen: DataFrame): DataFrame = {
     val perDoc = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val novel = dg.groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+    val novel = firstSeen
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
     perDoc.join(novel, Seq("doc_id"), "left")
       .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .withColumn("novelty_ppm", expr("1000000 * n_novel div n_grams"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty_ppm"))
+  }
+
+  def taNovelty(s: SparkSession, dir: String): DataFrame = {
+    val dg = noveltyGramsOf(Tables.documents(s, dir))
+    noveltyOver(dg, dg.groupBy(col("g")).agg(min(col("doc_id")).as("doc_id")))
   }
 
   val taNoveltySql: String =

@@ -766,6 +766,52 @@ class StreamingSpec extends AnyFunSuite {
       "batch replay must not double-count")
   }
 
+  test("streaming first-seen maintenance: checkpointed restart + replay converge on the one-shot table") {
+    // min is associative/commutative/idempotent: the folded
+    // first-occurrence table must equal the one-shot aggregation, and a
+    // replayed batch is a no-op twice over (arithmetic + versioning)
+    import graft.streaming.NoveltyStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-nov-src")
+    val table = Files.createTempDirectory("graft-nov-tab").toString
+    val ckpt = Files.createTempDirectory("graft-nov-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-nov-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(NoveltyStream.noveltySink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    def fsMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = fsMap(NoveltyStream.firstSeenOf(docs))
+    assert(oneShot.nonEmpty)
+    assert(fsMap(NoveltyStream.storedFirstSeen(spark, table)) == oneShot,
+      "streamed first-seen table must equal the one-shot aggregation")
+    // a gram first seen in batch 1 must keep its batch-1 doc even
+    // though batch 2 replays after the restart
+    NoveltyStream.noveltySink(table)(b2, 1L)
+    assert(fsMap(NoveltyStream.storedFirstSeen(spark, table)) == oneShot,
+      "batch replay must be a no-op")
+  }
+
   test("streaming centroid maintenance: checkpointed restart + replay equal the one-shot Lloyd round") {
     // frozen seeds + associative (Σ, n) merge ⇒ the streamed fold must
     // equal the one-shot assign/update round exactly, and a replayed

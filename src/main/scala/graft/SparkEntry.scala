@@ -227,7 +227,8 @@ object SparkEntry {
     "sim_hard_negatives" -> (Similarity.simHardNegatives _),
     "events_dau"        -> (Relational2.eventsDau _),
     "ta_novelty"        -> (CorpusOps.taNovelty _),
-    "stream_novelty"    -> (graft.streaming.NoveltyStream.streamNovelty _)
+    "stream_novelty"    -> (graft.streaming.NoveltyStream.streamNovelty _),
+    "corpus_waterfall"  -> (Pipeline.corpusWaterfall _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -486,7 +487,8 @@ object SparkEntry {
     "ta_novelty"        -> CorpusOps.taNoveltySql,
     // the min-merge fold identity: first-occurrence state over any
     // batching must reproduce the one-shot novelty exactly
-    "stream_novelty"    -> CorpusOps.taNoveltySql
+    "stream_novelty"    -> CorpusOps.taNoveltySql,
+    "corpus_waterfall"  -> Pipeline.corpusWaterfallSql
   )
 
   /** Headline subset used by Bench (keep it representative, not
@@ -545,5 +547,12 @@ object SparkEntry {
     // ta_gopher_rules/er_pairs/stream_kmeans/skyline_incr stay
     // full-suite-only — er_entities and q44_skyline carry their
     // families' representative cost here
-    "er_entities", "q44_skyline")
+    "er_entities", "q44_skyline",
+    // r8f: keyed sketch-state streaming (stream_hll carries the
+    // family; cms/quantile/novelty stay full-suite-only) and the
+    // first-occurrence novelty scorer — the session's two new
+    // corpus-state shapes; audio fp / jaccard / coverage / dau /
+    // hard-negatives stay full-suite-only (their families already
+    // hold headline slots)
+    "stream_hll", "ta_novelty")
 }

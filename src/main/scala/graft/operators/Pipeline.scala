@@ -480,4 +480,70 @@ object Pipeline {
        |       COALESCE(kk.tokens_kept, 0) AS tokens_kept
        |FROM tot LEFT JOIN pp ON tot.source = pp.source
        |LEFT JOIN kk ON tot.source = kk.source""".stripMargin
+
+  // -------------------------------------------------- corpus_waterfall
+  /** The dedup WATERFALL card — per source, how many docs each tier of
+    * the dedup stack would remove, attributed in waterfall order so
+    * the columns are disjoint and sum to n_docs: exact byte-normalized
+    * copies first (`dedup_exact`), then MinHash near-dups at the CC
+    * threshold among the exact-survivors (`dedup_minhash`), then
+    * semantic (SemDeDup) dups among what's left (`dedup_semantic`),
+    * then keepers. This is the planning table behind "what does each
+    * tier buy us" — the reason pipelines run cheap tiers first — and
+    * it composes three verified operators under one #sources-keyed
+    * aggregation, so its cost IS the members' cost (the
+    * `corpus_report` discipline).
+    *
+    * The MinHash tier's flag is derived at [[Dedup.CcThreshold]] — the
+    * SAME operating point `dedup_cc` clusters at, so the card counts
+    * what the cluster pass would actually merge. */
+  def corpusWaterfall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val ex = Dedup.dedupExact(s, dir)
+      .select(col("doc_id"), (col("is_dup") === 1).as("e"))
+    val nh = Dedup.dedupMinhash(s, dir)
+      .select(col("doc_id"),
+        (col("best_est_jaccard") >= Dedup.CcThreshold).as("n"))
+    val sm = Dedup.dedupSemantic(s, dir)
+      .select(col("vec_id").as("doc_id"), col("is_dup").as("m"))
+    docs
+      .join(ex, Seq("doc_id"), "left")
+      .join(nh, Seq("doc_id"), "left")
+      .join(sm, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("e"), lit(false)).as("e"),
+        coalesce(col("n"), lit(false)).as("n"),
+        coalesce(col("m"), lit(false)).as("m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(!col("e") && col("n"), 1L).otherwise(0L)).as("n_near_new"),
+        sum(when(!col("e") && !col("n") && col("m"), 1L).otherwise(0L)).as("n_sem_new"),
+        sum(when(!col("e") && !col("n") && !col("m"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Twin: the three member oracles verbatim as parenthesized
+    * subqueries (the `pipeline_mix` nesting idiom), the same disjoint
+    * waterfall attribution. */
+  lazy val corpusWaterfallSql: String =
+    s"""WITH ex AS (SELECT doc_id, is_dup = 1 AS e FROM (${Dedup.dedupExactSql})),
+       |nh AS (SELECT doc_id, best_est_jaccard >= ${Dedup.CcThreshold} AS n
+       |       FROM (${Dedup.dedupMinhashSql})),
+       |sm AS (SELECT vec_id AS doc_id, is_dup AS m FROM (${Dedup.dedupSemanticSql})),
+       |f AS (
+       |  SELECT d.source,
+       |         COALESCE(ex.e, FALSE) AS e,
+       |         COALESCE(nh.n, FALSE) AS n,
+       |         COALESCE(sm.m, FALSE) AS m
+       |  FROM documents d
+       |  LEFT JOIN ex ON d.doc_id = ex.doc_id
+       |  LEFT JOIN nh ON d.doc_id = nh.doc_id
+       |  LEFT JOIN sm ON d.doc_id = sm.doc_id)
+       |SELECT source,
+       |       CAST(COUNT(1) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |       CAST(SUM(CASE WHEN NOT e AND n THEN 1 ELSE 0 END) AS BIGINT) AS n_near_new,
+       |       CAST(SUM(CASE WHEN NOT e AND NOT n AND m THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_new,
+       |       CAST(SUM(CASE WHEN NOT e AND NOT n AND NOT m THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM f GROUP BY 1""".stripMargin
 }

@@ -367,6 +367,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert((h2.getLong(1), h2.getLong(2), h2.getLong(3)) == (4L, 1L, 0L))
   }
 
+  test("waterfall: tiers disjoint and exhaustive, each reconciles with its member operator") {
+    import graft.operators.{Dedup, Pipeline}
+    val sf = "/root/testdata/sf0.001" // needs the embeddings table too
+    val rows = Pipeline.corpusWaterfall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    for ((src, nd, e, n, m, k) <- rows)
+      assert(e + n + m + k == nd, s"$src: tiers must partition the docs")
+    // reconcile the global tier masses against the member operators
+    val exact = Dedup.dedupExact(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3) == 1)).toMap
+    val near = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2) >= Dedup.CcThreshold)).toMap
+    val sem = Dedup.dedupSemantic(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    def tier(p: Long => Boolean) = exact.keys.count(p).toLong
+    assert(rows.map(_._3).sum == tier(d => exact(d)))
+    assert(rows.map(_._4).sum == tier(d => !exact(d) && near.getOrElse(d, false)))
+    assert(rows.map(_._5).sum == tier(d =>
+      !exact(d) && !near.getOrElse(d, false) && sem.getOrElse(d, false)))
+    // the card is non-trivial: at least two tiers fire on the fixture
+    assert(Seq(rows.map(_._3).sum, rows.map(_._4).sum, rows.map(_._5).sum)
+      .count(_ > 0) >= 2, s"waterfall vacuous on the fixture: $rows")
+  }
+
   test("novelty: originals score full, late copies zero, partial overlap in between, short docs absent") {
     // arrival order IS doc_id order: 0 = original, 1 = exact copy (all
     // grams first seen in 0), 2 = fresh, 3 = front half copied from 0 +

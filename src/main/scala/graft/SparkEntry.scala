@@ -228,7 +228,8 @@ object SparkEntry {
     "events_dau"        -> (Relational2.eventsDau _),
     "ta_novelty"        -> (CorpusOps.taNovelty _),
     "stream_novelty"    -> (graft.streaming.NoveltyStream.streamNovelty _),
-    "corpus_waterfall"  -> (Pipeline.corpusWaterfall _)
+    "corpus_waterfall"  -> (Pipeline.corpusWaterfall _),
+    "stream_cc"         -> (graft.streaming.CcStream.streamCc _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -488,7 +489,10 @@ object SparkEntry {
     // the min-merge fold identity: first-occurrence state over any
     // batching must reproduce the one-shot novelty exactly
     "stream_novelty"    -> CorpusOps.taNoveltySql,
-    "corpus_waterfall"  -> Pipeline.corpusWaterfallSql
+    "corpus_waterfall"  -> Pipeline.corpusWaterfallSql,
+    // the CC maintenance identity: the three-batch fold through the
+    // contraction step must equal the full-corpus recompute
+    "stream_cc"         -> Dedup.dedupCcSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

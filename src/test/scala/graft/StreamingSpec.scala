@@ -766,6 +766,54 @@ class StreamingSpec extends AnyFunSuite {
       "batch replay must not double-count")
   }
 
+  test("streaming CC maintenance: checkpointed restart + replay converge on the one-shot clustering") {
+    // contraction preserves connectivity and canonicals are minima, so
+    // the streamed fold must reproduce dedup_cc exactly; a replayed
+    // batch re-reads the same (sig, labels) pair and rewrites both
+    // byte-identically
+    import graft.streaming.CcStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-scc-src")
+    val table = Files.createTempDirectory("graft-scc-tab").toString
+    val ckpt = Files.createTempDirectory("graft-scc-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-scc-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(CcStream.ccSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0 (bootstrap)
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1 (maintenance)
+    def labMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = graft.operators.Dedup.dedupCc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneShot.values.toSet.size < oneShot.size,
+      "fixture must contain non-trivial clusters")
+    assert(labMap(CcStream.storedLabels(spark, table)) == oneShot,
+      "streamed clustering must equal the one-shot dedup_cc")
+    // at-least-once: replaying the maintenance batch must converge
+    CcStream.ccSink(table)(b2, 1L)
+    assert(labMap(CcStream.storedLabels(spark, table)) == oneShot,
+      "batch replay must be a no-op")
+  }
+
   test("streaming first-seen maintenance: checkpointed restart + replay converge on the one-shot table") {
     // min is associative/commutative/idempotent: the folded
     // first-occurrence table must equal the one-shot aggregation, and a

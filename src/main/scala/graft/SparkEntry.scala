@@ -229,7 +229,9 @@ object SparkEntry {
     "ta_novelty"        -> (CorpusOps.taNovelty _),
     "stream_novelty"    -> (graft.streaming.NoveltyStream.streamNovelty _),
     "corpus_waterfall"  -> (Pipeline.corpusWaterfall _),
-    "stream_cc"         -> (graft.streaming.CcStream.streamCc _)
+    "stream_cc"         -> (graft.streaming.CcStream.streamCc _),
+    "events_rfm"        -> (Relational2.eventsRfm _),
+    "corpus_rank"       -> (CorpusOps.corpusRank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -492,7 +494,9 @@ object SparkEntry {
     "corpus_waterfall"  -> Pipeline.corpusWaterfallSql,
     // the CC maintenance identity: the three-batch fold through the
     // contraction step must equal the full-corpus recompute
-    "stream_cc"         -> Dedup.dedupCcSql
+    "stream_cc"         -> Dedup.dedupCcSql,
+    "events_rfm"        -> Relational2.eventsRfmSql,
+    "corpus_rank"       -> CorpusOps.corpusRankSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -1034,6 +1034,51 @@ object CorpusOps {
        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INT) AS pos
        |FROM sh""".stripMargin
 
+  // ------------------------------------------------------ corpus_rank
+  /** Rank-space buckets (first byte of the md5 key). At 100 TB widen
+    * to a 2–3-byte prefix so each bucket's window stays executor-sized
+    * — the bucket count is the ONLY knob. */
+  val RankBuckets = 256
+
+  /** GLOBAL RANK in a deterministic shuffle order — the sort-benchmark
+    * kernel of the MapReduce lineage (TeraSort's range-partition
+    * shape) as a rank table: every doc's exact position under the md5
+    * key order. The textbook `ROW_NUMBER() OVER (ORDER BY key)` puts
+    * the whole corpus through ONE window task; this is the two-phase
+    * idiom that doesn't: (1) bucket by the key's first byte — the key
+    * is a hash, so buckets are uniform — and count per bucket (map-side
+    * partial), cumulative offsets over the 256-row census; (2)
+    * row_number WITHIN each bucket (corpus/256 rows per window task)
+    * + the broadcast offset. rank = offset + intra-bucket position;
+    * md5 keys are unique per doc (unique doc_id), so the order — and
+    * the hash-check — is total without a tie-break column.
+    *
+    * This is also `corpus_shuffle`'s missing complement: that operator
+    * permutes into UNRANKED shards; this one prices the exact global
+    * position when a consumer (curriculum order, resumable readers)
+    * needs it. */
+  def corpusRank(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+      .withColumn("bucket", expr("cast(conv(substr(k, 1, 2), 16, 10) as int)"))
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rank", col("off") +
+        row_number().over(Window.partitionBy(col("bucket")).orderBy(col("k"))))
+      .select(col("doc_id"), col("k"), col("rank").cast("long").as("rank"))
+  }
+
+  val corpusRankSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents)
+      |SELECT doc_id, k,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY k) AS BIGINT) AS rank
+      |FROM keyed""".stripMargin
+
   // ------------------------------------------------------ ta_novelty
   /** Per-document NOVELTY score — the data-pruning signal "how much of
     * this doc has the corpus never seen before": the fraction of its

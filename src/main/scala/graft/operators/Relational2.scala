@@ -529,6 +529,87 @@ object Relational2 {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
        |FROM per_day p LEFT JOIN nu n ON p.day = n.day""".stripMargin
 
+  // ----------------------------------------------------- events_rfm
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * behavioral cohorting): per user, days since last event, event
+    * count, and value mass, each scored 1–5 against the population's
+    * quintile fences, segment = the 3-digit RFM code. The scale
+    * discipline is [[eventsAnomaly]]'s: fences are a 1-row broadcast
+    * (percentile aggregates — the q23 cross-engine discipline), scores
+    * are per-row CASEs, and there is NO corpus-wide ntile window (the
+    * textbook formulation — one task for all users). Monetary sums
+    * DECIMAL (IEEE double summation is order-dependent and would never
+    * hash-check) and ships as integer cents; recency inverts (recent =
+    * 5). */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val nowUs = ev.agg(max(col("ts_us")).as("now_us"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(col("value").cast("decimal(20,6)")).as("mdec"))
+      .crossJoin(broadcast(nowUs))
+      .select(col("user_id"),
+        expr(s"(now_us - last_us) div $DayUs").as("r_days"),
+        col("f"),
+        (col("mdec") * lit(100)).cast("long").as("m_cents"))
+    val fences = perUser.agg(
+      expr("percentile(r_days, 0.2)").as("r20"), expr("percentile(r_days, 0.4)").as("r40"),
+      expr("percentile(r_days, 0.6)").as("r60"), expr("percentile(r_days, 0.8)").as("r80"),
+      expr("percentile(f, 0.2)").as("f20"), expr("percentile(f, 0.4)").as("f40"),
+      expr("percentile(f, 0.6)").as("f60"), expr("percentile(f, 0.8)").as("f80"),
+      expr("percentile(m_cents, 0.2)").as("m20"), expr("percentile(m_cents, 0.4)").as("m40"),
+      expr("percentile(m_cents, 0.6)").as("m60"), expr("percentile(m_cents, 0.8)").as("m80"))
+    def score(v: String, q20: String, q40: String, q60: String, q80: String) =
+      when(col(v) <= col(q20), 1).when(col(v) <= col(q40), 2)
+        .when(col(v) <= col(q60), 3).when(col(v) <= col(q80), 4).otherwise(5)
+    perUser.crossJoin(broadcast(fences))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        // recency inverts: fewer days since last event = higher score
+        (lit(6) - score("r_days", "r20", "r40", "r60", "r80")).as("r_score"),
+        score("f", "f20", "f40", "f60", "f80").as("f_score"),
+        score("m_cents", "m20", "m40", "m60", "m80").as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
+  val eventsRfmSql: String =
+    Tables.eventsCteSql +
+    s""",
+       |now_us AS (SELECT MAX(ts_us) AS now_us FROM ev),
+       |pu AS (
+       |  SELECT user_id,
+       |         (SELECT now_us FROM now_us) - MAX(ts_us) AS gap_us,
+       |         CAST(COUNT(1) AS BIGINT) AS f,
+       |         CAST(SUM(CAST(value AS DECIMAL(20,6))) * 100 AS BIGINT) AS m_cents
+       |  FROM ev GROUP BY 1),
+       |u AS (SELECT user_id, gap_us // $DayUs AS r_days, f, m_cents FROM pu),
+       |fn AS (
+       |  SELECT quantile_cont(r_days, 0.2) AS r20, quantile_cont(r_days, 0.4) AS r40,
+       |         quantile_cont(r_days, 0.6) AS r60, quantile_cont(r_days, 0.8) AS r80,
+       |         quantile_cont(f, 0.2) AS f20, quantile_cont(f, 0.4) AS f40,
+       |         quantile_cont(f, 0.6) AS f60, quantile_cont(f, 0.8) AS f80,
+       |         quantile_cont(m_cents, 0.2) AS m20, quantile_cont(m_cents, 0.4) AS m40,
+       |         quantile_cont(m_cents, 0.6) AS m60, quantile_cont(m_cents, 0.8) AS m80
+       |  FROM u),
+       |sc AS (
+       |  SELECT u.user_id, u.r_days, u.f, u.m_cents,
+       |         6 - (CASE WHEN u.r_days <= fn.r20 THEN 1 WHEN u.r_days <= fn.r40 THEN 2
+       |                   WHEN u.r_days <= fn.r60 THEN 3 WHEN u.r_days <= fn.r80 THEN 4
+       |                   ELSE 5 END) AS r_score,
+       |         CASE WHEN u.f <= fn.f20 THEN 1 WHEN u.f <= fn.f40 THEN 2
+       |              WHEN u.f <= fn.f60 THEN 3 WHEN u.f <= fn.f80 THEN 4
+       |              ELSE 5 END AS f_score,
+       |         CASE WHEN u.m_cents <= fn.m20 THEN 1 WHEN u.m_cents <= fn.m40 THEN 2
+       |              WHEN u.m_cents <= fn.m60 THEN 3 WHEN u.m_cents <= fn.m80 THEN 4
+       |              ELSE 5 END AS m_score
+       |  FROM u CROSS JOIN fn)
+       |SELECT user_id, r_days, f, m_cents,
+       |       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       |       CAST(m_score AS INT) AS m_score,
+       |       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+       |FROM sc""".stripMargin
+
   // ---------------------------------------------- events_transitions
   /** Per-user event-flow Markov table — the behavioral bigram LM: for
     * every (from, to) pair of CONSECUTIVE event types within a user's

@@ -367,6 +367,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert((h2.getLong(1), h2.getLong(2), h2.getLong(3)) == (4L, 1L, 0L))
   }
 
+  test("corpus_rank: exact permutation matching the driver-side total order") {
+    val sf = "/root/testdata/sf0.001"
+    val got = CorpusOps.corpusRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = got.length
+    assert(got.map(_._3).sorted.toSeq == (1L to n).toSeq,
+      "ranks must be a permutation of 1..n")
+    // the bucketed two-phase rank must equal the single-order truth
+    val want = got.map(t => (t._2, t._1)).sorted.zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    assert(got.forall { case (id, _, r) => want(id) == r },
+      "two-phase rank diverged from the global key order")
+  }
+
   test("waterfall: tiers disjoint and exhaustive, each reconciles with its member operator") {
     import graft.operators.{Dedup, Pipeline}
     val sf = "/root/testdata/sf0.001" // needs the embeddings table too

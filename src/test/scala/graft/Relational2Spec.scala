@@ -233,6 +233,28 @@ class Relational2Spec extends AnyFunSuite {
     assert(got.forall { case (_, (_, dau, _, cum)) => dau <= cum })
   }
 
+  test("events_rfm: scores bounded and monotone in their metrics, recency inverted, segment arithmetic") {
+    val rows = Relational2.eventsRfm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    for ((_, _, _, _, rs, fs, ms, seg) <- rows) {
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(seg == rs * 100 + fs * 10 + ms)
+    }
+    // monotone: a strictly larger metric can never score lower (same
+    // fences for everyone); recency is INVERTED (more days = lower)
+    for (w <- rows.sortBy(_._3).toSeq.sliding(2); Seq(a, b) = w if a._3 < b._3)
+      assert(a._6 <= b._6, s"f_score must be monotone in f: $a vs $b")
+    for (w <- rows.sortBy(_._2).toSeq.sliding(2); Seq(a, b) = w if a._2 < b._2)
+      assert(a._5 >= b._5, s"r_score must be antitone in r_days: $a vs $b")
+    for (w <- rows.sortBy(_._4).toSeq.sliding(2); Seq(a, b) = w if a._4 < b._4)
+      assert(a._7 <= b._7, s"m_score must be monotone in m_cents: $a vs $b")
+    // quintile fences actually spread the fixture population
+    assert(rows.map(_._8).distinct.length >= 5,
+      "fixture must produce several distinct segments")
+  }
+
   test("dq_skew_report: internally consistent against the raw count table") {
     val r = graft.operators.Relational.dqSkewReport(spark, dir).head()
     val counts = Tables.orders(spark, dir).groupBy(col("o_custkey")).count()

@@ -403,6 +403,24 @@ class PlanSpec extends AnyFunSuite {
       s"the V-row dictionary must broadcast:\n$p")
   }
 
+  test("corpus_rank: the corpus-side window is bucket-partitioned; unpartitioned windows see only the census") {
+    // the operator's entire reason to exist: ROW_NUMBER over everything
+    // is one task; here the only unpartitioned window must sit above
+    // the 256-row bucket census (an aggregate), never above the scan
+    val p = plan(CorpusOps.corpusRank(spark, dir))
+    val wins = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    for (w <- wins if w.partitionSpec.isEmpty) {
+      val aggBelow = w.collect {
+        case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+      }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window must ride the bucket census, not the corpus:\n$p")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"the corpus rank window must partition by bucket:\n$p")
+  }
+
   test("graph_jaccard / events_dau: no cartesian; dau windows only the day curve") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     def noCartesian(df: DataFrame, name: String): Unit = {

@@ -231,7 +231,8 @@ object SparkEntry {
     "corpus_waterfall"  -> (Pipeline.corpusWaterfall _),
     "stream_cc"         -> (graft.streaming.CcStream.streamCc _),
     "events_rfm"        -> (Relational2.eventsRfm _),
-    "corpus_rank"       -> (CorpusOps.corpusRank _)
+    "corpus_rank"       -> (CorpusOps.corpusRank _),
+    "snapshot_apply"    -> (Snapshots.snapshotApply _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -496,7 +497,10 @@ object SparkEntry {
     // contraction step must equal the full-corpus recompute
     "stream_cc"         -> Dedup.dedupCcSql,
     "events_rfm"        -> Relational2.eventsRfmSql,
-    "corpus_rank"       -> CorpusOps.corpusRankSql
+    "corpus_rank"       -> CorpusOps.corpusRankSql,
+    // the CDC round-trip identity: apply(v_old, diff(v_old, v_new))
+    // must equal v_new constructed directly
+    "snapshot_apply"    -> Snapshots.snapshotApplySql
   )
 
   /** Headline subset used by Bench (keep it representative, not

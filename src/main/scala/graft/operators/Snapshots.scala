@@ -213,6 +213,43 @@ object Snapshots {
        |       CASE WHEN op = 'update' THEN chg ELSE '' END AS changed_cols
        |FROM d WHERE op <> 'keep'""".stripMargin
 
+  // ---------------------------------------------- snapshot_apply
+  /** CDC APPLY — the consumer side of [[snapshotDiff]]'s change feed,
+    * and its algebraic inverse: `apply(v_old, diff(v_old, v_new)) ==
+    * v_new` exactly. A replica site holding v_old folds the change
+    * rows in with ONE key anti-join (drop deleted + updated keys) and
+    * one union (insert + update rows carry their new values) — O(table
+    * + changes), co-locatable when both sides are key-bucketed, and
+    * the identity means replicas never drift from the publisher. */
+  def applyChanges(target: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val touched = changes.where(col("op").isin("delete", "update"))
+      .select(col(key))
+    val adds = changes.where(col("op").isin("insert", "update"))
+      .drop("op", "changed_cols")
+    target.join(touched, Seq(key), "left_anti").unionByName(adds)
+  }
+
+  /** Gate: v_old + [[snapshotDiff]]'s own feed; the oracle constructs
+    * v_new DIRECTLY (the diff CTEs minus the classification) — the
+    * round-trip identity. */
+  def snapshotApply(s: SparkSession, dir: String): DataFrame = {
+    val old = Tables.documents(s, dir).where(col("doc_id") % 3 =!= 0)
+    applyChanges(old, snapshotDiff(s, dir), "doc_id")
+  }
+
+  val snapshotApplySql: String =
+    """WITH t AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      |u AS (SELECT doc_id, upper(text) AS text, lang, source, n_chars
+      |      FROM documents WHERE doc_id % 5 = 0),
+      |m AS (SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
+      |             COALESCE(u.text, t.text) AS text,
+      |             COALESCE(u.lang, t.lang) AS lang,
+      |             COALESCE(u.source, t.source) AS source,
+      |             COALESCE(u.n_chars, t.n_chars) AS n_chars
+      |      FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id)
+      |SELECT doc_id, text, lang, source, n_chars
+      |FROM m WHERE doc_id % 7 <> 1""".stripMargin
+
   // ---------------------------------------------- snapshot_history
   /** Sentinel `valid_to` for the open (current) row version — keeps
     * the history table null-free so AS-OF filters are plain integer

@@ -103,6 +103,23 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("apply inverts diff: apply(v_old, diff(v_old, v_new)) == v_new across all three ops") {
+    val old  = Seq((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L))
+      .toDF("doc_id", "text", "n")
+    val newV = Seq((2L, "TWO", 20L), (3L, "three", 30L), (9L, "nine", 90L))
+      .toDF("doc_id", "text", "n")
+    val applied = Snapshots.applyChanges(old,
+        Snapshots.diffOver(old, newV, "doc_id"), "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(applied == newV.collect().map(_.toSeq).toSet,
+      "the CDC round trip must reproduce v_new exactly")
+    // an empty feed is the identity transformation
+    val noop = Snapshots.applyChanges(old,
+        Snapshots.diffOver(old, old, "doc_id"), "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(noop == old.collect().map(_.toSeq).toSet)
+  }
+
   test("diff counts changes as null-safe: NULL→value and value→NULL are updates") {
     def f(rows: (java.lang.Long, String)*) = rows.toDF("doc_id", "text")
     val old  = f(java.lang.Long.valueOf(1L) -> null,

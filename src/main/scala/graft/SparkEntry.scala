@@ -232,7 +232,8 @@ object SparkEntry {
     "stream_cc"         -> (graft.streaming.CcStream.streamCc _),
     "events_rfm"        -> (Relational2.eventsRfm _),
     "corpus_rank"       -> (CorpusOps.corpusRank _),
-    "snapshot_apply"    -> (Snapshots.snapshotApply _)
+    "snapshot_apply"    -> (Snapshots.snapshotApply _),
+    "mm_phash_cc"       -> (graft.multimodal.Media.mmPhashCc _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -500,7 +501,8 @@ object SparkEntry {
     "corpus_rank"       -> CorpusOps.corpusRankSql,
     // the CDC round-trip identity: apply(v_old, diff(v_old, v_new))
     // must equal v_new constructed directly
-    "snapshot_apply"    -> Snapshots.snapshotApplySql
+    "snapshot_apply"    -> Snapshots.snapshotApplySql,
+    "mm_phash_cc"       -> graft.multimodal.Media.mmPhashCcSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

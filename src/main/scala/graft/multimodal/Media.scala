@@ -840,6 +840,51 @@ object Media {
       .where(col("hamming") <= AudioMaxHam)
   }
 
+  // ---------------------------------------------------- mm_phash_cc
+  /** Image near-dup CLUSTERS — [[mmPhashPairs]]'s verified pairs
+    * closed transitively with the text-dedup machinery
+    * ([[graft.operators.Dedup.propagateMin]] /
+    * [[graft.operators.Dedup.ccOutput]] — the SAME min-label fixpoint
+    * and skew-safe size idiom, shared not re-implemented): every image
+    * labeled with its component's min media_id, sizes via aggregate +
+    * join-back. The media-lake reading: a re-encode chain (A≈B, B≈C
+    * at Hamming ≤ 3 each, A vs C at 6) still collapses to ONE keeper,
+    * which pairwise verification alone cannot give. Oracle = the
+    * pairs SQL + the recursive-CTE closure (the dedup_cc shape).
+    *
+    * Closure runs the O(log n) star contraction
+    * ([[graft.operators.Dedup.starContract]]), not min-label
+    * propagation: perceptual-hash graphs CHAIN (each re-encode drifts
+    * a few bits, A→B→C→…), so components have large diameter by
+    * construction — sf0.1 already exceeds the propagation round cap
+    * where the text dup graph does not. */
+  def mmPhashCc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val edges = mmPhashPairs(s, dir)
+      .select(col("ma").as("src"), col("mb").as("dst"))
+    val (star, _) = Dedup.starContract(edges)
+    val labels = Tables.documents(s, dir).select(col("doc_id"))
+      .join(star.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("label"))
+    Dedup.ccOutput(labels)
+      .withColumnRenamed("doc_id", "media_id")
+  }
+
+  lazy val mmPhashCcSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (SELECT ma, mb FROM ($mmPhashPairsSql)),
+       |sym AS MATERIALIZED (SELECT ma AS src, mb AS dst FROM pairs
+       |        UNION ALL SELECT mb, ma FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst),
+       |lab AS MATERIALIZED (SELECT src AS media_id, MIN(dst) AS cluster_id
+       |                     FROM reach GROUP BY src)
+       |SELECT media_id, cluster_id,
+       |       COUNT(1) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       CAST(media_id = cluster_id AS INT) AS is_canonical
+       |FROM lab""".stripMargin
+
   /** Twin: [[mmAudioFpSql]]'s fingerprint table verbatim, then the
     * identical band/cap/verify chain (ROW_NUMBER cap = the same
     * smallest-id selection as the bounded aggregate). */

@@ -233,7 +233,8 @@ object SparkEntry {
     "events_rfm"        -> (Relational2.eventsRfm _),
     "corpus_rank"       -> (CorpusOps.corpusRank _),
     "snapshot_apply"    -> (Snapshots.snapshotApply _),
-    "mm_phash_cc"       -> (graft.multimodal.Media.mmPhashCc _)
+    "mm_phash_cc"       -> (graft.multimodal.Media.mmPhashCc _),
+    "events_ewma"       -> (Relational2.eventsEwma _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -502,7 +503,8 @@ object SparkEntry {
     // the CDC round-trip identity: apply(v_old, diff(v_old, v_new))
     // must equal v_new constructed directly
     "snapshot_apply"    -> Snapshots.snapshotApplySql,
-    "mm_phash_cc"       -> graft.multimodal.Media.mmPhashCcSql
+    "mm_phash_cc"       -> graft.multimodal.Media.mmPhashCcSql,
+    "events_ewma"       -> Relational2.eventsEwmaSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

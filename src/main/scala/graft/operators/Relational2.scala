@@ -529,6 +529,67 @@ object Relational2 {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
        |FROM per_day p LEFT JOIN nu n ON p.day = n.day""".stripMargin
 
+  // ----------------------------------------------------- events_ewma
+  /** Fixed-point scale for the smoothing state (2^20). */
+  val EwmaK = 1048576L
+
+  /** Integer EWMA over the per-type daily volume curve — the
+    * time-series smoothing primitive (α = 1/4), in EXACT integer
+    * arithmetic: s_1 = x_1·2^20, s_t = (3·s_{t−1} + x_t·2^20) div 4.
+    * Every term is non-negative, so truncating and flooring division
+    * agree and the STATE ITSELF hash-checks cross-engine — where an
+    * IEEE α-blend never would. Emitted per (event_type, day): the
+    * volume, the smoothed state, and \|x·2^20 − s\| (the deviation a
+    * monitor thresholds).
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combinable
+    * (type, day) count; the sequential fold runs on the collected
+    * \|types\|·\|days\| curve — bounded driver state, the
+    * `ta_quantile_eval` discipline (a curve is small at ANY corpus
+    * size; it's the event COUNT that's 100 TB, not the day count).
+    * The oracle replays the fold as a recursive CTE. */
+  def eventsEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val curve = daily.collect() // |types| x |days| rows — bounded
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val out = curve.toSeq.flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var sState = 0L
+      sorted.zipWithIndex.map { case ((_, day, n), i) =>
+        sState = if (i == 0) n * EwmaK else (3 * sState + n * EwmaK) / 4
+        (et, day, n, sState, math.abs(n * EwmaK - sState))
+      }
+    }
+    out.toDF("event_type", "day", "n", "ewma_scaled", "dev_scaled")
+  }
+
+  val eventsEwmaSql: String = {
+    // WITH RECURSIVE must open the statement; inline the events CTE
+    // body after it (eventsCteSql's own WITH can't nest second)
+    val evBody = Tables.eventsCteSql.stripPrefix("WITH ")
+    s"""WITH RECURSIVE $evBody,
+       |daily AS (
+       |  SELECT event_type, ts_us // $DayUs AS day, CAST(COUNT(1) AS BIGINT) AS n
+       |  FROM ev GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, day, n,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+       |  FROM daily),
+       |fold(event_type, i, day, n, s) AS (
+       |  SELECT event_type, i, day, n, n * $EwmaK
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT x.event_type, x.i, x.day, x.n, (3 * f.s + x.n * $EwmaK) // 4
+       |  FROM fold f JOIN idx x ON x.event_type = f.event_type AND x.i = f.i + 1)
+       |SELECT event_type, day, n, s AS ewma_scaled,
+       |       ABS(n * $EwmaK - s) AS dev_scaled
+       |FROM fold""".stripMargin
+  }
+
   // ----------------------------------------------------- events_rfm
   /** RFM segmentation (recency / frequency / monetary — the classic
     * behavioral cohorting): per user, days since last event, event

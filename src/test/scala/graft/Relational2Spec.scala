@@ -233,6 +233,34 @@ class Relational2Spec extends AnyFunSuite {
     assert(got.forall { case (_, (_, dau, _, cum)) => dau <= cum })
   }
 
+  test("events_ewma: constant series is a fixed point; a step converges monotonically to the new level") {
+    import graft.operators.Relational2.{DayUs, EwmaK}
+    val d = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    // type "flat": 4 events/day for 6 days; type "step": 1/day for 3
+    // days then 9/day for 5 days
+    val rows = (for (day <- 0L until 6L; k <- 0L until 4L)
+        yield ("flat", day, k)) ++
+      (for (day <- 0L until 8L; k <- 0L until (if (day < 3) 1L else 9L))
+        yield ("step", day, k))
+    rows.zipWithIndex.map { case ((et, day, _), i) =>
+      (i.toLong, (day * DayUs + 1000L) * 1000L, 1L, et, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Relational2.eventsEwma(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // constant series: s stays exactly x*K, deviation exactly 0
+    for (day <- 0L until 6L)
+      assert(out(("flat", day)) == ((4L, 4L * EwmaK, 0L)), s"flat day $day")
+    // step: state climbs strictly toward (but below) the new level
+    val climb = (3L until 8L).map(day => out(("step", day))._2)
+    assert(climb.zip(climb.drop(1)).forall { case (a, b) => a < b })
+    assert(climb.forall(s => s > 1L * EwmaK && s < 9L * EwmaK))
+    // deviation shrinks as the state converges
+    val devs = (3L until 8L).map(day => out(("step", day))._3)
+    assert(devs.zip(devs.drop(1)).forall { case (a, b) => b < a })
+  }
+
   test("events_rfm: scores bounded and monotone in their metrics, recency inverted, segment arithmetic") {
     val rows = Relational2.eventsRfm(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

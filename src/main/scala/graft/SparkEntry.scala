@@ -234,7 +234,8 @@ object SparkEntry {
     "corpus_rank"       -> (CorpusOps.corpusRank _),
     "snapshot_apply"    -> (Snapshots.snapshotApply _),
     "mm_phash_cc"       -> (graft.multimodal.Media.mmPhashCc _),
-    "events_ewma"       -> (Relational2.eventsEwma _)
+    "events_ewma"       -> (Relational2.eventsEwma _),
+    "sql_window"        -> (SqlSurface.qSqlWindow _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -504,7 +505,9 @@ object SparkEntry {
     // must equal v_new constructed directly
     "snapshot_apply"    -> Snapshots.snapshotApplySql,
     "mm_phash_cc"       -> graft.multimodal.Media.mmPhashCcSql,
-    "events_ewma"       -> Relational2.eventsEwmaSql
+    "events_ewma"       -> Relational2.eventsEwmaSql,
+    // one window-function ANSI string, both engines verbatim
+    "sql_window"        -> SqlSurface.sqlWindow
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -125,4 +125,31 @@ object SqlSurface {
     registerViews(s, dir)
     s.sql(sqlRecursive)
   }
+
+  /** WINDOW-FUNCTION SQL surface — ONE ANSI string both engines run
+    * verbatim (the dialect-compat discipline of [[sqlRecursive]]),
+    * covering the clauses the DataFrame battery (q8/q9/q29/q32)
+    * expresses natively: a named WINDOW clause reused by rank /
+    * dense_rank / lag with default / a bounded ROWS frame, plus an
+    * independent RANGE frame. Supplier account balances are DECIMAL —
+    * SUMs hash-check without the double-summation hazard. */
+  val sqlWindow: String =
+    """SELECT s_nationkey, s_suppkey,
+      |       RANK() OVER w AS rnk,
+      |       DENSE_RANK() OVER w AS drnk,
+      |       LAG(s_suppkey, 1, -1) OVER w AS prev_supp,
+      |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY s_nationkey
+      |              ORDER BY s_acctbal DESC, s_suppkey
+      |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS bal3,
+      |       CAST(COUNT(1) OVER (PARTITION BY s_nationkey
+      |              ORDER BY s_acctbal
+      |              RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)
+      |            AS BIGINT) AS near_peers
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)""".stripMargin
+
+  def qSqlWindow(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(sqlWindow)
+  }
 }

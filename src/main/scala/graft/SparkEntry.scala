@@ -235,7 +235,8 @@ object SparkEntry {
     "snapshot_apply"    -> (Snapshots.snapshotApply _),
     "mm_phash_cc"       -> (graft.multimodal.Media.mmPhashCc _),
     "events_ewma"       -> (Relational2.eventsEwma _),
-    "sql_window"        -> (SqlSurface.qSqlWindow _)
+    "sql_window"        -> (SqlSurface.qSqlWindow _),
+    "dedup_keep_longest" -> (Dedup.dedupKeepLongest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -507,7 +508,8 @@ object SparkEntry {
     "mm_phash_cc"       -> graft.multimodal.Media.mmPhashCcSql,
     "events_ewma"       -> Relational2.eventsEwmaSql,
     // one window-function ANSI string, both engines verbatim
-    "sql_window"        -> SqlSurface.sqlWindow
+    "sql_window"        -> SqlSurface.sqlWindow,
+    "dedup_keep_longest" -> Dedup.dedupKeepLongestSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -483,4 +483,27 @@ class DedupSpec extends AnyFunSuite {
     // possible pair
     assert(cand == 1)
   }
+
+  test("keep-longest policy: keeper is the cluster's longest member, and the policy genuinely differs from min-id") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.dedupKeepLongest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty && rows.length == 500)
+    val byCluster = rows.groupBy(_._2)
+    for ((c, g) <- byCluster) {
+      val keeper = g.map(_._4).distinct
+      assert(keeper.length == 1, s"cluster $c has ${keeper.length} keepers")
+      val k = g.find(_._1 == keeper.head).get
+      // keeper maximizes (n_ws, then min id)
+      assert(g.forall(m => m._3 < k._3 || (m._3 == k._3 && m._1 >= k._1)),
+        s"cluster $c keeper ${k._1} not the longest member")
+      assert(g.count(_._5 == 1) == 1)
+    }
+    // the policy must actually diverge from the min-id canonical
+    // somewhere on the fixture, else this gate pins nothing
+    val diverges = byCluster.values.exists { g =>
+      g.map(_._4).head != g.map(_._1).min
+    }
+    assert(diverges, "keep-longest never differed from min-id on the fixture")
+  }
 }

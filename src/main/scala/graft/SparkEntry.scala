@@ -236,7 +236,8 @@ object SparkEntry {
     "mm_phash_cc"       -> (graft.multimodal.Media.mmPhashCc _),
     "events_ewma"       -> (Relational2.eventsEwma _),
     "sql_window"        -> (SqlSurface.qSqlWindow _),
-    "dedup_keep_longest" -> (Dedup.dedupKeepLongest _)
+    "dedup_keep_longest" -> (Dedup.dedupKeepLongest _),
+    "ta_quality_calibration" -> (Classifier.taQualityCalibration _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -509,7 +510,8 @@ object SparkEntry {
     "events_ewma"       -> Relational2.eventsEwmaSql,
     // one window-function ANSI string, both engines verbatim
     "sql_window"        -> SqlSurface.sqlWindow,
-    "dedup_keep_longest" -> Dedup.dedupKeepLongestSql
+    "dedup_keep_longest" -> Dedup.dedupKeepLongestSql,
+    "ta_quality_calibration" -> Classifier.taQualityCalibrationSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

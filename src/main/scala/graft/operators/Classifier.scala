@@ -219,4 +219,56 @@ object Classifier {
        |SELECT bucket, gw AS wt FROM w$ClfEpochs
        |UNION ALL
        |SELECT CAST(-1 AS BIGINT) AS bucket, gb AS wt FROM b$ClfEpochs""".stripMargin
+
+  // ------------------------------------------- ta_quality_calibration
+  /** Calibration band width over the integer margin. */
+  val CalibBandWidth = 8192L
+  /** Offset making every banded margin non-negative BEFORE the
+    * division (2^30, a multiple of the width), so truncating and
+    * flooring division agree — negative margins would band one apart
+    * across engines otherwise. */
+  val CalibOffset = 1073741824L
+
+  /** CALIBRATION CARD — the learned quality score audited against the
+    * two other quality signals the engine ships: per margin band, how
+    * many docs clear the published-heuristic Gopher bundle and how
+    * many carry the high-quality label. This is the table that
+    * answers "do my quality lenses agree, and where" — on the fixture
+    * they measurably DON'T (the rule bundle's pass rate falls as the
+    * perceptron margin rises), which is exactly the finding a
+    * calibration card exists to surface before anyone gates a corpus
+    * on a single lens. Composes two verified operators with one key
+    * join + one \|bands\|-keyed aggregation; everything integer, the
+    * two rates single divisions. */
+  def taQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val clf = taQualityClf(s, dir).select(col("doc_id"), col("label"), col("score"))
+    val rules = TextAnalysis.taGopherRules(s, dir).select(col("doc_id"), col("passes"))
+    clf.join(rules, "doc_id")
+      .withColumn("band",
+        expr(s"(score + $CalibOffset) div $CalibBandWidth - ${CalibOffset / CalibBandWidth}"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("passes").cast("long")).as("n_pass"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_hq"))
+      .withColumn("pass_ppm", expr("1000000 * n_pass div n_docs"))
+      .withColumn("hq_ppm", expr("1000000 * n_hq div n_docs"))
+      .select(col("band"), col("n_docs"), col("n_pass"), col("pass_ppm"),
+        col("n_hq"), col("hq_ppm"))
+  }
+
+  /** Twin: both member oracles verbatim, the identical banding. */
+  lazy val taQualityCalibrationSql: String =
+    s"""WITH clf AS (SELECT doc_id, label, score FROM ($taQualityClfSql)),
+       |g AS (SELECT doc_id, passes FROM (${TextAnalysis.taGopherRulesSql})),
+       |b AS (
+       |  SELECT (clf.score + $CalibOffset) // $CalibBandWidth - ${CalibOffset / CalibBandWidth} AS band,
+       |         clf.label, g.passes
+       |  FROM clf JOIN g ON clf.doc_id = g.doc_id)
+       |SELECT band,
+       |       CAST(COUNT(1) AS BIGINT) AS n_docs,
+       |       CAST(SUM(passes) AS BIGINT) AS n_pass,
+       |       CAST(1000000 * SUM(passes) // COUNT(1) AS BIGINT) AS pass_ppm,
+       |       CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hq,
+       |       CAST(1000000 * SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) // COUNT(1) AS BIGINT) AS hq_ppm
+       |FROM b GROUP BY 1""".stripMargin
 }

@@ -110,4 +110,31 @@ class ClassifierSpec extends AnyFunSuite {
     // epoch, both docs score 0, and the tie rule calls both wrong
     assert(rows.toSeq == Seq((0L, 0L, false), (1L, 0L, false)))
   }
+
+  test("calibration card: bands reconcile with the member operators and the lenses measurably differ") {
+    import graft.operators.TextAnalysis
+    val sf = "/root/testdata/sf0.001"
+    val card = Classifier.taQualityCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(card.size >= 3, s"banding too coarse: ${card.keys}")
+    // reconcile against a driver-side recount from the members
+    val clf = Classifier.taQualityClf(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pass = TextAnalysis.taGopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("passes"))).toMap
+    val w = Classifier.CalibBandWidth; val off = Classifier.CalibOffset
+    val want = clf.toSeq.map { case (id, (lab, sc)) =>
+      ((sc + off) / w - off / w, lab, pass(id))
+    }.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.size.toLong, xs.count(_._3 == 1).toLong, xs.count(_._2 == 1L).toLong))
+    }
+    for ((b, (n, np, nhq)) <- want) {
+      val (gn, gnp, _, gnhq, _) = card(b)
+      assert((gn, gnp, gnhq) == ((n, np, nhq)), s"band $b mismatch")
+    }
+    // the card is non-trivial: pass rates differ across bands
+    assert(card.values.map(_._3).toSet.size > 1,
+      "all bands share one pass rate — the card pins nothing")
+  }
 }

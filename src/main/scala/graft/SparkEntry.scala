@@ -237,7 +237,8 @@ object SparkEntry {
     "events_ewma"       -> (Relational2.eventsEwma _),
     "sql_window"        -> (SqlSurface.qSqlWindow _),
     "dedup_keep_longest" -> (Dedup.dedupKeepLongest _),
-    "ta_quality_calibration" -> (Classifier.taQualityCalibration _)
+    "ta_quality_calibration" -> (Classifier.taQualityCalibration _),
+    "q45_exact_pctile"  -> (Selection.q45ExactPctile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -511,7 +512,11 @@ object SparkEntry {
     // one window-function ANSI string, both engines verbatim
     "sql_window"        -> SqlSurface.sqlWindow,
     "dedup_keep_longest" -> Dedup.dedupKeepLongestSql,
-    "ta_quality_calibration" -> Classifier.taQualityCalibrationSql
+    "ta_quality_calibration" -> Classifier.taQualityCalibrationSql,
+    // exact order statistics by two-pass counting selection: every
+    // output is an ELEMENT of the column at the ceil-rank position, so
+    // the oracle's brute ROW_NUMBER walk must agree to the cent
+    "q45_exact_pctile"  -> Selection.q45ExactPctileSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

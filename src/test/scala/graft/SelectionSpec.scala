@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Selection
+
+/** Two-pass counting selection: differential tests against a
+  * brute-force sorted ceil-rank oracle, bucket-boundary ranks,
+  * duplicate-heavy and all-equal columns, permutation/partitioning
+  * invariance, the empty-input `require`, and the grouped variant. */
+class SelectionSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** The ceil-rank definition, brute force: r-th smallest with
+    * r = ceil(p*n/100), 1-indexed. */
+  private def brute(vals: Seq[Long], pcts: Seq[Int]): Seq[(Int, Long, Long, Long)] = {
+    val sorted = vals.sorted
+    val n = vals.size.toLong
+    pcts.sorted.map { p =>
+      val rnk = (p * n + 99L) / 100L
+      (p, rnk, n, sorted((rnk - 1).toInt))
+    }
+  }
+
+  private def run(vals: Seq[Long], pcts: Seq[Int], parts: Int,
+      width: Long = Selection.BucketW): Seq[(Int, Long, Long, Long)] =
+    Selection.exactPctileOver(spark,
+      spark.createDataset(vals).repartition(parts).toDF("cents"), pcts, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("matches the brute-force ceil-rank oracle on random data") {
+    val rng = new scala.util.Random(42)
+    val vals = Seq.fill(5000)(rng.nextLong(1000000L))
+    assert(run(vals, Seq(25, 50, 75, 90, 99), 7) ==
+      brute(vals, Seq(25, 50, 75, 90, 99)))
+  }
+
+  test("permutation and partition-count invariance") {
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(999)(rng.nextLong(50000L))
+    val expect = brute(vals, Seq(50, 99))
+    for (p <- Seq(1, 3, 8); vs <- Seq(vals, rng.shuffle(vals), vals.sorted.reverse))
+      assert(run(vs, Seq(50, 99), p) == expect,
+        s"partitions=$p must not change exact order statistics")
+  }
+
+  test("duplicate-heavy and all-equal columns") {
+    // 90% of the mass is one value: p25..p90 all land on it
+    val dup = Seq.fill(900)(777L) ++ (1L to 100L)
+    assert(run(dup, Seq(25, 50, 75, 90, 99), 4) ==
+      brute(dup, Seq(25, 50, 75, 90, 99)))
+    val eq = Seq.fill(321)(4096L) // sits exactly ON a bucket boundary too
+    assert(run(eq, Seq(1, 50, 100), 4) == brute(eq, Seq(1, 50, 100)))
+  }
+
+  test("ranks at bucket boundaries: values straddling b*W-1, b*W, b*W+1") {
+    val w = Selection.BucketW
+    // n=8 values placed around the first two boundaries; with small
+    // widths every target rank sits at a bucket edge somewhere
+    val vals = Seq(0L, w - 1, w, w + 1, 2 * w - 1, 2 * w, 2 * w, 3 * w)
+    for (width <- Seq(2L, 7L, w))
+      assert(run(vals, (1 to 100 by 7).toSeq, 3, width) ==
+        brute(vals, (1 to 100 by 7).toSeq),
+        s"width=$width disagreed with brute force")
+  }
+
+  test("p=100 selects the maximum; p small selects the minimum") {
+    val vals = Seq(5L, 9L, 1L, 14L, 3L)
+    val got = run(vals, Seq(1, 100), 2).map(t => t._1 -> t._4).toMap
+    assert(got(1) == 1L && got(100) == 14L)
+  }
+
+  test("empty input fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      run(Seq.empty[Long], Seq(50), 1)
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+
+  test("grouped variant matches per-group brute force") {
+    val rng = new scala.util.Random(13)
+    val rows = Seq("a", "b", "c").flatMap(k =>
+      Seq.fill(400 + k.hashCode.abs % 37)((k, rng.nextLong(20000L))))
+    val df = spark.createDataset(rows).repartition(5).toDF("k", "cents")
+    val got = Selection.exactPctileByKey(spark, df, Seq("k"), Seq(25, 50, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val expect = rows.groupBy(_._1).flatMap { case (k, vs) =>
+      brute(vs.map(_._2), Seq(25, 50, 99)).map(t => (k, t._1, t._2, t._3, t._4))
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("pass-2 filter reaches a parquet scan as pushed range predicates") {
+    // the kernel's pass-2 predicate must arrive at the source as
+    // bare-column >=/< comparisons (parquet row-group min/max can
+    // evaluate those); the old `cents div W IN (...)` form could not
+    // push at all. Pin it against a real parquet scan of a STORED
+    // cents column — the layout the scaladoc's at-scale claim assumes.
+    val dir = java.nio.file.Files.createTempDirectory("selpush").toString
+    val rng = new scala.util.Random(3)
+    spark.createDataset(Seq.fill(2000)(rng.nextLong(1L << 20)))
+      .toDF("cents").write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val pred = (col("cents") >= lit(0L) && col("cents") < lit(4096L)) ||
+      (col("cents") >= lit(8192L) && col("cents") < lit(12288L))
+    val plan = stored.where(pred).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(cents") || plan.contains("Or(And(")),
+      s"range predicate did not push to the parquet source:\n$plan")
+  }
+}

@@ -384,32 +384,65 @@ object Relational {
       |FROM lineitem""".stripMargin
 
   // --------------------------------------------------------------- q23
-  /** Order statistics: exact median/quartiles (selection, not
-    * summation — safe on doubles across engines), min/max ranges.
-    * Exact percentile sorts per group; at 100 TB prefer
-    * approx_percentile's mergeable KLL-style sketch (rows-only check,
-    * like q20). */
-  def q23Stats(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
-        expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
-        min(col("l_extendedprice")).as("min_price"),
-        max(col("l_extendedprice")).as("max_price"),
-        count(lit(1)).as("n"))
+  /** Order statistics: exact per-flag median/quartiles by the two-pass
+    * counting-selection kernel ([[Selection.exactPctileByKey]]) —
+    * ceil-rank order statistics in integer cents, so every value is an
+    * ELEMENT of the column and the row hash-checks cross-engine.
+    * Replaces the `percentile()` aggregate this query shipped through
+    * round 9: that function collects every value of a group into ONE
+    * aggregation buffer — the exact single-task trap the selection
+    * kernel exists to avoid (PlanSpec pins its absence). Both metrics
+    * ride one stacked pass-1 histogram (`stack` unpivots qty/price
+    * into a metric key, so the grouped kernel sees 2·|flags| bounded
+    * groups); min/max/count are one further map-side-combined agg. */
+  def q23Stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).selectExpr(
+      "l_returnflag",
+      "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c",
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c")
+    val stacked = li.selectExpr("l_returnflag",
+      "stack(2, 'qty', qty_c, 'price', price_c) AS (m, cents)")
+    val pct = Selection
+      .exactPctileByKey(s, stacked, Seq("l_returnflag", "m"), Seq(25, 50, 75))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(5)))
+      .toMap
+    val mm = li.groupBy(col("l_returnflag")).agg(
+      min(col("price_c")).as("min_price_c"),
+      max(col("price_c")).as("max_price_c"),
+      count(lit(1)).as("n"))
+    // driver pivot of |flags| × metrics × percentiles rows — bounded by
+    // the grouping cardinality, same argument as the kernel itself
+    mm.collect().map { r =>
+      val f = r.getString(0)
+      (f, pct((f, "qty", 50)), pct((f, "price", 25)), pct((f, "price", 75)),
+        r.getLong(1), r.getLong(2), r.getLong(3))
+    }.sortBy(_._1).toSeq
+      .toDF("l_returnflag", "median_qty_c", "p25_price_c", "p75_price_c",
+        "min_price_c", "max_price_c", "n")
+  }
 
   val q23StatsSql: String =
-    """SELECT l_returnflag,
-      |  quantile_cont(l_quantity, 0.5) AS median_qty,
-      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
-      |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
-      |  MIN(l_extendedprice) AS min_price,
-      |  MAX(l_extendedprice) AS max_price,
-      |  COUNT(1) AS n
-      |FROM lineitem
-      |GROUP BY l_returnflag""".stripMargin
+    """WITH c AS (
+      |  SELECT l_returnflag AS k,
+      |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |n AS (SELECT k, CAST(COUNT(1) AS BIGINT) AS n,
+      |             MIN(price_c) AS min_price_c, MAX(price_c) AS max_price_c
+      |      FROM c GROUP BY k),
+      |rq AS (SELECT k, qty_c, ROW_NUMBER() OVER (PARTITION BY k ORDER BY qty_c) AS rn FROM c),
+      |rp AS (SELECT k, price_c, ROW_NUMBER() OVER (PARTITION BY k ORDER BY price_c) AS rn FROM c)
+      |SELECT n.k AS l_returnflag,
+      |       q50.qty_c AS median_qty_c,
+      |       p25.price_c AS p25_price_c,
+      |       p75.price_c AS p75_price_c,
+      |       n.min_price_c, n.max_price_c, n.n
+      |FROM n
+      |JOIN rq q50 ON q50.k = n.k AND q50.rn = (50 * n.n + 99) // 100
+      |JOIN rp p25 ON p25.k = n.k AND p25.rn = (25 * n.n + 99) // 100
+      |JOIN rp p75 ON p75.k = n.k AND p75.rn = (75 * n.n + 99) // 100""".stripMargin
 
   // --------------------------------------------------------------- q34
   /** Fixed-width histogram of l_extendedprice in [0, 120000) — binning
@@ -753,38 +786,51 @@ object Relational {
     * `orders.o_custkey` reduced to the distribution summary that
     * decides between a plain shuffle join, AQE skew splitting, or
     * salting. Two aggregations: per-key counts (map-side combined),
-    * then a |keys|-row summary — exact percentiles over the COUNT
-    * table, never the row table (q23's `percentile`/`quantile_cont`
-    * cross-engine pair). `top1_share_ppm` is integer parts-per-million
-    * so the headline skew number hash-checks without an IEEE division.
+    * then a |keys|-row summary — exact ceil-rank percentiles over the
+    * COUNT table, never the row table, computed by the two-pass
+    * counting-selection kernel ([[Selection.exactPctileOver]]).
+    * `top1_share_ppm` is integer parts-per-million so the headline
+    * skew number hash-checks without an IEEE division.
     */
   def dqSkewReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // persist side of the kernel's persist-or-scan contract: counts is
+    // a DERIVED frame (an aggregation over orders) and the selection
+    // kernel scans it twice — without the persist, pass 2 would
+    // recompute the groupBy
     val counts = Tables.orders(s, dir)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
-    counts.agg(
-      count(lit(1)).as("n_keys"),
-      sum(col("cnt")).as("n_rows"),
-      min(col("cnt")).as("min_cnt"),
-      max(col("cnt")).as("max_cnt"),
-      expr("percentile(cnt, 0.5)").as("p50_cnt"),
-      expr("percentile(cnt, 0.9)").as("p90_cnt"),
-      expr("percentile(cnt, 0.99)").as("p99_cnt"))
-      .select(col("n_keys"), col("n_rows"), col("min_cnt"), col("max_cnt"),
-        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
-        expr("(max_cnt * 1000000) div n_rows").as("top1_share_ppm"))
+      .persist()
+    try {
+      // exact ceil-rank percentiles over the |keys|-sized count table
+      // via the two-pass selection kernel — no single-buffer
+      // `percentile()` aggregate anywhere on this path (PlanSpec pins)
+      val pct = Selection
+        .exactPctileOver(s, counts.select(col("cnt").as("cents")), Seq(50, 90, 99))
+        .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+      val a = counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt")).head()
+      val (nk, nr, mn, mx) = (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3))
+      Seq((nk, nr, mn, mx, pct(50), pct(90), pct(99), mx * 1000000L / nr))
+        .toDF("n_keys", "n_rows", "min_cnt", "max_cnt",
+          "p50_cnt", "p90_cnt", "p99_cnt", "top1_share_ppm")
+    } finally counts.unpersist()
   }
 
   val dqSkewReportSql: String =
     """WITH counts AS (
       |  SELECT o_custkey, CAST(COUNT(1) AS BIGINT) AS cnt
-      |  FROM orders GROUP BY o_custkey)
-      |SELECT CAST(COUNT(1) AS BIGINT) AS n_keys,
-      |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
-      |       MIN(cnt) AS min_cnt,
-      |       MAX(cnt) AS max_cnt,
-      |       quantile_cont(cnt, 0.5) AS p50_cnt,
-      |       quantile_cont(cnt, 0.9) AS p90_cnt,
-      |       quantile_cont(cnt, 0.99) AS p99_cnt,
-      |       MAX(cnt) * 1000000 // CAST(SUM(cnt) AS BIGINT) AS top1_share_ppm
-      |FROM counts""".stripMargin
+      |  FROM orders GROUP BY o_custkey),
+      |n AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_keys,
+      |             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |             MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt
+      |      FROM counts),
+      |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt) AS rn FROM counts)
+      |SELECT n.n_keys, n.n_rows, n.min_cnt, n.max_cnt,
+      |       (SELECT cnt FROM r WHERE rn = (50 * n.n_keys + 99) // 100) AS p50_cnt,
+      |       (SELECT cnt FROM r WHERE rn = (90 * n.n_keys + 99) // 100) AS p90_cnt,
+      |       (SELECT cnt FROM r WHERE rn = (99 * n.n_keys + 99) // 100) AS p99_cnt,
+      |       n.max_cnt * 1000000 // n.n_rows AS top1_share_ppm
+      |FROM n""".stripMargin
 }

@@ -441,4 +441,22 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.size == 1 && wins.head.partitionSpec.isEmpty,
       s"one unpartitioned curve window expected:\n${plan(dau)}")
   }
+
+  test("q23 / dq_skew_report: exact percentiles ride the selection kernel, not a percentile() buffer") {
+    // both queries route their exact tiers through Selection's two-pass
+    // counting kernel: the RETURNED frame is a driver-assembled bounded
+    // pivot (LocalRelation), and no single-aggregation-buffer
+    // `percentile` survives anywhere in its lineage. A regression that
+    // reintroduces the percentile() aggregate would surface here as a
+    // non-local plan carrying the function name.
+    for ((df, name) <- Seq(
+        Relational.q23Stats(spark, dir) -> "q23_stats",
+        Relational.dqSkewReport(spark, dir) -> "dq_skew_report")) {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"$name: single-buffer percentile aggregate crept back:\n$p")
+      assert(p.contains("LocalRelation"),
+        s"$name: expected a bounded driver-assembled result:\n$p")
+    }
+  }
 }

@@ -291,7 +291,11 @@ class Relational2Spec extends AnyFunSuite {
     assert(r.getLong(1) == counts.sum)              // n_rows
     assert(r.getLong(2) == counts.head && r.getLong(3) == counts.last)
     assert(r.getLong(7) == counts.last * 1000000L / counts.sum)
-    // percentile ordering sanity
-    assert(r.getDouble(4) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(6))
+    // exact ceil-rank percentiles: the selection kernel must agree with
+    // a brute walk of the sorted count array, element for element
+    def ceilRank(p: Int): Long = counts(((p * counts.length + 99L) / 100L - 1).toInt)
+    assert(r.getLong(4) == ceilRank(50))
+    assert(r.getLong(5) == ceilRank(90))
+    assert(r.getLong(6) == ceilRank(99))
   }
 }

@@ -105,6 +105,50 @@ object ZMaintain {
     touched
   }
 
+  /** Bucket-localized keyed-state MERGE — [[upsertZBucketed]]'s
+    * touched-bucket discipline generalized to a caller-supplied merge
+    * function (the MIN-merge first-seen state of
+    * [[graft.streaming.NoveltyStream]], counter addition, any
+    * associative keyed fold). `bucket` must be a pure function of the
+    * frame's stored columns that respects the merge key (same key ⇒
+    * same bucket) — it is recomputed on the merged frame, never stored
+    * stale. Reads ONLY the buckets the batch touches, merges against
+    * them, and dynamically overwrites ONLY those partition dirs —
+    * state-maintenance I/O proportional to the batch's bucket
+    * footprint, never the table. Untouched bucket files are never
+    * opened (byte-stable, StreamingSpec-pinned). Returns the touched
+    * bucket ids.
+    *
+    * Crash/replay contract: there is no cross-bucket transaction — a
+    * crash mid-write can land a subset of the touched buckets. The
+    * caller's merge must therefore be IDEMPOTENT under batch replay
+    * (MIN/MAX/register-style folds qualify; raw counter addition does
+    * not), so at-least-once redelivery converges the stragglers. */
+  def mergeBucketed(s: SparkSession, dir: String, updates: DataFrame,
+      bucket: Column, merge: (DataFrame, DataFrame) => DataFrame,
+      sortWithin: Option[String] = None): Seq[Long] = {
+    val cols = updates.columns.toSeq
+    val touched = updates.select(bucket.as("b")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val existing = touched.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/b=$b")))
+    val target =
+      if (existing.isEmpty) updates.limit(0)
+      else s.read.option("basePath", dir)
+        .parquet(existing.map(b => s"$dir/b=$b"): _*)
+        .select(cols.map(col): _*)
+    val merged = merge(target, updates)
+    val w0 = merged.withColumn("b", bucket).repartition(col("b"))
+    val w1 = sortWithin.fold(w0)(c => w0.sortWithinPartitions(col(c)))
+    w1.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b").parquet(dir)
+    touched
+  }
+
   /** Gate: the [[Snapshots.snapshotUpsert]] scenario executed AS TABLE
     * MAINTENANCE — base snapshot written z-bucketed, the re-crawl batch
     * upserted through the bucket-localized path, layout restored by

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.operators.EntityResolution
 
 /** Streaming entity-resolution maintenance — the catalog-ingest shape:
@@ -35,7 +36,12 @@ object ErStream {
       EntityResolution.namesOfParts(batch),
       EntityResolution.dnOfState(prev),
       EntityResolution.priorOfState(prev))
-    next.coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$batchId")
+    // the name state is CORPUS-SHAPED (one row per distinct name —
+    // hundreds of millions at 100 TB), so the version write must fan
+    // out: hash-partitioned by name across the shuffle width, never a
+    // coalesce(1) funnel through one task. The sketch sinks' single
+    // file is fine (|keys|-bounded state); this one is not.
+    next.repartition(col("name")).write.mode("overwrite").parquet(s"$dir/v=$batchId")
   }
 
   /** The maintained name state (latest committed version). */

@@ -13,18 +13,24 @@ import graft.operators.CorpusOps
   *
   * The state is (g → min doc_id). MIN is associative, commutative AND
   * idempotent, so — like the HLL registers and unlike the CMS/quantile
-  * counters — the fold is replay-safe by arithmetic alone; the
-  * versioned `_SUCCESS` discipline ([[SnapshotStream.versionsIn]])
-  * still guards readers against torn writes.
+  * counters — the fold is replay-safe by arithmetic alone. That
+  * idempotence is what licenses the bucket-localized layout below: a
+  * crash that lands only a subset of the touched buckets converges on
+  * the at-least-once redelivery ([[graft.sources.ZMaintain
+  * .mergeBucketed]]'s crash/replay contract).
   *
   * Scale honesty: unlike the sketch states this table is
-  * CORPUS-VOCABULARY-SIZED (one row per distinct gram ever seen). The
-  * per-batch cost is one batch-scan aggregation + one state merge keyed
-  * on the gram — at 100 TB the state is gram-bucketed and the merge
-  * bucket-localized, exactly the
-  * [[graft.sources.ZMaintain.upsertZBucketed]] composition the snapshot
-  * sink documents; the versioned-rewrite shape here is the same one
-  * `stream_upsert` ships.
+  * CORPUS-VOCABULARY-SIZED (one row per distinct gram ever seen), so
+  * per-batch I/O must be O(batch), never O(corpus vocab). The state
+  * therefore lives GRAM-BUCKETED under `b=` partition dirs
+  * ([[NBuckets]] dirs, b = hash(g) mod NBuckets) and each batch folds
+  * through [[graft.sources.ZMaintain.mergeBucketed]]: one batch-scan
+  * aggregation, a merge that READS ONLY the buckets the batch's grams
+  * hash to, and a dynamic partition overwrite of exactly those dirs —
+  * untouched bucket files are never opened (byte-stable,
+  * StreamingSpec-pinned). At 100 TB NBuckets scales to thousands
+  * (the [[graft.sources.Bucketing]] sizing rule) and the per-batch
+  * cost is Σ touched-bucket bytes, batch-bounded.
   *
   * THE FOLD IDENTITY (what the gate pins): min over any batching of
   * the corpus equals the one-shot min, so the folded state regrouped
@@ -47,24 +53,30 @@ object NoveltyStream {
         least(coalesce(col("da"), col("db")), coalesce(col("db"), col("da")))
           .as("doc_id"))
 
-  /** foreachBatch sink: fold the batch's first-occurrence table into
-    * the stored state (versions under `$tableDir/firstseen`). */
-  def noveltySink(tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
-    val s = batch.sparkSession
-    val dir = s"$tableDir/firstseen"
-    val local = firstSeenOf(batch)
-    val merged = SnapshotStream.versionsIn(s, dir).filter(_ < batchId).lastOption
-      .map(v => mergeFirstSeen(s.read.parquet(s"$dir/v=$v"), local))
-      .getOrElse(local)
-    merged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
-  }
+  /** Gram-bucket fan-out of the stored state — small for the fixture;
+    * thousands at 100 TB (the [[graft.sources.Bucketing]] sizing rule). */
+  val NBuckets = 64
 
-  /** The maintained first-occurrence table (latest committed version). */
+  /** The bucket recipe: a pure function of the stored gram column,
+    * recomputed by every merge (never stored stale). */
+  private[graft] def gramBucket: org.apache.spark.sql.Column =
+    pmod(hash(col("g")), lit(NBuckets)).cast("long")
+
+  /** foreachBatch sink: fold the batch's first-occurrence table into
+    * the gram-bucketed stored state under `$tableDir/firstseen` —
+    * reads and rewrites ONLY the buckets the batch's grams hash to. */
+  def noveltySink(tableDir: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.sources.ZMaintain.mergeBucketed(batch.sparkSession,
+      s"$tableDir/firstseen", firstSeenOf(batch), gramBucket,
+      mergeFirstSeen, sortWithin = Some("g"))
+
+  /** The maintained first-occurrence table. */
   def storedFirstSeen(s: SparkSession, tableDir: String): DataFrame = {
     val dir = s"$tableDir/firstseen"
-    val vs = SnapshotStream.versionsIn(s, dir)
-    require(vs.nonEmpty, s"no first-seen versions under $dir")
-    s.read.parquet(s"$dir/v=${vs.last}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    require(p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p),
+      s"no first-seen state under $dir")
+    s.read.parquet(dir).select(col("g"), col("doc_id"))
   }
 
   /** Gate: two-range-batch fold of the first-occurrence state, scored

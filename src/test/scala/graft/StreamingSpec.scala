@@ -858,6 +858,33 @@ class StreamingSpec extends AnyFunSuite {
     NoveltyStream.noveltySink(table)(b2, 1L)
     assert(fsMap(NoveltyStream.storedFirstSeen(spark, table)) == oneShot,
       "batch replay must be a no-op")
+    // bucket-localized maintenance: a small batch must rewrite ONLY the
+    // buckets its grams hash to — untouched bucket files byte-stable
+    def bucketMd5s(): Map[String, Seq[(String, String)]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      new java.io.File(s"$table/firstseen").listFiles()
+        .filter(_.getName.startsWith("b=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq.map { f =>
+              f.getName -> md.digest(Files.readAllBytes(f.toPath))
+                .map("%02x".format(_)).mkString
+            }
+        }.toMap
+    }
+    val before = bucketMd5s()
+    assert(before.size > 4, "fixture grams must spread across several buckets")
+    val tiny = spark.createDataFrame(Seq(
+      (999999L, "zqx wvu tsr zqx wvu tsr"))).toDF("doc_id", "text")
+    NoveltyStream.noveltySink(table)(tiny, 2L)
+    val touched = graft.streaming.NoveltyStream.firstSeenOf(tiny)
+      .select(graft.streaming.NoveltyStream.gramBucket.as("b"))
+      .distinct().collect().map(r => s"b=${r.getLong(0)}").toSet
+    assert(touched.nonEmpty && touched.size < before.size,
+      "tiny batch must touch a strict subset of buckets")
+    val after = bucketMd5s()
+    for ((b, files) <- before if !touched(b))
+      assert(after(b) == files,
+        s"untouched bucket $b was rewritten by a batch that never reads it")
   }
 
   test("streaming centroid maintenance: checkpointed restart + replay equal the one-shot Lloyd round") {
@@ -963,6 +990,23 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     }
     assert(viaSink == foldState, "sink state must equal the in-process fold")
+    // the name state is corpus-shaped: its version write must fan out
+    // across tasks (hash-partitioned by name), never a coalesce(1)
+    // funnel. At fixture scale AQE's byte-sized coalescing legitimately
+    // folds the tiny shuffle to one partition — that sizing is the
+    // point — so pin the fan-out with coalescing off: the write must
+    // then spread across the shuffle width.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      ErStream.erSink(table)(b2, 1L)
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+    val vdir = new java.io.File(s"$table/er")
+      .listFiles().filter(_.getName.startsWith("v=")).maxBy(_.getName)
+    assert(vdir.listFiles().count(_.getName.endsWith(".parquet")) > 1,
+      "corpus-shaped ER state must not be written by a single task")
+    assert(stateLabels() == viaSink, "the fan-out replay must still be a no-op")
   }
 
   test("streaming SCD-2 maintenance: checkpointed restart + replay equal the whole-log rebuild") {

@@ -522,6 +522,15 @@ object Graphs {
     */
   def bfsOver(s: SparkSession, nodes: DataFrame, edges: DataFrame,
       seeds: DataFrame): DataFrame = {
+    val (state, _, _) = bfsState(s, nodes, edges, seeds)
+    state.select(col("doc_id"), col("dist"), col("seed").as("seed_id"),
+      (col("dist") < BfsInf).cast("int").as("reached"))
+  }
+
+  /** The [[BfsIters]]-round loop, exposing (state, final frontier, sym)
+    * so the convergence canary can probe one round past the cap. */
+  private def bfsState(s: SparkSession, nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val nd = nodes.select(col("doc_id")).localCheckpoint()
     val sym = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint()
@@ -545,8 +554,30 @@ object Graphs {
       frontier = merged.where(col("improved"))
         .select(col("doc_id"), col("dist"), col("seed"))
     }
-    state.select(col("doc_id"), col("dist"), col("seed").as("seed_id"),
-      (col("dist") < BfsInf).cast("int").as("reached"))
+    (state, frontier, sym)
+  }
+
+  /** Convergence canary for the fixed round cap: the number of rows a
+    * (BfsIters+1)-th round would still improve — ONE extra frontier
+    * join, frontier-bounded like every other round. 0 means the cap
+    * reached the true fixpoint at this SF, so `reached = 0` genuinely
+    * means "outside the blast radius", not "propagation truncated
+    * mid-flight". GraphsSpec asserts 0 at both fixture SFs — a
+    * deeper-than-cap graph at a new scale fails the suite loudly
+    * instead of silently shipping cap-truncated distances (the
+    * mm_phash_cc diameter lesson, generalized). */
+  private[graft] def bfsResidual(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, seeds: DataFrame): Long = {
+    val (state, frontier, sym) = bfsState(s, nodes, edges, seeds)
+    bfsRound(state, frontier, sym).where(col("improved")).count()
+  }
+
+  /** [[bfsResidual]] over exactly the [[graphBfs]] gate's graph. */
+  private[graft] def graphBfsResidual(s: SparkSession, dir: String): Long = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    bfsResidual(s, docs,
+      Dedup.symmetrize(Dedup.dedupSimhashPairs(s, dir).select(col("da"), col("db"))),
+      docs.where(col("doc_id") % BfsSeedMod === 0))
   }
 
   /** ONE un-materialized BFS round (frontier relax + min-merge with a

@@ -294,6 +294,17 @@ class DedupSpec extends AnyFunSuite {
     assert(byDoc(1L) == 0L && byDoc(0L) == 0L && byDoc(2L) == 0L)
   }
 
+  test("dedup_cc convergence canary holds at both fixture SFs") {
+    // propagateMin THROWS if the min-label fixpoint is not reached
+    // within the round cap, so simply running the gate at each SF is
+    // the canary: a deeper near-dup graph at a new scale fails the
+    // suite loudly instead of shipping labels short of the transitive
+    // closure (the mm_phash_cc diameter lesson)
+    for (sf <- Seq("sf0.001", "sf0.01"))
+      assert(Dedup.dedupCc(spark, s"/root/testdata/$sf").count() > 0,
+        s"$sf: dedup_cc must produce labels")
+  }
+
   test("dedupMinhashVsSig over a stored (parquet round-tripped) signature table equals the in-process path") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val batch = docs.where(col("doc_id") % 3 === 1)

@@ -310,6 +310,22 @@ class GraphsSpec extends AnyFunSuite {
     assert(got(9L) == (Graphs.BfsInf, -1L, 0))
   }
 
+  test("bfs convergence canary: positive on a deeper-than-cap chain, 0 at both fixture SFs") {
+    // the far chain again: 7 hops from the only seed with a 5-round cap
+    // — one more round WOULD still improve someone, and the canary must
+    // say so (this is the failure a silent cap would ship as reached=0)
+    val chain = (10L to 17L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val sym = chain.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    assert(Graphs.bfsResidual(spark, (10L to 17L).toDF("doc_id"),
+      sym.toDF("src", "dst"), Seq(10L).toDF("doc_id")) > 0,
+      "a truncated propagation must report a positive residual")
+    // the real gate's graph: the fixed round count must reach the true
+    // fixpoint at BOTH fixture SFs, so 'unreached' is a verdict, not an
+    // artifact — a deeper graph at a new SF fails here loudly
+    assert(Graphs.graphBfsResidual(spark, "/root/testdata/sf0.001") == 0L)
+    assert(Graphs.graphBfsResidual(spark, "/root/testdata/sf0.01") == 0L)
+  }
+
   test("k-core: cliques survive peeling, chains and pendants peel away") {
     // triangle {1,2,3} with a pendant 4 hanging off 1; a path 10-11-12;
     // an isolated node 20

@@ -582,5 +582,11 @@ object SparkEntry {
     // corpus-state shapes; audio fp / jaccard / coverage / dau /
     // hard-negatives stay full-suite-only (their families already
     // hold headline slots)
-    "stream_hll", "ta_novelty")
+    "stream_hll", "ta_novelty",
+    // r10: exact order statistics by two-pass counting selection — its
+    // claim is precisely a scale claim (the ORDER BY / percentile()
+    // replacement), so it gets a headline slot and a SCALE.md record —
+    // and the profiling census (dq_profile carries the DQ family's
+    // representative cost; fk_check/skew_report stay full-suite-only)
+    "q45_exact_pctile", "dq_profile")
 }

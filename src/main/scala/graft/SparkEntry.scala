@@ -238,7 +238,8 @@ object SparkEntry {
     "sql_window"        -> (SqlSurface.qSqlWindow _),
     "dedup_keep_longest" -> (Dedup.dedupKeepLongest _),
     "ta_quality_calibration" -> (Classifier.taQualityCalibration _),
-    "q45_exact_pctile"  -> (Selection.q45ExactPctile _)
+    "q45_exact_pctile"  -> (Selection.q45ExactPctile _),
+    "mm_jpeg"           -> (graft.multimodal.Media.mmJpeg _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -516,7 +517,12 @@ object SparkEntry {
     // exact order statistics by two-pass counting selection: every
     // output is an ELEMENT of the column at the ceil-rank position, so
     // the oracle's brute ROW_NUMBER walk must agree to the cent
-    "q45_exact_pctile"  -> Selection.q45ExactPctileSql
+    "q45_exact_pctile"  -> Selection.q45ExactPctileSql,
+    // lossy format, exact oracle: on the block-constant even-valued
+    // subspace the JPEG DCT round-trip is bit-exact, so the analytic
+    // twin's sums match iff the entropy/DCT pipeline reconstructed
+    // every pixel (JpegCodec scaladoc has the arithmetic)
+    "mm_jpeg"           -> graft.multimodal.Media.mmJpegSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -8,14 +8,16 @@ import graft.Tables
   * columns plus typed metadata, with decode / feature-extraction /
   * resize / frame-sampling as per-partition batch operators.
   *
-  * [[BmpCodec]] and [[PngCodec]] are REAL pure-JVM codecs (uncompressed
-  * 24-bit BMP and 8-bit truecolor PNG with full DEFLATE + scanline
-  * unfiltering) so the pipeline measures actual pixel work end to end —
-  * including a genuinely compressed format. Codecs needing native libs
-  * (JPEG, audio resample, video frame extraction) are NOT available in
-  * this container, so [[StubCodec]] is a clearly-marked deterministic
-  * fake for those. Everything AROUND the codec — the schema, the binary
-  * column handling, the mapPartitions batch shape (one codec init per
+  * [[BmpCodec]], [[PngCodec]], and [[JpegCodec]] are REAL pure-JVM
+  * codecs (uncompressed 24-bit BMP; 8-bit truecolor PNG with full
+  * DEFLATE + scanline unfiltering; baseline JPEG with Huffman
+  * entropy coding, DCT, and 4:2:0/4:2:2/4:4:4 chroma handling) so the
+  * pipeline measures actual pixel work end to end — including both a
+  * lossless-compressed and a lossy-DCT format. Codecs genuinely
+  * needing native libs (compressed audio, video frame extraction)
+  * stay behind [[StubCodec]], a clearly-marked deterministic fake.
+  * Everything AROUND the codec — the schema, the binary column
+  * handling, the mapPartitions batch shape (one codec init per
   * partition, streamed rows), the feature output layout — is real and
   * tested; swapping in a real library touches only the codec object.
   */
@@ -33,11 +35,11 @@ object Media {
 
   /** ====== STUB — replace with real codecs when available ======
     * Deterministic fakes standing in for the codecs that genuinely
-    * need native libraries (JPEG, compressed audio, video frames). The
+    * need native libraries (compressed audio, video frames). The
     * interface (bytes in → pixels/samples out) is what a real codec
-    * (e.g. ffmpeg bindings) would implement; BMP, PNG, and WAV/PCM
-    * (incl. resampling) are already real ([[BmpCodec]], [[PngCodec]],
-    * [[WavCodec]]). */
+    * (e.g. ffmpeg bindings) would implement; BMP, PNG, baseline JPEG,
+    * and WAV/PCM (incl. resampling) are already real ([[BmpCodec]],
+    * [[PngCodec]], [[JpegCodec]], [[WavCodec]]). */
   object StubCodec {
     /** "Decode" = the raw bytes themselves (a real impl returns pixel
       * data). Deterministic, so tests can assert exact outputs. */
@@ -62,9 +64,9 @@ object Media {
     * pixel work, not just plumbing: uncompressed 24-bit BI_RGB BMP
     * (BITMAPFILEHEADER + BITMAPINFOHEADER, 4-byte-padded bottom-up BGR
     * rows) — a fixed public format needing no native libs. Opaque
-    * formats (JPEG/video/audio) stay behind [[StubCodec]]; swapping a
-    * real library in touches only the codec object, exactly the
-    * boundary the stub documents. */
+    * formats (video/compressed audio) stay behind [[StubCodec]];
+    * swapping a real library in touches only the codec object, exactly
+    * the boundary the stub documents. */
   object BmpCodec {
     private val HeaderLen = 54
 
@@ -414,6 +416,74 @@ object Media {
       |       CAST(SUM(g) AS BIGINT) AS sum_g,
       |       CAST(SUM(b) AS BIGINT) AS sum_b
       |FROM px GROUP BY 1, 2, 3""".stripMargin
+
+  /** Lossy-format gate: per-document synthetic grayscale image of
+    * 8×8-ALIGNED CONSTANT BLOCKS with EVEN values → [[JpegCodec
+    * .encodeGray]] (DCT + quantize + Huffman) → [[JpegCodec.decode]]
+    * (parse + Huffman + dequant + IDCT) → luma sum, one mapPartitions
+    * pass. On this subspace JPEG is EXACT (each block's DCT is a lone
+    * DC = 8·(v−128), a multiple of the quality-50 DC step 16, so
+    * quantize∘dequantize is the identity — JpegCodec scaladoc), which
+    * is what makes a DuckDB-computable analytic oracle possible for a
+    * lossy format: the twin sums the block formula directly, and the
+    * sums can only match if the whole entropy/DCT pipeline
+    * reconstructed every pixel. The pass also asserts the round-trip
+    * inline (a failed reconstruction raises, never ships). Lossy
+    * behavior OFF this subspace is JpegSpec's job (±1 cross-checks
+    * against ImageIO both directions, 4:2:0 decode, progressive
+    * quarantine). At 100 TB: per-row O(pixels), zero shuffle. */
+  def mmJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val wb = (nc % 3 + 1).toInt; val hb = (id % 2 + 1).toInt
+          val w = wb * 8; val h = hb * 8
+          val gray = new Array[Byte](w * h)
+          var i = 0
+          while (i < gray.length) {
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            // block (bx, by) = 2·((doc_id + 11·bx + 23·by) mod 128)
+            gray(i) = (2L * ((id + 11L * bx + 23L * by) % 128L)).toByte
+            i += 1
+          }
+          val jpg = JpegCodec.encodeGray(w, h, gray, quality = 50)
+          val (dw, dh, back) = JpegCodec.decode(jpg)
+          require(dw == w && dh == h, s"JPEG dims mismatch for media $id")
+          var sum = 0L
+          var j = 0
+          while (j < w * h) {
+            require((back(3 * j) & 0xFF) == (gray(j) & 0xFF),
+              s"JPEG exact-subspace round-trip mismatch for media $id at pixel $j")
+            sum += back(3 * j) & 0xFF
+            j += 1
+          }
+          (id, w, h, sum)
+        }
+      }.toDF("media_id", "width", "height", "sum_gray")
+  }
+
+  /** Analytic twin: 64 pixels per block × the block-value formula —
+    * no JPEG involved; agreement proves the Spark side's DCT/Huffman
+    * round-trip reproduced every pixel. */
+  val mmJpegSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id,
+      |         CAST(n_chars % 3 + 1 AS BIGINT) AS wb,
+      |         CAST(doc_id % 2 + 1 AS BIGINT) AS hb
+      |  FROM documents),
+      |blocks AS (
+      |  SELECT media_id, wb, hb,
+      |         2 * ((doc_id + 11 * bx + 23 * by) % 128) AS v
+      |  FROM dims,
+      |       LATERAL (SELECT unnest(generate_series(0, wb - 1)) AS bx) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, hb - 1)) AS by) ty)
+      |SELECT media_id,
+      |       CAST(wb * 8 AS INT) AS width,
+      |       CAST(hb * 8 AS INT) AS height,
+      |       CAST(64 * SUM(v) AS BIGINT) AS sum_gray
+      |FROM blocks GROUP BY 1, 2, 3""".stripMargin
 
   /** Audio gate: per-document synthetic PCM tone → [[WavCodec.encode]]
     * → [[WavCodec.decode]] (round-trip asserted inline) →

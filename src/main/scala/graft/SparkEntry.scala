@@ -239,7 +239,9 @@ object SparkEntry {
     "dedup_keep_longest" -> (Dedup.dedupKeepLongest _),
     "ta_quality_calibration" -> (Classifier.taQualityCalibration _),
     "q45_exact_pctile"  -> (Selection.q45ExactPctile _),
-    "mm_jpeg"           -> (graft.multimodal.Media.mmJpeg _)
+    "mm_jpeg"           -> (graft.multimodal.Media.mmJpeg _),
+    "mm_ulaw"           -> (graft.multimodal.Media.mmUlaw _),
+    "mm_video"          -> (graft.multimodal.Media.mmVideo _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -522,7 +524,14 @@ object SparkEntry {
     // subspace the JPEG DCT round-trip is bit-exact, so the analytic
     // twin's sums match iff the entropy/DCT pipeline reconstructed
     // every pixel (JpegCodec scaladoc has the arithmetic)
-    "mm_jpeg"           -> graft.multimodal.Media.mmJpegSql
+    "mm_jpeg"           -> graft.multimodal.Media.mmJpegSql,
+    // same lossy-but-exact trick for audio: µ-law's encode∘decode is
+    // the identity on the codeword image, and the oracle evaluates the
+    // G.711 expansion in integer SQL
+    "mm_ulaw"           -> graft.multimodal.Media.mmUlawSql,
+    // MJPEG frames through the AVI container walk + every-2nd-frame
+    // sampling; the twin sums the sampled frames' block formula
+    "mm_video"          -> graft.multimodal.Media.mmVideoSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

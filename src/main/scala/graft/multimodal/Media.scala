@@ -485,6 +485,125 @@ object Media {
       |       CAST(64 * SUM(v) AS BIGINT) AS sum_gray
       |FROM blocks GROUP BY 1, 2, 3""".stripMargin
 
+  /** Compressed-audio gate: G.711 µ-law through the WAV format-7
+    * container. µ-law is a fixed 256-codeword quantizer, so
+    * encode∘decode is the IDENTITY on the codeword image — the gate
+    * synthesizes samples AS decoded codewords ([[UlawCodec
+    * .decodeSample]] of a deterministic codeword stream), runs them
+    * through container write → container parse → re-encode, asserts
+    * the codewords survive bit-exactly, and sums the expanded PCM.
+    * The DuckDB twin evaluates the same G.711 expansion —
+    * ((u%16)·8+132)·2^(u/16)−132 over the complemented codeword — in
+    * pure integer SQL. Lossy behavior OFF the codeword image is
+    * UlawSpec's job (javax.sound cross-check both directions). At
+    * 100 TB: per-row O(samples) table lookups, zero shuffle. */
+  def mmUlaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val n = (nc % 50 + 10).toInt
+          // codewords 128..254: positive branch, no −0/+0 ambiguity
+          val codes = Array.tabulate(n)(t =>
+            (((id * 31 + t * 17) % 127) + 128).toByte)
+          val pcm = codes.map(UlawCodec.decodeSample)
+          val wav = UlawCodec.encodeWav(8000, 1, pcm)
+          val (rate, ch, back) = UlawCodec.decodeWav(wav)
+          require(rate == 8000 && ch == 1 &&
+            java.util.Arrays.equals(back, codes),
+            s"µ-law codeword round-trip mismatch for media $id")
+          var sum = 0L
+          pcm.foreach(sum += _)
+          (id, n.toLong, sum)
+        }
+      }.toDF("media_id", "n_samples", "sum_pcm")
+  }
+
+  /** Analytic twin: the G.711 expansion formula in integer SQL. */
+  val mmUlawSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id,
+      |         CAST(n_chars % 50 + 10 AS BIGINT) AS n
+      |  FROM documents),
+      |t AS (
+      |  SELECT media_id, doc_id, n, unnest(generate_series(0, n - 1)) AS t
+      |  FROM dims),
+      |c AS (
+      |  SELECT media_id, n,
+      |         255 - ((doc_id * 31 + t * 17) % 127 + 128) AS uc
+      |  FROM t),
+      |p AS (
+      |  SELECT media_id, n,
+      |         ((uc % 16) * 8 + 132) * (1 << (uc // 16)) - 132 AS pcm
+      |  FROM c)
+      |SELECT media_id, n AS n_samples, CAST(SUM(pcm) AS BIGINT) AS sum_pcm
+      |FROM p GROUP BY 1, 2""".stripMargin
+
+  /** Video gate: per-document MJPEG clip — block-constant JPEG frames
+    * ([[JpegCodec]]'s exact subspace) wrapped in an AVI container
+    * ([[AviCodec]]), then the extraction pipeline a video corpus runs:
+    * container walk → every-2nd-frame SAMPLE (before any pixel work —
+    * the at-scale cost lever) → JPEG decode → luma sums. Round-trip
+    * asserted pixel-exact inline; the DuckDB twin sums the sampled
+    * frames' block formula analytically. At 100 TB: per-row O(bytes)
+    * container walk + O(sampled pixels) decode, zero shuffle. */
+  def mmVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val nf = (nc % 4 + 2).toInt // 2..5 frames
+          val (w, h) = (16, 8)        // blocks (bx ∈ {0,1}, by = 0)
+          def blockVal(f: Int, bx: Int): Int =
+            (2L * ((id + 7L * f + 11L * bx) % 128L)).toInt
+          val frames = (0 until nf).map { f =>
+            val gray = Array.tabulate(w * h)(i => blockVal(f, (i % w) / 8).toByte)
+            JpegCodec.encodeGray(w, h, gray, quality = 50)
+          }
+          val avi = AviCodec.encode(w, h, 25, frames)
+          val (dw, dh, got) = AviCodec.decodeFrames(avi)
+          require(dw == w && dh == h && got.length == nf,
+            s"AVI container round-trip mismatch for media $id")
+          val sampled = AviCodec.sampleFrames(got, 2)
+          var sum = 0L
+          sampled.zipWithIndex.foreach { case (jpg, si) =>
+            val f = si * 2
+            val (fw, fh, rgb) = JpegCodec.decode(jpg)
+            require(fw == w && fh == h, s"frame dims mismatch for media $id")
+            var j = 0
+            while (j < w * h) {
+              require((rgb(3 * j) & 0xFF) == blockVal(f, (j % w) / 8),
+                s"frame $f pixel $j mismatch for media $id")
+              sum += rgb(3 * j) & 0xFF
+              j += 1
+            }
+          }
+          (id, nf.toLong, sampled.length.toLong, sum)
+        }
+      }.toDF("media_id", "n_frames", "n_sampled", "sum_gray")
+  }
+
+  /** Analytic twin over the SAMPLED frames only (f ≡ 0 mod 2). */
+  val mmVideoSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id,
+      |         CAST(n_chars % 4 + 2 AS BIGINT) AS nf
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, doc_id, nf, unnest(generate_series(0, nf - 1)) AS f
+      |  FROM dims),
+      |b AS (
+      |  SELECT media_id, nf, f,
+      |         2 * ((doc_id + 7 * f + 11 * bx) % 128) AS v
+      |  FROM (SELECT * FROM f WHERE f % 2 = 0) sampled,
+      |       LATERAL (SELECT unnest(generate_series(0, 1)) AS bx) tb)
+      |SELECT media_id, nf AS n_frames,
+      |       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+      |       CAST(64 * SUM(v) AS BIGINT) AS sum_gray
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   /** Audio gate: per-document synthetic PCM tone → [[WavCodec.encode]]
     * → [[WavCodec.decode]] (round-trip asserted inline) →
     * [[WavCodec.resampleLinear]] 8000 → 5000 Hz, emitting the resampled

@@ -566,32 +566,48 @@ object Relational {
 
   // --------------------------------------------------------------- q31
   /** Mergeable percentile sketch: approx_percentile's KLL-style digest
-    * is the 100 TB path (q23's exact percentile sorts per group).
-    * Oracle strategy mirrors q20: output the EXACT percentile plus a
-    * deterministic within-2% flag for the sketch estimate — the sketch
-    * is deterministic for fixed data, DuckDB asserts the flag as a
+    * is the 100 TB path; the EXACT baseline that grades it comes from
+    * the counting-selection kernel (ceil-rank median in integer cents —
+    * since r10 nothing in this engine funnels a group's values into a
+    * single `percentile()` buffer, not even an eval tier). Oracle
+    * strategy mirrors q20: output the exact median plus a deterministic
+    * within-5% flag for the sketch estimate — the sketch is
+    * deterministic for fixed data, DuckDB asserts the flag as a
     * constant without needing sketch-identical estimates. */
-  def q31ApproxPercentile(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a_med"),
+  def q31ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val med = Selection.exactPctileByKey(s,
+        li.selectExpr("l_returnflag",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents"),
+        Seq("l_returnflag"), Seq(50))
+      .collect().map(r => (r.getString(0), r.getLong(4))).toSeq
+      .sortBy(_._1).toDF("l_returnflag", "exact_median_c")
+    li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a_med"),
         count(lit(1)).as("n"))
+      .join(broadcast(med), "l_returnflag")
       // accuracy=10000 bounds RANK error at n/10000 (≈6 ranks at sf0.01)
       // — a 5% VALUE tolerance is many sigma of headroom at any SF while
       // still catching a broken sketch outright
-      .select(col("l_returnflag"), col("exact_median"), col("n"),
-        (abs(col("a_med") - col("exact_median")) <=
-          col("exact_median") * 0.05).cast("int").as("median_within_tol"))
+      .select(col("l_returnflag"), col("exact_median_c"), col("n"),
+        (abs(col("a_med") * 100 - col("exact_median_c")) <=
+          col("exact_median_c") * 0.05).cast("int").as("median_within_tol"))
+  }
 
   val q31ApproxPercentileSql: String =
-    """SELECT l_returnflag,
-      |  quantile_cont(l_extendedprice, 0.5) AS exact_median,
-      |  COUNT(1) AS n,
-      |  CAST(1 AS INT) AS median_within_tol
-      |FROM lineitem
-      |GROUP BY l_returnflag""".stripMargin
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, cents,
+      |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+      |         CAST(COUNT(1) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      |  FROM c)
+      |SELECT l_returnflag, cents AS exact_median_c, n,
+      |       CAST(1 AS INT) AS median_within_tol
+      |FROM r WHERE rn = (50 * n + 99) // 100""".stripMargin
 
   // --------------------------------------------------------------- q21
   /** Array functions over grouped data: per-order part list (sorted,

@@ -442,21 +442,29 @@ object Relational2 {
     * 1.5·IQR, and every event OUTSIDE its type's fences is emitted
     * with the bounds that convicted it. All arithmetic after the
     * quartile selection is a fixed IEEE expression of matched inputs
-    * (the q23 discipline — interpolated quantiles hash-check
-    * cross-engine), so the verdict table hash-checks too.
+    * (the q23 discipline), so the verdict table hash-checks too.
     *
     * Scale: the fence table is |event types| rows, computed once and
-    * BROADCAST to the stream — per-row comparison, zero additional
-    * shuffle; at 100 TB the exact quartiles swap for the mergeable
-    * quantile sketch (`ta_quantile_eval`'s UDAF), same fence shape. */
+    * shipped as per-row LITERALS — per-row comparison, zero additional
+    * shuffle. Since r10 the quartiles are exact ceil-rank order
+    * statistics from the counting-selection kernel (value → integer
+    * micros, non-negative — the kernel's precondition) rather than
+    * `percentile()`, whose per-type buffers are corpus-shaped at
+    * 100 TB; fence arithmetic runs in IEEE doubles from the exact
+    * micro values, the IDENTICAL expression on both engines. */
   def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val ev = Tables.events(s, dir)
-    val fences = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.25)").as("q1"),
-        expr("percentile(value, 0.75)").as("q3"))
-      .select(col("event_type"),
-        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
-        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    val vals = ev.selectExpr("event_type AS k",
+      "CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS cents")
+    val pct = graft.operators.Selection
+      .exactPctileByKey(s, vals, Seq("k"), Seq(25, 75))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(4))).toMap
+    val fences = pct.keys.map(_._1).toSeq.distinct.sorted.map { t =>
+      val q1 = pct((t, 25)).toDouble / 1000000.0
+      val q3 = pct((t, 75)).toDouble / 1000000.0
+      (t, q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+    }.toDF("event_type", "lo", "hi")
     ev.join(broadcast(fences), "event_type")
       .where(col("value") < col("lo") || col("value") > col("hi"))
       .select(col("event_id"), col("event_type"), col("value"),
@@ -466,11 +474,22 @@ object Relational2 {
   val eventsAnomalySql: String =
     Tables.eventsCteSql +
     """,
-      |f AS (
+      |c AS (
       |  SELECT event_type,
-      |         quantile_cont(value, 0.25) AS q1,
-      |         quantile_cont(value, 0.75) AS q3
-      |  FROM ev GROUP BY 1),
+      |         CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS cents
+      |  FROM ev),
+      |r AS (
+      |  SELECT event_type, cents,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+      |         CAST(COUNT(1) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM c),
+      |f AS (
+      |  SELECT q1t.event_type,
+      |         CAST(q1t.cents AS DOUBLE) / 1000000.0 AS q1,
+      |         CAST(q3t.cents AS DOUBLE) / 1000000.0 AS q3
+      |  FROM (SELECT event_type, cents FROM r WHERE rn = (25 * n + 99) // 100) q1t
+      |  JOIN (SELECT event_type, cents FROM r WHERE rn = (75 * n + 99) // 100) q3t
+      |    USING (event_type)),
       |b AS (SELECT event_type,
       |             q1 - (q3 - q1) * 1.5 AS lo,
       |             q3 + (q3 - q1) * 1.5 AS hi
@@ -594,14 +613,22 @@ object Relational2 {
   /** RFM segmentation (recency / frequency / monetary — the classic
     * behavioral cohorting): per user, days since last event, event
     * count, and value mass, each scored 1–5 against the population's
-    * quintile fences, segment = the 3-digit RFM code. The scale
-    * discipline is [[eventsAnomaly]]'s: fences are a 1-row broadcast
-    * (percentile aggregates — the q23 cross-engine discipline), scores
-    * are per-row CASEs, and there is NO corpus-wide ntile window (the
-    * textbook formulation — one task for all users). Monetary sums
+    * quintile fences, segment = the 3-digit RFM code. There is NO
+    * corpus-wide ntile window (the textbook formulation — one task for
+    * all users), and since r10 no `percentile()` aggregate either: the
+    * per-user census is corpus-shaped (hundreds of millions of users
+    * at 100 TB), and percentile() would collect all of it into ONE
+    * aggregation buffer. The 12 fences are exact ceil-rank order
+    * statistics from the two-pass counting-selection kernel
+    * ([[graft.operators.Selection.exactPctileByKey]]) over the THREE
+    * metrics stacked into one grouped histogram pass (all metrics are
+    * non-negative longs — the kernel's precondition; value ≥ 0 in the
+    * events schema). Scores are per-row CASEs against the 12 fence
+    * LITERALS — not even a broadcast join remains. Monetary sums
     * DECIMAL (IEEE double summation is order-dependent and would never
     * hash-check) and ships as integer cents; recency inverts (recent =
-    * 5). */
+    * 5). perUser persists across the kernel's two passes + the scoring
+    * pass (the persist-or-scan contract). */
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val nowUs = ev.agg(max(col("ts_us")).as("now_us"))
@@ -614,24 +641,30 @@ object Relational2 {
         expr(s"(now_us - last_us) div $DayUs").as("r_days"),
         col("f"),
         (col("mdec") * lit(100)).cast("long").as("m_cents"))
-    val fences = perUser.agg(
-      expr("percentile(r_days, 0.2)").as("r20"), expr("percentile(r_days, 0.4)").as("r40"),
-      expr("percentile(r_days, 0.6)").as("r60"), expr("percentile(r_days, 0.8)").as("r80"),
-      expr("percentile(f, 0.2)").as("f20"), expr("percentile(f, 0.4)").as("f40"),
-      expr("percentile(f, 0.6)").as("f60"), expr("percentile(f, 0.8)").as("f80"),
-      expr("percentile(m_cents, 0.2)").as("m20"), expr("percentile(m_cents, 0.4)").as("m40"),
-      expr("percentile(m_cents, 0.6)").as("m60"), expr("percentile(m_cents, 0.8)").as("m80"))
-    def score(v: String, q20: String, q40: String, q60: String, q80: String) =
-      when(col(v) <= col(q20), 1).when(col(v) <= col(q40), 2)
-        .when(col(v) <= col(q60), 3).when(col(v) <= col(q80), 4).otherwise(5)
-    perUser.crossJoin(broadcast(fences))
-      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
-        // recency inverts: fewer days since last event = higher score
-        (lit(6) - score("r_days", "r20", "r40", "r60", "r80")).as("r_score"),
-        score("f", "f20", "f40", "f60", "f80").as("f_score"),
-        score("m_cents", "m20", "m40", "m60", "m80").as("m_score"))
-      .withColumn("segment",
-        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .persist()
+    try {
+      val stacked = perUser.selectExpr(
+        "stack(3, 'r', r_days, 'f', f, 'm', m_cents) AS (m, cents)")
+      val fence = graft.operators.Selection
+        .exactPctileByKey(s, stacked, Seq("m"), Seq(20, 40, 60, 80))
+        .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(4))).toMap
+      def score(v: String, met: String) =
+        when(col(v) <= lit(fence((met, 20))), 1)
+          .when(col(v) <= lit(fence((met, 40))), 2)
+          .when(col(v) <= lit(fence((met, 60))), 3)
+          .when(col(v) <= lit(fence((met, 80))), 4)
+          .otherwise(5)
+      perUser
+        .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+          // recency inverts: fewer days since last event = higher score
+          (lit(6) - score("r_days", "r")).as("r_score"),
+          score("f", "f").as("f_score"),
+          score("m_cents", "m").as("m_score"))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        // sever lineage from the persisted census before unpersist
+        .localCheckpoint()
+    } finally perUser.unpersist()
   }
 
   val eventsRfmSql: String =
@@ -645,14 +678,24 @@ object Relational2 {
        |         CAST(SUM(CAST(value AS DECIMAL(20,6))) * 100 AS BIGINT) AS m_cents
        |  FROM ev GROUP BY 1),
        |u AS (SELECT user_id, gap_us // $DayUs AS r_days, f, m_cents FROM pu),
+       |nu AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM u),
+       |rr AS (SELECT r_days AS v, ROW_NUMBER() OVER (ORDER BY r_days) AS rn FROM u),
+       |rf AS (SELECT f AS v, ROW_NUMBER() OVER (ORDER BY f) AS rn FROM u),
+       |rm AS (SELECT m_cents AS v, ROW_NUMBER() OVER (ORDER BY m_cents) AS rn FROM u),
        |fn AS (
-       |  SELECT quantile_cont(r_days, 0.2) AS r20, quantile_cont(r_days, 0.4) AS r40,
-       |         quantile_cont(r_days, 0.6) AS r60, quantile_cont(r_days, 0.8) AS r80,
-       |         quantile_cont(f, 0.2) AS f20, quantile_cont(f, 0.4) AS f40,
-       |         quantile_cont(f, 0.6) AS f60, quantile_cont(f, 0.8) AS f80,
-       |         quantile_cont(m_cents, 0.2) AS m20, quantile_cont(m_cents, 0.4) AS m40,
-       |         quantile_cont(m_cents, 0.6) AS m60, quantile_cont(m_cents, 0.8) AS m80
-       |  FROM u),
+       |  SELECT (SELECT v FROM rr WHERE rn = (20 * nu.n + 99) // 100) AS r20,
+       |         (SELECT v FROM rr WHERE rn = (40 * nu.n + 99) // 100) AS r40,
+       |         (SELECT v FROM rr WHERE rn = (60 * nu.n + 99) // 100) AS r60,
+       |         (SELECT v FROM rr WHERE rn = (80 * nu.n + 99) // 100) AS r80,
+       |         (SELECT v FROM rf WHERE rn = (20 * nu.n + 99) // 100) AS f20,
+       |         (SELECT v FROM rf WHERE rn = (40 * nu.n + 99) // 100) AS f40,
+       |         (SELECT v FROM rf WHERE rn = (60 * nu.n + 99) // 100) AS f60,
+       |         (SELECT v FROM rf WHERE rn = (80 * nu.n + 99) // 100) AS f80,
+       |         (SELECT v FROM rm WHERE rn = (20 * nu.n + 99) // 100) AS m20,
+       |         (SELECT v FROM rm WHERE rn = (40 * nu.n + 99) // 100) AS m40,
+       |         (SELECT v FROM rm WHERE rn = (60 * nu.n + 99) // 100) AS m60,
+       |         (SELECT v FROM rm WHERE rn = (80 * nu.n + 99) // 100) AS m80
+       |  FROM nu),
        |sc AS (
        |  SELECT u.user_id, u.r_days, u.f, u.m_cents,
        |         6 - (CASE WHEN u.r_days <= fn.r20 THEN 1 WHEN u.r_days <= fn.r40 THEN 2

@@ -459,4 +459,18 @@ class PlanSpec extends AnyFunSuite {
         s"$name: expected a bounded driver-assembled result:\n$p")
     }
   }
+
+  test("no exact-percentile consumer plans a percentile() buffer (rfm, anomaly, q31)") {
+    // the remaining order-statistics consumers: fences/baselines come
+    // from the selection kernel as literals or a tiny broadcast table;
+    // only the mergeable approx_percentile sketch may appear in a plan
+    for ((df, name) <- Seq(
+        Relational2.eventsRfm(spark, dir) -> "events_rfm",
+        Relational2.eventsAnomaly(spark, dir) -> "events_anomaly",
+        Relational.q31ApproxPercentile(spark, dir) -> "q31_approx_pctile")) {
+      val p = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!p.replace("approx_percentile", "").contains("percentile"),
+        s"$name: single-buffer percentile aggregate crept back:\n$p")
+    }
+  }
 }

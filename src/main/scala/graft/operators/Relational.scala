@@ -394,33 +394,37 @@ object Relational {
     * kernel exists to avoid (PlanSpec pins its absence). Both metrics
     * ride one stacked pass-1 histogram (`stack` unpivots qty/price
     * into a metric key, so the grouped kernel sees 2·|flags| bounded
-    * groups); min/max/count are one further map-side-combined agg. */
+    * groups); min/max/count ride the kernel's OWN two passes
+    * (`withMinMax` — extreme buckets join the pass-2 slice), so the
+    * whole summary is exactly two column scans. */
   def q23Stats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir).selectExpr(
+    val stacked = Tables.lineitem(s, dir).selectExpr(
       "l_returnflag",
       "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c",
       "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c")
-    val stacked = li.selectExpr("l_returnflag",
-      "stack(2, 'qty', qty_c, 'price', price_c) AS (m, cents)")
-    val pct = Selection
-      .exactPctileByKey(s, stacked, Seq("l_returnflag", "m"), Seq(25, 50, 75))
+      .selectExpr("l_returnflag",
+        "stack(2, 'qty', qty_c, 'price', price_c) AS (m, cents)")
+    val rows = Selection
+      .exactPctileByKey(s, stacked, Seq("l_returnflag", "m"), Seq(25, 50, 75),
+        withMinMax = true)
       .collect()
+    val pct = rows
       .map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(5)))
       .toMap
-    val mm = li.groupBy(col("l_returnflag")).agg(
-      min(col("price_c")).as("min_price_c"),
-      max(col("price_c")).as("max_price_c"),
-      count(lit(1)).as("n"))
+    // per-group n / exact min / exact max off the same kernel output —
+    // n is rows-per-(flag, metric) = lineitem rows per flag
+    val meta = rows
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(4), r.getLong(6), r.getLong(7)))).toMap
     // driver pivot of |flags| × metrics × percentiles rows — bounded by
     // the grouping cardinality, same argument as the kernel itself
-    mm.collect().map { r =>
-      val f = r.getString(0)
+    meta.keys.map(_._1).toSeq.distinct.sorted.map { f =>
+      val (n, minP, maxP) = meta((f, "price"))
       (f, pct((f, "qty", 50)), pct((f, "price", 25)), pct((f, "price", 75)),
-        r.getLong(1), r.getLong(2), r.getLong(3))
-    }.sortBy(_._1).toSeq
-      .toDF("l_returnflag", "median_qty_c", "p25_price_c", "p75_price_c",
-        "min_price_c", "max_price_c", "n")
+        minP, maxP, n)
+    }.toDF("l_returnflag", "median_qty_c", "p25_price_c", "p75_price_c",
+      "min_price_c", "max_price_c", "n")
   }
 
   val q23StatsSql: String =

@@ -121,11 +121,16 @@ object Selection {
     * [[graft.functions.QuantileAgg]] instead); pass 2 is one
     * per-distinct-value count under an OR of (group = g AND range)
     * predicates. Output: keyCols ++ (p, rnk, n, cents), one row per
-    * (group, percentile). Same persist-or-scan contract as
+    * (group, percentile); with `withMinMax` also exact per-group
+    * (min_cents, max_cents) at ZERO extra scans — each group's lowest
+    * and highest non-empty buckets join the pass-2 needed set and the
+    * extremes are read off the same per-distinct-value slice (this is
+    * how q23's min/max/count tier rides the kernel's two passes
+    * instead of paying a third). Same persist-or-scan contract as
     * [[exactPctileOver]]. */
   def exactPctileByKey(s: SparkSession, values: DataFrame,
       keyCols: Seq[String], pcts: Seq[Int],
-      width: Long = BucketW): DataFrame = {
+      width: Long = BucketW, withMinMax: Boolean = false): DataFrame = {
     val kn = keyCols.length
     val hist = values
       .groupBy((keyCols.map(col) :+ expr(s"cents div $width").as("b")): _*)
@@ -143,11 +148,17 @@ object Selection {
       val targets = pcts.map(p => (p, (p * n + 99L) / 100L))
       (k, n, locate(targets, h))
     }
+    // per-group extreme buckets ride along in pass 2 when min/max are
+    // requested — zero extra scans, the slice already carries them
+    val extremes: Map[List[String], Seq[Long]] =
+      if (!withMinMax) Map.empty
+      else hist.map { case (k, h) => k -> Seq(h.head._1, h.last._1) }.toMap
     // pass 2 predicate: OR over groups of (key = g AND needed ranges)
     val pred = locatedByKey.map { case (k, _, loc) =>
       val keyPred = keyCols.zip(k).map { case (c, v) => col(c) === lit(v) }
         .reduce(_ && _)
-      keyPred && bucketRanges(col("cents"), loc.map(_._3).distinct, width)
+      keyPred && bucketRanges(col("cents"),
+        (loc.map(_._3) ++ extremes.getOrElse(k, Nil)).distinct, width)
     }.reduce(_ || _)
     val slice = values.where(pred)
       .groupBy((keyCols.map(col) :+ col("cents")): _*)
@@ -157,12 +168,16 @@ object Selection {
         r.getLong(kn), r.getLong(kn + 1)))
       .groupBy(_._1)
     val rows = locatedByKey.flatMap { case (k, n, loc) =>
-      val byBucket = slice.getOrElse(k,
+      val sorted = slice.getOrElse(k,
         sys.error(s"exactPctileByKey: pass 2 lost group $k — input changed " +
           "between passes (persist-or-scan contract)"))
-        .map(t => (t._2, t._3)).sortBy(_._1).groupBy(v => v._1 / width)
+        .map(t => (t._2, t._3)).sortBy(_._1)
+      val byBucket = sorted.groupBy(v => v._1 / width)
+      val mm: Seq[Any] =
+        if (withMinMax) Seq(sorted.head._1, sorted.last._1) else Nil
       loc.map { case (p, rnk, b, below) =>
-        Row.fromSeq(k ++ Seq[Any](p, rnk, n, walkTo(rnk, below, byBucket, b, width)))
+        Row.fromSeq(k ++ Seq[Any](p, rnk, n,
+          walkTo(rnk, below, byBucket, b, width)) ++ mm)
       }
     }
     val schema = StructType(
@@ -170,7 +185,10 @@ object Selection {
         StructField("p", IntegerType, nullable = false),
         StructField("rnk", LongType, nullable = false),
         StructField("n", LongType, nullable = false),
-        StructField("cents", LongType, nullable = false)))
+        StructField("cents", LongType, nullable = false)) ++
+      (if (withMinMax) Seq(
+        StructField("min_cents", LongType, nullable = false),
+        StructField("max_cents", LongType, nullable = false)) else Nil))
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 

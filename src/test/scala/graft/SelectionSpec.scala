@@ -94,6 +94,22 @@ class SelectionSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("withMinMax: per-group exact extremes ride the pass-2 slice") {
+    val rng = new scala.util.Random(29)
+    val rows = Seq("a", "b").flatMap(k =>
+      Seq.fill(300)((k, rng.nextLong(1L << 30)))) // extremes far from the median buckets
+    val df = spark.createDataset(rows).repartition(4).toDF("k", "cents")
+    val got = Selection
+      .exactPctileByKey(spark, df, Seq("k"), Seq(50), withMinMax = true)
+      .collect().map(r => (r.getString(0), (r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    for (k <- Seq("a", "b")) {
+      val vs = rows.filter(_._1 == k).map(_._2)
+      assert(got(k) == ((vs.sorted.apply((vs.size + 1) / 2 - 1), vs.min, vs.max)),
+        s"group $k: median/min/max mismatch")
+    }
+  }
+
   test("pass-2 filter reaches a parquet scan as pushed range predicates") {
     // the kernel's pass-2 predicate must arrive at the source as
     // bare-column >=/< comparisons (parquet row-group min/max can

@@ -241,7 +241,8 @@ object SparkEntry {
     "q45_exact_pctile"  -> (Selection.q45ExactPctile _),
     "mm_jpeg"           -> (graft.multimodal.Media.mmJpeg _),
     "mm_ulaw"           -> (graft.multimodal.Media.mmUlaw _),
-    "mm_video"          -> (graft.multimodal.Media.mmVideo _)
+    "mm_video"          -> (graft.multimodal.Media.mmVideo _),
+    "ta_decontaminate_semantic" -> (Cleaning.taDecontaminateSemantic _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -531,7 +532,11 @@ object SparkEntry {
     "mm_ulaw"           -> graft.multimodal.Media.mmUlawSql,
     // MJPEG frames through the AVI container walk + every-2nd-frame
     // sampling; the twin sums the sampled frames' block formula
-    "mm_video"          -> graft.multimodal.Media.mmVideoSql
+    "mm_video"          -> graft.multimodal.Media.mmVideoSql,
+    // the embedding lens on the SAME benchmark split the n-gram
+    // decontaminator checks — cell-bucketed corpus×bench scoring at
+    // dedup_semantic's own integer-exact threshold
+    "ta_decontaminate_semantic" -> Cleaning.taDecontaminateSemanticSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

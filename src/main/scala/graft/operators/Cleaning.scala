@@ -676,4 +676,85 @@ object Cleaning {
        |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
        |       ELSE (cb + n_tokens - 1) // $ChunkTokens - cb // $ChunkTokens + 1 END AS n_chunks
        |FROM c""".stripMargin
+
+  // ---------------------------------- ta_decontaminate_semantic
+  /** SEMANTIC benchmark decontamination — the embedding lens over the
+    * same [[BenchMod]] benchmark split [[taDecontaminate]] checks with
+    * 5-grams: a PARAPHRASED eval item shares no 5-gram with its source
+    * but still lands next to it in embedding space, which is why
+    * decontamination suites run both lenses. A corpus vector is
+    * flagged when its cosine against ANY benchmark vector clears
+    * [[Dedup.SemDedupTauScaled]] — "contaminated" and "semantic
+    * duplicate" share ONE integer-exact definition (the
+    * sim_hard_negatives discipline, from the other side of the
+    * threshold).
+    *
+    * Scale shape: cell-bucketed like SemDeDup, never all-pairs — both
+    * sides assign to the shared IVF coarse cells and only same-cell
+    * (corpus × bench) pairs score: Σ |cell∩corpus|·|cell∩bench| exact
+    * integer dots, both sides [[Similarity.IvfMaxCell]]-capped. The
+    * output spine is the UNCAPPED corpus assignment: every corpus
+    * vector reports exactly once; a capped-out vector reports
+    * contaminated=false (recall loss on overfull cells only — the
+    * documented FAISS-style trade, same as dedup_semantic). The
+    * convicting bench vector is the HIGHEST-dot match, smallest
+    * bench id on ties (struct-max, no window). */
+  def taDecontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val c = Similarity.nCentroids(Tables.embeddings(s, dir).count())
+    val cells = VecKernel.ivfCells(s, dir, c, nprobe = 1)
+      .select(col("vec_id"), col("cell"))
+      .repartition(col("vec_id"))
+    val isBench = col("vec_id") % BenchMod === 0
+    val capped = Similarity.cappedAssign(cells)
+    val pairs = capped.where(!isBench).as("a")
+      .join(capped.where(isBench).as("b"), col("a.cell") === col("b.cell"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+    val best = VecKernel.pairDots(s, dir, pairs)
+      .where(col("dot_scaled") >= lit(Dedup.SemDedupTauScaled))
+      .groupBy(col("query_id").as("vec_id"))
+      .agg(max(struct(col("dot_scaled").as("d"),
+        (-col("neighbor_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), (-col("m.nb")).as("bench_id"),
+        col("m.d").as("dot_scaled"))
+    cells.where(!isBench).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("bench_id").isNotNull.as("contaminated"),
+        col("bench_id"), col("dot_scaled"),
+        (col("dot_scaled").cast("double") / lit(1e12)).as("cos_sim"))
+  }
+
+  /** Oracle: the shared coarse-quantizer chain with the bench/corpus
+    * split applied to [[Dedup.dedupSemanticSql]]'s cap/spine split. */
+  val taDecontaminateSemanticSql: String =
+    s"""WITH ${Similarity.ivfCoarseCtesSql},
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c_id) AS rn
+       |    FROM cdots) WHERE rn = 1),
+       |capped AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS mrn
+       |    FROM assign) WHERE mrn <= ${Similarity.IvfMaxCell}),
+       |pairs AS (
+       |  SELECT a.vec_id AS qa, b.vec_id AS vb
+       |  FROM capped a JOIN capped b ON a.cell = b.cell
+       |  WHERE a.vec_id % $BenchMod <> 0 AND b.vec_id % $BenchMod = 0),
+       |dots AS (
+       |  SELECT p.qa, p.vb, CAST(SUM(ea.e * eb.e) AS BIGINT) AS dot
+       |  FROM pairs p
+       |  JOIN ev ea ON ea.vec_id = p.qa
+       |  JOIN ev eb ON eb.vec_id = p.vb AND ea.i = eb.i
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT qa AS vec_id, vb AS bench_id, dot AS dot_scaled FROM (
+       |    SELECT qa, vb, dot,
+       |           ROW_NUMBER() OVER (PARTITION BY qa ORDER BY dot DESC, vb) AS rn
+       |    FROM dots WHERE dot >= ${Dedup.SemDedupTauScaled}) WHERE rn = 1)
+       |SELECT a.vec_id, a.cell, (b.bench_id IS NOT NULL) AS contaminated,
+       |       b.bench_id, b.dot_scaled,
+       |       CAST(b.dot_scaled AS DOUBLE) / 1e12 AS cos_sim
+       |FROM (SELECT vec_id, cell FROM assign WHERE vec_id % $BenchMod <> 0) a
+       |LEFT JOIN best b ON a.vec_id = b.vec_id""".stripMargin
 }

@@ -349,4 +349,50 @@ class CleaningSpec extends AnyFunSuite {
       s"empty doc must claim no chunk (empty span), got ${m(1L)}")
     assert(m(2L)._2 == 0L && m(0L)._2 == 0L, "cursor unaffected by the empty doc")
   }
+
+  test("semantic decontamination: flags agree with brute-force same-cell cosine vs the bench split") {
+    import graft.operators.{Cleaning, Dedup, Similarity, VecKernel}
+    // sf0.01: the smallest fixture whose embedding geometry exercises
+    // the contaminated branch (sf0.001's same-cell dots all sit below
+    // the threshold); brute force here is |bench|·|corpus| driver work
+    val sf = "/root/testdata/sf0.01"
+    val out = Cleaning.taDecontaminateSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4)))).toMap
+    // spine: every NON-bench vector exactly once, no bench vectors
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1).map {
+        case f: Float => math.round(f.toDouble * 1e6)
+        case d: Double => math.round(d * 1e6)
+      }.toArray).toMap
+    val benchIds = emb.keySet.filter(_ % Cleaning.BenchMod == 0)
+    assert(out.keySet == (emb.keySet -- benchIds),
+      "output spine must be exactly the non-bench vectors")
+    // brute-force differential within cells (fixture cells are far
+    // below IvfMaxCell, so the cap is not binding and the flag must be
+    // EXACTLY brute same-cell cosine >= tau)
+    val c = Similarity.nCentroids(emb.size.toLong)
+    val cells = VecKernel.ivfCells(spark, sf, c, nprobe = 1)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for ((v, (cell, flagged, benchId, dotScaled)) <- out) {
+      val hits = benchIds.toSeq.filter(b => cells(b) == cell)
+        .map(b => (dot(emb(v), emb(b)), b))
+        .filter(_._1 >= Dedup.SemDedupTauScaled)
+      if (flagged) {
+        assert(hits.nonEmpty, s"vec $v flagged with no qualifying bench hit")
+        // convicting vector: highest dot, smallest bench id on ties
+        val (bd, bb) = hits.maxBy { case (d, b) => (d, -b) }
+        assert((benchId, dotScaled) == ((bb, bd)),
+          s"vec $v: convicting pair mismatch")
+      } else {
+        assert(hits.isEmpty, s"vec $v unflagged but brute force finds ${hits.size} hits")
+      }
+    }
+    assert(out.values.exists(_._2), "fixture must exercise the contaminated branch")
+  }
 }

@@ -104,6 +104,33 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0 with VARYING luma: our MCU walk places all four Y blocks correctly") {
+    // gray-valued RGB: Y varies per pixel, Cb/Cr stay flat — any
+    // Y-block misplacement in the 2x2-luma interleaved MCU layout
+    // shifts whole 8x8 tiles and fails loudly; chroma upsampling
+    // differences can't hide it because chroma is constant
+    val (w, h) = (35, 21) // crosses MCU boundaries on both axes
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 3 + y * 7) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val jpg = imageioEncode(img)
+    val (dw, dh, ours) = JpegCodec.decode(jpg)
+    assert((dw, dh) == (w, h))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val argb = ref.getRGB(x, y)
+      for ((c, shift) <- Seq(0 -> 16, 1 -> 8, 2 -> 0)) {
+        val d = math.abs(((argb >> shift) & 0xFF) - (ours(o + c) & 0xFF))
+        assert(d <= 2, s"pixel ($x,$y) channel $c: ours ${ours(o + c) & 0xFF} " +
+          s"vs ImageIO ${(argb >> shift) & 0xFF}")
+      }
+    }
+  }
+
   test("our 4:4:4 color encoding: ImageIO and our decoder agree within color-convert rounding") {
     val (w, h) = (16, 16)
     val rgb = Array.tabulate(w * h * 3) { i =>

@@ -219,7 +219,7 @@ object JpegCodec {
   /** Encode `comps` planes (each w×h samples, already in component
     * space: Y or Y/Cb/Cr) as baseline 4:4:4. */
   private def encodePlanes(w: Int, h: Int, comps: Array[Array[Int]],
-      quality: Int): Array[Byte] = {
+      quality: Int, restartInterval: Int = 0): Array[Byte] = {
     val nc = comps.length
     require(nc == 1 || nc == 3, s"1 or 3 components, got $nc")
     val qLuma = scaledQ(StdLumaQ, quality)
@@ -253,6 +253,9 @@ object JpegCodec {
       writeMarker(out, 0xC4, dhtPayload(0, 1, DcChromaBits, DcChromaVals))
       writeMarker(out, 0xC4, dhtPayload(1, 1, AcChromaBits, AcChromaVals))
     }
+    if (restartInterval > 0)
+      writeMarker(out, 0xDD, Array[Byte](
+        (restartInterval >> 8).toByte, (restartInterval & 0xFF).toByte))
     val sosB = new java.io.ByteArrayOutputStream()
     sosB.write(nc)
     c = 0
@@ -271,10 +274,17 @@ object JpegCodec {
     val bw = new BitWriter(out)
     val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
     val dcPred = new Array[Int](nc)
+    var mcu = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align, emit RSTm (m cycles 0–7), reset DC prediction
+          bw.flush()
+          out.write(0xFF); out.write(0xD0 + ((mcu / restartInterval - 1) % 8))
+          java.util.Arrays.fill(dcPred, 0)
+        }
         c = 0
         while (c < nc) {
           val plane = comps(c)
@@ -327,6 +337,7 @@ object JpegCodec {
           if (run > 0) { val (ec, el) = acE(0x00); bw.put(ec, el) } // EOB
           c += 1
         }
+        mcu += 1
         mx += 1
       }
       my += 1
@@ -355,11 +366,15 @@ object JpegCodec {
   }
 
   /** Encode a grayscale plane (w×h bytes) as a 1-component JPEG — the
-    * subsampling-free path the exact gate and cross-checks ride. */
-  def encodeGray(w: Int, h: Int, gray: Array[Byte], quality: Int = 50): Array[Byte] = {
+    * subsampling-free path the exact gate and cross-checks ride.
+    * `restartInterval` > 0 emits DRI + RSTn markers every that many
+    * MCUs (the error-resilience layout long scans use; exercised by
+    * JpegSpec against both decoders). */
+  def encodeGray(w: Int, h: Int, gray: Array[Byte], quality: Int = 50,
+      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && gray.length == w * h,
       s"need $w*$h gray bytes, got ${gray.length}")
-    encodePlanes(w, h, Array(gray.map(_ & 0xFF)), quality)
+    encodePlanes(w, h, Array(gray.map(_ & 0xFF)), quality, restartInterval)
   }
 
   private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v

@@ -151,6 +151,24 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("restart markers: DRI/RSTn streams decode identically in both decoders") {
+    val (w, h) = (48, 24) // 6x3 = 18 MCUs; interval 4 → RST0..RST3 emitted
+    val gray = Array.tabulate(w * h)(i => ((i * 13 + 5) % 256).toByte)
+    val jpg = JpegCodec.encodeGray(w, h, gray, quality = 80, restartInterval = 4)
+    assert(jpg.sliding(2).exists(p => (p(0) & 0xFF) == 0xFF &&
+      (p(1) & 0xFF) >= 0xD0 && (p(1) & 0xFF) <= 0xD7),
+      "encoder must actually emit RST markers")
+    val plain = JpegCodec.encodeGray(w, h, gray, quality = 80)
+    val (_, _, withRst) = JpegCodec.decode(jpg)
+    val (_, _, without) = JpegCodec.decode(plain)
+    assert(java.util.Arrays.equals(withRst, without),
+      "restart segmentation must not change decoded pixels")
+    val (_, _, ref) = imageioDecodeGray(jpg)
+    for (i <- 0 until w * h)
+      assert(math.abs((withRst(3 * i) & 0xFF) - ref(i)) <= 1,
+        s"pixel $i diverges from ImageIO on the DRI stream")
+  }
+
   test("progressive streams fail loudly (quarantine, never misdecode)") {
     val jpg = imageioEncode(grayImage(16, 16, (x, y) => (x * y) % 256),
       progressive = true)

@@ -242,7 +242,9 @@ object SparkEntry {
     "mm_jpeg"           -> (graft.multimodal.Media.mmJpeg _),
     "mm_ulaw"           -> (graft.multimodal.Media.mmUlaw _),
     "mm_video"          -> (graft.multimodal.Media.mmVideo _),
-    "ta_decontaminate_semantic" -> (Cleaning.taDecontaminateSemantic _)
+    "ta_decontaminate_semantic" -> (Cleaning.taDecontaminateSemantic _),
+    "vocab_wordpiece"   -> (Tokenizer.vocabWordpiece _),
+    "vocab_wordpiece_encode" -> (Tokenizer.vocabWordpieceEncode _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -536,7 +538,12 @@ object SparkEntry {
     // the embedding lens on the SAME benchmark split the n-gram
     // decontaminator checks — cell-bucketed corpus×bench scoring at
     // dedup_semantic's own integer-exact threshold
-    "ta_decontaminate_semantic" -> Cleaning.taDecontaminateSemanticSql
+    "ta_decontaminate_semantic" -> Cleaning.taDecontaminateSemanticSql,
+    // maximal-munch segmentation: the oracle replays the greedy walk
+    // via a (word, position) longest-match jump table + recursive
+    // stepping, so the hash covers every word's full segmentation
+    "vocab_wordpiece"   -> Tokenizer.vocabWordpieceSql,
+    "vocab_wordpiece_encode" -> Tokenizer.vocabWordpieceEncodeSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -331,4 +331,145 @@ object Tokenizer {
        |       CAST(SUM(s.n_sym) AS BIGINT) AS n_sym
        |FROM dtoks t JOIN seg s ON t.term = s.term
        |GROUP BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------- vocab_wordpiece
+  /** Longest candidate piece length and multi-char inventory size for
+    * the maximal-munch tokenizer (small at fixture scale; the oracle's
+    * jump table is Σ word_len × MaxPiece probes over the
+    * vocabulary-sized word table, so both knobs are oracle-cheap). */
+  val WpMaxPiece = 4
+  val WpTopPieces = 16
+
+  /** WordPiece-INFERENCE-style segmentation (greedy maximal munch) —
+    * the third tokenizer scheme next to the fixed-word vocabulary
+    * ([[vocabBuild]]) and the BPE merge trainer ([[vocabBpe]]), and a
+    * genuinely different algorithm from both: no merge rounds, no id
+    * table — a piece INVENTORY (every observed character, for total
+    * coverage, plus the [[WpTopPieces]] heaviest multi-char substrings
+    * by occurrence-weighted frequency, ties lexicographic) and the
+    * deterministic greedy walk "at each position take the LONGEST
+    * inventory piece that matches" (WordPiece/maximal-munch inference;
+    * true WordPiece training differs — documented, not claimed).
+    *
+    * Everything runs at VOCABULARY scale after one corpus collapse:
+    * the word-frequency table feeds candidate extraction (explode of
+    * ≤ len·[[WpMaxPiece]] substrings per DISTINCT word), a TakeOrdered
+    * top-K picks the inventory, and the walk segments distinct words
+    * in mapPartitions under a broadcast piece set — the corpus itself
+    * is touched once for the word table and once per downstream
+    * encode, never shuffled on content ([[vocabEncode]]'s discipline).
+    *
+    * The greedy walk is exactly replayable in SQL: a (word, position)
+    * → longest-match jump table (plain aggregation), then a recursive
+    * walk stepping pos += jump — so the gate hash covers the full
+    * segmentation of every word, not just piece counts. Single chars
+    * are always in the inventory, so jump ≥ 1 and every word of the
+    * training corpus segments fully (an unseen-at-encode character
+    * would need an UNK rule — out of the gate's closed-corpus scope,
+    * noted here). Output: (term, freq, seg, n_pieces). */
+  def vocabWordpiece(s: SparkSession, dir: String): DataFrame =
+    wordpieceOver(s,
+      tokens(s, dir).groupBy(col("term")).agg(count(lit(1)).as("freq")))
+
+  /** The inventory + greedy walk over any (term, freq) word table. */
+  private[graft] def wordpieceOver(s: SparkSession, wordFreq: DataFrame): DataFrame = {
+    import s.implicits._
+    val words = wordFreq.localCheckpoint()
+    val multi = words
+      .withColumn("i", explode(expr("sequence(1, length(term))")))
+      .where(length(col("term")) - col("i") + 1 >= 2)
+      .withColumn("l",
+        explode(expr(s"sequence(2, least($WpMaxPiece, length(term) - i + 1))")))
+      .select(expr("substring(term, i, l)").as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("w"))
+      .orderBy(col("w").desc, col("piece"))
+      .limit(WpTopPieces)
+      .collect().map(_.getString(0))
+    val chars = words
+      .select(explode(split(col("term"), "")).as("piece"))
+      .where(col("piece") =!= "").distinct()
+      .collect().map(_.getString(0))
+    val bc = s.sparkContext.broadcast((multi ++ chars).toSet)
+    words.as[(String, Long)].mapPartitions { it =>
+      val inv = bc.value
+      it.map { case (t, f) =>
+        val sb = new StringBuilder
+        var p = 0; var n = 0L
+        while (p < t.length) {
+          var l = math.min(WpMaxPiece, t.length - p)
+          while (l > 1 && !inv.contains(t.substring(p, p + l))) l -= 1
+          // l == 1 always matches: every observed char is in the inventory
+          if (sb.nonEmpty) sb.append(' ')
+          sb.append(t.substring(p, p + l))
+          n += 1; p += l
+        }
+        (t, f, sb.toString, n)
+      }
+    }.toDF("term", "freq", "seg", "n_pieces")
+  }
+
+  /** Corpus encoded under the maximal-munch inventory: per-doc word
+    * and piece counts — broadcast segmentation table, zero corpus
+    * shuffle (the [[vocabBpeEncode]] shape). */
+  def vocabWordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val seg = vocabWordpiece(s, dir).select(col("term"), col("n_pieces"))
+    tokens(s, dir)
+      .join(broadcast(seg), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("n_pieces")).as("n_pieces"))
+  }
+
+  /** Inventory + jump-table + recursive greedy walk, shared by both
+    * wordpiece oracles; assumes `dtoks` is defined and the WITH is
+    * RECURSIVE. */
+  private def wordpieceCtesSql: String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT term, CAST(COUNT(1) AS BIGINT) AS freq FROM dtoks GROUP BY term),
+       |subs AS (
+       |  SELECT substring(term, i, l) AS piece, SUM(freq) AS w
+       |  FROM w0,
+       |       LATERAL (SELECT unnest(generate_series(1, length(term))) AS i) ti,
+       |       LATERAL (SELECT unnest(generate_series(2, $WpMaxPiece)) AS l) tl
+       |  WHERE i + l - 1 <= length(term)
+       |  GROUP BY 1),
+       |multi AS (SELECT piece FROM subs ORDER BY w DESC, piece LIMIT $WpTopPieces),
+       |chars AS (
+       |  SELECT DISTINCT substring(term, i, 1) AS piece
+       |  FROM w0, LATERAL (SELECT unnest(generate_series(1, length(term))) AS i) t),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece FROM multi UNION SELECT piece FROM chars),
+       |jumps AS MATERIALIZED (
+       |  SELECT term, i, MAX(l) AS jump
+       |  FROM w0,
+       |       LATERAL (SELECT unnest(generate_series(1, length(term))) AS i) ti,
+       |       LATERAL (SELECT unnest(generate_series(1, $WpMaxPiece)) AS l) tl
+       |  WHERE i + l - 1 <= length(term)
+       |    AND substring(term, i, l) IN (SELECT piece FROM vocab)
+       |  GROUP BY 1, 2),
+       |walk(term, pos, seg, n) AS (
+       |  SELECT term, 1, '', 0 FROM w0
+       |  UNION ALL
+       |  SELECT w.term, w.pos + j.jump,
+       |         CASE WHEN w.seg = '' THEN substring(w.term, w.pos, j.jump)
+       |              ELSE w.seg || ' ' || substring(w.term, w.pos, j.jump) END,
+       |         w.n + 1
+       |  FROM walk w JOIN jumps j ON j.term = w.term AND j.i = w.pos
+       |  WHERE w.pos <= length(w.term)),
+       |wpseg AS MATERIALIZED (
+       |  SELECT term, seg, CAST(n AS BIGINT) AS n_pieces
+       |  FROM walk WHERE pos = length(term) + 1)""".stripMargin
+
+  val vocabWordpieceSql: String =
+    s"""WITH RECURSIVE $dtoksCteSql,
+       |$wordpieceCtesSql
+       |SELECT w0.term, w0.freq, wpseg.seg, wpseg.n_pieces
+       |FROM w0 JOIN wpseg USING (term)""".stripMargin
+
+  val vocabWordpieceEncodeSql: String =
+    s"""WITH RECURSIVE $dtoksCteSql,
+       |$wordpieceCtesSql
+       |SELECT t.doc_id, CAST(COUNT(1) AS BIGINT) AS n_tok,
+       |       CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces
+       |FROM dtoks t JOIN wpseg s USING (term)
+       |GROUP BY t.doc_id""".stripMargin
 }

@@ -185,4 +185,47 @@ class TokenizerSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(2).split(" ").exists(_.length > 1)),
       "no multi-character symbol was ever produced")
   }
+
+  test("wordpiece: segmentation equals a brute reimplementation of inventory + maximal munch") {
+    import graft.operators.Tokenizer
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val alphabet = "abcde"
+    val terms = (0 until 60).map(_ =>
+      (0 until (3 + rng.nextInt(8))).map(_ => alphabet(rng.nextInt(5))).mkString)
+      .distinct
+    val pairs = terms.map(t => (t, 1L + rng.nextInt(100)))
+    val words = pairs.toDF("term", "freq")
+    val wf = pairs.toMap
+    // brute inventory: occurrence-weighted substrings (len 2..max),
+    // top-K by (weight desc, piece asc), plus every observed char
+    val weights = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (t <- terms; i <- 0 until t.length;
+         l <- 2 to math.min(Tokenizer.WpMaxPiece, t.length - i))
+      weights(t.substring(i, i + l)) += wf(t)
+    val multi = weights.toSeq.sortBy { case (p, w) => (-w, p) }
+      .take(Tokenizer.WpTopPieces).map(_._1)
+    val inv = multi.toSet ++ terms.flatMap(_.map(_.toString))
+    def munch(t: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = 0
+      while (p < t.length) {
+        var l = math.min(Tokenizer.WpMaxPiece, t.length - p)
+        while (l > 1 && !inv.contains(t.substring(p, p + l))) l -= 1
+        out += t.substring(p, p + l); p += l
+      }
+      out.toSeq
+    }
+    val got = Tokenizer.wordpieceOver(spark, words).collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got.keySet == terms.toSet)
+    for (t <- terms) {
+      val expect = munch(t)
+      assert(got(t) == ((expect.mkString(" "), expect.length.toLong)),
+        s"$t: operator segmented '${got(t)._1}', brute munch says '${expect.mkString(" ")}'")
+      assert(expect.mkString == t, s"$t: munch does not re-concatenate")
+    }
+    assert(terms.exists(t => got(t)._2 < t.length),
+      "fixture must exercise multi-char pieces (some word segments shorter than chars)")
+  }
 }

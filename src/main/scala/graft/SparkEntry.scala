@@ -244,7 +244,8 @@ object SparkEntry {
     "mm_video"          -> (graft.multimodal.Media.mmVideo _),
     "ta_decontaminate_semantic" -> (Cleaning.taDecontaminateSemantic _),
     "vocab_wordpiece"   -> (Tokenizer.vocabWordpiece _),
-    "vocab_wordpiece_encode" -> (Tokenizer.vocabWordpieceEncode _)
+    "vocab_wordpiece_encode" -> (Tokenizer.vocabWordpieceEncode _),
+    "dedup_allpairs"    -> (Dedup.dedupAllpairs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -543,7 +544,10 @@ object SparkEntry {
     // via a (word, position) longest-match jump table + recursive
     // stepping, so the hash covers every word's full segmentation
     "vocab_wordpiece"   -> Tokenizer.vocabWordpieceSql,
-    "vocab_wordpiece_encode" -> Tokenizer.vocabWordpieceEncodeSql
+    "vocab_wordpiece_encode" -> Tokenizer.vocabWordpieceEncodeSql,
+    // the oracle is the BRUTE all-pairs join on purpose: the gate only
+    // hash-matches if the prefix/length pruning is provably lossless
+    "dedup_allpairs"    -> Dedup.dedupAllpairsSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

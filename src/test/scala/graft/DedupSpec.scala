@@ -294,6 +294,42 @@ class DedupSpec extends AnyFunSuite {
     assert(byDoc(1L) == 0L && byDoc(0L) == 0L && byDoc(2L) == 0L)
   }
 
+  test("allpairs: prefix/length pruning is lossless on randomized corpora (differential vs brute)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val vocabWords = (0 until 40).map(i => s"w$i")
+    // random base docs + planted near-dups (append/drop a few words)
+    val base = (0 until 25).map { i =>
+      (i.toLong, (0 until (5 + rng.nextInt(20)))
+        .map(_ => vocabWords(rng.nextInt(vocabWords.size))).mkString(" "))
+    }
+    val nearDups = base.take(8).map { case (id, t) =>
+      val ws = t.split(" ")
+      (100L + id, (ws.drop(rng.nextInt(2)) ++
+        Seq.fill(rng.nextInt(2))(vocabWords(rng.nextInt(vocabWords.size)))).mkString(" "))
+    }
+    val docs = (base ++ nearDups).toDF("doc_id", "text")
+    def grams(t: String): Set[String] = {
+      val w = t.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim.split(" ").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val gs = (base ++ nearDups).map { case (id, t) => id -> grams(t) }.toMap
+    val brute = (for {
+      (a, ga) <- gs.toSeq; (b, gb) <- gs.toSeq if a < b && ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size.toLong if inter > 0
+      union = ga.size + gb.size - inter
+      if 1000000L * inter >= Dedup.AllPairsTauPpm * union
+    } yield (a, b, inter, ga.size.toLong, gb.size.toLong,
+      1000000L * inter / union)).toSet
+    val got = Dedup.allpairsOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    assert(brute.nonEmpty, "fixture must plant qualifying pairs")
+  }
+
   test("dedup_cc convergence canary holds at both fixture SFs") {
     // propagateMin THROWS if the min-label fixpoint is not reached
     // within the round cap, so simply running the gate at each SF is

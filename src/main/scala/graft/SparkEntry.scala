@@ -245,7 +245,8 @@ object SparkEntry {
     "ta_decontaminate_semantic" -> (Cleaning.taDecontaminateSemantic _),
     "vocab_wordpiece"   -> (Tokenizer.vocabWordpiece _),
     "vocab_wordpiece_encode" -> (Tokenizer.vocabWordpieceEncode _),
-    "dedup_allpairs"    -> (Dedup.dedupAllpairs _)
+    "dedup_allpairs"    -> (Dedup.dedupAllpairs _),
+    "dedup_allpairs_clean" -> (Dedup.dedupAllpairsClean _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -547,7 +548,10 @@ object SparkEntry {
     "vocab_wordpiece_encode" -> Tokenizer.vocabWordpieceEncodeSql,
     // the oracle is the BRUTE all-pairs join on purpose: the gate only
     // hash-matches if the prefix/length pruning is provably lossless
-    "dedup_allpairs"    -> Dedup.dedupAllpairsSql
+    "dedup_allpairs"    -> Dedup.dedupAllpairsSql,
+    // the doctrine composed: exact join AMONG replica-collapsed
+    // canonicals — the scale-safe form on duplicate-heavy corpora
+    "dedup_allpairs_clean" -> Dedup.dedupAllpairsCleanSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

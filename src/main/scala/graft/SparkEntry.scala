@@ -246,7 +246,8 @@ object SparkEntry {
     "vocab_wordpiece"   -> (Tokenizer.vocabWordpiece _),
     "vocab_wordpiece_encode" -> (Tokenizer.vocabWordpieceEncode _),
     "dedup_allpairs"    -> (Dedup.dedupAllpairs _),
-    "dedup_allpairs_clean" -> (Dedup.dedupAllpairsClean _)
+    "dedup_allpairs_clean" -> (Dedup.dedupAllpairsClean _),
+    "dedup_allpairs_incr" -> (Dedup.dedupAllpairsIncr _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -551,7 +552,10 @@ object SparkEntry {
     "dedup_allpairs"    -> Dedup.dedupAllpairsSql,
     // the doctrine composed: exact join AMONG replica-collapsed
     // canonicals — the scale-safe form on duplicate-heavy corpora
-    "dedup_allpairs_clean" -> Dedup.dedupAllpairsCleanSql
+    "dedup_allpairs_clean" -> Dedup.dedupAllpairsCleanSql,
+    // the incremental member: exact new-vs-snapshot join, prefix
+    // discipline over the UNION gram census, brute cross-join oracle
+    "dedup_allpairs_incr" -> Dedup.dedupAllpairsIncrSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

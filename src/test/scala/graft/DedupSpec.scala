@@ -328,6 +328,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute,
       s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
     assert(brute.nonEmpty, "fixture must plant qualifying pairs")
+    // two-table form: exact batch×snapshot join must equal the brute
+    // cross-pairs under the same split (union-census prefix discipline)
+    val (batchIds, snapIds) = gs.keySet.partition(_ % 3 == 1)
+    val bruteVs = (for {
+      a <- batchIds.toSeq; b <- snapIds.toSeq
+      ga = gs(a); gb = gs(b) if ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size.toLong if inter > 0
+      union = ga.size + gb.size - inter
+      if 1000000L * inter >= Dedup.AllPairsTauPpm * union
+    } yield (a, b, inter, ga.size.toLong, gb.size.toLong,
+      1000000L * inter / union)).toSet
+    val gotVs = Dedup.allpairsVs(
+        docs.where(col("doc_id") % 3 === 1), docs.where(col("doc_id") % 3 =!= 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(gotVs == bruteVs,
+      s"vs: missing=${(bruteVs -- gotVs).take(3)} extra=${(gotVs -- bruteVs).take(3)}")
   }
 
   test("dedup_cc convergence canary holds at both fixture SFs") {

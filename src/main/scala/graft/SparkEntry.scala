@@ -247,7 +247,8 @@ object SparkEntry {
     "vocab_wordpiece_encode" -> (Tokenizer.vocabWordpieceEncode _),
     "dedup_allpairs"    -> (Dedup.dedupAllpairs _),
     "dedup_allpairs_clean" -> (Dedup.dedupAllpairsClean _),
-    "dedup_allpairs_incr" -> (Dedup.dedupAllpairsIncr _)
+    "dedup_allpairs_incr" -> (Dedup.dedupAllpairsIncr _),
+    "layout_schema_merge" -> (graft.sources.Formats.layoutSchemaMerge _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -555,7 +556,10 @@ object SparkEntry {
     "dedup_allpairs_clean" -> Dedup.dedupAllpairsCleanSql,
     // the incremental member: exact new-vs-snapshot join, prefix
     // discipline over the UNION gram census, brute cross-join oracle
-    "dedup_allpairs_incr" -> Dedup.dedupAllpairsIncrSql
+    "dedup_allpairs_incr" -> Dedup.dedupAllpairsIncrSql,
+    // schema evolution: merged read across two file generations must
+    // surface old-generation rows with NULL in the added column
+    "layout_schema_merge" -> graft.sources.Formats.layoutSchemaMergeSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

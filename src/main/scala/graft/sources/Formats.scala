@@ -53,4 +53,46 @@ object Formats {
     * per partition column enables partition pruning on read. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  // ------------------------------------------------ layout_schema_merge
+  /** SCHEMA EVOLUTION across a table's file generations — the lake
+    * reality every long-lived corpus hits: a crawler release adds a
+    * column, and the table dir now holds files under BOTH schemas.
+    * `mergeSchema` unions the parquet footers at planning time (footer
+    * metadata only — no data pass at any corpus size) and old-schema
+    * rows surface the new column as NULL; column pruning still applies
+    * to the merged schema. The gate writes the documents table as two
+    * generations into ONE directory — generation 1 (even doc_ids)
+    * without the `quality` column, generation 2 (odd) with it — reads
+    * the directory back merged, and aggregates per language with
+    * null-sensitive counts, so the hash pins exactly the
+    * old-rows-read-NULL semantics against an oracle that re-derives
+    * the union relationally. Per-process scratch dir: the gate can run
+    * concurrently from bench + verify (the snapshot_zmaintain
+    * precedent). */
+  def layoutSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(s, dir)
+    val tdir = java.nio.file.Files.createTempDirectory("graft-schemamerge").toString
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode(SaveMode.Append).parquet(tdir)
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") % 100).as("quality"))
+      .write.mode(SaveMode.Append).parquet(tdir)
+    s.read.option("mergeSchema", "true").parquet(tdir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(col("quality")).as("n_quality"),
+        sum(col("quality")).as("sum_quality"))
+  }
+
+  val layoutSchemaMergeSql: String =
+    """SELECT lang,
+      |       CAST(COUNT(1) AS BIGINT) AS n,
+      |       CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_quality,
+      |       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END) AS BIGINT) AS sum_quality
+      |FROM documents
+      |GROUP BY lang""".stripMargin
 }

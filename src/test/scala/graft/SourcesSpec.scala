@@ -255,4 +255,30 @@ class SourcesSpec extends AnyFunSuite {
       s"NTZ scan was expected to decode everything (got $scanRows) — " +
         "if Spark now prunes NTZ row groups, update SCALE.md and prefer the native column")
   }
+
+  test("schema merge: old-generation rows read NULL in the added column; pruning survives the merge") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-schemaspec").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "en", 7L), (4L, "fr", 9L)).toDF("doc_id", "lang", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "quality"))
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(rows == Map(1L -> -1L, 2L -> -1L, 3L -> 7L, 4L -> 9L),
+      "generation-1 rows must surface NULL in the added column")
+    // the at-scale claim: pruning still applies to the MERGED schema —
+    // a 2-column projection must not read the added column
+    val scan = merged.select(col("doc_id"), col("lang"))
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scan.nonEmpty &&
+      !scan.head.metadata("ReadSchema").contains("quality"),
+      s"merged-schema read must still prune columns: ${scan.head.metadata("ReadSchema")}")
+  }
 }

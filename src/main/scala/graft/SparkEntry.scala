@@ -248,7 +248,10 @@ object SparkEntry {
     "dedup_allpairs"    -> (Dedup.dedupAllpairs _),
     "dedup_allpairs_clean" -> (Dedup.dedupAllpairsClean _),
     "dedup_allpairs_incr" -> (Dedup.dedupAllpairsIncr _),
-    "layout_schema_merge" -> (graft.sources.Formats.layoutSchemaMerge _)
+    "layout_schema_merge" -> (graft.sources.Formats.layoutSchemaMerge _),
+    "web_warc_extract"  -> (graft.web.WebIngest.webWarcExtract _),
+    "web_url_parse"     -> (graft.web.WebIngest.webUrlParse _),
+    "web_domain_stats"  -> (graft.web.WebIngest.webDomainStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -559,7 +562,10 @@ object SparkEntry {
     "dedup_allpairs_incr" -> Dedup.dedupAllpairsIncrSql,
     // schema evolution: merged read across two file generations must
     // surface old-generation rows with NULL in the added column
-    "layout_schema_merge" -> graft.sources.Formats.layoutSchemaMergeSql
+    "layout_schema_merge" -> graft.sources.Formats.layoutSchemaMergeSql,
+    "web_warc_extract"  -> graft.web.WebIngest.webWarcExtractSql,
+    "web_url_parse"     -> graft.web.WebIngest.webUrlParseSql,
+    "web_domain_stats"  -> graft.web.WebIngest.webDomainStatsSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

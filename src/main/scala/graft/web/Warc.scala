@@ -1,0 +1,278 @@
+package graft.web
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** One ISO 28500 WARC record: named headers + an opaque payload whose
+  * length is governed ONLY by `Content-Length` (payloads may contain
+  * anything, including the record-separator byte sequence). */
+case class WarcRecord(headers: Map[String, String], payload: Array[Byte]) {
+  def warcType: String  = headers.getOrElse("WARC-Type", "")
+  def targetUri: String = headers.getOrElse("WARC-Target-URI", "")
+}
+
+/** Pure-JVM WARC (ISO 28500 / WARC 1.0) writer + parser in the
+  * Common-Crawl layout: each record is its OWN gzip member and a file
+  * is the concatenation of members, so a cluster can random-access
+  * records from member offsets without decompressing the whole file.
+  *
+  * Reference intent: the engine's whole-file ingestion contract
+  * (6.5840/src/mr/worker.go:64-118 reads crawl shards as opaque whole
+  * files); this codec is the web-crawl front end a training-data
+  * pipeline puts in front of that contract.
+  *
+  * Scale note: parse is record-streaming over one file's bytes — the
+  * per-task unit is a WARC file (Common Crawl caps them ~1 GB), state
+  * is O(1 record). No cross-file or cross-record coordination.
+  */
+object WarcCodec {
+  private val Crlf = "\r\n".getBytes(UTF_8)
+
+  /** One record, uncompressed: version line, sorted headers with a
+    * computed (never caller-supplied) Content-Length, blank line,
+    * payload, and the two mandatory trailing CRLFs. */
+  def recordBytes(r: WarcRecord): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    (r.headers - "Content-Length").toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append("\r\n")
+    }
+    sb.append("Content-Length: ").append(r.payload.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(UTF_8)
+    val out  = new ByteArrayOutputStream(head.length + r.payload.length + 4)
+    out.write(head); out.write(r.payload); out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
+  /** A WARC file: one gzip member per record, members concatenated. */
+  def writeGz(records: Iterator[WarcRecord]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(recordBytes(r))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  def readGz(bytes: Array[Byte]): Seq[WarcRecord] = read(gunzipAll(bytes))
+
+  /** Decompress a multi-member gzip stream (GZIPInputStream consumes
+    * concatenated members natively). */
+  def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in  = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+    val out = new ByteArrayOutputStream(math.max(64, bytes.length * 3))
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Parse concatenated uncompressed records. Fails loudly on any
+    * grammar violation (bad version line, malformed header, truncated
+    * payload, missing trailer) — a silent partial read of a crawl
+    * shard is data loss. */
+  def read(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val recs = Seq.newBuilder[WarcRecord]
+    var pos  = 0
+    while (pos < bytes.length) {
+      val (ver, p1) = line(bytes, pos)
+      require(ver.startsWith("WARC/"), s"not a WARC record at offset $pos: '$ver'")
+      var p       = p1
+      var headers = Map.empty[String, String]
+      var blank   = false
+      while (!blank) {
+        val (l, np) = line(bytes, p); p = np
+        if (l.isEmpty) blank = true
+        else {
+          val i = l.indexOf(':')
+          require(i > 0, s"malformed WARC header '$l'")
+          headers += (l.substring(0, i).trim -> l.substring(i + 1).trim)
+        }
+      }
+      val len = headers.getOrElse("Content-Length",
+        sys.error("WARC record missing Content-Length")).toInt
+      require(len >= 0 && p + len <= bytes.length, s"truncated WARC payload at $p")
+      val payload = java.util.Arrays.copyOfRange(bytes, p, p + len)
+      p += len
+      var k = 0
+      while (k < 2) {
+        val (bl, np) = line(bytes, p)
+        require(bl.isEmpty, s"missing WARC record trailer at $p")
+        p = np; k += 1
+      }
+      recs += WarcRecord(headers, payload)
+      pos = p
+    }
+    recs.result()
+  }
+
+  private def line(bytes: Array[Byte], from: Int): (String, Int) = {
+    var i = from
+    while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+    require(i + 1 < bytes.length, s"missing CRLF after offset $from")
+    (new String(bytes, from, i - from, UTF_8), i + 2)
+  }
+}
+
+/** Minimal HTTP/1.1 message framing for WARC `response` payloads:
+  * status line + headers + Content-Length-delimited body. */
+object HttpMessage {
+  def response(status: Int, reason: String, headers: Seq[(String, String)],
+               body: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("HTTP/1.1 ").append(status).append(' ').append(reason).append("\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(UTF_8)
+    val out  = new ByteArrayOutputStream(head.length + body.length)
+    out.write(head); out.write(body)
+    out.toByteArray
+  }
+
+  /** → (status, headers, body). Body length comes from Content-Length
+    * when present, else the remainder of the message. */
+  def parseResponse(bytes: Array[Byte]): (Int, Map[String, String], Array[Byte]) = {
+    var i = 0
+    def nextLine(): String = {
+      val start = i
+      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      require(i + 1 < bytes.length, "missing CRLF in HTTP head")
+      val s = new String(bytes, start, i - start, UTF_8); i += 2; s
+    }
+    val statusLine = nextLine()
+    require(statusLine.startsWith("HTTP/"), s"not an HTTP response: '$statusLine'")
+    val parts  = statusLine.split(" ", 3)
+    val status = parts(1).toInt
+    var headers = Map.empty[String, String]
+    var l = nextLine()
+    while (l.nonEmpty) {
+      val c = l.indexOf(':')
+      require(c > 0, s"malformed HTTP header '$l'")
+      headers += (l.substring(0, c).trim -> l.substring(c + 1).trim)
+      l = nextLine()
+    }
+    val len  = headers.get("Content-Length").map(_.toInt).getOrElse(bytes.length - i)
+    require(i + len <= bytes.length, "truncated HTTP body")
+    (status, headers, java.util.Arrays.copyOfRange(bytes, i, i + len))
+  }
+}
+
+/** HTML → text content extraction, the C4/CCNet front-end step: a
+  * single-pass tokenizer that drops `head`/`script`/`style` subtrees
+  * (raw-text semantics: the FIRST `</name` closes, exactly the HTML5
+  * rule), strips comments and tags (quote-aware, so `>` inside a
+  * quoted attribute value does not end the tag), decodes character
+  * references (named, decimal, hex; unknown ones left verbatim per
+  * HTML5 leniency), inserts a separator at block-tag boundaries, and
+  * collapses whitespace runs. Pure function of the markup — one call
+  * per document inside `mapPartitions`, no state across documents. */
+object HtmlText {
+  private val RawText = Set("script", "style", "head", "title", "textarea")
+  private val Block = Set("p", "div", "br", "hr", "li", "ul", "ol", "tr", "td", "th",
+    "table", "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "header",
+    "footer", "blockquote", "pre", "nav", "aside", "figure", "figcaption")
+  private val Named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'", "nbsp" -> " ")
+
+  def extract(html: String): String = {
+    val n  = html.length
+    val sb = new StringBuilder(n)
+    var i  = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val close     = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameStart = if (close) i + 2 else i + 1
+          val name      = tagName(html, nameStart)
+          val afterTag  = skipTag(html, i)
+          if (!close && RawText(name)) {
+            val e = indexOfIgnoreCase(html, "</" + name, afterTag)
+            i = if (e < 0) n else skipTag(html, e)
+            if (Block(name)) sb.append(' ')
+          } else {
+            if (Block(name)) sb.append(' ')
+            i = afterTag
+          }
+        }
+      } else if (c == '&') {
+        val (s, ni) = charRef(html, i)
+        sb.append(s); i = ni
+      } else { sb.append(c); i += 1 }
+    }
+    normalizeWs(sb.toString)
+  }
+
+  private def tagName(s: String, from: Int): String = {
+    var k = from
+    while (k < s.length && (s.charAt(k).isLetterOrDigit)) k += 1
+    s.substring(from, k).toLowerCase
+  }
+
+  /** Index just past the tag's `>`, honoring quoted attribute values. */
+  private def skipTag(s: String, lt: Int): Int = {
+    var i = lt + 1
+    var q = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else if (c == '"' || c == '\'') q = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    s.length
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val nl = needle.length
+    var i  = math.max(0, from)
+    while (i + nl <= s.length) {
+      if (s.regionMatches(true, i, needle, 0, nl)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode one character reference starting at `&`; returns the
+    * replacement and the index to resume at. Malformed/unknown refs
+    * emit the `&` verbatim and resume one char later (HTML5 leniency). */
+  private def charRef(s: String, amp: Int): (String, Int) = {
+    val semi = s.indexOf(';', amp + 1)
+    if (semi < 0 || semi - amp > 12) ("&", amp + 1)
+    else {
+      val body = s.substring(amp + 1, semi)
+      def numeric(txt: String, radix: Int): (String, Int) =
+        try {
+          val cp = Integer.parseInt(txt, radix)
+          if (Character.isValidCodePoint(cp) && cp > 0)
+            (new String(Character.toChars(cp)), semi + 1)
+          else ("&", amp + 1)
+        } catch { case _: NumberFormatException => ("&", amp + 1) }
+      if (body.startsWith("#x") || body.startsWith("#X")) numeric(body.substring(2), 16)
+      else if (body.startsWith("#")) numeric(body.substring(1), 10)
+      else Named.get(body.toLowerCase) match {
+        case Some(v) => (v, semi + 1)
+        case None    => ("&", amp + 1)
+      }
+    }
+  }
+
+  private def normalizeWs(s: String): String = {
+    val sb   = new StringBuilder(s.length)
+    var i    = 0
+    var inWs = true // leading ws dropped
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { if (!inWs) sb.append(' '); inWs = true }
+      else { sb.append(c); inWs = false }
+      i += 1
+    }
+    if (sb.nonEmpty && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.web.{HtmlText, HttpMessage, UrlOps, WarcCodec, WarcRecord, WebIngest}
+
+/** Web-ingest front end: WARC grammar round-trips (incl. hostile
+  * payloads), HTTP framing, HTML extraction hand vectors, the
+  * buildHtml→extract inverse property, URL parsing differentially vs
+  * java.net.URI, and the PSL algorithm's rule kinds (plain, wildcard,
+  * exception, implicit default). */
+class WebSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private def rec(id: Int, payload: Array[Byte]): WarcRecord =
+    WarcRecord(Map(
+      "WARC-Type"       -> "response",
+      "WARC-Record-ID"  -> s"<urn:uuid:$id>",
+      "WARC-Target-URI" -> s"https://h$id.example/p"), payload)
+
+  test("WARC: gzip-member file round-trips records exactly, hostile payloads included") {
+    val rng = new scala.util.Random(11)
+    val payloads = Seq(
+      Array.emptyByteArray,
+      "plain".getBytes(UTF_8),
+      // record-separator and version-line bytes INSIDE a payload must
+      // not confuse the parser (length-delimited, not sentinel-delimited)
+      "\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\n".getBytes(UTF_8),
+      Array.fill(10000)(rng.nextInt().toByte))
+    val recs = payloads.zipWithIndex.map { case (p, i) => rec(i, p) }
+    val back = WarcCodec.readGz(WarcCodec.writeGz(recs.iterator))
+    assert(back.size == recs.size)
+    recs.zip(back).foreach { case (a, b) =>
+      assert(b.headers("WARC-Target-URI") == a.headers("WARC-Target-URI"))
+      assert(b.headers("Content-Length").toInt == a.payload.length)
+      assert(java.util.Arrays.equals(b.payload, a.payload))
+    }
+  }
+
+  test("WARC: truncated and corrupt inputs fail loudly, never partially parse") {
+    val good = WarcCodec.recordBytes(rec(1, "abcdef".getBytes(UTF_8)))
+    intercept[IllegalArgumentException] {
+      WarcCodec.read(java.util.Arrays.copyOfRange(good, 0, good.length - 6))
+    }
+    intercept[IllegalArgumentException] {
+      WarcCodec.read("HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8)) // wrong magic
+    }
+  }
+
+  test("HTTP framing: response round-trip, Content-Length-delimited body") {
+    val body = "x\r\n\r\ny".getBytes(UTF_8)
+    val msg  = HttpMessage.response(404, "Not Found", Seq("X-A" -> "b"), body)
+    val (status, hdrs, back) = HttpMessage.parseResponse(msg)
+    assert(status == 404 && hdrs("X-A") == "b" && java.util.Arrays.equals(back, body))
+  }
+
+  test("HTML extraction hand vectors") {
+    val cases = Seq(
+      // quoted '>' inside an attribute does not end the tag
+      """<p data-x="a>b">ok</p>""" -> "ok",
+      // comments vanish, even with markup inside
+      "a<!-- <p>no</p> -->b" -> "ab",
+      // script/style raw text: first matching close ends, content dropped
+      """x<script>var a = 1 < 2; s = "<p>no</p>";</script>y""" -> "xy",
+      "x<style>p>li{}</style>y" -> "xy",
+      // head subtree (incl. title) is not content
+      "<head><title>t</title></head><body>c</body>" -> "c",
+      // entities: named, decimal, hex, unknown-left-verbatim, bare amp
+      "&amp;&lt;&gt;&#65;&#x42;&unknown;&" -> "&<>AB&unknown;&",
+      // nbsp decodes to a space and collapses
+      "a&nbsp;&nbsp;b" -> "a b",
+      // block boundaries separate, inline tags do not
+      "<p>a</p><p>b</p>" -> "a b",
+      "a<span>b</span>c" -> "abc",
+      // whitespace runs collapse, ends trimmed
+      "  a \n\t b  " -> "a b")
+    cases.foreach { case (html, want) =>
+      assert(HtmlText.extract(html) == want, s"for: $html")
+    }
+  }
+
+  test("buildHtml -> extract is the identity on the text (inverse property)") {
+    val rng = new scala.util.Random(7)
+    val words = Seq("alpha", "a&b", "x<y", "y>z", "&amp;", "<p>", "plain", "")
+    for (_ <- 0 until 200) {
+      val id   = rng.nextLong(1 << 20)
+      val text = Seq.fill(rng.nextInt(12))(words(rng.nextInt(words.size))).mkString(" ")
+      val norm = text.trim.replaceAll("\\s+", " ")
+      val want = ("doc " + id + " & " + norm).trim
+      assert(HtmlText.extract(WebIngest.buildHtml(id, text)) == want, s"for text '$text'")
+    }
+  }
+
+  test("URL parser agrees with java.net.URI across the synthetic family and hand cases") {
+    val urls = (0L until 500L).map(i => WebIngest.synthUrl(i, "es", s"src${i % 7}")) ++ Seq(
+      "https://user:pw@h.example.com:8080/a/b?q=1#f",
+      "http://[2001:db8::1]:9000/x",
+      "ftp://files.example.org",
+      "https://h.example/?only=query",
+      "https://h.example/#only-frag",
+      "https://h.example/p?a=1&b=2#x?not-a-query")
+    urls.foreach { u =>
+      val p = UrlOps.parse(u)
+      val j = new java.net.URI(u)
+      assert(p.scheme == j.getScheme.toLowerCase, u)
+      assert(p.host == Option(j.getHost).getOrElse("").toLowerCase
+        .stripPrefix("[").stripSuffix("]"), u)
+      assert(p.port == j.getPort, u)
+      assert(p.path == Option(j.getRawPath).getOrElse(""), u)
+      assert(p.query == Option(j.getRawQuery).getOrElse(""), u)
+      assert(p.fragment == Option(j.getRawFragment).getOrElse(""), u)
+      assert(p.userinfo == Option(j.getRawUserInfo).getOrElse(""), u)
+    }
+  }
+
+  test("PSL algorithm: plain, multi-label, wildcard, exception, default rules") {
+    import UrlOps.{etld1, publicSuffix, subdomain}
+    assert(publicSuffix("foo.com") == "com" && etld1("foo.com") == "foo.com")
+    assert(publicSuffix("a.b.github.io") == "github.io")
+    assert(etld1("a.b.github.io") == "b.github.io" && subdomain("a.b.github.io") == "a")
+    assert(publicSuffix("x.src.co.uk") == "co.uk" && etld1("x.src.co.uk") == "src.co.uk")
+    // wildcard *.kobe.jp: every 3rd-level kobe label is itself a suffix
+    assert(publicSuffix("oops.kobe.jp") == "oops.kobe.jp")
+    assert(etld1("x.oops.kobe.jp") == "x.oops.kobe.jp")
+    // exception !city.kobe.jp overrides the wildcard
+    assert(publicSuffix("city.kobe.jp") == "kobe.jp")
+    assert(etld1("x.city.kobe.jp") == "city.kobe.jp")
+    // a bare public suffix is not registrable
+    assert(etld1("github.io") == "" && subdomain("github.io") == "")
+    // unknown TLD: the implicit '*' default rule
+    assert(publicSuffix("foo.zz") == "zz" && etld1("foo.zz") == "foo.zz")
+  }
+
+  test("web gates run on the fixture and agree with the synthesis formulas") {
+    val sf  = "/root/testdata/sf0.001"
+    val out = WebIngest.webUrlParse(spark, sf)
+      .select("doc_id", "host", "etld1", "path_depth", "n_params").collect()
+    assert(out.nonEmpty)
+    out.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val sfx = Seq("com", "org", "co.uk", "github.io", "gov.au")((id % 5).toInt)
+      assert(r.getString(1).endsWith("." + sfx))
+      assert(r.getString(2) == r.getString(1).stripPrefix("www."), s"etld1 for $id")
+      assert(r.getInt(3) == 3)
+      assert(r.getInt(4) == (if (id % 2 == 0) 2 else 0))
+    }
+    val warc = WebIngest.webWarcExtract(spark, sf).select("doc_id", "text").collect()
+    assert(warc.length == out.length)
+    warc.take(20).foreach { r =>
+      assert(r.getString(1).startsWith("doc " + r.getLong(0) + " &"))
+    }
+  }
+}

@@ -251,7 +251,8 @@ object SparkEntry {
     "layout_schema_merge" -> (graft.sources.Formats.layoutSchemaMerge _),
     "web_warc_extract"  -> (graft.web.WebIngest.webWarcExtract _),
     "web_url_parse"     -> (graft.web.WebIngest.webUrlParse _),
-    "web_domain_stats"  -> (graft.web.WebIngest.webDomainStats _)
+    "web_domain_stats"  -> (graft.web.WebIngest.webDomainStats _),
+    "web_robots"        -> (graft.web.WebIngest.webRobots _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -565,7 +566,8 @@ object SparkEntry {
     "layout_schema_merge" -> graft.sources.Formats.layoutSchemaMergeSql,
     "web_warc_extract"  -> graft.web.WebIngest.webWarcExtractSql,
     "web_url_parse"     -> graft.web.WebIngest.webUrlParseSql,
-    "web_domain_stats"  -> graft.web.WebIngest.webDomainStatsSql
+    "web_domain_stats"  -> graft.web.WebIngest.webDomainStatsSql,
+    "web_robots"        -> graft.web.WebIngest.webRobotsSql
   )
 
   /** Headline subset used by Bench (keep it representative, not
@@ -637,5 +639,10 @@ object SparkEntry {
     // replacement), so it gets a headline slot and a SCALE.md record —
     // and the profiling census (dq_profile carries the DQ family's
     // representative cost; fk_check/skew_report stay full-suite-only)
-    "q45_exact_pctile", "dq_profile")
+    "q45_exact_pctile", "dq_profile",
+    // r10b: the web-ingest front end — web_warc_extract carries the
+    // family's representative cost (per-row gzip + WARC + HTTP + HTML
+    // parse chain, CPU-bound, zero shuffle — the crawl-decode analog
+    // of mm_png); url_parse/domain_stats/robots stay full-suite-only
+    "web_warc_extract")
 }

@@ -173,6 +173,59 @@ object WebIngest {
       |       CASE WHEN doc_id % 9 = 0 THEN 's2' ELSE '' END AS fragment
       |FROM u""".stripMargin
 
+  /** Deterministic per-source robots.txt exercising rule specificity:
+    * a wildcard+anchor Disallow, a prefix Disallow, a LONGER Allow that
+    * re-admits part of it, a crawl delay, a sitemap line, comments, and
+    * a catch-all `*` group that blocks everything (so group selection
+    * is on the hash too — picking `*` for trainbot would flip every
+    * row). Mirrored in the oracle's CASE. */
+  def buildRobots(source: String): String =
+    s"""# crawl policy for $source
+       |User-agent: trainbot
+       |Disallow: /*.html$$
+       |Disallow: /es/
+       |Allow: /es/doc/
+       |Crawl-delay: ${source.length + 1}
+       |Sitemap: https://$source.example.com/sitemap.xml
+       |
+       |User-agent: *
+       |Disallow: /
+       |""".stripMargin
+
+  /** `web_robots` — RFC 9309 admission over the synthetic URL family:
+    * parse each source's policy once (a per-domain broadcast at
+    * cluster scale), evaluate the longest-match/tie-goes-to-Allow rule
+    * per URL. The oracle recomputes verdicts from the synthesis
+    * parameters, so the hash proves group selection, both wildcard
+    * kinds, and the specificity ordering. */
+  def webRobots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val policies = scala.collection.mutable.Map.empty[String, RobotsTxt.Policy]
+        rows.map { case (id, lang, source) =>
+          val policy = policies.getOrElseUpdate(source, RobotsTxt.parse(buildRobots(source)))
+          val p      = UrlOps.parse(synthUrl(id, lang, source))
+          val (ok, rule) = RobotsTxt.evaluate(policy, "trainbot", p.path)
+          val delay  = RobotsTxt.rulesFor(policy, "trainbot")._2.getOrElse(-1)
+          (id, p.path, if (ok) 1 else 0, rule, delay)
+        }
+      }.toDF("doc_id", "path", "allowed", "matched_rule", "crawl_delay")
+  }
+
+  val webRobotsSql: String =
+    """SELECT doc_id,
+      |       '/' || lang || '/doc/' || doc_id ||
+      |         CASE WHEN doc_id % 4 = 0 THEN '.html' ELSE '' END AS path,
+      |       CAST(CASE WHEN lang = 'es' OR doc_id % 4 <> 0 THEN 1 ELSE 0 END AS INT) AS allowed,
+      |       CASE WHEN lang = 'es' THEN '/es/doc/'
+      |            WHEN doc_id % 4 = 0 THEN '/*.html$'
+      |            ELSE '' END AS matched_rule,
+      |       CAST(length(source) + 1 AS INT) AS crawl_delay
+      |FROM documents""".stripMargin
+
   /** `web_domain_stats` — registrable-domain rollup (the per-domain
     * census behind domain caps and crawl mixing): one map-side-combined
     * aggregate over |eTLD+1| keys downstream of the narrow parse. */

@@ -133,6 +133,45 @@ class WebSpec extends AnyFunSuite {
     assert(publicSuffix("foo.zz") == "zz" && etld1("foo.zz") == "foo.zz")
   }
 
+  test("robots.txt: grammar, group selection, specificity, wildcards, anchors") {
+    import graft.web.RobotsTxt._
+    val p = parse(
+      """# policy
+        |User-agent: TrainBot
+        |User-agent: otherbot
+        |Disallow: /private/
+        |Allow: /private/ok/
+        |Disallow: /*.pdf$
+        |Crawl-delay: 3
+        |Sitemap: https://h.example/s.xml
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin)
+    assert(p.groups.size == 2 && p.sitemaps == Seq("https://h.example/s.xml"))
+    // consecutive User-agent lines share one group (case-insensitive)
+    assert(evaluate(p, "trainbot", "/private/x") == ((false, "/private/")))
+    assert(evaluate(p, "OTHERBOT", "/private/x") == ((false, "/private/")))
+    // longer Allow re-admits a subtree
+    assert(evaluate(p, "trainbot", "/private/ok/x") == ((true, "/private/ok/")))
+    // wildcard + anchor: matches only at the end
+    assert(evaluate(p, "trainbot", "/a/b.pdf") == ((false, "/*.pdf$")))
+    assert(evaluate(p, "trainbot", "/a/b.pdfx")._1)
+    // no rule matches => allowed
+    assert(evaluate(p, "trainbot", "/pub/x") == ((true, "")))
+    // unknown agent falls back to the '*' group
+    assert(evaluate(p, "randombot", "/pub/x") == ((false, "/")))
+    assert(rulesFor(p, "trainbot")._2.contains(3))
+    assert(rulesFor(p, "randombot")._2.isEmpty)
+    // specificity tie goes to Allow
+    val t = parse("User-agent: a\nDisallow: /xx*z$\nAllow: /xx/yz\n")
+    assert(evaluate(t, "a", "/xx/yz")._1)
+    // pattern matcher corner: suffix occurrence may overlap the greedy walk
+    assert(patternMatches("a*bb$", "abbb"))
+    assert(!patternMatches("abc*c$", "abc"))
+    assert(patternMatches("", "/anything"))
+  }
+
   test("web gates run on the fixture and agree with the synthesis formulas") {
     val sf  = "/root/testdata/sf0.001"
     val out = WebIngest.webUrlParse(spark, sf)

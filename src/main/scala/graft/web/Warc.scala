@@ -1,8 +1,7 @@
 package graft.web
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 /** One ISO 28500 WARC record: named headers + an opaque payload whose
   * length is governed ONLY by `Content-Length` (payloads may contain
@@ -45,28 +44,97 @@ object WarcCodec {
     out.toByteArray
   }
 
-  /** A WARC file: one gzip member per record, members concatenated. */
+  /** A WARC file: one gzip member per record, members concatenated.
+    * The gzip framing is written by hand around ONE reused `Deflater`
+    * — a per-record `GZIPOutputStream` would allocate fresh native
+    * zlib state per record, which at a million records per task is the
+    * dominant cost, not the compression itself. */
   def writeGz(records: Iterator[WarcRecord]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    records.foreach { r =>
-      val gz = new GZIPOutputStream(out)
-      gz.write(recordBytes(r))
-      gz.finish()
-    }
+    val out  = new ByteArrayOutputStream()
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val crc  = new java.util.zip.CRC32
+    val buf  = new Array[Byte](1 << 16)
+    try {
+      records.foreach { r =>
+        val data = recordBytes(r)
+        out.write(GzHeader)
+        defl.reset(); defl.setInput(data); defl.finish()
+        while (!defl.finished()) { val n = defl.deflate(buf); out.write(buf, 0, n) }
+        crc.reset(); crc.update(data)
+        writeIntLE(out, crc.getValue.toInt); writeIntLE(out, data.length)
+      }
+    } finally defl.end()
     out.toByteArray
   }
 
   def readGz(bytes: Array[Byte]): Seq[WarcRecord] = read(gunzipAll(bytes))
 
-  /** Decompress a multi-member gzip stream (GZIPInputStream consumes
-    * concatenated members natively). */
+  // CM=8 (deflate), FLG=0, MTIME=0, XFL=0, OS=255 (unknown)
+  private val GzHeader = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+
+  private def writeIntLE(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
+  /** Decompress a multi-member gzip stream with an EXPLICIT member
+    * walk: one reused `Inflater`, per-member CRC32 + ISIZE verified,
+    * loud failure on a malformed header or trailing garbage. The
+    * JDK's `GZIPInputStream` is NOT used on purpose — on concatenated
+    * streams it stops silently at the first malformed member header,
+    * which for a crawl shard is silent data loss; here a corrupt
+    * member boundary is an error, never a short read. Handles the
+    * optional FEXTRA/FNAME/FCOMMENT/FHCRC fields real-world warc.gz
+    * writers emit. */
   def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in  = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
-    val out = new ByteArrayOutputStream(math.max(64, bytes.length * 3))
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    val out  = new ByteArrayOutputStream(math.max(64, bytes.length * 3))
+    val infl = new java.util.zip.Inflater(true)
+    val crc  = new java.util.zip.CRC32
+    val buf  = new Array[Byte](1 << 16)
+    var pos  = 0
+    try {
+      while (pos < bytes.length) {
+        pos = skipGzHeader(bytes, pos)
+        infl.reset(); crc.reset()
+        infl.setInput(bytes, pos, bytes.length - pos)
+        var memberLen = 0L
+        while (!infl.finished()) {
+          val n = infl.inflate(buf)
+          require(n > 0 || !infl.needsInput, s"truncated gzip member at offset $pos")
+          if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n); memberLen += n }
+        }
+        pos += infl.getBytesRead.toInt
+        require(pos + 8 <= bytes.length, s"gzip member at $pos missing trailer")
+        val gotCrc  = readIntLE(bytes, pos)
+        val gotSize = readIntLE(bytes, pos + 4)
+        require(gotCrc == crc.getValue.toInt, s"gzip CRC mismatch at offset $pos")
+        require(gotSize == memberLen.toInt, s"gzip ISIZE mismatch at offset $pos")
+        pos += 8
+      }
+    } finally infl.end()
     out.toByteArray
+  }
+
+  private def readIntLE(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+      ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+
+  /** Validate a gzip member header at `at`; return the offset of the
+    * deflate stream (past any optional FEXTRA/FNAME/FCOMMENT/FHCRC). */
+  private def skipGzHeader(b: Array[Byte], at: Int): Int = {
+    require(at + 10 <= b.length && (b(at) & 0xff) == 0x1f && (b(at + 1) & 0xff) == 0x8b,
+      s"not a gzip member at offset $at")
+    require(b(at + 2) == 8, s"unsupported gzip compression method at offset $at")
+    val flg = b(at + 3) & 0xff
+    var p   = at + 10
+    if ((flg & 0x04) != 0) { // FEXTRA: 2-byte LE length + payload
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8); p += 2 + xlen
+    }
+    if ((flg & 0x08) != 0) { while (b(p) != 0) p += 1; p += 1 } // FNAME, NUL-terminated
+    if ((flg & 0x10) != 0) { while (b(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 0x02) != 0) p += 2                               // FHCRC
+    require(p <= b.length, s"truncated gzip header at offset $at")
+    p
   }
 
   /** Parse concatenated uncompressed records. Fails loudly on any
@@ -217,10 +285,10 @@ object HtmlText {
   /** Index just past the tag's `>`, honoring quoted attribute values. */
   private def skipTag(s: String, lt: Int): Int = {
     var i = lt + 1
-    var q = ' '
+    var q = '\u0000'
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q != ' ') { if (c == q) q = ' ' }
+      if (q != '\u0000') { if (c == q) q = '\u0000' }
       else if (c == '"' || c == '\'') q = c
       else if (c == '>') return i + 1
       i += 1

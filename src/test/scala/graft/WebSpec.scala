@@ -39,6 +39,63 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC gzip framing: interop with JDK streams, optional header fields, corrupt members fail loudly") {
+    val recs = Seq(rec(1, "alpha".getBytes(UTF_8)), rec(2, "beta".getBytes(UTF_8)))
+    val ours = WarcCodec.writeGz(recs.iterator)
+
+    // our hand-framed members must be readable by the JDK reader
+    val jdkIn = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(ours), 1 << 16)
+    val jdkOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var n = jdkIn.read(buf)
+    while (n >= 0) { if (n > 0) jdkOut.write(buf, 0, n); n = jdkIn.read(buf) }
+    assert(WarcCodec.read(jdkOut.toByteArray).map(_.headers("WARC-Record-ID")) ==
+      recs.map(_.headers("WARC-Record-ID")))
+
+    // members written by the JDK writer (and by writers that emit
+    // FNAME/FEXTRA/FHCRC header fields) must be readable by ours
+    val jdkMembers = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(jdkMembers)
+      gz.write(WarcCodec.recordBytes(r)); gz.finish()
+    }
+    assert(WarcCodec.readGz(jdkMembers.toByteArray).size == 2)
+
+    val deflated = {
+      val d = new java.util.zip.Deflater(-1, true)
+      val o = new java.io.ByteArrayOutputStream()
+      val data = WarcCodec.recordBytes(recs.head)
+      d.setInput(data); d.finish()
+      while (!d.finished()) { val k = d.deflate(buf); o.write(buf, 0, k) }
+      d.end()
+      val crc = new java.util.zip.CRC32; crc.update(data)
+      val full = new java.io.ByteArrayOutputStream()
+      // FLG = FEXTRA|FNAME|FHCRC; XLEN=3 extra bytes; name "f\0"; 2-byte header CRC
+      full.write(Array[Byte](0x1f, 0x8b.toByte, 8, (0x04 | 0x08 | 0x02).toByte, 0, 0, 0, 0, 0, 0xff.toByte))
+      full.write(Array[Byte](3, 0, 9, 9, 9)); full.write("f".getBytes(UTF_8)); full.write(0)
+      full.write(Array[Byte](0, 0))
+      full.write(o.toByteArray)
+      val t = new java.io.ByteArrayOutputStream()
+      Seq(crc.getValue.toInt, data.length).foreach { v =>
+        t.write(v & 0xff); t.write((v >>> 8) & 0xff); t.write((v >>> 16) & 0xff); t.write((v >>> 24) & 0xff)
+      }
+      full.write(t.toByteArray)
+      full.toByteArray
+    }
+    assert(WarcCodec.readGz(deflated).size == 1)
+
+    // a corrupt SECOND member must fail loudly, not silently truncate
+    // (the JDK GZIPInputStream failure mode this codec exists to avoid)
+    val secondAt = {
+      // first member length = position where the 2nd 0x1f,0x8b magic begins
+      var i = 2; while (!((ours(i) & 0xff) == 0x1f && (ours(i + 1) & 0xff) == 0x8b)) i += 1; i
+    }
+    val corrupt = ours.clone(); corrupt(secondAt) = 0x00
+    intercept[IllegalArgumentException] { WarcCodec.readGz(corrupt) }
+    // trailing garbage after the last member is also an error
+    intercept[IllegalArgumentException] { WarcCodec.readGz(ours ++ Array[Byte](1, 2, 3)) }
+  }
+
   test("WARC: truncated and corrupt inputs fail loudly, never partially parse") {
     val good = WarcCodec.recordBytes(rec(1, "abcdef".getBytes(UTF_8)))
     intercept[IllegalArgumentException] {

@@ -252,7 +252,11 @@ object SparkEntry {
     "web_warc_extract"  -> (graft.web.WebIngest.webWarcExtract _),
     "web_url_parse"     -> (graft.web.WebIngest.webUrlParse _),
     "web_domain_stats"  -> (graft.web.WebIngest.webDomainStats _),
-    "web_robots"        -> (graft.web.WebIngest.webRobots _)
+    "web_robots"        -> (graft.web.WebIngest.webRobots _),
+    "web_links"         -> (graft.web.WebIngest.webLinks _),
+    "web_link_graph"    -> (graft.web.WebIngest.webLinkGraph _),
+    "web_url_normalize" -> (graft.web.WebIngest.webUrlNormalize _),
+    "web_frontier"      -> (graft.web.WebIngest.webFrontier _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -567,7 +571,11 @@ object SparkEntry {
     "web_warc_extract"  -> graft.web.WebIngest.webWarcExtractSql,
     "web_url_parse"     -> graft.web.WebIngest.webUrlParseSql,
     "web_domain_stats"  -> graft.web.WebIngest.webDomainStatsSql,
-    "web_robots"        -> graft.web.WebIngest.webRobotsSql
+    "web_robots"        -> graft.web.WebIngest.webRobotsSql,
+    "web_links"         -> graft.web.WebIngest.webLinksSql,
+    "web_link_graph"    -> graft.web.WebIngest.webLinkGraphSql,
+    "web_url_normalize" -> graft.web.WebIngest.webUrlNormalizeSql,
+    "web_frontier"      -> graft.web.WebIngest.webFrontierSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -276,6 +276,94 @@ object HtmlText {
     normalizeWs(sb.toString)
   }
 
+  /** Extract the `href` of every `<a>` tag, in document order, with
+    * the same structural rules as [[extract]]: comments and raw-text
+    * subtrees (script/style/…) are skipped — an anchor inside a
+    * comment or a `document.write` string is not a link — and
+    * character references in attribute values are decoded (HTML
+    * serializes `&` in a URL as `&amp;`). Attribute grammar: double-
+    * quoted, single-quoted, and unquoted values; anchors without an
+    * href (`<a name=…>`) yield nothing. */
+  def links(html: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val n   = html.length
+    var i   = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val close     = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameStart = if (close) i + 2 else i + 1
+          val name      = tagName(html, nameStart)
+          if (!close && name == "a") {
+            val (attrs, end) = tagAttrs(html, nameStart + name.length)
+            attrs.get("href").filter(_.nonEmpty).foreach(out += _)
+            i = end
+          } else {
+            val afterTag = skipTag(html, i)
+            i = if (!close && RawText(name)) {
+              val e = indexOfIgnoreCase(html, "</" + name, afterTag)
+              if (e < 0) n else skipTag(html, e)
+            } else afterTag
+          }
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Parse `name[=value]` attributes from `from` to the tag's `>`;
+    * returns (lowercased-name → decoded value, index past `>`). */
+  private def tagAttrs(s: String, from: Int): (Map[String, String], Int) = {
+    val attrs = Map.newBuilder[String, String]
+    var i = from
+    val n = s.length
+    while (i < n && s.charAt(i) != '>') {
+      while (i < n && (Character.isWhitespace(s.charAt(i)) || s.charAt(i) == '/')) i += 1
+      if (i < n && s.charAt(i) != '>') {
+        val ns = i
+        while (i < n && !Character.isWhitespace(s.charAt(i)) &&
+               s.charAt(i) != '=' && s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
+        val name = s.substring(ns, i).toLowerCase
+        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+        if (i < n && s.charAt(i) == '=') {
+          i += 1
+          while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+          val value =
+            if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+              val q = s.charAt(i); i += 1
+              val vs = i
+              while (i < n && s.charAt(i) != q) i += 1
+              val v = s.substring(vs, i)
+              if (i < n) i += 1 // past closing quote
+              v
+            } else {
+              val vs = i
+              while (i < n && !Character.isWhitespace(s.charAt(i)) && s.charAt(i) != '>') i += 1
+              s.substring(vs, i)
+            }
+          if (name.nonEmpty) attrs += name -> decodeRefs(value)
+        } else if (name.nonEmpty) attrs += name -> ""
+      }
+    }
+    (attrs.result(), math.min(i + 1, n))
+  }
+
+  /** Decode character references in an attribute value. */
+  private def decodeRefs(v: String): String =
+    if (v.indexOf('&') < 0) v
+    else {
+      val sb = new StringBuilder(v.length)
+      var i  = 0
+      while (i < v.length) {
+        if (v.charAt(i) == '&') { val (s, ni) = charRef(v, i); sb.append(s); i = ni }
+        else { sb.append(v.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+
   private def tagName(s: String, from: Int): String = {
     var k = from
     while (k < s.length && (s.charAt(k).isLetterOrDigit)) k += 1

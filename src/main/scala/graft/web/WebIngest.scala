@@ -226,6 +226,236 @@ object WebIngest {
       |       CAST(length(source) + 1 AS INT) AS crawl_delay
       |FROM documents""".stripMargin
 
+  /** Deterministic outlink target for (doc, j). */
+  private def linkTarget(id: Long, j: Int): Long = (id * 7 + j * 13) % 997
+
+  /** The DECODED href for link j of doc `id` — six URI-reference
+    * shapes: absolute to an external hub, dot-dot relative,
+    * absolute-path, protocol-relative to a per-source CDN, query-only
+    * (with an `&` that HTML must serialize as `&amp;`), and a
+    * dot-segment-stress relative path. Mirrored in the oracle CASE. */
+  def linkHref(id: Long, j: Int, source: String): String = {
+    val t = linkTarget(id, j)
+    ((id + j) % 6) match {
+      case 0 => s"https://hub${t % 5}.net/x/$t"
+      case 1 => s"../doc/$t"
+      case 2 => s"/tag/$t"
+      case 3 => s"//cdn.$source.net/a/$t"
+      case 4 => s"?page=$t&ref=in"
+      case _ => s"a/./b/../c/$t"
+    }
+  }
+
+  /** Page with three anchors in varied attribute quoting (double,
+    * single, unquoted), hrefs entity-encoded, plus decoys the
+    * extractor must NOT count: an anchor inside a comment, an anchor
+    * with no href, and an anchor inside script raw-text. */
+  def buildLinksHtml(id: Long, source: String): String = {
+    val sb = new StringBuilder("<html><body>")
+    sb.append("<!-- nav draft: <a href=\"/nope/1\">x</a> -->")
+    sb.append("<a name=\"top\" class=\"anchor\">not a link</a>")
+    sb.append("<script>document.write('<a href=\"/nope/2\">x</a>');</script>")
+    (0 until 3).foreach { j =>
+      val href = linkHref(id, j, source).replace("&", "&amp;")
+      val a = (j % 3) match {
+        case 0 => "<a class=\"r\" href=\"" + href + "\" rel=\"next\">l" + j + "</a>"
+        case 1 => "<a href='" + href + "' data-k='v'>l" + j + "</a>"
+        case _ => "<a id=x href=" + href + " rel=nofollow>l" + j + "</a>"
+      }
+      sb.append(a)
+    }
+    sb.append("</body></html>").toString
+  }
+
+  /** `web_links` — the crawl-frontier primitive: REAL anchor/attribute
+    * extraction over synthesized pages, each href resolved against the
+    * page's own base URL by strict RFC 3986 §5.2 resolution (base
+    * query and fragment must vanish except under the query-only ref),
+    * then host → PSL → registrable-domain classification. Narrow
+    * mapPartitions; nothing shuffles. */
+  def webLinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, lang, source) =>
+          val base  = synthUrl(id, lang, source)
+          val srcE1 = UrlOps.etld1(UrlOps.parse(base).host)
+          // ——— ingest side: page bytes only from here on ———
+          HtmlText.links(buildLinksHtml(id, source)).zipWithIndex.map { case (href, j) =>
+            val url = UrlOps.resolve(base, href)
+            val p   = UrlOps.parse(url)
+            val e1  = UrlOps.etld1(p.host)
+            (id, j, href, url, srcE1, p.host, e1, if (e1 == srcE1) 1 else 0)
+          }
+        }
+      }.toDF("doc_id", "link_no", "href", "url", "src_etld1", "dst_host", "dst_etld1", "internal")
+  }
+
+  private val linkOracleCte: String =
+    urlOracleCte.replace("WITH u AS", "WITH u0 AS").replace("FROM documents)",
+      "FROM documents),\n" +
+      """u AS (
+        |  SELECT u0.*, CAST(j AS INT) AS link_no,
+        |         (doc_id * 7 + j * 13) % 997 AS t,
+        |         (doc_id + j) % 6 AS shape,
+        |         sub || source || '.' || sfx || prt AS auth
+        |  FROM u0, (SELECT unnest([0, 1, 2]) AS j))""".stripMargin)
+
+  private val linkRowsSql: String =
+    linkOracleCte +
+    """
+      |SELECT doc_id, link_no,
+      |       CASE shape WHEN 0 THEN 'https://hub' || (t % 5) || '.net/x/' || t
+      |                  WHEN 1 THEN '../doc/' || t
+      |                  WHEN 2 THEN '/tag/' || t
+      |                  WHEN 3 THEN '//cdn.' || source || '.net/a/' || t
+      |                  WHEN 4 THEN '?page=' || t || '&ref=in'
+      |                  ELSE 'a/./b/../c/' || t END AS href,
+      |       CASE shape WHEN 0 THEN 'https://hub' || (t % 5) || '.net/x/' || t
+      |                  WHEN 1 THEN 'https://' || auth || '/' || lang || '/doc/' || t
+      |                  WHEN 2 THEN 'https://' || auth || '/tag/' || t
+      |                  WHEN 3 THEN 'https://cdn.' || source || '.net/a/' || t
+      |                  WHEN 4 THEN 'https://' || auth || '/' || lang || '/doc/' || doc_id || ext
+      |                              || '?page=' || t || '&ref=in'
+      |                  ELSE 'https://' || auth || '/' || lang || '/doc/a/c/' || t END AS url,
+      |       source || '.' || sfx AS src_etld1,
+      |       CASE shape WHEN 0 THEN 'hub' || (t % 5) || '.net'
+      |                  WHEN 3 THEN 'cdn.' || source || '.net'
+      |                  ELSE sub || source || '.' || sfx END AS dst_host,
+      |       CASE shape WHEN 0 THEN 'hub' || (t % 5) || '.net'
+      |                  WHEN 3 THEN source || '.net'
+      |                  ELSE source || '.' || sfx END AS dst_etld1,
+      |       CAST(CASE WHEN shape IN (0, 3) THEN 0 ELSE 1 END AS INT) AS internal
+      |FROM u""".stripMargin
+
+  val webLinksSql: String = linkRowsSql
+
+  /** `web_link_graph` — registrable-domain edge rollup of [[webLinks]]
+    * (the hyperlink graph behind crawl prioritization and PageRank):
+    * |eTLD+1|² keys at most, map-side combined after the narrow
+    * extract/resolve pass. */
+  def webLinkGraph(s: SparkSession, dir: String): DataFrame =
+    webLinks(s, dir)
+      .groupBy(col("src_etld1"), col("dst_etld1"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_pages"),
+        max(col("internal")).as("internal"))
+
+  // NOTE: built by concatenation, not an interpolated stripMargin —
+  // stripMargin would eat the `||` concat operators inside linkRowsSql
+  val webLinkGraphSql: String =
+    "WITH links AS (\n" + linkRowsSql + "\n)\n" +
+      "SELECT src_etld1, dst_etld1,\n" +
+      "       CAST(COUNT(*) AS BIGINT) AS n_links,\n" +
+      "       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,\n" +
+      "       CAST(MAX(internal) AS INT) AS internal\n" +
+      "FROM links GROUP BY 1, 2"
+
+  /** Deliberately-messy URL for doc `id`: uppercase scheme and mixed-
+    * case host, explicit default port, percent-encoded unreserved
+    * chars (`%64oc` = `doc`), dot segments, a reserved escape in
+    * lowercase hex (`%2f` must become `%2F`, not `/`), and a fragment.
+    * [[UrlOps.normalize]] must reduce it to the canonical form the
+    * oracle builds analytically. */
+  def messyUrl(id: Long, lang: String, source: String): String = {
+    val scheme = if (id % 2 == 0) "HTTPS" else "https"
+    val host   = if (id % 3 == 0) source.toUpperCase + ".Example.COM"
+                 else s"$source.example.com"
+    val port   = if (id % 5 == 0) ":443" else ""
+    val path   = s"/$lang/tmp/../%64oc/./$id"
+    val qry    = if (id % 2 == 0) s"?x=%41$id&y=%2f" else ""
+    val frg    = if (id % 7 == 0) "#top" else ""
+    s"$scheme://$host$port$path$qry$frg"
+  }
+
+  /** `web_url_normalize` — RFC 3986 §6.2 syntax-based normalization,
+    * the canonical URL-dedup key of a crawl (the same page arrives
+    * spelled a dozen ways; fetch-dedup keys on the normalized form).
+    * Narrow map; the oracle constructs BOTH the messy input and the
+    * canonical output analytically, so the hash proves every §6.2
+    * rule fired (and only where it should — `%2f` stays encoded). */
+  def webUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, lang, source) =>
+          val url = messyUrl(id, lang, source)
+          (id, url, UrlOps.normalize(url))
+        }
+      }.toDF("doc_id", "url", "norm")
+  }
+
+  val webUrlNormalizeSql: String =
+    """SELECT doc_id,
+      |       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+      |       (CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM'
+      |             ELSE source || '.example.com' END) ||
+      |       (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |       '/' || lang || '/tmp/../%64oc/./' || doc_id ||
+      |       (CASE WHEN doc_id % 2 = 0 THEN '?x=%41' || doc_id || '&y=%2f' ELSE '' END) ||
+      |       (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url,
+      |       'https://' || source || '.example.com/' || lang || '/doc/' || doc_id ||
+      |       (CASE WHEN doc_id % 2 = 0 THEN '?x=A' || doc_id || '&y=%2F' ELSE '' END) AS norm
+      |FROM documents""".stripMargin
+
+  /** `web_frontier` — the crawl-frontier builder composed from the
+    * family's members: outlinks ([[webLinks]]: real extraction +
+    * RFC 3986 resolution) → canonical key ([[UrlOps.normalize]]) →
+    * anti-join against the already-crawled set (the corpus' own page
+    * URLs under the same key) → per-URL referrer census. The
+    * anti-join is corpus×links on the normalized key — at 100 TB a
+    * shuffle join on a high-entropy string key, exactly the shape AQE
+    * handles; nothing here is a window or a collect. */
+  def webFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val links = webLinks(s, dir)
+      .select(col("doc_id"), col("url"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, u) => (id, UrlOps.normalize(u)) })
+      .toDF("doc_id", "norm")
+    val crawled = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, source) =>
+        UrlOps.normalize(synthUrl(id, lang, source))
+      })
+      .toDF("norm")
+    links.join(crawled, Seq("norm"), "left_anti")
+      .groupBy(col("norm"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_pages"),
+        min(col("doc_id")).as("first_seen"))
+  }
+
+  // crawled key = the synthetic page URL minus its fragment (nothing
+  // else in synthUrl is non-canonical); link keys are already canonical
+  val webFrontierSql: String =
+    "WITH links AS (\n" + linkRowsSql + "\n),\n" +
+      """crawled AS (
+        |  SELECT 'https://' ||
+        |         (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || source || '.' ||
+        |         (CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+        |               WHEN 3 THEN 'github.io' ELSE 'gov.au' END) ||
+        |         (CASE WHEN doc_id % 11 = 0 THEN ':8443' ELSE '' END) ||
+        |         '/' || lang || '/doc/' || doc_id ||
+        |         (CASE WHEN doc_id % 4 = 0 THEN '.html' ELSE '' END) ||
+        |         (CASE WHEN doc_id % 2 = 0
+        |               THEN '?ref=' || source || '&page=' || (doc_id % 7) ELSE '' END) AS norm
+        |  FROM documents),
+        |frontier AS (
+        |  SELECT l.url AS norm, l.doc_id
+        |  FROM links l LEFT JOIN crawled c ON l.url = c.norm
+        |  WHERE c.norm IS NULL)
+        |SELECT norm,
+        |       CAST(COUNT(*) AS BIGINT) AS n_refs,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,
+        |       MIN(doc_id) AS first_seen
+        |FROM frontier GROUP BY 1""".stripMargin
+
   /** `web_domain_stats` — registrable-domain rollup (the per-domain
     * census behind domain caps and crawl mixing): one map-side-combined
     * aggregate over |eTLD+1| keys downstream of the narrow parse. */

@@ -113,6 +113,92 @@ class WebSpec extends AnyFunSuite {
     assert(status == 404 && hdrs("X-A") == "b" && java.util.Arrays.equals(back, body))
   }
 
+  test("RFC 3986 reference resolution: the spec's own §5.4 normal and abnormal tables") {
+    val base = "http://a/b/c/d;p?q"
+    val vectors = Seq(
+      // §5.4.1 normal
+      "g:h" -> "g:h", "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g", "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y", "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s", "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s", ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x", "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/", "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/", "../" -> "http://a/b/", "../g" -> "http://a/b/g",
+      "../.." -> "http://a/", "../../" -> "http://a/", "../../g" -> "http://a/g",
+      // §5.4.2 abnormal
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y", "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x", "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x", "g#s/../x" -> "http://a/b/c/g#s/../x",
+      "http:g" -> "http:g") // strict parser: scheme-qualified ref kept verbatim
+    vectors.foreach { case (ref, want) =>
+      assert(UrlOps.resolve(base, ref) == want, s"resolve('$ref')")
+    }
+  }
+
+  test("RFC 3986 resolution: differential vs java.net.URI over the gate's link shapes") {
+    val rng = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val id     = math.abs(rng.nextLong() % 100000)
+      val lang   = Seq("en", "es", "de")(rng.nextInt(3))
+      val source = Seq("wiki", "news", "blog")(rng.nextInt(3))
+      val base   = WebIngest.synthUrl(id, lang, source)
+      val j      = rng.nextInt(3)
+      val href   = WebIngest.linkHref(id, j, source)
+      // java.net.URI deviates from RFC 3986 on query-only references
+      // (it drops the base path's last segment; §5.2.2 keeps the base
+      // path — the "?y" row of the §5.4.1 table above pins OUR side)
+      if (!href.startsWith("?")) {
+        val got  = UrlOps.resolve(base, href)
+        val want = java.net.URI.create(base).resolve(href).toString
+        assert(got == want, s"base=$base ref=$href")
+      }
+    }
+  }
+
+  test("URL normalization: RFC 3986 §6.2 rules, idempotence, reserved escapes preserved") {
+    // the RFC's own §6.2.2 example
+    assert(UrlOps.normalize("eXAMPLE://a/./b/../b/%63/%7bfoo%7d") == "example://a/b/c/%7Bfoo%7D")
+    // default port dropped, non-default kept; fragment dropped; empty path -> "/"
+    assert(UrlOps.normalize("HTTPS://Ex.COM:443/a#f") == "https://ex.com/a")
+    assert(UrlOps.normalize("https://ex.com:8443/a") == "https://ex.com:8443/a")
+    assert(UrlOps.normalize("http://ex.com") == "http://ex.com/")
+    // %2f is reserved ('/'): decoding it would CHANGE the path structure
+    assert(UrlOps.normalize("http://e/a%2fb/%74") == "http://e/a%2Fb/t")
+    // malformed escapes pass through; empty query survives as "?"
+    assert(UrlOps.normalize("http://e/a%zz?") == "http://e/a%zz?")
+    val rng = new scala.util.Random(3)
+    (0 until 200).foreach { _ =>
+      val id = math.abs(rng.nextLong() % 100000)
+      val m  = WebIngest.messyUrl(id, "en", "wiki")
+      val n  = UrlOps.normalize(m)
+      assert(UrlOps.normalize(n) == n, s"not idempotent on $m")
+      assert(!n.contains("#") && !n.contains("/./") && !n.contains("/../"))
+    }
+  }
+
+  test("link extraction: quoting styles, entities, and comment/rawtext/no-href decoys") {
+    val html = WebIngest.buildLinksHtml(42L, "wiki")
+    val hrefs = HtmlText.links(html)
+    assert(hrefs == (0 until 3).map(j => WebIngest.linkHref(42L, j, "wiki")))
+    // hand vectors: unquoted stops at whitespace, single-quote keeps
+    // double quotes, entity decode happens inside attribute values,
+    // href-less and empty-href anchors yield nothing
+    assert(HtmlText.links("""<a href=/a/b rel=x>t</a>""") == Seq("/a/b"))
+    assert(HtmlText.links("""<a href='/a"b'>t</a>""") == Seq("/a\"b"))
+    assert(HtmlText.links("""<a href="?a=1&amp;b=2">t</a>""") == Seq("?a=1&b=2"))
+    assert(HtmlText.links("""<a name=x>t</a><a href="">u</a>""") == Seq())
+    assert(HtmlText.links("""<!-- <a href="/no">x</a> --><style>a{content:'<a href="/no2">'}</style>""") == Seq())
+    // an anchor AFTER a rawtext subtree still counts
+    assert(HtmlText.links("""<script>var a="<a href='/no'>";</script><a href="/yes">t</a>""") == Seq("/yes"))
+  }
+
   test("HTML extraction hand vectors") {
     val cases = Seq(
       // quoted '>' inside an attribute does not end the tag

@@ -256,7 +256,8 @@ object SparkEntry {
     "web_links"         -> (graft.web.WebIngest.webLinks _),
     "web_link_graph"    -> (graft.web.WebIngest.webLinkGraph _),
     "web_url_normalize" -> (graft.web.WebIngest.webUrlNormalize _),
-    "web_frontier"      -> (graft.web.WebIngest.webFrontier _)
+    "web_frontier"      -> (graft.web.WebIngest.webFrontier _),
+    "web_charset"       -> (graft.web.WebIngest.webCharset _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -575,7 +576,8 @@ object SparkEntry {
     "web_links"         -> graft.web.WebIngest.webLinksSql,
     "web_link_graph"    -> graft.web.WebIngest.webLinkGraphSql,
     "web_url_normalize" -> graft.web.WebIngest.webUrlNormalizeSql,
-    "web_frontier"      -> graft.web.WebIngest.webFrontierSql
+    "web_frontier"      -> graft.web.WebIngest.webFrontierSql,
+    "web_charset"       -> graft.web.WebIngest.webCharsetSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

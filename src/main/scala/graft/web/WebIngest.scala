@@ -456,6 +456,71 @@ object WebIngest {
         |       MIN(doc_id) AS first_seen
         |FROM frontier GROUP BY 1""".stripMargin
 
+  /** Wire bytes + Content-Type for the charset gate, six labeling
+    * regimes: header-labeled UTF-8; UTF-8 BOM under a LYING latin-1
+    * header (BOM must win); `<meta charset>`-labeled latin-1;
+    * http-equiv-labeled cp1252; unlabeled cp1252 (the HTML5 default
+    * tier); BOM'd UTF-16LE. Markers are chosen per charset so a wrong
+    * decode changes the text: 0x80–0x9F bytes (€ “) exist in cp1252
+    * but are controls in latin-1, and é/± differ byte-wise between
+    * every pair. */
+  def buildCharsetPage(id: Long): (Array[Byte], String) = {
+    val cs = java.nio.charset.Charset.forName _
+    def html(marker: String, meta: String) =
+      s"<html><head>$meta</head><body><p>doc $id $marker</p></body></html>"
+    (id % 6) match {
+      case 0 => (html("é±€", "").getBytes(UTF_8),
+                 "text/html; charset=utf-8")
+      case 1 => (Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+                   html("é±€", "").getBytes(UTF_8),
+                 "text/html; charset=iso-8859-1") // the header lies; BOM wins
+      case 2 => (html("é±", "<meta charset=\"iso-8859-1\">")
+                   .getBytes(cs("ISO-8859-1")), "text/html")
+      case 3 => (html("€é“",
+                   "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">")
+                   .getBytes(cs("windows-1252")), "text/html")
+      case 4 => (html("€é", "").getBytes(cs("windows-1252")), "text/html")
+      case _ => (Array(0xFF.toByte, 0xFE.toByte) ++
+                   html("é±€", "").getBytes(cs("UTF-16LE")), "text/html")
+    }
+  }
+
+  /** `web_charset` — encoding sniffing + decode over synthesized wire
+    * bytes: BOM > Content-Type header > meta prescan > windows-1252
+    * default, then HTML extraction on the DECODED text. The oracle
+    * rebuilds charset label and text analytically, so the hash proves
+    * the precedence order (the lying-header case flips a third of the
+    * rows if the header beats the BOM) and the byte-exact decode (the
+    * latin-1/cp1252 0x80–0x9F split). */
+  def webCharset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { rows =>
+        rows.map { id =>
+          val (body, contentType) = buildCharsetPage(id)
+          // ——— ingest side: bytes + header only from here on ———
+          val (cs, decoded) = Charsets.decode(Some(contentType), body)
+          val text = HtmlText.extract(decoded)
+          (id, cs, text, text.length.toLong)
+        }
+      }.toDF("doc_id", "charset", "text", "n_chars")
+  }
+
+  val webCharsetSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE doc_id % 6 WHEN 2 THEN 'iso-8859-1'
+      |              WHEN 3 THEN 'windows-1252' WHEN 4 THEN 'windows-1252'
+      |              WHEN 5 THEN 'utf-16le' ELSE 'utf-8' END AS charset,
+      |         'doc ' || doc_id || ' ' ||
+      |         CASE doc_id % 6 WHEN 2 THEN 'é±' WHEN 3 THEN '€é“'
+      |              WHEN 4 THEN '€é' ELSE 'é±€' END AS text
+      |  FROM documents)
+      |SELECT doc_id, charset, text, CAST(length(text) AS BIGINT) AS n_chars
+      |FROM t""".stripMargin
+
   /** `web_domain_stats` — registrable-domain rollup (the per-domain
     * census behind domain caps and crawl mixing): one map-side-combined
     * aggregate over |eTLD+1| keys downstream of the narrow parse. */

@@ -199,6 +199,40 @@ class WebSpec extends AnyFunSuite {
     assert(HtmlText.links("""<script>var a="<a href='/no'>";</script><a href="/yes">t</a>""") == Seq("/yes"))
   }
 
+  test("charset sniffing: BOM > header > meta > cp1252 default; labels canonicalized; BOM stripped") {
+    import graft.web.Charsets
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    // BOM beats a lying header
+    val utf8Bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "a€b".getBytes(UTF_8)
+    assert(Charsets.decode(Some("text/html; charset=iso-8859-1"), utf8Bom) == ("utf-8", "a€b"))
+    // header beats meta
+    val lied = "<meta charset=utf-8><p>a€b</p>".getBytes(cp1252)
+    assert(Charsets.detect(Some("text/html; charset=windows-1252"), lied) == "windows-1252")
+    // meta tiers: bare, quoted, http-equiv; prescan works on raw bytes
+    assert(Charsets.metaPrescan("<meta charset=iso-8859-1>".getBytes(UTF_8)) == Some("iso-8859-1"))
+    assert(Charsets.metaPrescan(
+      "<meta http-equiv='Content-Type' content='text/html; charset=\"latin1\"'>".getBytes(UTF_8))
+      == Some("iso-8859-1"))
+    // unlabeled defaults to cp1252, NOT latin-1: 0x80 must decode to €
+    assert(Charsets.decode(None, "x€".getBytes(cp1252)) == ("windows-1252", "x€"))
+    // unknown/typo'd labels fall through rather than crash
+    assert(Charsets.detect(Some("text/html; charset=utf-9000"), "hi".getBytes(UTF_8)) == "windows-1252")
+    assert(Charsets.charsetParam("text/html; charset=\"UTF-8\"; boundary=x") == Some("utf-8"))
+    // utf-16le round trip, BOM stripped from content
+    val u16 = Array(0xFF.toByte, 0xFE.toByte) ++ "héllo".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    assert(Charsets.decode(None, u16) == ("utf-16le", "héllo"))
+    // differential: every buildCharsetPage regime decodes to its marker text
+    (0L until 12L).foreach { id =>
+      val (body, ct) = WebIngest.buildCharsetPage(id)
+      val (_, decoded) = Charsets.decode(Some(ct), body)
+      val text = graft.web.HtmlText.extract(decoded)
+      val marker = (id % 6) match {
+        case 2 => "é±"; case 3 => "€é“"; case 4 => "€é"; case _ => "é±€"
+      }
+      assert(text == s"doc $id $marker", s"id=$id")
+    }
+  }
+
   test("HTML extraction hand vectors") {
     val cases = Seq(
       // quoted '>' inside an attribute does not end the tag

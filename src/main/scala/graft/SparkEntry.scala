@@ -257,7 +257,8 @@ object SparkEntry {
     "web_link_graph"    -> (graft.web.WebIngest.webLinkGraph _),
     "web_url_normalize" -> (graft.web.WebIngest.webUrlNormalize _),
     "web_frontier"      -> (graft.web.WebIngest.webFrontier _),
-    "web_charset"       -> (graft.web.WebIngest.webCharset _)
+    "web_charset"       -> (graft.web.WebIngest.webCharset _),
+    "web_redirects"     -> (graft.web.Redirects.webRedirects _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -577,7 +578,8 @@ object SparkEntry {
     "web_link_graph"    -> graft.web.WebIngest.webLinkGraphSql,
     "web_url_normalize" -> graft.web.WebIngest.webUrlNormalizeSql,
     "web_frontier"      -> graft.web.WebIngest.webFrontierSql,
-    "web_charset"       -> graft.web.WebIngest.webCharsetSql
+    "web_charset"       -> graft.web.WebIngest.webCharsetSql,
+    "web_redirects"     -> graft.web.Redirects.webRedirectsSql
   )
 
   /** Headline subset used by Bench (keep it representative, not
@@ -654,5 +656,10 @@ object SparkEntry {
     // family's representative cost (per-row gzip + WARC + HTTP + HTML
     // parse chain, CPU-bound, zero shuffle — the crawl-decode analog
     // of mm_png); url_parse/domain_stats/robots stay full-suite-only
-    "web_warc_extract")
+    "web_warc_extract",
+    // r10c: the frontier capstone is the family's only SHUFFLE-shaped
+    // member (normalize-keyed anti-join + census vs the narrow decode
+    // passes), so it gets the second web slot; links/link_graph/
+    // normalize/charset stay full-suite-only inside its composition
+    "web_frontier")
 }

@@ -233,6 +233,26 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("redirect resolution: pointer doubling converges in log rounds; canary fires below them") {
+    import graft.web.Redirects
+    val dir = "/root/testdata/sf0.001"
+    val out = Redirects.webRedirects(spark, dir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) == id - (id % 16), s"final_doc of $id")
+      assert(r.getLong(4) == id % 16, s"hops of $id")
+      assert(r.getInt(5) == (if (id % 16 == 0) 200 else 301))
+    }
+    // 2 rounds reach only 4 hops — a 15-hop chain must trip the canary
+    val e = intercept[IllegalArgumentException] {
+      Redirects.webRedirects(spark, dir, rounds = 2).collect()
+    }
+    assert(e.getMessage.contains("unresolved"))
+    // 4 rounds (= ceil(log2 16)) are exactly enough: no 5th needed
+    assert(Redirects.webRedirects(spark, dir, rounds = 4).count() == 500)
+  }
+
   test("HTML extraction hand vectors") {
     val cases = Seq(
       // quoted '>' inside an attribute does not end the tag

@@ -258,7 +258,8 @@ object SparkEntry {
     "web_url_normalize" -> (graft.web.WebIngest.webUrlNormalize _),
     "web_frontier"      -> (graft.web.WebIngest.webFrontier _),
     "web_charset"       -> (graft.web.WebIngest.webCharset _),
-    "web_redirects"     -> (graft.web.Redirects.webRedirects _)
+    "web_redirects"     -> (graft.web.Redirects.webRedirects _),
+    "web_boilerplate"   -> (graft.web.WebIngest.webBoilerplate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -579,7 +580,8 @@ object SparkEntry {
     "web_url_normalize" -> graft.web.WebIngest.webUrlNormalizeSql,
     "web_frontier"      -> graft.web.WebIngest.webFrontierSql,
     "web_charset"       -> graft.web.WebIngest.webCharsetSql,
-    "web_redirects"     -> graft.web.Redirects.webRedirectsSql
+    "web_redirects"     -> graft.web.Redirects.webRedirectsSql,
+    "web_boilerplate"   -> graft.web.WebIngest.webBoilerplateSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

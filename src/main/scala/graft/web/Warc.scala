@@ -314,6 +314,75 @@ object HtmlText {
     out.result()
   }
 
+  /** One text block between block-level tag boundaries: its
+    * whitespace-normalized text, plus RAW appended char counts (total
+    * and inside-anchor) for the link-density signal. */
+  final case class TextBlock(text: String, chars: Int, anchorChars: Int)
+
+  /** Segment the document into text blocks at block-level tag
+    * boundaries (p/div/li/h1…), tracking per block how many appended
+    * characters sat inside `<a>` elements. Same structural rules as
+    * [[extract]] (comments and rawtext subtrees skipped, character
+    * references decoded). Empty blocks are not emitted. */
+  def blocks(html: String): Seq[TextBlock] = {
+    val out = Seq.newBuilder[TextBlock]
+    val sb  = new StringBuilder
+    var raw = 0
+    var anc = 0
+    var anchorDepth = 0
+    def flush(): Unit = {
+      val t = normalizeWs(sb.toString)
+      if (t.nonEmpty) out += TextBlock(t, raw, anc)
+      sb.setLength(0); raw = 0; anc = 0
+    }
+    def put(s: String): Unit = {
+      sb.append(s); raw += s.length
+      if (anchorDepth > 0) anc += s.length
+    }
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val close     = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameStart = if (close) i + 2 else i + 1
+          val name      = tagName(html, nameStart)
+          val afterTag  = skipTag(html, i)
+          if (!close && RawText(name)) {
+            val e = indexOfIgnoreCase(html, "</" + name, afterTag)
+            i = if (e < 0) n else skipTag(html, e)
+            if (Block(name)) flush()
+          } else {
+            if (Block(name)) flush()
+            if (name == "a") anchorDepth = if (close) math.max(0, anchorDepth - 1) else anchorDepth + 1
+            i = afterTag
+          }
+        }
+      } else if (c == '&') {
+        val (s, ni) = charRef(html, i)
+        put(s); i = ni
+      } else { put(c.toString); i += 1 }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Main-content extraction: drop boilerplate blocks — too short
+    * (< `minChars` normalized chars: nav crumbs, copyright lines) or
+    * link-dominated (more than half the raw chars inside anchors:
+    * menus, footers, related-links boxes). The kept blocks join in
+    * document order. The thresholds are the classic link-density
+    * heuristic (jusText/readability family), deterministic on
+    * purpose so the oracle can replay the verdicts. */
+  def mainText(html: String, minChars: Int = 20): String =
+    blocks(html)
+      .filter(b => b.text.length >= minChars && b.anchorChars * 2 <= b.chars)
+      .map(_.text).mkString(" ")
+
   /** Parse `name[=value]` attributes from `from` to the tag's `>`;
     * returns (lowercased-name → decoded value, index past `>`). */
   private def tagAttrs(s: String, from: Int): (Map[String, String], Int) = {

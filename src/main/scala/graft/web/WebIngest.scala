@@ -521,6 +521,67 @@ object WebIngest {
       |SELECT doc_id, charset, text, CAST(length(text) AS BIGINT) AS n_chars
       |FROM t""".stripMargin
 
+  /** Page for the boilerplate gate: a link-dominated nav block, the
+    * real content paragraph, a sub-threshold ad line, a short
+    * copyright footer, and (even ids) a second legitimate content
+    * block — so both drop reasons (density, length) and both keep
+    * verdicts appear on every page. */
+  def buildBoilerHtml(id: Long, text: String): String = {
+    val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val extra =
+      if (id % 2 == 0) s"<p>appendix for document $id with enough characters</p>"
+      else "<p>ad: buy</p>"
+    s"""<html><body><div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>""" +
+      s"<p>$esc</p>$extra<div>(c) $id corp</div></body></html>"
+  }
+
+  /** `web_boilerplate` — main-content extraction by block
+    * segmentation + the link-density heuristic (jusText/readability
+    * family): a block is boilerplate when it is shorter than 20
+    * normalized chars (crumbs, copyright lines) or more than half its
+    * raw chars sit inside anchors (menus, footers). Thresholds are
+    * deterministic so the oracle replays every verdict; the hash
+    * covers segmentation (a missed block boundary merges nav into
+    * content and flips the density call). Narrow mapPartitions. */
+  def webBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val html   = buildBoilerHtml(id, text)
+          val blocks = HtmlText.blocks(html)
+          val kept   = blocks.filter(b => b.text.length >= 20 && b.anchorChars * 2 <= b.chars)
+          val main   = kept.map(_.text).mkString(" ")
+          (id, main, main.length.toLong, blocks.size, blocks.size - kept.size)
+        }
+      }.toDF("doc_id", "main_text", "n_chars", "n_blocks", "n_dropped")
+  }
+
+  val webBoilerplateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(text, '\s+', ' ', 'g')) AS xt
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         concat_ws(' ',
+      |           CASE WHEN length(xt) >= 20 THEN xt END,
+      |           CASE WHEN doc_id % 2 = 0
+      |                THEN 'appendix for document ' || doc_id || ' with enough characters' END
+      |         ) AS main_text,
+      |         -- nav, content, extra, footer: 4 nonempty blocks;
+      |         -- dropped = nav + footer + (odd: the short ad)
+      |         --           + (content itself when under 20 chars)
+      |         CAST(4 AS INT) AS n_blocks,
+      |         CAST(2 + (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+      |                + (CASE WHEN length(xt) >= 20 THEN 0 ELSE 1 END) AS INT) AS n_dropped
+      |  FROM t)
+      |SELECT doc_id, main_text, CAST(length(main_text) AS BIGINT) AS n_chars,
+      |       n_blocks, n_dropped
+      |FROM m""".stripMargin
+
   /** `web_domain_stats` — registrable-domain rollup (the per-domain
     * census behind domain caps and crawl mixing): one map-side-combined
     * aggregate over |eTLD+1| keys downstream of the narrow parse. */

@@ -253,6 +253,26 @@ class WebSpec extends AnyFunSuite {
     assert(Redirects.webRedirects(spark, dir, rounds = 4).count() == 500)
   }
 
+  test("boilerplate removal: block segmentation, link density, length threshold") {
+    import graft.web.HtmlText
+    // inline tags don't split blocks; block tags do
+    val bs = HtmlText.blocks("<p>one <b>two</b></p><div>three</div>")
+    assert(bs.map(_.text) == Seq("one two", "three"))
+    // anchor chars tracked through nesting and entities
+    val nav = HtmlText.blocks("""<div><a href="/">Home</a> &amp; <a href="/b">More</a></div>""").head
+    assert(nav.text == "Home & More" && nav.anchorChars == 8 && nav.chars == 11)
+    // density exactly 1/2 is KEPT (anchor*2 <= total), just over is dropped
+    val half = "<p>" + "<a href=x>aaaaaaaaaaaa</a>" + "bbbbbbbbbbbb long enough</p>" // 12 anchor / 36 total
+    assert(HtmlText.mainText(half).nonEmpty)
+    assert(HtmlText.mainText("""<p><a href=x>aaaaaaaaaaaaaaaaaaaaaaaa</a> tail</p>""") == "")
+    // short blocks dropped regardless of density
+    assert(HtmlText.mainText("<p>tiny</p><p>this block is clearly long enough to keep</p>")
+      == "this block is clearly long enough to keep")
+    // rawtext subtree is not content and does not leak into a block
+    assert(HtmlText.blocks("<p>before<script>var x='<p>no</p>';</script>after block text</p>")
+      .map(_.text) == Seq("beforeafter block text"))
+  }
+
   test("HTML extraction hand vectors") {
     val cases = Seq(
       // quoted '>' inside an attribute does not end the tag

@@ -259,7 +259,8 @@ object SparkEntry {
     "web_frontier"      -> (graft.web.WebIngest.webFrontier _),
     "web_charset"       -> (graft.web.WebIngest.webCharset _),
     "web_redirects"     -> (graft.web.Redirects.webRedirects _),
-    "web_boilerplate"   -> (graft.web.WebIngest.webBoilerplate _)
+    "web_boilerplate"   -> (graft.web.WebIngest.webBoilerplate _),
+    "web_sitemap"       -> (graft.web.WebIngest.webSitemap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -581,7 +582,8 @@ object SparkEntry {
     "web_frontier"      -> graft.web.WebIngest.webFrontierSql,
     "web_charset"       -> graft.web.WebIngest.webCharsetSql,
     "web_redirects"     -> graft.web.Redirects.webRedirectsSql,
-    "web_boilerplate"   -> graft.web.WebIngest.webBoilerplateSql
+    "web_boilerplate"   -> graft.web.WebIngest.webBoilerplateSql,
+    "web_sitemap"       -> graft.web.WebIngest.webSitemapSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

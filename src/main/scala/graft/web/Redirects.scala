@@ -71,7 +71,7 @@ object Redirects {
 
   /** The synthUrl construction as a DuckDB expression over alias `a`
     * (mirrors [[WebIngest.synthUrl]] verbatim). */
-  private def synthUrlExpr(a: String): String =
+  private[web] def synthUrlExpr(a: String): String =
     s"'https://' || (CASE WHEN $a.doc_id % 3 = 0 THEN 'www.' ELSE '' END) || " +
     s"$a.source || '.' || " +
     s"(CASE $a.doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' " +

@@ -582,6 +582,51 @@ object WebIngest {
       |       n_blocks, n_dropped
       |FROM m""".stripMargin
 
+  /** `web_sitemap` — the crawl-seed chain: each partition renders its
+    * docs as TWO `<urlset>` shards (by id parity) plus a
+    * `<sitemapindex>` pointing at them, then the ingest side walks
+    * index → shards → entries through the REAL XML parser with no
+    * access to the originals (doc ids come back out of the `<loc>`
+    * URLs). Entity-escaped locs, CDATA-free protocol XML, loud
+    * failure on malformed nesting. Narrow mapPartitions. */
+  def webSitemap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freqs = Array("daily", "weekly", "monthly", "yearly")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val entries = rows.map { case (id, lang, source) =>
+          (id % 2, Sitemap.Entry(synthUrl(id, lang, source),
+            f"2026-01-${id % 28 + 1}%02d", freqs((id % 4).toInt), (id % 10) / 10.0))
+        }.toSeq
+        val shards = entries.groupBy(_._1).map { case (par, es) =>
+          s"https://seeds.example/shard-$par.xml" ->
+            Sitemap.renderUrlset(es.map(_._2))
+        }
+        val indexXml = Sitemap.renderIndex(shards.keys.toSeq.sorted)
+        // ——— ingest side: XML strings only from here on ———
+        Sitemap.parseIndex(indexXml).iterator.flatMap { shardLoc =>
+          val par = shardLoc.substring(shardLoc.indexOf("shard-") + 6).stripSuffix(".xml").toInt
+          Sitemap.parseUrlset(shards(shardLoc)).map { e =>
+            val p    = UrlOps.parse(e.loc)
+            val last = p.path.substring(p.path.lastIndexOf('/') + 1).stripSuffix(".html")
+            (last.toLong, e.loc, e.lastmod, e.changefreq, e.priority, par)
+          }
+        }
+      }.toDF("doc_id", "loc", "lastmod", "changefreq", "priority", "shard")
+  }
+
+  val webSitemapSql: String =
+    s"""SELECT d.doc_id,
+       |       ${Redirects.synthUrlExpr("d")} AS loc,
+       |       '2026-01-' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+       |       CASE d.doc_id % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+       |            WHEN 2 THEN 'monthly' ELSE 'yearly' END AS changefreq,
+       |       CAST((d.doc_id % 10) / 10.0 AS DOUBLE) AS priority,
+       |       CAST(d.doc_id % 2 AS INT) AS shard
+       |FROM documents d""".stripMargin
+
   /** `web_domain_stats` — registrable-domain rollup (the per-domain
     * census behind domain caps and crawl mixing): one map-side-combined
     * aggregate over |eTLD+1| keys downstream of the narrow parse. */

@@ -273,6 +273,30 @@ class WebSpec extends AnyFunSuite {
       .map(_.text) == Seq("beforeafter block text"))
   }
 
+  test("sitemap XML: round-trip, CDATA/entities/comments, loud failure on malformed nesting") {
+    import graft.web.{Sitemap, Xml}
+    val es = Seq(
+      Sitemap.Entry("https://a.example/x?q=1&r=2", "2026-01-05", "daily", 0.3),
+      Sitemap.Entry("https://b.example/<odd>", "2026-02-06", "yearly", 1.0))
+    assert(Sitemap.parseUrlset(Sitemap.renderUrlset(es)) == es)
+    val idx = Seq("https://s.example/a.xml", "https://s.example/b.xml")
+    assert(Sitemap.parseIndex(Sitemap.renderIndex(idx)) == idx)
+    // CDATA, numeric entities, interleaved comments
+    val hand = """<?xml version="1.0"?><urlset>
+      |<!-- shard 1 --><url><loc><![CDATA[https://c.example/a&b]]></loc>
+      |<lastmod>2026-03-07</lastmod><changefreq>weekly</changefreq>
+      |<priority>0.7</priority></url>
+      |<url><loc>https://d.example/&#x2F;p</loc></url></urlset>""".stripMargin
+    val got = Sitemap.parseUrlset(hand)
+    assert(got.head.loc == "https://c.example/a&b" && got.head.priority == 0.7)
+    assert(got(1) == Sitemap.Entry("https://d.example//p", "", "", 0.5))
+    // malformed nesting / truncation / trailing garbage fail loudly
+    intercept[Exception] { Xml.parse("<a><b></a></b>") }
+    intercept[Exception] { Xml.parse("<a><b>") }
+    intercept[Exception] { Xml.parse("<a/>junk") }
+    intercept[Exception] { Sitemap.parseUrlset("<sitemapindex></sitemapindex>") }
+  }
+
   test("HTML extraction hand vectors") {
     val cases = Seq(
       // quoted '>' inside an attribute does not end the tag

@@ -260,7 +260,8 @@ object SparkEntry {
     "web_charset"       -> (graft.web.WebIngest.webCharset _),
     "web_redirects"     -> (graft.web.Redirects.webRedirects _),
     "web_boilerplate"   -> (graft.web.WebIngest.webBoilerplate _),
-    "web_sitemap"       -> (graft.web.WebIngest.webSitemap _)
+    "web_sitemap"       -> (graft.web.WebIngest.webSitemap _),
+    "stream_frontier"   -> (graft.streaming.FrontierStream.streamFrontier _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -583,7 +584,8 @@ object SparkEntry {
     "web_charset"       -> graft.web.WebIngest.webCharsetSql,
     "web_redirects"     -> graft.web.Redirects.webRedirectsSql,
     "web_boilerplate"   -> graft.web.WebIngest.webBoilerplateSql,
-    "web_sitemap"       -> graft.web.WebIngest.webSitemapSql
+    "web_sitemap"       -> graft.web.WebIngest.webSitemapSql,
+    "stream_frontier"   -> graft.web.WebIngest.streamFrontierSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -273,9 +273,16 @@ object WebIngest {
     * query and fragment must vanish except under the query-only ref),
     * then host → PSL → registrable-domain classification. Narrow
     * mapPartitions; nothing shuffles. */
-  def webLinks(s: SparkSession, dir: String): DataFrame = {
+  def webLinks(s: SparkSession, dir: String): DataFrame =
+    linksOf(Tables.documents(s, dir))
+
+  /** Batch-shaped extraction (shared by the gate and the streaming
+    * frontier sink): docs(doc_id, lang, source, …) → one row per
+    * extracted+resolved outlink. */
+  def linksOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("lang"), col("source"))
       .as[(Long, String, String)]
       .mapPartitions { rows =>
@@ -291,6 +298,20 @@ object WebIngest {
           }
         }
       }.toDF("doc_id", "link_no", "href", "url", "src_etld1", "dst_host", "dst_etld1", "internal")
+  }
+
+  /** Batch-shaped canonical page-URL set (the "crawled" side of the
+    * frontier): docs → normalized own-URL rows. */
+  def crawledOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, source) =>
+        UrlOps.normalize(synthUrl(id, lang, source))
+      })
+      .toDF("norm")
   }
 
   private val linkOracleCte: String =
@@ -412,18 +433,12 @@ object WebIngest {
     * handles; nothing here is a window or a collect. */
   def webFrontier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val links = webLinks(s, dir)
+    val links = linksOf(Tables.documents(s, dir))
       .select(col("doc_id"), col("url"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, u) => (id, UrlOps.normalize(u)) })
       .toDF("doc_id", "norm")
-    val crawled = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"))
-      .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, lang, source) =>
-        UrlOps.normalize(synthUrl(id, lang, source))
-      })
-      .toDF("norm")
+    val crawled = crawledOf(Tables.documents(s, dir))
     links.join(crawled, Seq("norm"), "left_anti")
       .groupBy(col("norm"))
       .agg(count(lit(1)).as("n_refs"),
@@ -433,7 +448,7 @@ object WebIngest {
 
   // crawled key = the synthetic page URL minus its fragment (nothing
   // else in synthUrl is non-canonical); link keys are already canonical
-  val webFrontierSql: String =
+  private val frontierCtes: String =
     "WITH links AS (\n" + linkRowsSql + "\n),\n" +
       """crawled AS (
         |  SELECT 'https://' ||
@@ -450,10 +465,21 @@ object WebIngest {
         |  SELECT l.url AS norm, l.doc_id
         |  FROM links l LEFT JOIN crawled c ON l.url = c.norm
         |  WHERE c.norm IS NULL)
-        |SELECT norm,
+        |""".stripMargin
+
+  val webFrontierSql: String =
+    frontierCtes +
+      """SELECT norm,
         |       CAST(COUNT(*) AS BIGINT) AS n_refs,
         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,
         |       MIN(doc_id) AS first_seen
+        |FROM frontier GROUP BY 1""".stripMargin
+
+  /** Oracle for `stream_frontier`: the URL-set projection of the
+    * batch frontier (MIN referrer only — the monotone state). */
+  val streamFrontierSql: String =
+    frontierCtes +
+      """SELECT norm, MIN(doc_id) AS first_seen
         |FROM frontier GROUP BY 1""".stripMargin
 
   /** Wire bytes + Content-Type for the charset gate, six labeling

@@ -1141,4 +1141,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(ViewStream.currentView(spark, table)) == rows(recomputed),
       "batch replay must be a no-op")
   }
+
+  test("streaming frontier maintenance: restart + replay converge; crawled URLs leave; buckets localized") {
+    // two MONOTONE states (discovered: MIN-fold, crawled: set-union),
+    // frontier = read-time anti-join. Idempotent merges make replay a
+    // no-op by arithmetic; the anti-join makes the frontier itself
+    // correctly NON-monotone (a URL crawled by a later batch leaves).
+    import graft.streaming.FrontierStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-fro-src")
+    val table = Files.createTempDirectory("graft-fro-tab").toString
+    val ckpt = Files.createTempDirectory("graft-fro-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-fro-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(FrontierStream.frontierSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    def fMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    val afterB1 = fMap(FrontierStream.storedFrontier(spark, table))
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    val oneShot = fMap(
+      FrontierStream.discoveredOf(docs).join(
+        FrontierStream.crawledBatchOf(docs), Seq("norm"), "left_anti"))
+    assert(oneShot.nonEmpty)
+    assert(fMap(FrontierStream.storedFrontier(spark, table)) == oneShot,
+      "streamed frontier must equal the one-shot discovered-anti-crawled")
+    // the frontier is non-monotone across batches: at least one URL in
+    // batch 1's frontier was CRAWLED by batch 2 and must have left
+    assert((afterB1.keySet -- oneShot.keySet).nonEmpty,
+      "fixture batching must exercise the crawled-later removal path")
+    // at-least-once: replaying batch 2 must be a no-op (MIN + union)
+    FrontierStream.frontierSink(table)(b2, 1L)
+    assert(fMap(FrontierStream.storedFrontier(spark, table)) == oneShot,
+      "batch replay must be a no-op")
+    // bucket-localized maintenance on BOTH states: a tiny batch must
+    // leave untouched bucket files byte-stable
+    def bucketMd5s(part: String): Map[String, Seq[(String, String)]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      new java.io.File(s"$table/$part").listFiles()
+        .filter(_.getName.startsWith("b=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq.map { f =>
+              f.getName -> md.digest(Files.readAllBytes(f.toPath))
+                .map("%02x".format(_)).mkString
+            }
+        }.toMap
+    }
+    val before = Map("discovered" -> bucketMd5s("discovered"), "crawled" -> bucketMd5s("crawled"))
+    val tiny = b1.limit(1)
+    FrontierStream.frontierSink(table)(tiny, 2L)
+    for (part <- Seq("discovered", "crawled")) {
+      val tinyState = if (part == "discovered") FrontierStream.discoveredOf(tiny)
+                      else FrontierStream.crawledBatchOf(tiny)
+      val touched = tinyState.select(FrontierStream.urlBucket.as("b"))
+        .distinct().collect().map(r => s"b=${r.getLong(0)}").toSet
+      assert(touched.nonEmpty && touched.size < before(part).size,
+        s"tiny batch must touch a strict subset of $part buckets")
+      val after = bucketMd5s(part)
+      for ((b, files) <- before(part) if !touched(b))
+        assert(after(b) == files,
+          s"untouched $part bucket $b was rewritten")
+    }
+  }
 }

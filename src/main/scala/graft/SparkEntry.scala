@@ -261,7 +261,8 @@ object SparkEntry {
     "web_redirects"     -> (graft.web.Redirects.webRedirects _),
     "web_boilerplate"   -> (graft.web.WebIngest.webBoilerplate _),
     "web_sitemap"       -> (graft.web.WebIngest.webSitemap _),
-    "stream_frontier"   -> (graft.streaming.FrontierStream.streamFrontier _)
+    "stream_frontier"   -> (graft.streaming.FrontierStream.streamFrontier _),
+    "web_host_pagerank" -> (graft.web.WebIngest.webHostPagerank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -585,7 +586,8 @@ object SparkEntry {
     "web_redirects"     -> graft.web.Redirects.webRedirectsSql,
     "web_boilerplate"   -> graft.web.WebIngest.webBoilerplateSql,
     "web_sitemap"       -> graft.web.WebIngest.webSitemapSql,
-    "stream_frontier"   -> graft.web.WebIngest.streamFrontierSql
+    "stream_frontier"   -> graft.web.WebIngest.streamFrontierSql,
+    "web_host_pagerank" -> graft.web.WebIngest.webHostPagerankSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -123,7 +123,7 @@ object Graphs {
     * twice (pot_k, con_k), so inlining would re-evaluate r_{k-1} twice
     * per round — a 2^K blow-up of the seed pair pipeline that turns a
     * sub-second oracle into minutes. */
-  private def prRoundsCtesSql: String = {
+  private[graft] def prRoundsCtesSql: String = {
     val rounds = (1 to PrIters).map { k =>
       val prev = s"r${k - 1}"
       s"""wd$k AS MATERIALIZED (

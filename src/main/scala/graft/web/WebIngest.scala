@@ -374,6 +374,44 @@ object WebIngest {
       "       CAST(MAX(internal) AS INT) AS internal\n" +
       "FROM links GROUP BY 1, 2"
 
+  /** `web_host_pagerank` — the hyperlink graph's centrality pass:
+    * PageRank over the DIRECTED registrable-domain graph distilled
+    * from [[linksOf]] (distinct edges, self-loops dropped — internal
+    * links say nothing about inter-publisher authority). Reuses the
+    * graph family's integer-exact fixed-point kernel
+    * ([[graft.operators.Graphs.pagerankOver]] — node ids are strings
+    * here; the kernel is key-type-generic because every arithmetic op
+    * touches only mass/degree), so the oracle replays the same
+    * unrolled rounds over the same edge CTEs. At 100 TB the edge
+    * distillation is the heavy pass (one distinct over |links|); the
+    * fixed-point runs on the |domains|-sized graph. */
+  def webHostPagerank(s: SparkSession, dir: String): DataFrame = {
+    val links = linksOf(Tables.documents(s, dir))
+    val edges = links
+      .where(col("src_etld1") =!= col("dst_etld1"))
+      .select(col("src_etld1").as("src"), col("dst_etld1").as("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst"))).distinct()
+    graft.operators.Graphs.pagerankOver(s, nodes, edges)
+      .withColumnRenamed("doc_id", "domain")
+  }
+
+  val webHostPagerankSql: String =
+    "WITH links AS (\n" + linkRowsSql + "\n),\n" +
+      """sym AS MATERIALIZED (
+        |  SELECT DISTINCT src_etld1 AS src, dst_etld1 AS dst
+        |  FROM links WHERE src_etld1 <> dst_etld1),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS doc_id FROM sym UNION SELECT dst FROM sym),
+        |""".stripMargin +
+      graft.operators.Graphs.prRoundsCtesSql + "\n" +
+      s"""SELECT nd.doc_id AS domain, CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
+         |       r.mass AS pr_scaled, CAST(r.mass AS DOUBLE) / 1e6 AS pr
+         |FROM nodes nd
+         |JOIN r${graft.operators.Graphs.PrIters} r ON nd.doc_id = r.doc_id
+         |LEFT JOIN deg d ON nd.doc_id = d.src""".stripMargin
+
   /** Deliberately-messy URL for doc `id`: uppercase scheme and mixed-
     * case host, explicit default port, percent-encoded unreserved
     * chars (`%64oc` = `doc`), dot segments, a reserved escape in

@@ -473,4 +473,33 @@ class PlanSpec extends AnyFunSuite {
         s"$name: single-buffer percentile aggregate crept back:\n$p")
     }
   }
+
+  test("web family: decode/extract passes shuffle-free; frontier plans a real anti-join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // the narrow passes: per-partition parse chains with ZERO exchanges
+    for ((name, df) <- Seq(
+        "web_warc_extract" -> graft.web.WebIngest.webWarcExtract(spark, dir),
+        "web_links"        -> graft.web.WebIngest.webLinks(spark, dir),
+        "web_boilerplate"  -> graft.web.WebIngest.webBoilerplate(spark, dir),
+        "web_url_normalize" -> graft.web.WebIngest.webUrlNormalize(spark, dir),
+        "web_charset"      -> graft.web.WebIngest.webCharset(spark, dir))) {
+      assert(plan(df).collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"$name must stay a narrow map")
+    }
+    // link extraction reads exactly its three input columns
+    assert(scans(graft.web.WebIngest.webLinks(spark, dir)).head
+      .requiredSchema.fieldNames.toSet == Set("doc_id", "lang", "source"))
+    // the frontier: a hash/merge LeftAnti on the normalized key, never
+    // a nested-loop (a non-equi anti would be quadratic at 100 TB)
+    val p = plan(graft.web.WebIngest.webFrontier(spark, dir))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "frontier anti-join must be an equi-join")
+    val anti = p.collect {
+      case j: SortMergeJoinExec if j.joinType.sql == "LEFT ANTI" => j
+      case j: ShuffledHashJoinExec if j.joinType.sql == "LEFT ANTI" => j
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(anti.nonEmpty, "frontier must plan a keyed anti-join")
+  }
 }

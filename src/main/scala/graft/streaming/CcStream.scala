@@ -78,10 +78,13 @@ object CcStream {
         s.read.parquet(s"$tableDir/labels/v=$v"))
       case None => emptyState(batch)
     }
-    val out = Dedup.dedupCcVs(s, batch, sigS, prior)
+    // ONE materialized signature pass feeds both the fold and the
+    // state write (recomputing it per consumer doubled the batch cost)
+    val sigB = Dedup.minhashSignaturesOf(s, batch)
+      .repartition(col("doc_id")).localCheckpoint()
+    val out = Dedup.dedupCcVs(s, batch, sigS, prior, Some(sigB))
     val labels = out.select(col("doc_id"), col("cluster_id").as("label"))
       .localCheckpoint() // sever before the writes below re-trigger the fold
-    val sigB = Dedup.minhashSignaturesOf(s, batch)
     sigS.unionByName(sigB).write.mode("overwrite")
       .parquet(s"$tableDir/sig/v=$batchId")
     labels.write.mode("overwrite").parquet(s"$tableDir/labels/v=$batchId")

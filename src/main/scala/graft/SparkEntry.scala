@@ -262,7 +262,11 @@ object SparkEntry {
     "web_boilerplate"   -> (graft.web.WebIngest.webBoilerplate _),
     "web_sitemap"       -> (graft.web.WebIngest.webSitemap _),
     "stream_frontier"   -> (graft.streaming.FrontierStream.streamFrontier _),
-    "web_host_pagerank" -> (graft.web.WebIngest.webHostPagerank _)
+    "web_host_pagerank" -> (graft.web.WebIngest.webHostPagerank _),
+    "feat_scale"        -> (Features.featScale _),
+    "feat_bucketize"    -> (Features.featBucketize _),
+    "feat_onehot"       -> (Features.featOnehot _),
+    "feat_hashed_cross" -> (Features.featHashedCross _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -587,7 +591,11 @@ object SparkEntry {
     "web_boilerplate"   -> graft.web.WebIngest.webBoilerplateSql,
     "web_sitemap"       -> graft.web.WebIngest.webSitemapSql,
     "stream_frontier"   -> graft.web.WebIngest.streamFrontierSql,
-    "web_host_pagerank" -> graft.web.WebIngest.webHostPagerankSql
+    "web_host_pagerank" -> graft.web.WebIngest.webHostPagerankSql,
+    "feat_scale"        -> Features.featScaleSql,
+    "feat_bucketize"    -> Features.featBucketizeSql,
+    "feat_onehot"       -> Features.featOnehotSql,
+    "feat_hashed_cross" -> Features.featHashedCrossSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

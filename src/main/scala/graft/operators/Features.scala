@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Feature engineering for model-input pipelines — the last mile
+  * between a cleaned corpus and a trainer: numeric scaling, bucketing,
+  * categorical encoding, and the hashing trick. Each op is one
+  * aggregate over a bounded domain (|groups|, |categories|, 2 global
+  * extrema) broadcast back over the corpus — zero corpus-keyed
+  * shuffles, the [[Classifier]] discipline.
+  *
+  * Cross-engine exactness: sums ride DECIMAL (doubles summed in
+  * different orders disagree in the last ulp — the [[Relational
+  * .q33CovCorr]] lesson); the per-row arithmetic is then a FIXED
+  * IEEE expression both engines evaluate identically. */
+object Features {
+
+  /** `feat_scale` — per-language z-score + min-max of `n_chars` (the
+    * per-domain normalization pattern: LENGTH means nothing across
+    * languages, so scaling is grouped). Population variance from
+    * DECIMAL Σx, Σx²; degenerate groups (σ=0 or max=min) scale to 0. */
+  def featScale(s: SparkSession, dir: String): DataFrame = {
+    val d  = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val st = d.groupBy(col("lang")).agg(
+      sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+      sum((col("n_chars").cast("decimal(38,0)") * col("n_chars")).cast("decimal(38,0)")).as("sxx"),
+      count(lit(1)).as("n"),
+      min(col("n_chars")).as("lo"),
+      max(col("n_chars")).as("hi"))
+    d.join(broadcast(st), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("""CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n <= 0.0 THEN 0.0
+                ELSE (n_chars - CAST(sx AS DOUBLE) / n) /
+                     sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+                END""").as("z"),
+        expr("CASE WHEN hi = lo THEN 0.0 ELSE CAST(n_chars - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) END")
+          .as("minmax"))
+  }
+
+  val featScaleSql: String =
+    """WITH st AS (
+      |  SELECT lang,
+      |         SUM(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+      |         SUM(CAST(CAST(n_chars AS DECIMAL(38,0)) * n_chars AS DECIMAL(38,0))) AS sxx,
+      |         CAST(COUNT(*) AS BIGINT) AS n,
+      |         MIN(n_chars) AS lo, MAX(n_chars) AS hi
+      |  FROM documents GROUP BY 1)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |       CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n <= 0.0 THEN 0.0
+      |            ELSE (d.n_chars - CAST(sx AS DOUBLE) / n) /
+      |                 sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+      |            END AS z,
+      |       CASE WHEN hi = lo THEN 0.0
+      |            ELSE CAST(d.n_chars - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) END AS minmax
+      |FROM documents d JOIN st ON d.lang = st.lang""".stripMargin
+
+  /** Fixed bucket count for [[featBucketize]]. */
+  val NBuckets = 16
+
+  /** `feat_bucketize` — equal-width binning of `events.value` against
+    * the GLOBAL extrema (one broadcast 1-row aggregate): bucket =
+    * ⌊(x−lo)·B/(hi−lo)⌋ clamped to B−1. The multiply-THEN-divide
+    * order is part of the contract (the other association rounds
+    * differently near bin edges) — mirrored verbatim in the oracle. */
+  def featBucketize(s: SparkSession, dir: String): DataFrame = {
+    val e  = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val st = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    e.crossJoin(broadcast(st))
+      .select(col("event_id"), col("value"),
+        expr(s"CAST(least(floor((value - lo) * $NBuckets.0 / (hi - lo)), ${NBuckets - 1}.0) AS INT)")
+          .as("bucket"))
+  }
+
+  val featBucketizeSql: String =
+    s"""WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+       |SELECT event_id, value,
+       |       CAST(LEAST(FLOOR((value - lo) * $NBuckets.0 / (hi - lo)), ${NBuckets - 1}.0) AS INT) AS bucket
+       |FROM events, st""".stripMargin
+
+  /** `feat_onehot` — dense categorical indices over a SORTED distinct
+    * catalog of lang and source values (index stability matters: a
+    * model trained against these positions must see the same mapping
+    * every run, so the order is the values' own, never discovery
+    * order). The window runs over the |categories|-sized catalog only,
+    * never the corpus. */
+  def featOnehot(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+    val feats = d.select(concat(lit("lang="), col("lang")).as("feat"), col("doc_id"))
+      .unionByName(d.select(concat(lit("source="), col("source")).as("feat"), col("doc_id")))
+    val catalog = feats.select(col("feat")).distinct()
+      .withColumn("idx", (row_number().over(Window.orderBy(col("feat"))) - 1).cast("long"))
+    feats.join(broadcast(catalog), Seq("feat"))
+      .select(col("doc_id"), col("feat"), col("idx"))
+  }
+
+  val featOnehotSql: String =
+    """WITH feats AS (
+      |  SELECT doc_id, 'lang=' || lang AS feat FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'source=' || source AS feat FROM documents),
+      |catalog AS (
+      |  SELECT feat, CAST(ROW_NUMBER() OVER (ORDER BY feat) - 1 AS BIGINT) AS idx
+      |  FROM (SELECT DISTINCT feat FROM feats))
+      |SELECT f.doc_id, f.feat, c.idx
+      |FROM feats f JOIN catalog c ON f.feat = c.feat""".stripMargin
+
+  /** Hash-bucket count for [[featHashedCross]]. */
+  val HashBuckets = 1024
+
+  /** `feat_hashed_cross` — the hashing trick over a lang×source×
+    * length-band cross (the unbounded-vocabulary escape hatch: no
+    * catalog, no index state, collisions priced in). Buckets derive
+    * from md5 — the repo's cross-engine hash discipline
+    * ([[CorpusOps]]: Spark and DuckDB md5 agree bit-for-bit; their
+    * native hash() functions do not). */
+  def featHashedCross(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("lang"), lit("x"), col("source"), lit("x"), col("n_chars") % 8).as("cross"))
+      .select(col("doc_id"), col("cross"),
+        (expr("cast(conv(substr(md5(cross), 1, 15), 16, 10) as bigint)") % HashBuckets)
+          .cast("int").as("bucket"))
+
+  val featHashedCrossSql: String =
+    s"""SELECT doc_id,
+       |       lang || 'x' || source || 'x' || (n_chars % 8) AS cross,
+       |       CAST(CAST(('0x' || substr(md5(lang || 'x' || source || 'x' || (n_chars % 8)), 1, 15)) AS BIGINT)
+       |            % $HashBuckets AS INT) AS bucket
+       |FROM documents""".stripMargin
+}

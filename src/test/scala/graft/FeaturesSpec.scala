@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Features
+
+/** Feature-engineering gates: scaling math vs a driver-side brute
+  * recompute, bucket edge behavior, catalog index stability, and the
+  * hashing trick's determinism. */
+class FeaturesSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("feat_scale: z and minmax match a driver-side brute recompute per group") {
+    val rows = Features.featScale(spark, dir).collect()
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = raw.groupBy(_._2)
+    val stats = byLang.map { case (lang, rs) =>
+      val xs = rs.map(_._3)
+      val n  = xs.length.toDouble
+      val sx = xs.map(BigDecimal(_)).sum
+      val sxx = xs.map(x => BigDecimal(x) * BigDecimal(x)).sum
+      val mean = sx.toDouble / n
+      val variance = (sxx.toDouble - sx.toDouble * sx.toDouble / n) / n
+      (lang, (mean, variance, xs.min, xs.max))
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, x, z, mm) = (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val (mean, variance, lo, hi) = stats(lang)
+      val wantZ = if (variance <= 0.0) 0.0 else (x - mean) / math.sqrt(variance)
+      val wantM = if (hi == lo) 0.0 else (x - lo).toDouble / (hi - lo).toDouble
+      assert(z == wantZ, s"z of doc ${r.getLong(0)}")
+      assert(mm == wantM, s"minmax of doc ${r.getLong(0)}")
+    }
+    // and each group's z-scores are actually standardized
+    val out = rows.map(r => (r.getString(1), r.getDouble(3)))
+    for ((lang, zs) <- out.groupBy(_._1); vals = zs.map(_._2)) {
+      assert(math.abs(vals.sum / vals.length) < 1e-9, s"mean(z) for $lang")
+    }
+  }
+
+  test("feat_bucketize: edges land in-range, extremes hit first/last buckets") {
+    val rows = Features.featBucketize(spark, dir).collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val lo = rows.map(_._1).min; val hi = rows.map(_._1).max
+    rows.foreach { case (v, b) =>
+      assert(b >= 0 && b < Features.NBuckets, s"bucket $b for $v")
+      val want = math.min(math.floor((v - lo) * Features.NBuckets / (hi - lo)),
+        (Features.NBuckets - 1).toDouble).toInt
+      assert(b == want, s"bucket of $v")
+    }
+    assert(rows.find(_._1 == lo).get._2 == 0)
+    assert(rows.find(_._1 == hi).get._2 == Features.NBuckets - 1)
+  }
+
+  test("feat_onehot: indices are dense, 0-based, and sorted by feature name") {
+    val cat = Features.featOnehot(spark, dir)
+      .select(col("feat"), col("idx")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(cat.map(_._2).toSeq == cat.indices.map(_.toLong).toSeq, "dense 0-based")
+    assert(cat.map(_._1).toSeq == cat.map(_._1).sorted.toSeq, "sorted by name")
+    assert(cat.exists(_._1.startsWith("lang=")) && cat.exists(_._1.startsWith("source=")))
+  }
+
+  test("feat_hashed_cross: buckets deterministic, in range, and collision-consistent") {
+    val a = Features.featHashedCross(spark, dir).collect()
+      .map(r => (r.getString(1), r.getInt(2)))
+    assert(a.forall { case (_, b) => b >= 0 && b < Features.HashBuckets })
+    // same cross -> same bucket, across rows and across runs
+    val byCross = a.groupBy(_._1).map { case (c, bs) => c -> bs.map(_._2).distinct }
+    assert(byCross.values.forall(_.size == 1), "a cross must map to one bucket")
+    val b = Features.featHashedCross(spark, dir).collect()
+      .map(r => (r.getString(1), r.getInt(2))).toMap
+    byCross.foreach { case (c, bs) => assert(b(c) == bs.head) }
+  }
+}

@@ -502,4 +502,24 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(anti.nonEmpty, "frontier must plan a keyed anti-join")
   }
+
+  test("feature family: join-backs broadcast; hashed cross is a pure narrow map") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // scaling and one-hot join the corpus against a bounded-domain
+    // table: that join must broadcast, never re-key the corpus
+    for ((name, df) <- Seq(
+        "feat_scale"  -> Features.featScale(spark, dir),
+        "feat_onehot" -> Features.featOnehot(spark, dir))) {
+      val p = plan(df)
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$name join-back must broadcast")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$name must not sort-merge the corpus")
+    }
+    // the hashing trick never shuffles at all
+    assert(plan(Features.featHashedCross(spark, dir))
+      .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "feat_hashed_cross must stay a narrow map")
+  }
 }

@@ -266,7 +266,8 @@ object SparkEntry {
     "feat_scale"        -> (Features.featScale _),
     "feat_bucketize"    -> (Features.featBucketize _),
     "feat_onehot"       -> (Features.featOnehot _),
-    "feat_hashed_cross" -> (Features.featHashedCross _)
+    "feat_hashed_cross" -> (Features.featHashedCross _),
+    "web_warc_index"    -> (graft.web.WebIngest.webWarcIndex _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -595,7 +596,8 @@ object SparkEntry {
     "feat_scale"        -> Features.featScaleSql,
     "feat_bucketize"    -> Features.featBucketizeSql,
     "feat_onehot"       -> Features.featOnehotSql,
-    "feat_hashed_cross" -> Features.featHashedCrossSql
+    "feat_hashed_cross" -> Features.featHashedCrossSql,
+    "web_warc_index"    -> graft.web.WebIngest.webWarcIndexSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

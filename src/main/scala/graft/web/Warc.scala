@@ -49,22 +49,33 @@ object WarcCodec {
     * — a per-record `GZIPOutputStream` would allocate fresh native
     * zlib state per record, which at a million records per task is the
     * dominant cost, not the compression itself. */
-  def writeGz(records: Iterator[WarcRecord]): Array[Byte] = {
+  def writeGz(records: Iterator[WarcRecord]): Array[Byte] =
+    writeGzIndexed(records)._1
+
+  /** [[writeGz]] plus the CDX-style member index: (offset, length) of
+    * each record's gzip member within the file. The index is WHY the
+    * layout exists — a reader fetches ONE record from a 1 GB shard by
+    * byte range (an object-store ranged GET) and decompresses just
+    * that member; nothing upstream of the offset is read. */
+  def writeGzIndexed(records: Iterator[WarcRecord]): (Array[Byte], Seq[(Long, Long)]) = {
     val out  = new ByteArrayOutputStream()
+    val idx  = Seq.newBuilder[(Long, Long)]
     val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
     val crc  = new java.util.zip.CRC32
     val buf  = new Array[Byte](1 << 16)
     try {
       records.foreach { r =>
+        val at   = out.size().toLong
         val data = recordBytes(r)
         out.write(GzHeader)
         defl.reset(); defl.setInput(data); defl.finish()
         while (!defl.finished()) { val n = defl.deflate(buf); out.write(buf, 0, n) }
         crc.reset(); crc.update(data)
         writeIntLE(out, crc.getValue.toInt); writeIntLE(out, data.length)
+        idx += ((at, out.size() - at))
       }
     } finally defl.end()
-    out.toByteArray
+    (out.toByteArray, idx.result())
   }
 
   def readGz(bytes: Array[Byte]): Seq[WarcRecord] = read(gunzipAll(bytes))

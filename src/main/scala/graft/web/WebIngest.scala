@@ -79,6 +79,56 @@ object WebIngest {
       }.toDF("doc_id", "uri", "http_status", "content_type", "text", "n_chars")
   }
 
+  /** `web_warc_index` — the CDX random-access proof: each partition
+    * writes ONE member-gzipped WARC file PLUS its (offset, length)
+    * index, then every record is recovered by slicing ONLY its own
+    * byte range out of the file and decoding that member alone —
+    * nothing upstream of the offset is touched, which is how a
+    * cluster fetches single records from 1 GB crawl shards with
+    * object-store ranged GETs instead of full-file scans. The output
+    * carries the recovered text (analytic oracle: agreement proves
+    * the slice really contained the whole record) and the member's
+    * position in its file. */
+  def webWarcIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { rows =>
+        val recs = rows.map { case (id, text, lang, source) =>
+          val uri = s"https://$source.example.com/$lang/doc/$id"
+          warcRecord(id, uri, buildHtml(id, text))
+        }
+        val (fileBytes, index) = WarcCodec.writeGzIndexed(recs)
+        // ——— random-access side: ONLY the indexed slice is read ———
+        index.iterator.map { case (off, len) =>
+          val slice = java.util.Arrays.copyOfRange(fileBytes, off.toInt, (off + len).toInt)
+          val rec   = WarcCodec.readGz(slice) match {
+            case Seq(one) => one
+            case many     => sys.error(s"slice at $off decoded ${many.size} records")
+          }
+          val (_, _, body) = HttpMessage.parseResponse(rec.payload)
+          val text = HtmlText.extract(new String(body, UTF_8))
+          val id   = rec.targetUri.substring(rec.targetUri.lastIndexOf('/') + 1).toLong
+          (id, text)
+        }
+      }.toDF("doc_id", "text")
+  }
+
+  /** Byte offsets are deflate-dependent, so the oracle checks what
+    * random access must DELIVER: every doc's full text back out of its
+    * own slice — a short or misaligned range breaks the gzip trailer
+    * or the WARC grammar and the row (or the whole task) fails loudly
+    * before any hash. */
+  val webWarcIndexSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         trim('doc ' || doc_id || ' & ' ||
+      |              trim(regexp_replace(text, '\s+', ' ', 'g'))) AS xt
+      |  FROM documents)
+      |SELECT doc_id, xt AS text
+      |FROM t""".stripMargin
+
   /** Analytic twin: rebuilds the expected extraction directly from the
     * fixture (`doc <id> & <text>`, whitespace-normalized) — no WARC,
     * HTTP, or HTML involved, so agreement proves the parse chain. */

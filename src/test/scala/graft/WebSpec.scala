@@ -96,6 +96,29 @@ class WebSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { WarcCodec.readGz(ours ++ Array[Byte](1, 2, 3)) }
   }
 
+  test("WARC member index: every slice decodes alone; misaligned slices fail loudly") {
+    val recs = (0 until 5).map(i => rec(i, s"payload number $i".getBytes(UTF_8)))
+    val (bytes, idx) = WarcCodec.writeGzIndexed(recs.iterator)
+    assert(idx.size == 5)
+    // offsets tile the file exactly: contiguous, full coverage
+    assert(idx.head._1 == 0L)
+    idx.sliding(2).foreach { case Seq((o1, l1), (o2, _)) => assert(o1 + l1 == o2) }
+    assert(idx.last._1 + idx.last._2 == bytes.length)
+    // each slice decodes to exactly its own record — random access
+    idx.zipWithIndex.foreach { case ((off, len), i) =>
+      val got = WarcCodec.readGz(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt))
+      assert(got.size == 1 && got.head.headers("WARC-Record-ID") == recs(i).headers("WARC-Record-ID"))
+    }
+    // a short range (truncated trailer) and a shifted range both fail
+    val (o0, l0) = idx(1)
+    intercept[IllegalArgumentException] {
+      WarcCodec.readGz(java.util.Arrays.copyOfRange(bytes, o0.toInt, (o0 + l0 - 3).toInt))
+    }
+    intercept[IllegalArgumentException] {
+      WarcCodec.readGz(java.util.Arrays.copyOfRange(bytes, o0.toInt + 1, (o0 + l0).toInt))
+    }
+  }
+
   test("WARC: truncated and corrupt inputs fail loudly, never partially parse") {
     val good = WarcCodec.recordBytes(rec(1, "abcdef".getBytes(UTF_8)))
     intercept[IllegalArgumentException] {

@@ -267,7 +267,8 @@ object SparkEntry {
     "feat_bucketize"    -> (Features.featBucketize _),
     "feat_onehot"       -> (Features.featOnehot _),
     "feat_hashed_cross" -> (Features.featHashedCross _),
-    "web_warc_index"    -> (graft.web.WebIngest.webWarcIndex _)
+    "web_warc_index"    -> (graft.web.WebIngest.webWarcIndex _),
+    "ta_sentences"      -> (TextAnalysis.taSentences _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -597,7 +598,8 @@ object SparkEntry {
     "feat_bucketize"    -> Features.featBucketizeSql,
     "feat_onehot"       -> Features.featOnehotSql,
     "feat_hashed_cross" -> Features.featHashedCrossSql,
-    "web_warc_index"    -> graft.web.WebIngest.webWarcIndexSql
+    "web_warc_index"    -> graft.web.WebIngest.webWarcIndexSql,
+    "ta_sentences"      -> TextAnalysis.taSentencesSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -597,4 +597,54 @@ object TextAnalysis {
        |   AND (n_chars - n_letters - n_space) * 10 <= n_chars AS INT) AS passes
        |FROM m""".stripMargin
   }
+
+  /** `ta_sentences` — terminated-sentence segmentation. The fixture
+    * is punctuation-free, so the gate SYNTHESIZES the boundaries (the
+    * mm-codec discipline): terminal punctuation is injected after
+    * every k = 5 + doc_id%3 words, cycling . ! ?, leaving a trailing
+    * unterminated fragment whenever the word count is not a multiple.
+    * The REAL operator then segments with `[^.!?]+[.!?]+` (maximal
+    * non-terminal run + terminal run; an unterminated tail is NOT a
+    * sentence — the truncation-artifact convention `ta_gopher_rules`
+    * already scores). The oracle is fully ANALYTIC — list_slice word
+    * groups, no regex — so the hash proves the segmentation inverted
+    * the construction exactly (boundaries, punctuation attachment,
+    * fragment drop, per-sentence counts). Generator pipelines in the
+    * scan stage; zero shuffles. */
+  def taSentences(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("""array_join(
+                  transform(split(text, ' '), (w, i) ->
+                    CASE WHEN (i + 1) % (5 + doc_id % 3) = 0
+                         THEN concat(w, CASE ((i + 1) div (5 + doc_id % 3)) % 3
+                                          WHEN 1 THEN '.' WHEN 2 THEN '!' ELSE '?' END)
+                         ELSE w END),
+                  ' ')""").as("pt"))
+      // ——— ingest side: the punctuated text only from here on ———
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(pt, '[^.!?]+[.!?]+', 0)"))
+          .as(Seq("pos0", "s0")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("sent_no"),
+        trim(col("s0")).as("sentence"),
+        size(split(trim(col("s0")), " ")).cast("int").as("n_words"),
+        length(trim(col("s0"))).cast("long").as("n_chars"))
+
+  val taSentencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         5 + doc_id % 3 AS k
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, k, toks,
+      |         unnest(range(1, len(toks) // k + 1)) AS sent_no
+      |  FROM t),
+      |v AS (
+      |  SELECT doc_id, CAST(sent_no AS BIGINT) AS sent_no, CAST(k AS INT) AS n_words,
+      |         array_to_string(list_slice(toks, (sent_no - 1) * k + 1, sent_no * k), ' ')
+      |           || (CASE sent_no % 3 WHEN 1 THEN '.' WHEN 2 THEN '!' ELSE '?' END) AS sentence
+      |  FROM u)
+      |SELECT doc_id, sent_no, sentence, n_words,
+      |       CAST(length(sentence) AS BIGINT) AS n_chars
+      |FROM v""".stripMargin
 }

@@ -268,7 +268,8 @@ object SparkEntry {
     "feat_onehot"       -> (Features.featOnehot _),
     "feat_hashed_cross" -> (Features.featHashedCross _),
     "web_warc_index"    -> (graft.web.WebIngest.webWarcIndex _),
-    "ta_sentences"      -> (TextAnalysis.taSentences _)
+    "ta_sentences"      -> (TextAnalysis.taSentences _),
+    "pipeline_web"      -> (graft.web.WebIngest.pipelineWeb _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -599,7 +600,8 @@ object SparkEntry {
     "feat_onehot"       -> Features.featOnehotSql,
     "feat_hashed_cross" -> Features.featHashedCrossSql,
     "web_warc_index"    -> graft.web.WebIngest.webWarcIndexSql,
-    "ta_sentences"      -> TextAnalysis.taSentencesSql
+    "ta_sentences"      -> TextAnalysis.taSentencesSql,
+    "pipeline_web"      -> graft.web.WebIngest.pipelineWebSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -741,6 +741,72 @@ object WebIngest {
        |       CAST(d.doc_id % 2 AS INT) AS shard
        |FROM documents d""".stripMargin
 
+  /** `pipeline_web` — the crawl-ingest CAPSTONE: every member of the
+    * family composed in ONE narrow pass per document, wire bytes to
+    * training-ready row — WARC member write+read (gzip trailers
+    * verified) → HTTP framing → HTML text extraction → outlink
+    * extraction + RFC 3986 resolution → eTLD+1 classification →
+    * robots admission for the doc's own path → canonical URL. No
+    * shuffle anywhere: the capstone is the argument that the whole
+    * ingest front end runs at scan speed, one task per WARC shard.
+    * The oracle nests the members' analytic twins verbatim, so a
+    * regression in ANY member flips the capstone hash too. */
+  def pipelineWeb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { rows =>
+        val policies = scala.collection.mutable.Map.empty[String, RobotsTxt.Policy]
+        val recs = rows.map { case (id, text, lang, source) =>
+          val uri = s"https://$source.example.com/$lang/doc/$id"
+          (warcRecord(id, uri, buildHtml(id, text)), lang, source)
+        }.toSeq
+        val fileBytes = WarcCodec.writeGz(recs.iterator.map(_._1))
+        // ——— ingest side: bytes + per-record (lang, source) only ———
+        WarcCodec.readGz(fileBytes).iterator.zip(recs.iterator).map { case (r, (_, lang, source)) =>
+          val (status, _, body) = HttpMessage.parseResponse(r.payload)
+          val text  = HtmlText.extract(new String(body, UTF_8))
+          val id    = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+          val base  = synthUrl(id, lang, source)
+          val p     = UrlOps.parse(base)
+          val srcE1 = UrlOps.etld1(p.host)
+          val links = HtmlText.links(buildLinksHtml(id, source)).map(UrlOps.resolve(base, _))
+          val nExt  = links.count(u => UrlOps.etld1(UrlOps.parse(u).host) != srcE1)
+          val policy = policies.getOrElseUpdate(source, RobotsTxt.parse(buildRobots(source)))
+          val (ok, _) = RobotsTxt.evaluate(policy, "trainbot", p.path)
+          (id, status, text, text.length.toLong, UrlOps.normalize(base), srcE1,
+            links.size, nExt, if (ok) 1 else 0)
+        }
+      }.toDF("doc_id", "http_status", "text", "n_chars", "norm_url", "etld1",
+             "n_links", "n_external", "allowed")
+  }
+
+  val pipelineWebSql: String =
+    urlOracleCte +
+    """,
+      |x AS (
+      |  SELECT doc_id,
+      |         trim('doc ' || doc_id || ' & ' ||
+      |              trim(regexp_replace(text, '\s+', ' ', 'g'))) AS xt
+      |  FROM documents)
+      |SELECT u.doc_id,
+      |       CAST(200 AS INT) AS http_status,
+      |       x.xt AS text,
+      |       CAST(length(x.xt) AS BIGINT) AS n_chars,
+      |       'https://' || sub || source || '.' || sfx || prt || '/' || lang ||
+      |         '/doc/' || u.doc_id || ext || qry AS norm_url,
+      |       source || '.' || sfx AS etld1,
+      |       CAST(3 AS INT) AS n_links,
+      |       -- shapes 0 and 3 are the external ones; of j=0,1,2 with
+      |       -- shape=(doc_id+j)%6, externals happen iff doc_id%6 hits
+      |       -- {0,3} shifted by j: exactly the count below
+      |       CAST((CASE WHEN (u.doc_id + 0) % 6 IN (0, 3) THEN 1 ELSE 0 END)
+      |          + (CASE WHEN (u.doc_id + 1) % 6 IN (0, 3) THEN 1 ELSE 0 END)
+      |          + (CASE WHEN (u.doc_id + 2) % 6 IN (0, 3) THEN 1 ELSE 0 END) AS INT) AS n_external,
+      |       CAST(CASE WHEN lang = 'es' OR u.doc_id % 4 <> 0 THEN 1 ELSE 0 END AS INT) AS allowed
+      |FROM u JOIN x ON u.doc_id = x.doc_id""".stripMargin
+
   /** `web_domain_stats` — registrable-domain rollup (the per-domain
     * census behind domain caps and crawl mixing): one map-side-combined
     * aggregate over |eTLD+1| keys downstream of the narrow parse. */

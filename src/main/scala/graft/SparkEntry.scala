@@ -683,5 +683,8 @@ object SparkEntry {
     // member (normalize-keyed anti-join + census vs the narrow decode
     // passes), so it gets the second web slot; links/link_graph/
     // normalize/charset stay full-suite-only inside its composition
-    "web_frontier")
+    "web_frontier",
+    // r10c: the family capstone (every member composed in one narrow
+    // pass) carries the end-to-end ingest cost
+    "pipeline_web")
 }

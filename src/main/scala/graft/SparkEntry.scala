@@ -269,7 +269,8 @@ object SparkEntry {
     "feat_hashed_cross" -> (Features.featHashedCross _),
     "web_warc_index"    -> (graft.web.WebIngest.webWarcIndex _),
     "ta_sentences"      -> (TextAnalysis.taSentences _),
-    "pipeline_web"      -> (graft.web.WebIngest.pipelineWeb _)
+    "pipeline_web"      -> (graft.web.WebIngest.pipelineWeb _),
+    "web_anchor_text"   -> (graft.web.WebIngest.webAnchorText _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -601,7 +602,8 @@ object SparkEntry {
     "feat_hashed_cross" -> Features.featHashedCrossSql,
     "web_warc_index"    -> graft.web.WebIngest.webWarcIndexSql,
     "ta_sentences"      -> TextAnalysis.taSentencesSql,
-    "pipeline_web"      -> graft.web.WebIngest.pipelineWebSql
+    "pipeline_web"      -> graft.web.WebIngest.pipelineWebSql,
+    "web_anchor_text"   -> graft.web.WebIngest.webAnchorTextSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

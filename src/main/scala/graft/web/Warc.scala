@@ -295,8 +295,16 @@ object HtmlText {
     * serializes `&` in a URL as `&amp;`). Attribute grammar: double-
     * quoted, single-quoted, and unquoted values; anchors without an
     * href (`<a name=…>`) yield nothing. */
-  def links(html: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  def links(html: String): Seq[String] = linksWithText(html).map(_._1)
+
+  /** [[links]] plus each anchor's INNER TEXT (the classic relevance /
+    * weak-label signal: what the linking page calls the target),
+    * extracted with the full [[extract]] rules over the anchor's
+    * subtree — inline tags flattened, entities decoded, whitespace
+    * normalized. HTML forbids nested `<a>`, so the element ends at
+    * the next `</a>` (or at end-of-input for an unclosed anchor). */
+  def linksWithText(html: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
     val n   = html.length
     var i   = 0
     while (i < n) {
@@ -310,8 +318,12 @@ object HtmlText {
           val name      = tagName(html, nameStart)
           if (!close && name == "a") {
             val (attrs, end) = tagAttrs(html, nameStart + name.length)
-            attrs.get("href").filter(_.nonEmpty).foreach(out += _)
-            i = end
+            val closeAt      = indexOfIgnoreCase(html, "</a", end)
+            val bodyEnd      = if (closeAt < 0) n else closeAt
+            attrs.get("href").filter(_.nonEmpty).foreach { href =>
+              out += href -> extract(html.substring(end, bodyEnd))
+            }
+            i = if (closeAt < 0) n else skipTag(html, closeAt)
           } else {
             val afterTag = skipTag(html, i)
             i = if (!close && RawText(name)) {

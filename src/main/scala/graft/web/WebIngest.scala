@@ -307,10 +307,14 @@ object WebIngest {
     sb.append("<script>document.write('<a href=\"/nope/2\">x</a>');</script>")
     (0 until 3).foreach { j =>
       val href = linkHref(id, j, source).replace("&", "&amp;")
+      // anchor inner text exercises inline-tag flattening + entity
+      // decode inside the anchor subtree (web_anchor_text's surface)
+      val t    = linkTarget(id, j)
+      val body = "see <b>doc</b> " + t + " &amp; more"
       val a = (j % 3) match {
-        case 0 => "<a class=\"r\" href=\"" + href + "\" rel=\"next\">l" + j + "</a>"
-        case 1 => "<a href='" + href + "' data-k='v'>l" + j + "</a>"
-        case _ => "<a id=x href=" + href + " rel=nofollow>l" + j + "</a>"
+        case 0 => "<a class=\"r\" href=\"" + href + "\" rel=\"next\">" + body + "</a>"
+        case 1 => "<a href='" + href + "' data-k='v'>" + body + "</a>"
+        case _ => "<a id=x href=" + href + " rel=nofollow>" + body + "</a>"
       }
       sb.append(a)
     }
@@ -363,6 +367,42 @@ object WebIngest {
       })
       .toDF("norm")
   }
+
+  /** `web_anchor_text` — what linking pages CALL their targets (the
+    * classic relevance / weak-label signal): href + anchor inner text
+    * extracted together, the text through the full extraction rules
+    * over the anchor subtree (inline tags flattened, entities
+    * decoded). Narrow mapPartitions. */
+  def webAnchorText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, lang, source) =>
+          val base = synthUrl(id, lang, source)
+          HtmlText.linksWithText(buildLinksHtml(id, source)).zipWithIndex.map {
+            case ((href, anchor), j) => (id, j, UrlOps.resolve(base, href), anchor)
+          }
+        }
+      }.toDF("doc_id", "link_no", "url", "anchor")
+  }
+
+  // lazy: linkOracleCte is declared later in the object (vals
+  // initialize in declaration order; an eager reference would be null)
+  lazy val webAnchorTextSql: String =
+    linkOracleCte +
+    """
+      |SELECT doc_id, link_no,
+      |       CASE shape WHEN 0 THEN 'https://hub' || (t % 5) || '.net/x/' || t
+      |                  WHEN 1 THEN 'https://' || auth || '/' || lang || '/doc/' || t
+      |                  WHEN 2 THEN 'https://' || auth || '/tag/' || t
+      |                  WHEN 3 THEN 'https://cdn.' || source || '.net/a/' || t
+      |                  WHEN 4 THEN 'https://' || auth || '/' || lang || '/doc/' || doc_id || ext
+      |                              || '?page=' || t || '&ref=in'
+      |                  ELSE 'https://' || auth || '/' || lang || '/doc/a/c/' || t END AS url,
+      |       'see doc ' || t || ' & more' AS anchor
+      |FROM u""".stripMargin
 
   private val linkOracleCte: String =
     urlOracleCte.replace("WITH u AS", "WITH u0 AS").replace("FROM documents)",

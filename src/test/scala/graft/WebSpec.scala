@@ -220,6 +220,12 @@ class WebSpec extends AnyFunSuite {
     assert(HtmlText.links("""<!-- <a href="/no">x</a> --><style>a{content:'<a href="/no2">'}</style>""") == Seq())
     // an anchor AFTER a rawtext subtree still counts
     assert(HtmlText.links("""<script>var a="<a href='/no'>";</script><a href="/yes">t</a>""") == Seq("/yes"))
+    // anchor inner text: inline tags flattened, entities decoded,
+    // unclosed anchor runs to end-of-input, href-less body ignored
+    assert(HtmlText.linksWithText("""<a href="/x">see <b>doc</b> 7 &amp; more</a>""")
+      == Seq("/x" -> "see doc 7 & more"))
+    assert(HtmlText.linksWithText("""<a name=k>skip</a><a href="/y">tail""")
+      == Seq("/y" -> "tail"))
   }
 
   test("charset sniffing: BOM > header > meta > cp1252 default; labels canonicalized; BOM stripped") {

@@ -270,7 +270,8 @@ object SparkEntry {
     "web_warc_index"    -> (graft.web.WebIngest.webWarcIndex _),
     "ta_sentences"      -> (TextAnalysis.taSentences _),
     "pipeline_web"      -> (graft.web.WebIngest.pipelineWeb _),
-    "web_anchor_text"   -> (graft.web.WebIngest.webAnchorText _)
+    "web_anchor_text"   -> (graft.web.WebIngest.webAnchorText _),
+    "web_frontier_admitted" -> (graft.web.WebIngest.webFrontierAdmitted _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -603,7 +604,8 @@ object SparkEntry {
     "web_warc_index"    -> graft.web.WebIngest.webWarcIndexSql,
     "ta_sentences"      -> TextAnalysis.taSentencesSql,
     "pipeline_web"      -> graft.web.WebIngest.pipelineWebSql,
-    "web_anchor_text"   -> graft.web.WebIngest.webAnchorTextSql
+    "web_anchor_text"   -> graft.web.WebIngest.webAnchorTextSql,
+    "web_frontier_admitted" -> graft.web.WebIngest.webFrontierAdmittedSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

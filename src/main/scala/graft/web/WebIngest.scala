@@ -847,6 +847,75 @@ object WebIngest {
       |       CAST(CASE WHEN lang = 'es' OR u.doc_id % 4 <> 0 THEN 1 ELSE 0 END AS INT) AS allowed
       |FROM u JOIN x ON u.doc_id = x.doc_id""".stripMargin
 
+  /** `web_frontier_admitted` — the frontier a SCHEDULER may actually
+    * fetch: [[webFrontier]]'s discovered-not-crawled URLs, each
+    * internal target evaluated against ITS OWN domain's robots policy
+    * on the resolved path (internal links share the page's source, so
+    * the policy is the memoized per-source parse); external targets
+    * are admitted by default — their policy belongs to the target's
+    * fetch, not this corpus. Verdicts are per-URL-constant (same
+    * canonical URL ⇒ same path ⇒ same rule), so the census groups
+    * cleanly. */
+  def webFrontierAdmitted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val links = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val policies = scala.collection.mutable.Map.empty[String, RobotsTxt.Policy]
+        rows.flatMap { case (id, lang, source) =>
+          val base  = synthUrl(id, lang, source)
+          val srcE1 = UrlOps.etld1(UrlOps.parse(base).host)
+          HtmlText.links(buildLinksHtml(id, source)).map { href =>
+            val url = UrlOps.resolve(base, href)
+            val p   = UrlOps.parse(url)
+            val (allowed, rule) =
+              if (UrlOps.etld1(p.host) != srcE1) (1, "external")
+              else {
+                val policy = policies.getOrElseUpdate(source, RobotsTxt.parse(buildRobots(source)))
+                val (ok, r) = RobotsTxt.evaluate(policy, "trainbot", p.path)
+                (if (ok) 1 else 0, r)
+              }
+            (id, UrlOps.normalize(url), allowed, rule)
+          }
+        }
+      }.toDF("doc_id", "norm", "allowed", "matched_rule")
+    links.join(crawledOf(Tables.documents(s, dir)), Seq("norm"), "left_anti")
+      .groupBy(col("norm"), col("allowed"), col("matched_rule"))
+      .agg(count(lit(1)).as("n_refs"), min(col("doc_id")).as("first_seen"))
+  }
+
+  // verdicts per shape (trainbot group: Disallow /*.html$, Disallow
+  // /es/, Allow /es/doc/): the only DISALLOWED frontier URL is the
+  // query-only ref (shape 4) back to an .html page of a non-es doc —
+  // everything else either matches the longer/tying Allow or no rule
+  lazy val webFrontierAdmittedSql: String =
+    frontierCtes.replace(
+      """frontier AS (
+        |  SELECT l.url AS norm, l.doc_id
+        |  FROM links l LEFT JOIN crawled c ON l.url = c.norm
+        |  WHERE c.norm IS NULL)""".stripMargin,
+      """frontier AS (
+        |  SELECT l.url AS norm, l.doc_id,
+        |         CAST(CASE WHEN (l.doc_id + l.link_no) % 6 IN (0, 3) THEN 1
+        |              WHEN (l.doc_id + l.link_no) % 6 = 4 AND l.doc_id % 4 = 0
+        |                   AND d.lang <> 'es' THEN 0
+        |              ELSE 1 END AS INT) AS allowed,
+        |         CASE WHEN (l.doc_id + l.link_no) % 6 IN (0, 3) THEN 'external'
+        |              WHEN d.lang = 'es' AND (l.doc_id + l.link_no) % 6 IN (1, 4, 5)
+        |                   THEN '/es/doc/'
+        |              WHEN (l.doc_id + l.link_no) % 6 = 4 AND l.doc_id % 4 = 0
+        |                   THEN '/*.html$'
+        |              ELSE '' END AS matched_rule
+        |  FROM links l
+        |  JOIN documents d ON d.doc_id = l.doc_id
+        |  LEFT JOIN crawled c ON l.url = c.norm
+        |  WHERE c.norm IS NULL)""".stripMargin) +
+    """SELECT norm, allowed, matched_rule,
+      |       CAST(COUNT(*) AS BIGINT) AS n_refs,
+      |       MIN(doc_id) AS first_seen
+      |FROM frontier GROUP BY 1, 2, 3""".stripMargin
+
   /** `web_domain_stats` — registrable-domain rollup (the per-domain
     * census behind domain caps and crawl mixing): one map-side-combined
     * aggregate over |eTLD+1| keys downstream of the narrow parse. */

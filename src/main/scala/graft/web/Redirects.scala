@@ -56,6 +56,9 @@ object Redirects {
           when(col("done"), col("hops")).otherwise(col("hops") + col("p_hops")).as("hops"),
           (col("done") || col("p_done")).as("done"))
     }
+    // materialize once: the canary count and the final joins are two
+    // actions — without this the whole round tree recomputes per action
+    p = p.localCheckpoint()
     // convergence canary — a chain deeper than 2^Rounds must fail
     // loudly, never ship a non-final "final" URL
     val unresolved = p.filter(!col("done")).count()

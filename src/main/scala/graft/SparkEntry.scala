@@ -271,7 +271,8 @@ object SparkEntry {
     "ta_sentences"      -> (TextAnalysis.taSentences _),
     "pipeline_web"      -> (graft.web.WebIngest.pipelineWeb _),
     "web_anchor_text"   -> (graft.web.WebIngest.webAnchorText _),
-    "web_frontier_admitted" -> (graft.web.WebIngest.webFrontierAdmitted _)
+    "web_frontier_admitted" -> (graft.web.WebIngest.webFrontierAdmitted _),
+    "ta_readability"    -> (TextAnalysis.taReadability _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -605,7 +606,8 @@ object SparkEntry {
     "ta_sentences"      -> TextAnalysis.taSentencesSql,
     "pipeline_web"      -> graft.web.WebIngest.pipelineWebSql,
     "web_anchor_text"   -> graft.web.WebIngest.webAnchorTextSql,
-    "web_frontier_admitted" -> graft.web.WebIngest.webFrontierAdmittedSql
+    "web_frontier_admitted" -> graft.web.WebIngest.webFrontierAdmittedSql,
+    "ta_readability"    -> TextAnalysis.taReadabilitySql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -647,4 +647,48 @@ object TextAnalysis {
       |SELECT doc_id, sent_no, sentence, n_words,
       |       CAST(length(sentence) AS BIGINT) AS n_chars
       |FROM v""".stripMargin
+
+  /** `ta_readability` — Flesch reading ease over the same terminated-
+    * sentence synthesis as [[taSentences]]: score = 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    * approximated by VOWEL RUNS per word (the standard cheap
+    * surrogate; exact hyphenation needs a dictionary). Only words
+    * inside terminated sentences count — the unterminated tail is a
+    * crawl artifact. All counts integer; the score is one fixed IEEE
+    * expression both engines evaluate identically. One narrow select,
+    * HOFs inside codegen — zero shuffles. */
+  def taReadability(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("split(text, ' ')").as("toks"),
+        expr("5 + doc_id % 3").as("k"))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) div k AS BIGINT)").as("n_sents"),
+        expr("CAST((size(toks) div k) * k AS BIGINT)").as("n_words"),
+        expr("""aggregate(slice(toks, 1, (size(toks) div k) * k), 0L,
+                 (acc, w) -> acc + size(regexp_extract_all(w, '[aeiou]+', 0)))""")
+          .as("syllables"))
+      .select(col("doc_id"), col("n_sents"), col("n_words"), col("syllables"),
+        expr("""CASE WHEN n_sents = 0 OR n_words = 0 THEN 0.0D
+                ELSE 206.835D - 1.015D * (CAST(n_words AS DOUBLE) / n_sents)
+                             - 84.6D * (CAST(syllables AS DOUBLE) / n_words) END""")
+          .as("flesch"))
+
+  val taReadabilitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks, 5 + doc_id % 3 AS k
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) // k AS BIGINT) AS n_sents,
+      |         CAST((len(toks) // k) * k AS BIGINT) AS n_words,
+      |         CAST(COALESCE(list_sum(list_transform(
+      |                list_slice(toks, 1, (len(toks) // k) * k),
+      |                w -> len(regexp_extract_all(w, '[aeiou]+')))), 0) AS BIGINT) AS syllables
+      |  FROM t)
+      |SELECT doc_id, n_sents, n_words, syllables,
+      |       CASE WHEN n_sents = 0 OR n_words = 0 THEN 0.0
+      |            ELSE 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+      |                         - 84.6 * (CAST(syllables AS DOUBLE) / n_words) END AS flesch
+      |FROM u""".stripMargin
 }

@@ -272,7 +272,8 @@ object SparkEntry {
     "pipeline_web"      -> (graft.web.WebIngest.pipelineWeb _),
     "web_anchor_text"   -> (graft.web.WebIngest.webAnchorText _),
     "web_frontier_admitted" -> (graft.web.WebIngest.webFrontierAdmitted _),
-    "ta_readability"    -> (TextAnalysis.taReadability _)
+    "ta_readability"    -> (TextAnalysis.taReadability _),
+    "feat_quantile_bucketize" -> (Features.featQuantileBucketize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -607,7 +608,8 @@ object SparkEntry {
     "pipeline_web"      -> graft.web.WebIngest.pipelineWebSql,
     "web_anchor_text"   -> graft.web.WebIngest.webAnchorTextSql,
     "web_frontier_admitted" -> graft.web.WebIngest.webFrontierAdmittedSql,
-    "ta_readability"    -> TextAnalysis.taReadabilitySql
+    "ta_readability"    -> TextAnalysis.taReadabilitySql,
+    "feat_quantile_bucketize" -> Features.featQuantileBucketizeSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -130,4 +130,47 @@ object Features {
        |       CAST(CAST(('0x' || substr(md5(lang || 'x' || source || 'x' || (n_chars % 8)), 1, 15)) AS BIGINT)
        |            % $HashBuckets AS INT) AS bucket
        |FROM documents""".stripMargin
+
+  /** `feat_quantile_bucketize` — quantile (equal-FREQUENCY) binning of
+    * `events.value` into quartiles, the robust sibling of
+    * [[featBucketize]]'s equal-width bins (one outlier stretches an
+    * equal-width grid into uselessness; quantile edges don't move).
+    * The quartile edges come from the EXACT two-pass counting
+    * selection kernel ([[Selection.exactPctileOver]]) — never a
+    * global sort, never a single-buffer percentile() — and the bucket
+    * is then `Σ (x > edge)`, a broadcast of three longs. Ceil-rank
+    * edge semantics: a value equal to an edge falls in the LOWER
+    * bucket. */
+  def featQuantileBucketize(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(s, dir)
+      .select(expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"))
+    val edges = Selection.exactPctileOver(s, cents, Seq(25, 50, 75))
+      .orderBy("p").collect().map(_.getAs[Long]("cents"))
+    val Array(q1, q2, q3) = edges
+    Tables.events(s, dir)
+      .select(col("event_id"), col("value"),
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"))
+      .select(col("event_id"), col("value"),
+        ((col("cents") > q1).cast("int") + (col("cents") > q2).cast("int") +
+          (col("cents") > q3).cast("int")).as("q_bucket"))
+  }
+
+  val featQuantileBucketizeSql: String =
+    """WITH c AS (
+      |  SELECT event_id, value,
+      |         CAST(floor(value * 100.0) AS BIGINT) AS cents
+      |  FROM events),
+      |n AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM c),
+      |r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c),
+      |e AS (
+      |  SELECT p, r.cents AS edge
+      |  FROM (VALUES (25), (50), (75)) AS v(p)
+      |  CROSS JOIN n JOIN r ON r.rn = (p * n.n + 99) // 100)
+      |SELECT c.event_id, c.value,
+      |       CAST((CASE WHEN c.cents > e1.edge THEN 1 ELSE 0 END)
+      |          + (CASE WHEN c.cents > e2.edge THEN 1 ELSE 0 END)
+      |          + (CASE WHEN c.cents > e3.edge THEN 1 ELSE 0 END) AS INT) AS q_bucket
+      |FROM c, (SELECT edge FROM e WHERE p = 25) e1,
+      |        (SELECT edge FROM e WHERE p = 50) e2,
+      |        (SELECT edge FROM e WHERE p = 75) e3""".stripMargin
 }

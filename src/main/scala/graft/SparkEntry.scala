@@ -273,7 +273,8 @@ object SparkEntry {
     "web_anchor_text"   -> (graft.web.WebIngest.webAnchorText _),
     "web_frontier_admitted" -> (graft.web.WebIngest.webFrontierAdmitted _),
     "ta_readability"    -> (TextAnalysis.taReadability _),
-    "feat_quantile_bucketize" -> (Features.featQuantileBucketize _)
+    "feat_quantile_bucketize" -> (Features.featQuantileBucketize _),
+    "feat_target_encode" -> (Features.featTargetEncode _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -609,7 +610,8 @@ object SparkEntry {
     "web_anchor_text"   -> graft.web.WebIngest.webAnchorTextSql,
     "web_frontier_admitted" -> graft.web.WebIngest.webFrontierAdmittedSql,
     "ta_readability"    -> TextAnalysis.taReadabilitySql,
-    "feat_quantile_bucketize" -> Features.featQuantileBucketizeSql
+    "feat_quantile_bucketize" -> Features.featQuantileBucketizeSql,
+    "feat_target_encode" -> Features.featTargetEncodeSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -173,4 +173,44 @@ object Features {
       |FROM c, (SELECT edge FROM e WHERE p = 25) e1,
       |        (SELECT edge FROM e WHERE p = 50) e2,
       |        (SELECT edge FROM e WHERE p = 75) e3""".stripMargin
+
+  /** Smoothing pseudo-count for [[featTargetEncode]]. */
+  val SmoothM = 10
+
+  /** `feat_target_encode` — Bayesian-smoothed target encoding of
+    * `event_type` against `value`:
+    * enc = (Σ_cat + m·μ_global) / (n_cat + m) — the
+    * high-cardinality-categorical workhorse (a rare category shrinks
+    * to the global mean instead of memorizing its few rows). Sums
+    * ride exact integer cents (floor(value·100)); the encoding is one
+    * fixed IEEE expression over those integers, so it hash-checks.
+    * One |categories| aggregate + broadcast back. */
+  def featTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"))
+    val g = e.agg(sum(col("cents")).as("gs"), count(lit(1)).as("gn"))
+    val cat = e.groupBy(col("event_type"))
+      .agg(sum(col("cents")).as("cs"), count(lit(1)).as("cn"))
+    e.join(broadcast(cat), Seq("event_type")).crossJoin(broadcast(g))
+      .select(col("event_id"), col("event_type"), col("cn").as("n_cat"),
+        expr(s"""(CAST(cs AS DOUBLE) / 100.0
+                 + $SmoothM.0 * (CAST(gs AS DOUBLE) / 100.0 / gn))
+                / (cn + $SmoothM.0)""").as("encoded"))
+  }
+
+  val featTargetEncodeSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |         CAST(floor(value * 100.0) AS BIGINT) AS cents
+       |  FROM events),
+       |g AS (SELECT SUM(cents) AS gs, CAST(COUNT(1) AS BIGINT) AS gn FROM e),
+       |cat AS (
+       |  SELECT event_type, SUM(cents) AS cs, CAST(COUNT(1) AS BIGINT) AS cn
+       |  FROM e GROUP BY 1)
+       |SELECT e.event_id, e.event_type, cat.cn AS n_cat,
+       |       (CAST(cs AS DOUBLE) / 100.0
+       |        + $SmoothM.0 * (CAST(gs AS DOUBLE) / 100.0 / gn))
+       |       / (cn + $SmoothM.0) AS encoded
+       |FROM e JOIN cat USING (event_type) CROSS JOIN g""".stripMargin
 }

@@ -67,6 +67,44 @@ class FeaturesSpec extends AnyFunSuite {
     assert(cat.exists(_._1.startsWith("lang=")) && cat.exists(_._1.startsWith("source=")))
   }
 
+  test("feat_quantile_bucketize: edges equal brute ceil-rank quartiles; bins equal-frequency-ish") {
+    val rows = Features.featQuantileBucketize(spark, dir).collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    val cents = rows.map { case (v, _) => math.floor(v * 100.0).toLong }.sorted
+    val n = cents.length
+    def edge(p: Int) = cents(((p * n + 99) / 100 - 1).toInt)
+    val (q1, q2, q3) = (edge(25), edge(50), edge(75))
+    rows.foreach { case (v, b) =>
+      val c = math.floor(v * 100.0).toLong
+      val want = (if (c > q1) 1 else 0) + (if (c > q2) 1 else 0) + (if (c > q3) 1 else 0)
+      assert(b == want, s"bucket of $v")
+    }
+    // quartiles: each bin holds ~n/4 (exact up to ties at the edges)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    sizes.values.foreach(sz => assert(math.abs(sz - n / 4.0) <= n * 0.05, s"bin sizes $sizes"))
+  }
+
+  test("feat_target_encode: matches a driver-side brute recompute; rare categories shrink to global mean") {
+    val rows = Features.featTargetEncode(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100.0).toLong))
+    val gMean = raw.map(_._2).sum.toDouble / 100.0 / raw.length
+    val byCat = raw.groupBy(_._1)
+    rows.foreach { case (cat, nCat, enc) =>
+      val cs = byCat(cat).map(_._2).sum
+      assert(nCat == byCat(cat).length)
+      val want = (cs.toDouble / 100.0 + Features.SmoothM * gMean) / (nCat + Features.SmoothM)
+      assert(enc == want, s"encoding of $cat")
+      // shrinkage: the encoding sits between the raw category mean and
+      // the global mean
+      val catMean = cs.toDouble / 100.0 / nCat
+      assert((enc - catMean) * (enc - gMean) <= 1e-9, s"$cat not between means")
+    }
+  }
+
   test("feat_hashed_cross: buckets deterministic, in range, and collision-consistent") {
     val a = Features.featHashedCross(spark, dir).collect()
       .map(r => (r.getString(1), r.getInt(2)))

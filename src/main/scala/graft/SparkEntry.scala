@@ -274,7 +274,8 @@ object SparkEntry {
     "web_frontier_admitted" -> (graft.web.WebIngest.webFrontierAdmitted _),
     "ta_readability"    -> (TextAnalysis.taReadability _),
     "feat_quantile_bucketize" -> (Features.featQuantileBucketize _),
-    "feat_target_encode" -> (Features.featTargetEncode _)
+    "feat_target_encode" -> (Features.featTargetEncode _),
+    "stream_feat_scale" -> (graft.streaming.FeatureStream.streamFeatScale _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -611,7 +612,8 @@ object SparkEntry {
     "web_frontier_admitted" -> graft.web.WebIngest.webFrontierAdmittedSql,
     "ta_readability"    -> TextAnalysis.taReadabilitySql,
     "feat_quantile_bucketize" -> Features.featQuantileBucketizeSql,
-    "feat_target_encode" -> Features.featTargetEncodeSql
+    "feat_target_encode" -> Features.featTargetEncodeSql,
+    "stream_feat_scale" -> Features.featScaleSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

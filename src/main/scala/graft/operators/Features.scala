@@ -22,13 +22,24 @@ object Features {
     * languages, so scaling is grouped). Population variance from
     * DECIMAL Σx, Σx²; degenerate groups (σ=0 or max=min) scale to 0. */
   def featScale(s: SparkSession, dir: String): DataFrame = {
-    val d  = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
-    val st = d.groupBy(col("lang")).agg(
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    scaleOver(d, statsOf(d))
+  }
+
+  /** Per-group scaling statistics — every component is MERGEABLE
+    * (DECIMAL sums add, counts add, extrema least/greatest), which is
+    * what lets [[graft.streaming.FeatureStream]] fold them per batch
+    * and reproduce the one-shot aggregation exactly. */
+  def statsOf(d: DataFrame): DataFrame =
+    d.groupBy(col("lang")).agg(
       sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
       sum((col("n_chars").cast("decimal(38,0)") * col("n_chars")).cast("decimal(38,0)")).as("sxx"),
       count(lit(1)).as("n"),
       min(col("n_chars")).as("lo"),
       max(col("n_chars")).as("hi"))
+
+  /** Score a corpus under a (possibly stream-folded) stats table. */
+  def scaleOver(d: DataFrame, st: DataFrame): DataFrame =
     d.join(broadcast(st), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         expr("""CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n <= 0.0 THEN 0.0
@@ -37,7 +48,6 @@ object Features {
                 END""").as("z"),
         expr("CASE WHEN hi = lo THEN 0.0 ELSE CAST(n_chars - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) END")
           .as("minmax"))
-  }
 
   val featScaleSql: String =
     """WITH st AS (

@@ -105,6 +105,35 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_feat_scale: folded stats equal the one-shot aggregation; replay is a no-op") {
+    import graft.streaming.FeatureStream
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val mid = 250L
+    val (b1, b2) = (d.where(col("doc_id") <= mid), d.where(col("doc_id") > mid))
+    val table = java.nio.file.Files.createTempDirectory("graft-fsc").toString
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getDecimal(1), r.getDecimal(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    FeatureStream.scaleSink(table)(b1, 0L)
+    FeatureStream.scaleSink(table)(b2, 1L)
+    val oneShot = stats(graft.operators.Features.statsOf(d))
+    assert(oneShot.nonEmpty)
+    assert(stats(FeatureStream.storedStats(spark, table)) == oneShot,
+      "folded stats must equal the one-shot aggregation")
+    // non-idempotent sums: replaying batch 1 must NOT double-add (the
+    // versioned sink re-merges from the same predecessor)
+    FeatureStream.scaleSink(table)(b2, 1L)
+    assert(stats(FeatureStream.storedStats(spark, table)) == oneShot,
+      "batch replay must be a no-op")
+    // scoring under folded stats == the batch gate == feat_scale
+    val viaFold = FeatureStream.streamFeatScale(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val oneShotScore = graft.operators.Features.featScale(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(viaFold == oneShotScore)
+  }
+
   test("feat_hashed_cross: buckets deterministic, in range, and collision-consistent") {
     val a = Features.featHashedCross(spark, dir).collect()
       .map(r => (r.getString(1), r.getInt(2)))

@@ -698,5 +698,14 @@ object SparkEntry {
     "web_frontier",
     // r10c: the family capstone (every member composed in one narrow
     // pass) carries the end-to-end ingest cost
-    "pipeline_web")
+    "pipeline_web",
+    // r11: headline de-staling (the r10 verdict's "watch the expensive
+    // tail, not only the cheap head") — the full-suite top-5 by cost
+    // join the headline so drift tracking covers where the time
+    // actually goes: the exact-containment verify tier (+ its
+    // incremental member), the streaming CC fold, the incremental CC
+    // delta path, and the base ngram join; plus the deliberately
+    // lossless PPJoin all-pairs capstone the r10 round added
+    "dedup_containment", "dedup_containment_incr", "stream_cc",
+    "dedup_cc_incr", "dedup_ngram", "dedup_allpairs_clean")
 }

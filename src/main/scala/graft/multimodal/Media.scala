@@ -41,9 +41,46 @@ object Media {
     * and WAV/PCM (incl. resampling) are already real ([[BmpCodec]],
     * [[PngCodec]], [[JpegCodec]], [[WavCodec]]). */
   object StubCodec {
+
+    /** Magic-byte sniff for the natively-compressed formats this stub
+      * explicitly does NOT decode (MP3/AAC/MP4/H.26x/Ogg/FLAC — the
+      * formats whose pure-JVM decoders are projects in themselves).
+      * TESTED CONTRACT, not documentation: [[decode]] and
+      * [[sampleFrames]] throw on a sniff hit, so a real compressed
+      * payload reaching the stub fails loudly instead of flowing
+      * through as garbage "features" (MediaSpec pins both directions).
+      * The ISO-BMFF and Annex-B probes require leading NUL/size bytes,
+      * which no UTF-8 text payload (the gates' stand-in corpus)
+      * contains. */
+    def sniffNative(bytes: Array[Byte]): Option[String] = {
+      def at(i: Int) = if (i < bytes.length) bytes(i) & 0xFF else -1
+      if (at(0) == 'I' && at(1) == 'D' && at(2) == '3') Some("MP3 (ID3v2)")
+      else if (at(0) == 0xFF && (at(1) & 0xE0) == 0xE0) Some("MPEG audio sync (MP3/AAC ADTS)")
+      else if (at(0) == 0 && at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') Some("ISO-BMFF (MP4/MOV)")
+      else if (at(0) == 0 && at(1) == 0 && (at(2) == 1 || (at(2) == 0 && at(3) == 1))) Some("H.264/H.265 Annex-B")
+      else if (at(0) == 'O' && at(1) == 'g' && at(2) == 'g' && at(3) == 'S') Some("Ogg")
+      else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C') Some("FLAC")
+      else None
+    }
+
+    private def rejectNative(bytes: Array[Byte], op: String): Unit =
+      sniffNative(bytes).foreach { fmt =>
+        throw new UnsupportedOperationException(
+          s"StubCodec.$op: payload is $fmt — a natively-compressed format " +
+            "this engine deliberately does not fake-decode; plug a real " +
+            "codec in at this boundary (BMP/PNG/JPEG/WAV/u-law/AVI are " +
+            "already real: BmpCodec, PngCodec, JpegCodec, WavCodec, " +
+            "UlawCodec, AviCodec)")
+      }
+
     /** "Decode" = the raw bytes themselves (a real impl returns pixel
-      * data). Deterministic, so tests can assert exact outputs. */
-    def decode(bytes: Array[Byte]): Array[Byte] = bytes
+      * data). Deterministic, so tests can assert exact outputs; throws
+      * on a recognizable natively-compressed payload (see
+      * [[sniffNative]]). */
+    def decode(bytes: Array[Byte]): Array[Byte] = {
+      rejectNative(bytes, "decode")
+      bytes
+    }
 
     /** "Resize" = pick target dims, aspect-preserving bound to 64px. */
     def thumbDims(w: Int, h: Int): (Int, Int) = {
@@ -53,10 +90,13 @@ object Media {
     }
 
     /** "Frame sample" = every nth fixed-size chunk of the payload (a
-      * real impl samples decoded video frames). */
-    def sampleFrames(bytes: Array[Byte], frameSize: Int, everyN: Int): Seq[Array[Byte]] =
+      * real impl samples decoded video frames); throws on a
+      * recognizable natively-compressed payload (see [[sniffNative]]). */
+    def sampleFrames(bytes: Array[Byte], frameSize: Int, everyN: Int): Seq[Array[Byte]] = {
+      rejectNative(bytes, "sampleFrames")
       bytes.grouped(frameSize).zipWithIndex
         .collect { case (chunk, i) if i % everyN == 0 => chunk }.toSeq
+    }
   }
 
   /** ====== REAL CODEC — pure-JVM 24-bit BMP ======

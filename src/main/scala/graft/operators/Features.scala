@@ -79,14 +79,17 @@ object Features {
     val st = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
     e.crossJoin(broadcast(st))
       .select(col("event_id"), col("value"),
-        expr(s"CAST(least(floor((value - lo) * $NBuckets.0 / (hi - lo)), ${NBuckets - 1}.0) AS INT)")
+        // hi = lo guard (degenerate one-value domain): without it the
+        // division is 0/0 → NaN, and Spark and DuckDB disagree on what
+        // least/floor make of NaN — the featScale sigma-zero branch
+        expr(s"CAST(CASE WHEN hi = lo THEN 0.0 ELSE least(floor((value - lo) * $NBuckets.0 / (hi - lo)), ${NBuckets - 1}.0) END AS INT)")
           .as("bucket"))
   }
 
   val featBucketizeSql: String =
     s"""WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
        |SELECT event_id, value,
-       |       CAST(LEAST(FLOOR((value - lo) * $NBuckets.0 / (hi - lo)), ${NBuckets - 1}.0) AS INT) AS bucket
+       |       CAST(CASE WHEN hi = lo THEN 0.0 ELSE LEAST(FLOOR((value - lo) * $NBuckets.0 / (hi - lo)), ${NBuckets - 1}.0) END AS INT) AS bucket
        |FROM events, st""".stripMargin
 
   /** `feat_onehot` — dense categorical indices over a SORTED distinct

@@ -63,6 +63,29 @@ object Selection {
     * price-range/W rows; pass-2 per-target slice ≤ W distinct values). */
   val BucketW = 4096L
 
+  /** Hard ceiling on rows any kernel collect may bring to the driver
+    * (~1M rows ≈ tens of MB — generous for every legitimate
+    * low-cardinality grouping, far below OOM). The bound is ENFORCED,
+    * not documented: [[collectBounded]] fetches at most MaxDriverRows+1
+    * rows (a LIMIT, so an over-bound aggregation can never flood driver
+    * memory on the way to its own error) and fails loudly pointing at
+    * the sketch path. */
+  val MaxDriverRows = 1 << 20
+
+  /** Collect with the driver-state bound enforced. The `limit(max+1)`
+    * is load-bearing: the check must not itself materialize the
+    * unbounded result it guards against. */
+  private def collectBounded(df: DataFrame, what: String): Array[Row] = {
+    val rows = df.limit(MaxDriverRows + 1).collect()
+    require(rows.length <= MaxDriverRows,
+      s"$what exceeds MaxDriverRows=$MaxDriverRows — the grouping is too " +
+        "high-cardinality (or the value range too wide) for the exact " +
+        "two-pass kernel's driver histogram; use the mergeable sketch " +
+        "graft.functions.QuantileAgg for per-key quantiles at this scale, " +
+        "or widen `width`")
+    rows
+  }
+
   /** Target percentiles (ceil-rank definition: the r-th smallest with
     * r = ⌈p·n/100⌉, 1-indexed — every output is an element of the
     * column, never an interpolation). */
@@ -86,10 +109,10 @@ object Selection {
     import s.implicits._
     // pass 1: bucket histogram — partial-aggregated map-side, driver
     // receives |range|/W rows
-    val hist = values
+    val hist = collectBounded(values
       .groupBy(expr(s"cents div $width").as("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .agg(count(lit(1)).as("cnt")), "exactPctileOver pass-1 histogram")
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = hist.iterator.map(_._2).sum
     // ceil(p*n/100) in pure integer math; n >= 1 required (empty input
     // has no order statistics — fail loudly, not with a bad row)
@@ -100,10 +123,11 @@ object Selection {
     // pass 2: per-distinct-value counts inside the needed buckets only.
     // Bare-column range predicates (not `div`-arithmetic) so parquet
     // row-group min/max pruning actually applies at scale.
-    val slice = values
+    val slice = collectBounded(values
       .where(bucketRanges(col("cents"), neededBuckets, width))
-      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .groupBy(col("cents")).agg(count(lit(1)).as("cnt")),
+      "exactPctileOver pass-2 slice")
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val byBucket = slice.groupBy(v => v._1 / width)
     val rows = located.map { case (p, rnk, b, below) =>
       (p, rnk, n, walkTo(rnk, below, byBucket, b, width))
@@ -115,10 +139,10 @@ object Selection {
     * non-negative long column `cents` WITHIN each group keyed by the
     * given STRING columns. Same two corpus scans as the global kernel —
     * pass 1 is one histogram keyed by (group, bucket), so driver state
-    * is |groups| × |range|/W (bounded when the grouping is
-    * low-cardinality: return flags, languages, sources — for per-KEY
-    * statistics over high-cardinality keys use the sketch
-    * [[graft.functions.QuantileAgg]] instead); pass 2 is one
+    * is |groups| × |range|/W — ENFORCED under [[MaxDriverRows]] by
+    * [[collectBounded]] (a high-cardinality grouping fails loudly with
+    * a pointer to the sketch [[graft.functions.QuantileAgg]], it can
+    * never silently flood the driver); pass 2 is one
     * per-distinct-value count under an OR of (group = g AND range)
     * predicates. Output: keyCols ++ (p, rnk, n, cents), one row per
     * (group, percentile); with `withMinMax` also exact per-group
@@ -132,10 +156,10 @@ object Selection {
       keyCols: Seq[String], pcts: Seq[Int],
       width: Long = BucketW, withMinMax: Boolean = false): DataFrame = {
     val kn = keyCols.length
-    val hist = values
+    val hist = collectBounded(values
       .groupBy((keyCols.map(col) :+ expr(s"cents div $width").as("b")): _*)
-      .agg(count(lit(1)).as("cnt"))
-      .collect()
+      .agg(count(lit(1)).as("cnt")),
+      s"exactPctileByKey pass-1 histogram keyed by ${keyCols.mkString(",")}")
       .map(r => (keyCols.indices.map(r.getString).toList,
         r.getLong(kn), r.getLong(kn + 1)))
       .groupBy(_._1)
@@ -160,10 +184,10 @@ object Selection {
       keyPred && bucketRanges(col("cents"),
         (loc.map(_._3) ++ extremes.getOrElse(k, Nil)).distinct, width)
     }.reduce(_ || _)
-    val slice = values.where(pred)
+    val slice = collectBounded(values.where(pred)
       .groupBy((keyCols.map(col) :+ col("cents")): _*)
-      .agg(count(lit(1)).as("cnt"))
-      .collect()
+      .agg(count(lit(1)).as("cnt")),
+      "exactPctileByKey pass-2 slice")
       .map(r => (keyCols.indices.map(r.getString).toList,
         r.getLong(kn), r.getLong(kn + 1)))
       .groupBy(_._1)

@@ -211,7 +211,9 @@ object HttpMessage {
   }
 
   /** → (status, headers, body). Body length comes from Content-Length
-    * when present, else the remainder of the message. */
+    * when present, else the remainder of the message. Header names are
+    * lowercased on insert (HTTP field names are case-insensitive,
+    * RFC 9110 §5.1 — real WARC payloads carry `content-length`). */
   def parseResponse(bytes: Array[Byte]): (Int, Map[String, String], Array[Byte]) = {
     var i = 0
     def nextLine(): String = {
@@ -229,10 +231,11 @@ object HttpMessage {
     while (l.nonEmpty) {
       val c = l.indexOf(':')
       require(c > 0, s"malformed HTTP header '$l'")
-      headers += (l.substring(0, c).trim -> l.substring(c + 1).trim)
+      headers += (l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        -> l.substring(c + 1).trim)
       l = nextLine()
     }
-    val len  = headers.get("Content-Length").map(_.toInt).getOrElse(bytes.length - i)
+    val len  = headers.get("content-length").map(_.toInt).getOrElse(bytes.length - i)
     require(i + len <= bytes.length, "truncated HTTP body")
     (status, headers, java.util.Arrays.copyOfRange(bytes, i, i + len))
   }
@@ -497,7 +500,12 @@ object HtmlText {
       def numeric(txt: String, radix: Int): (String, Int) =
         try {
           val cp = Integer.parseInt(txt, radix)
-          if (Character.isValidCodePoint(cp) && cp > 0)
+          // surrogate code points (isValidCodePoint passes them) would
+          // emit lone surrogates — malformed UTF-16; HTML5 maps them to
+          // U+FFFD, and the amp-verbatim fallback matches this file's
+          // malformed-ref stance
+          if (Character.isValidCodePoint(cp) && cp > 0 &&
+              !(cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
             (new String(Character.toChars(cp)), semi + 1)
           else ("&", amp + 1)
         } catch { case _: NumberFormatException => ("&", amp + 1) }

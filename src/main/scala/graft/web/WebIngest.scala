@@ -74,7 +74,7 @@ object WebIngest {
           val text = HtmlText.extract(new String(body, UTF_8))
           val uri  = r.targetUri
           val id   = uri.substring(uri.lastIndexOf('/') + 1).toLong
-          (id, uri, status, hdrs.getOrElse("Content-Type", ""), text, text.length.toLong)
+          (id, uri, status, hdrs.getOrElse("content-type", ""), text, text.length.toLong)
         }
       }.toDF("doc_id", "uri", "http_status", "content_type", "text", "n_chars")
   }

@@ -128,4 +128,20 @@ class SelectionSpec extends AnyFunSuite {
       (plan.contains("GreaterThanOrEqual(cents") || plan.contains("Or(And(")),
       s"range predicate did not push to the parquet source:\n$plan")
   }
+
+  test("high-cardinality grouping trips the driver-state guard, never floods the driver") {
+    // MaxDriverRows+1 one-row groups: the pass-1 histogram has exactly
+    // one row per group, so the DEFAULT bound must fire. The guard's
+    // own collect is a LIMIT(bound+1) — this test completing in seconds
+    // (not OOMing) is itself evidence the check never materializes the
+    // unbounded result it rejects.
+    val wide = spark.range(Selection.MaxDriverRows + 1L)
+      .select(col("id").cast("string").as("k"), col("id").as("cents"))
+    val e = intercept[IllegalArgumentException] {
+      Selection.exactPctileByKey(spark, wide, Seq("k"), Seq(50))
+    }
+    assert(e.getMessage.contains("QuantileAgg") &&
+      e.getMessage.contains("MaxDriverRows"),
+      s"guard message must route callers to the sketch: ${e.getMessage}")
+  }
 }

@@ -133,7 +133,12 @@ class WebSpec extends AnyFunSuite {
     val body = "x\r\n\r\ny".getBytes(UTF_8)
     val msg  = HttpMessage.response(404, "Not Found", Seq("X-A" -> "b"), body)
     val (status, hdrs, back) = HttpMessage.parseResponse(msg)
-    assert(status == 404 && hdrs("X-A") == "b" && java.util.Arrays.equals(back, body))
+    // header names lowercase on insert (RFC 9110 case-insensitivity)
+    assert(status == 404 && hdrs("x-a") == "b" && java.util.Arrays.equals(back, body))
+    // a lowercase content-length from a real-world server still frames
+    val raw = ("HTTP/1.1 200 OK\r\ncontent-length: 6\r\n\r\n").getBytes(UTF_8) ++ body ++ "JUNK".getBytes(UTF_8)
+    val (s2, _, b2) = HttpMessage.parseResponse(raw)
+    assert(s2 == 200 && java.util.Arrays.equals(b2, body))
   }
 
   test("RFC 3986 reference resolution: the spec's own §5.4 normal and abnormal tables") {

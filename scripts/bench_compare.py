@@ -37,14 +37,29 @@ def main():
     base, cand = load(sys.argv[1]), load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     bq, cq = base.get("queries", {}), cand.get("queries", {})
+    bp, cp = base.get("plans", {}), cand.get("plans", {})
+
+    def plan_label(q):
+        # mechanical drift-vs-plan-change adjudication (r10 verdict item):
+        # same fingerprint -> the physical plan did not move, the delta is
+        # environmental; different -> the plan itself changed and the
+        # delta is attributable to code/optimizer behavior
+        b, c = bp.get(q), cp.get(q)
+        if b is None or c is None:
+            return "[no plan fp]"
+        return "[same plan — VM noise?]" if b == c else f"[PLAN CHANGED {b} -> {c}]"
+
     regressed = []
     for q in sorted(set(bq) & set(cq)):
         b, c = bq[q], cq[q]
         if b > 0 and c / b > ratio and c - b > 0.5:
             regressed.append((q, b, c))
-            print(f"REGRESSED {q}: {b:.2f}s -> {c:.2f}s ({c/b:.1f}x)")
+            print(f"REGRESSED {q}: {b:.2f}s -> {c:.2f}s ({c/b:.1f}x) {plan_label(q)}")
         elif c > 0 and b / c > ratio and b - c > 0.5:
-            print(f"improved  {q}: {b:.2f}s -> {c:.2f}s")
+            print(f"improved  {q}: {b:.2f}s -> {c:.2f}s {plan_label(q)}")
+    plan_moves = sorted(q for q in set(bp) & set(cp) if bp[q] != cp[q])
+    if plan_moves:
+        print(f"plans changed ({len(plan_moves)}): {', '.join(plan_moves)}")
     for q in sorted(set(cq) - set(bq)):
         print(f"added     {q}: {cq[q]:.2f}s")
     for q in sorted(set(bq) - set(cq)):

@@ -86,6 +86,43 @@ object Bench {
     }.getOrElse(Map.empty)
   }
 
+  /** Canonical fingerprint of a query's EXECUTED physical plan (16 hex
+    * chars of md5 over the normalized tree). The r10 verdict's ask:
+    * drift-vs-plan-change adjudication was manual — a >2× bench delta
+    * could be ambient VM noise or a genuine plan shift (a new rule, an
+    * AQE re-plan, a helper change rippling into a shared subtree), and
+    * distinguishing them burned judge time. With `plans` in every
+    * record, bench_compare labels each flag mechanically: same fp →
+    * same plan, VM noise; different fp → the plan itself moved.
+    *
+    * Normalization strips run-varying but semantics-free tokens —
+    * expression ids (#123), plan/subquery ids, codegen stage ids, file
+    * paths and sizes — and keeps node structure, join strategies,
+    * pushed filters, and AQE's final shuffle topology (at a FIXED
+    * fixture the post-AQE plan is deterministic, so partition-count
+    * drift is a real plan change and fingerprints as one). */
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val raw =
+      try df.queryExecution.executedPlan.toString
+      catch { case e: Throwable => s"plan-unavailable:${e.getClass.getName}" }
+    val norm = raw
+      // JVM object-identity tokens: lambda class names embed a
+      // class-load-order counter and an address (Lambda$2687/0x7f4e...
+      // @72cf159f) that differ across JVMs running the identical plan
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
+      .replaceAll("@[0-9a-fA-F]{6,}", "@x")
+      .replaceAll("#\\d+[A-Za-z]*", "#x")            // exprIds (+type suffix)
+      .replaceAll("(?i)(plan_id|id|stage|subquery)=#?\\d+", "$1=x")
+      .replaceAll("\\[id=#?\\d+\\]", "[id=x]")
+      .replaceAll("(file|hdfs|s3a?|mocks3)://?\\S+", "path")
+      .replaceAll("/[-A-Za-z0-9_./]*(testdata|tmp|warehouse)[-A-Za-z0-9_./]*", "path")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+      .replaceAll("size=\\d+", "size=x")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -114,6 +151,11 @@ object Bench {
     try SparkEntry.queries(names.head)(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
+    // latest plan fingerprint per query (run 2's executed plan; outlier
+    // re-measures overwrite with their own — last write is the plan the
+    // shipped time was measured under)
+    var planFps = Map.empty[String, String]
+
     // min of two runs: steady-state cost, de-noised from neighbor/GC
     // interference (this box shows occasional multi-x stalls).
     // cache cleared AFTER both runs (not between): run 2 may
@@ -127,9 +169,15 @@ object Bench {
     // bench look worse, never better.
     def minOf2(name: String): (Double, Option[String]) = {
       var err: Option[String] = None
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).map { i =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.count()
+          // fingerprint run 2's EXECUTED plan (post-AQE): zero extra
+          // work — the df already ran; see planFingerprint
+          if (i == 2) planFps = planFps.updated(name, planFingerprint(df))
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
@@ -298,7 +346,12 @@ object Bench {
     val remJson = remeasured.map { case (k, (rec, calm, fin)) =>
       s"${jstr(k)}:" + f"""{"recorded":$rec%.3f,"calm_ref":$calm%.3f,"value":$fin%.3f}"""
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remJson,"sf":"$sfDir","floor_gate":$gate}""")
+    // plan fingerprints ride in every record so bench_compare can label
+    // a >2x delta "plan changed" vs "same plan, VM noise" mechanically
+    val planJson = ok.flatMap { case (k, _) =>
+      planFps.get(k).map(fp => s"${jstr(k)}:${jstr(fp)}") }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"remeasured":$remJson,"plans":$planJson,"sf":"$sfDir","floor_gate":$gate}""")
     spark.stop()
   }
 }

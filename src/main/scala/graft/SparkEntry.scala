@@ -275,7 +275,8 @@ object SparkEntry {
     "ta_readability"    -> (TextAnalysis.taReadability _),
     "feat_quantile_bucketize" -> (Features.featQuantileBucketize _),
     "feat_target_encode" -> (Features.featTargetEncode _),
-    "stream_feat_scale" -> (graft.streaming.FeatureStream.streamFeatScale _)
+    "stream_feat_scale" -> (graft.streaming.FeatureStream.streamFeatScale _),
+    "stream_web"        -> (graft.streaming.WebStream.streamWeb _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -613,7 +614,8 @@ object SparkEntry {
     "ta_readability"    -> TextAnalysis.taReadabilitySql,
     "feat_quantile_bucketize" -> Features.featQuantileBucketizeSql,
     "feat_target_encode" -> Features.featTargetEncodeSql,
-    "stream_feat_scale" -> Features.featScaleSql
+    "stream_feat_scale" -> Features.featScaleSql,
+    "stream_web"        -> graft.web.WebIngest.streamWebSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

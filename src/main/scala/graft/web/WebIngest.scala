@@ -791,9 +791,16 @@ object WebIngest {
     * ingest front end runs at scan speed, one task per WARC shard.
     * The oracle nests the members' analytic twins verbatim, so a
     * regression in ANY member flips the capstone hash too. */
-  def pipelineWeb(s: SparkSession, dir: String): DataFrame = {
+  def pipelineWeb(s: SparkSession, dir: String): DataFrame =
+    pipelineRowsOf(Tables.documents(s, dir))
+
+  /** [[pipelineWeb]]'s extraction over an arbitrary documents-shaped
+    * batch — the form [[graft.streaming.WebStream]] folds per ingest
+    * batch (same narrow pass, batch-bounded input). */
+  def pipelineRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .as[(Long, String, String, String)]
       .mapPartitions { rows =>
@@ -846,6 +853,22 @@ object WebIngest {
       |          + (CASE WHEN (u.doc_id + 2) % 6 IN (0, 3) THEN 1 ELSE 0 END) AS INT) AS n_external,
       |       CAST(CASE WHEN lang = 'es' OR u.doc_id % 4 <> 0 THEN 1 ELSE 0 END AS INT) AS allowed
       |FROM u JOIN x ON u.doc_id = x.doc_id""".stripMargin
+
+  /** Oracle for `stream_web` — [[pipelineWebSql]] nested VERBATIM as
+    * `base` (a member regression flips this capstone's hash too), then
+    * the min-keeper fingerprint filter: keep the row whose doc_id is
+    * the MIN over its content-body fingerprint (md5 of the text after
+    * the ` & ` marker — [[graft.streaming.WebStream.fpCol]]'s twin;
+    * DuckDB strpos ↔ Spark instr, both 1-based first-occurrence).
+    * Built by plain concatenation (the stripMargin-eats-|| pitfall). */
+  val streamWebSql: String =
+    "WITH base AS (" + pipelineWebSql + "),\n" +
+      "k AS (SELECT md5(substring(text, strpos(text, ' & ') + 3, " +
+      graft.streaming.WebStream.FpPrefix + ")) AS fp, base.* FROM base),\n" +
+      "keep AS (SELECT fp, MIN(doc_id) AS keeper FROM k GROUP BY 1)\n" +
+      "SELECT k.fp, k.doc_id, k.http_status, k.text, k.n_chars, k.norm_url,\n" +
+      "       k.etld1, k.n_links, k.n_external, k.allowed\n" +
+      "FROM k JOIN keep ON k.fp = keep.fp AND k.doc_id = keep.keeper"
 
   /** `web_frontier_admitted` — the frontier a SCHEDULER may actually
     * fetch: [[webFrontier]]'s discovered-not-crawled URLs, each

@@ -62,7 +62,7 @@ class RegistrySpec extends AnyFunSuite {
     "HistoryStream.currentHistory", "NoveltyStream.storedFirstSeen",
     "ParagraphStream.cleanedOutput", "SketchStream.storedHllRegs",
     "SketchStream.storedQuantileState", "SnapshotStream.currentSnapshot",
-    "ViewStream.currentView",
+    "ViewStream.currentView", "WebStream.storedTraining",
     // IO plumbing: raw readers under registered source/sink gates
     "Formats.readIntermediate", "Formats.readOutputLines", "Formats.readOrc",
     "WholeFiles.read", "WholeFiles.readBinary", "Manifest.keyed")

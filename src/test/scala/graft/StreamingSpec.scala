@@ -1222,4 +1222,98 @@ class StreamingSpec extends AnyFunSuite {
           s"untouched $part bucket $b was rewritten")
     }
   }
+
+  test("streaming web capstone: restart + replay converge to the one-shot keeper set; batch-bounded state folds") {
+    // WARC batches -> pipeline_web extraction -> fingerprint-dedup
+    // admission -> packed training rows, frontier maintained alongside.
+    // Admission reads the FOLDED state (min-keeper membership), so a
+    // replayed batch rewrites its own out/batch= dir with identical
+    // rows — replay-deterministic without versioned state.
+    import graft.streaming.{FrontierStream, WebStream}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-web-src")
+    val table = Files.createTempDirectory("graft-web-tab").toString
+    val ckpt = Files.createTempDirectory("graft-web-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-web-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(WebStream.webSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select(col("doc_id"), col("fp")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    // fold identity through the REAL stream machinery: the union of
+    // emitted batches equals the one-shot min-keeper admission
+    val oneShot = keySet(WebStream.streamWeb(spark, sf))
+    val streamed = keySet(WebStream.storedTraining(spark, table))
+    assert(oneShot.nonEmpty && streamed == oneShot,
+      "streamed training rows must equal the one-shot keeper set")
+    // the dedup must have DONE something: some batch-2 row lost to a
+    // batch-1 keeper (cross-batch), or an intra-batch dup collapsed
+    assert(streamed.size < docs.count(),
+      "fixture must exercise the fingerprint-collapse path")
+    // batches emit disjoint rows; batch 1's rows come only from b2
+    val outRows = spark.read.parquet(s"$table/out")
+    val byBatch = outRows.groupBy(col("batch")).count().collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    assert(byBatch.keySet == Set(0L, 1L) && byBatch.values.sum == streamed.size)
+    val b2Ids = b2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch1Ids = outRows.where(col("batch") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch1Ids.subsetOf(b2Ids), "a batch emits only its own rows")
+    // at-least-once: replaying batch 1 must rewrite IDENTICAL rows
+    WebStream.webSink(table)(b2, 1L)
+    assert(keySet(WebStream.storedTraining(spark, table)) == oneShot,
+      "batch replay must be a no-op")
+    // the frontier rode along from the same batches
+    assert(FrontierStream.storedFrontier(spark, s"$table/frontier").count() ==
+      FrontierStream.discoveredOf(docs).join(
+        FrontierStream.crawledBatchOf(docs), Seq("norm"), "left_anti").count(),
+      "composed frontier state must equal the one-shot frontier")
+    // BATCH-BOUNDED pin: a tiny batch touches a strict subset of fp
+    // buckets and leaves every untouched bucket file byte-stable —
+    // per-batch I/O is touched-bucket bytes, never a snapshot rescan
+    def bucketMd5s(): Map[String, Seq[(String, String)]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      new java.io.File(s"$table/fp").listFiles()
+        .filter(_.getName.startsWith("b=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq.map { f =>
+              f.getName -> md.digest(Files.readAllBytes(f.toPath))
+                .map("%02x".format(_)).mkString
+            }
+        }.toMap
+    }
+    val before = bucketMd5s()
+    val tiny = b1.limit(1)
+    WebStream.webSink(table)(tiny, 2L)
+    val touched = graft.streaming.WebStream
+      .fpOf(graft.web.WebIngest.pipelineRowsOf(tiny))
+      .select(WebStream.fpBucket.as("b")).distinct()
+      .collect().map(r => s"b=${r.getLong(0)}").toSet
+    assert(touched.nonEmpty && touched.size < before.size,
+      "tiny batch must touch a strict subset of fp buckets")
+    val after = bucketMd5s()
+    for ((b, files) <- before if !touched(b))
+      assert(after(b) == files, s"untouched fp bucket $b was rewritten")
+  }
 }

@@ -276,7 +276,8 @@ object SparkEntry {
     "feat_quantile_bucketize" -> (Features.featQuantileBucketize _),
     "feat_target_encode" -> (Features.featTargetEncode _),
     "stream_feat_scale" -> (graft.streaming.FeatureStream.streamFeatScale _),
-    "stream_web"        -> (graft.streaming.WebStream.streamWeb _)
+    "stream_web"        -> (graft.streaming.WebStream.streamWeb _),
+    "q46_pctile_wide"   -> (Selection.q46PctileWide _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -615,7 +616,8 @@ object SparkEntry {
     "feat_quantile_bucketize" -> Features.featQuantileBucketizeSql,
     "feat_target_encode" -> Features.featTargetEncodeSql,
     "stream_feat_scale" -> Features.featScaleSql,
-    "stream_web"        -> graft.web.WebIngest.streamWebSql
+    "stream_web"        -> graft.web.WebIngest.streamWebSql,
+    "q46_pctile_wide"   -> Selection.q46PctileWideSql
   )
 
   /** Headline subset used by Bench (keep it representative, not

@@ -216,6 +216,71 @@ object Selection {
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Exact ceil-rank percentiles per key at UNBOUNDED key cardinality —
+    * the fully distributed sibling of [[exactPctileByKey]] and the
+    * closure of its documented limit: NOTHING is collected to the
+    * driver, so a grouping by supplier, user, or domain (10⁸ keys at
+    * corpus scale) is fine. The price is two extra shuffles instead of
+    * two driver walks; the DECISION RULE between the three exact/approx
+    * tiers is now complete:
+    *   - global or low-cardinality keys → [[exactPctileOver]] /
+    *     [[exactPctileByKey]] (driver walk, bounded by
+    *     [[MaxDriverRows]])
+    *   - high-cardinality keys, exactness required → THIS
+    *   - high-cardinality keys, sketch error acceptable →
+    *     [[graft.functions.QuantileAgg]] (one pass, mergeable)
+    *
+    * Same two corpus scans; the locate/walk logic becomes relational:
+    *   1. (key, bucket) histogram → per-key running cum (window
+    *      partitioned BY KEY over its ≤|range|/W bucket rows — bounded
+    *      by the value DOMAIN, never the corpus; the unpartitioned-
+    *      window trap does not apply) → broadcast-join the percentile
+    *      list → one row per (key, p): target bucket + count below.
+    *   2. per-(key, cents) counts inside needed buckets only (semi-join
+    *      instead of the driver-built OR predicate) → running cum
+    *      within (key, bucket) — ≤ W distinct values per partition —
+    *      → first cents reaching the residual rank, via min().
+    *
+    * Ceil-rank semantics, pure integers, hash-exact cross-engine —
+    * identical outputs to [[exactPctileByKey]] on any input both can
+    * run (SelectionSpec pins the differential). Output:
+    * keyCols ++ (p, rnk, n, cents), one row per (group, percentile). */
+  def exactPctileKeyedWide(values: DataFrame, keyCols: Seq[String],
+      pcts: Seq[Int], width: Long = BucketW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = values.sparkSession
+    val k = keyCols.map(col)
+    val hist = values
+      .groupBy((k :+ expr(s"cents div $width").as("b")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val perKey = Window.partitionBy(k: _*)
+    val byBucket = perKey.orderBy(col("b"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byBucket))
+      .withColumn("n", sum(col("cnt")).over(perKey))
+    val ps = s.createDataFrame(pcts.map(Tuple1(_))).toDF("p")
+    // one row per (key, p): the bucket whose cum first reaches the
+    // target rank, with `below` = rows strictly before that bucket
+    val located = cum.join(broadcast(ps))
+      .withColumn("rnk", expr(s"(p * n + 99) div 100"))
+      .where(col("cum") >= col("rnk") && col("cum") - col("cnt") < col("rnk"))
+      .select((k :+ col("p") :+ col("rnk") :+ col("n") :+ col("b") :+
+        (col("cum") - col("cnt")).as("below")): _*)
+    val needed = located.select((k :+ col("b")): _*).distinct()
+    val slice = values
+      .withColumn("b", expr(s"cents div $width"))
+      .join(needed, keyCols :+ "b", "left_semi")
+      .groupBy((k :+ col("b") :+ col("cents")): _*)
+      .agg(count(lit(1)).as("vcnt"))
+      .withColumn("vcum",
+        sum(col("vcnt")).over(Window.partitionBy((k :+ col("b")): _*)
+          .orderBy(col("cents"))))
+    located.join(slice, keyCols :+ "b")
+      .where(col("below") + col("vcum") >= col("rnk"))
+      .groupBy((k :+ col("p") :+ col("rnk") :+ col("n")): _*)
+      .agg(min(col("cents")).as("cents"))
+  }
+
   /** Driver walk over a (bucket, count) histogram: for each target
     * (p, rank), the bucket holding that rank and the row count strictly
     * below the bucket. Returns (p, rnk, bucket, below). */
@@ -265,6 +330,33 @@ object Selection {
         "input changed between passes (persist-or-scan contract)")
     ans
   }
+
+  /** `q46_pctile_wide` — exact per-SUPPLIER price percentiles through
+    * the distributed keyed kernel ([[exactPctileKeyedWide]]): the
+    * high-cardinality shape (every supplier is a group; at 100 TB that
+    * is millions of keys) that [[exactPctileByKey]]'s driver histogram
+    * correctly refuses. Median/p90/p99 per supplier, one row each. */
+  def q46PctileWide(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    exactPctileKeyedWide(cents, Seq("l_suppkey"), Seq(50, 90, 99))
+  }
+
+  val q46PctileWideSql: String =
+    """WITH c AS (
+      |  SELECT l_suppkey,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |nn AS (SELECT l_suppkey, CAST(COUNT(1) AS BIGINT) AS n FROM c GROUP BY 1),
+      |r AS (SELECT l_suppkey, cents,
+      |             ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY cents) AS rn
+      |      FROM c),
+      |t AS (SELECT nn.l_suppkey, p, (p * nn.n + 99) // 100 AS rnk, nn.n AS n
+      |      FROM (VALUES (50), (90), (99)) AS v(p) CROSS JOIN nn)
+      |SELECT t.l_suppkey, t.p, t.rnk, t.n, r.cents
+      |FROM t JOIN r ON r.l_suppkey = t.l_suppkey AND r.rn = t.rnk""".stripMargin
 
   val q45ExactPctileSql: String =
     s"""WITH c AS (

@@ -97,11 +97,35 @@ object ScaleRehearsal {
       case Some(list) => list.split(",").toSeq
       case None => allNames
     }
+    // per-task metrics listener: the 100×-class question is not only
+    // wall time but whether any single task's memory footprint or
+    // spill grows super-linearly — that's what OOMs a real executor
+    // long before the driver notices. peakExecutionMemory is the
+    // max unroll+execution memory any one task held; spills are the
+    // pressure-release signal that memory WOULD have been exceeded.
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+          spilled.addAndGet(m.memoryBytesSpilled)
+          maxTaskMs.getAndUpdate(p => math.max(p, m.executorRunTime))
+        }
+      }
+    })
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()
+      peakMem.set(0); spilled.set(0); maxTaskMs.set(0)
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, out).count()
-      println(f"[rehearsal] $n%-22s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($rows rows)")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus drains async; 300 ms covers it
+      println(f"[rehearsal] $n%-22s $wall%7.1f s  ($rows rows)  " +
+        f"peak-task-mem=${peakMem.get / (1 << 20)}%d MB  " +
+        f"spilled=${spilled.get / (1 << 20)}%d MB  max-task=${maxTaskMs.get}%d ms")
       spark.catalog.clearCache() // no cross-query cache accumulation
     }
     spark.stop()

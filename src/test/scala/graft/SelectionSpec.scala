@@ -129,6 +129,35 @@ class SelectionSpec extends AnyFunSuite {
       s"range predicate did not push to the parquet source:\n$plan")
   }
 
+  test("exactPctileKeyedWide: identical to the driver-walk keyed kernel and the brute oracle") {
+    val rng = new scala.util.Random(17)
+    val rows = Seq("a", "b", "c").flatMap(k =>
+      Seq.fill(200 + k.hashCode.abs % 97)((k, rng.nextLong(1L << 22))))
+    val df = spark.createDataset(rows).repartition(5).toDF("k", "cents")
+    val pcts = Seq(25, 50, 75, 99)
+    def asMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => (x.getString(0), x.getInt(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    val wide = asMap(Selection.exactPctileKeyedWide(df, Seq("k"), pcts)
+      .select("k", "p", "rnk", "n", "cents").collect())
+    val narrow = asMap(Selection.exactPctileByKey(spark, df, Seq("k"), pcts)
+      .select("k", "p", "rnk", "n", "cents").collect())
+    assert(wide == narrow,
+      "distributed keyed kernel must equal the driver-walk kernel row for row")
+    for (k <- Seq("a", "b", "c")) {
+      val vs = rows.filter(_._1 == k).map(_._2)
+      val expect = brute(vs, pcts).map(t => (k, t._1) -> (t._2, t._3, t._4)).toMap
+      assert(pcts.forall(p => wide((k, p)) == expect((k, p))), s"group $k vs brute")
+    }
+    // bucket-boundary ranks: every value equal, sitting ON a boundary
+    val eq = spark.createDataset(Seq.fill(97)(("z", Selection.BucketW)))
+      .toDF("k", "cents")
+    val got = asMap(Selection.exactPctileKeyedWide(eq, Seq("k"), Seq(1, 100))
+      .select("k", "p", "rnk", "n", "cents").collect())
+    assert(got(("z", 1)) == ((1L, 97L, Selection.BucketW)) &&
+      got(("z", 100)) == ((97L, 97L, Selection.BucketW)))
+  }
+
   test("high-cardinality grouping trips the driver-state guard, never floods the driver") {
     // MaxDriverRows+1 one-row groups: the pass-1 histogram has exactly
     // one row per group, so the DEFAULT bound must fire. The guard's

@@ -711,5 +711,9 @@ object SparkEntry {
     // delta path, and the base ngram join; plus the deliberately
     // lossless PPJoin all-pairs capstone the r10 round added
     "dedup_containment", "dedup_containment_incr", "stream_cc",
-    "dedup_cc_incr", "dedup_ngram", "dedup_allpairs_clean")
+    "dedup_cc_incr", "dedup_ngram", "dedup_allpairs_clean",
+    // r11: the session's two new scale-story gates — the streaming web
+    // capstone (extract + fold + admit per batch) and the distributed
+    // exact keyed percentile (the ORDER-BY-free high-cardinality tier)
+    "stream_web", "q46_pctile_wide")
 }

@@ -140,6 +140,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_i64"),
       DotProductI64.info,
       (exprs: Seq[Expression]) => DotProductI64(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("intersect_size_sorted"),
+      IntersectSizeSorted.info,
+      (exprs: Seq[Expression]) => IntersectSizeSorted(exprs(0), exprs(1))))
     // manifest-driven file skipping over registered z layouts
     e.injectOptimizerRule(s => new graft.sources.ZPruneRule(s))
     // materialized-view rewrite over registered fresh views

@@ -92,7 +92,9 @@ object ScaleRehearsal {
       // sim_ivfpq_topk): the DELTA is the maintenance cost, and it must
       // track the batch size, not the corpus
       "snapshot_zmaintain", "stream_upsert", "sim_index_upsert",
-      "sim_index_recall", "mm_png", "mm_wav", "dedup_containment_incr")
+      "sim_index_recall", "mm_png", "mm_wav", "dedup_containment_incr",
+      // r11 operators
+      "stream_web", "q46_pctile_wide")
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{DotProductI64, GraftExtensions}
+import graft.functions.{DotProductI64, GraftExtensions, IntersectSizeSorted}
 
 class FunctionsSpec extends AnyFunSuite {
 
@@ -67,5 +67,48 @@ class FunctionsSpec extends AnyFunSuite {
   test("GraftExtensions wires dot_i64 into a session built with it") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; injection list accepts it
+  }
+
+  test("intersect_size_sorted == size(array_intersect) on random sets; edges; codegen path") {
+    import spark.implicits._
+    IntersectSizeSorted.register(spark)
+    val rng = new scala.util.Random(23)
+    // random word SETS (duplicate-free, the call-site contract)
+    val rows = (0 until 200).map { i =>
+      val a = rng.shuffle((0 until 500).map(w => s"w$w")).take(rng.nextInt(80)).distinct
+      val b = rng.shuffle((0 until 500).map(w => s"w$w")).take(rng.nextInt(80)).distinct
+      (i, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .selectExpr("id", "sort_array(a) as sa", "sort_array(b) as sb")
+    val got = df.selectExpr("id",
+        "intersect_size_sorted(sa, sb) as merged",
+        "cast(size(array_intersect(sa, sb)) as bigint) as builtin")
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"row ${r.getInt(0)}: merged ${r.getLong(1)} vs builtin ${r.getLong(2)}"))
+    // edges: empty sides, disjoint, identical
+    val edge = Seq(
+      (Seq.empty[String], Seq("a", "b"), 0L),
+      (Seq("a", "b"), Seq.empty[String], 0L),
+      (Seq("a", "c"), Seq("b", "d"), 0L),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"), 3L))
+      .toDF("a", "b", "want")
+      .selectExpr("intersect_size_sorted(sort_array(a), sort_array(b)) as got", "want")
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the expression must run INSIDE whole-stage codegen on the hot
+    // path, not fall back interpreted (the reason it exists). A bare
+    // local relation constant-folds to LocalTableScan, so force a real
+    // exchange first — the shape the dedup verify tiers actually have.
+    val staged = df.repartition(2).selectExpr("intersect_size_sorted(sa, sb) as x")
+    staged.collect()
+    // AQE plan strings mark codegen'd nodes with a `*(n)` prefix (the
+    // literal WholeStageCodegen node name only appears in non-adaptive
+    // explain output)
+    val plan = staged.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[intersect_size_sorted""".r
+        .findFirstIn(plan).isDefined,
+      s"intersect_size_sorted fell out of codegen:\n$plan")
   }
 }

@@ -139,6 +139,7 @@ object SparkEntry {
     "mm_resize"         -> (graft.multimodal.Media.mmResize _),
     "mm_dedup"          -> (graft.multimodal.Media.mmDedup _),
     "mm_png"            -> (graft.multimodal.Media.mmPng _),
+    "mm_gif"            -> (graft.multimodal.Media.mmGif _),
     "mm_wav"            -> (graft.multimodal.Media.mmWav _),
     "mm_energy"         -> (graft.multimodal.Media.mmEnergy _),
     "mm_phash"          -> (graft.multimodal.Media.mmPhash _),
@@ -250,6 +251,7 @@ object SparkEntry {
     "dedup_allpairs_incr" -> (Dedup.dedupAllpairsIncr _),
     "layout_schema_merge" -> (graft.sources.Formats.layoutSchemaMerge _),
     "web_warc_extract"  -> (graft.web.WebIngest.webWarcExtract _),
+    "web_images"        -> (graft.web.WebIngest.webImages _),
     "web_url_parse"     -> (graft.web.WebIngest.webUrlParse _),
     "web_domain_stats"  -> (graft.web.WebIngest.webDomainStats _),
     "web_robots"        -> (graft.web.WebIngest.webRobots _),
@@ -406,6 +408,7 @@ object SparkEntry {
     "mm_resize"         -> graft.multimodal.Media.mmResizeSql,
     "mm_dedup"          -> graft.multimodal.Media.mmDedupSql,
     "mm_png"            -> graft.multimodal.Media.mmPngSql,
+    "mm_gif"            -> graft.multimodal.Media.mmGifSql,
     "mm_wav"            -> graft.multimodal.Media.mmWavSql,
     "mm_energy"         -> graft.multimodal.Media.mmEnergySql,
     "mm_phash"          -> graft.multimodal.Media.mmPhashSql,
@@ -590,6 +593,7 @@ object SparkEntry {
     // surface old-generation rows with NULL in the added column
     "layout_schema_merge" -> graft.sources.Formats.layoutSchemaMergeSql,
     "web_warc_extract"  -> graft.web.WebIngest.webWarcExtractSql,
+    "web_images"        -> graft.web.WebIngest.webImagesSql,
     "web_url_parse"     -> graft.web.WebIngest.webUrlParseSql,
     "web_domain_stats"  -> graft.web.WebIngest.webDomainStatsSql,
     "web_robots"        -> graft.web.WebIngest.webRobotsSql,

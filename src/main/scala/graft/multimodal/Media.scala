@@ -33,6 +33,22 @@ object Media {
                            checksum: String, histogram: Array[Long],
                            thumb_w: Int, thumb_h: Int)
 
+  /** Magic-byte sniff for the REAL image codecs ([[GifCodec]],
+    * [[PngCodec]], [[JpegCodec]], [[BmpCodec]]) — the crawl-ingest
+    * dispatch key ([[graft.web.WebIngest.webImages]]): real crawls'
+    * Content-Type headers lie, the first bytes don't. Returns the
+    * lowercase format name a decoder exists for, None otherwise
+    * (unknown payloads route to quarantine; natively-compressed
+    * formats are [[StubCodec.sniffNative]]'s department). */
+  def sniffImage(b: Array[Byte]): Option[String] = {
+    def at(i: Int) = if (i < b.length) b(i) & 0xFF else -1
+    if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') Some("gif")
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') Some("png")
+    else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) Some("jpeg")
+    else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+    else None
+  }
+
   /** ====== STUB — replace with real codecs when available ======
     * Deterministic fakes standing in for the codecs that genuinely
     * need native libraries (compressed audio, video frames). The
@@ -455,6 +471,72 @@ object Media {
       |       CAST(SUM(r) AS BIGINT) AS sum_r,
       |       CAST(SUM(g) AS BIGINT) AS sum_g,
       |       CAST(SUM(b) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
+
+  /** Palette-format gate: per-document synthetic indexed image →
+    * [[GifCodec.encode]] (LZW, interlaced on even doc_ids so BOTH wire
+    * row orders are exercised) → [[GifCodec.decode]] → per-channel sums
+    * through a NON-identity palette (R = i, G = 3i mod 256,
+    * B = 7i mod 256 — an identity palette would let an index/channel
+    * mix-up cancel out in the sums), one mapPartitions pass. GIF's LZW
+    * is lossless, so the gate asserts the exact round-trip inline and
+    * the analytic twin sums the index formula through the palette
+    * formula with no GIF involved — agreement proves the whole
+    * LZW/interlace/color-table pipeline reproduced every pixel.
+    * Cross-format independence (vs the JDK's ImageIO GIF plugin, both
+    * directions, incl. the 4096-entry table-overflow path) is
+    * GifSpec's job. At 100 TB: per-row O(pixels), zero shuffle. */
+  def mmGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val palette = Array.tabulate(256)(i => (i << 16) | ((3 * i % 256) << 8) | (7 * i % 256))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val w = (nc % 15 + 1).toInt
+          val h = (id % 9 + 1).toInt
+          val idx = new Array[Byte](w * h)
+          var i = 0
+          while (i < idx.length) {
+            // pixel (x, y) index = (doc_id + 3x + 5y) mod 256
+            idx(i) = ((id + 3L * (i % w) + 5L * (i / w)) % 256L).toByte
+            i += 1
+          }
+          val gif = GifCodec.encode(w, h, idx, palette, interlaced = id % 2 == 0)
+          val (dw, dh, back, pal) = GifCodec.decode(gif)
+          require(dw == w && dh == h && java.util.Arrays.equals(back, idx) &&
+            java.util.Arrays.equals(pal, palette),
+            s"GIF round-trip mismatch for media $id")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var j = 0
+          while (j < back.length) {
+            val rgb = pal(back(j) & 0xFF)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            j += 1
+          }
+          (id, w, h, sr, sg, sb)
+        }
+      }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Analytic twin: the index formula through the palette formula,
+    * no GIF involved (see [[mmGif]]). */
+  val mmGifSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id,
+      |         CAST(n_chars % 15 + 1 AS INT) AS width,
+      |         CAST(doc_id % 9 + 1 AS INT) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id, width, height,
+      |         (doc_id + 3 * x + 5 * y) % 256 AS i
+      |  FROM dims,
+      |       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) ty)
+      |SELECT media_id, width, height,
+      |       CAST(SUM(i) AS BIGINT) AS sum_r,
+      |       CAST(SUM(3 * i % 256) AS BIGINT) AS sum_g,
+      |       CAST(SUM(7 * i % 256) AS BIGINT) AS sum_b
       |FROM px GROUP BY 1, 2, 3""".stripMargin
 
   /** Lossy-format gate: per-document synthetic grayscale image of

@@ -960,4 +960,134 @@ object WebIngest {
       |       CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_html,
       |       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END) AS BIGINT) AS sum_params
       |FROM u GROUP BY 1, 2""".stripMargin
+
+  /** `web_images` — the multimodal arm of crawl ingest: WARC response
+    * records whose payloads are IMAGES, routed to the right pure-JVM
+    * codec by MAGIC BYTES ([[graft.multimodal.Media.sniffImage]]), not
+    * by the Content-Type header (real crawls lie; the gate still
+    * asserts header/sniff agreement on its own well-formed synth so a
+    * routing bug can't hide). Per document, doc_id mod 3 picks the
+    * format — GIF (LZW indexed, grayscale palette), PNG (truecolor
+    * DEFLATE), or baseline JPEG on its exact block-constant subspace —
+    * so one gate drives all three decoders behind one dispatch. The
+    * oracle is a three-branch analytic twin (each branch the format's
+    * own pixel-formula sum); agreement proves sniff routing AND every
+    * decode chain, because a misrouted or misdecoded image changes its
+    * row's sum.
+    *
+    * Scale shape: one WARC file per task, per-record O(pixels) decode,
+    * zero shuffles — the [[webWarcExtract]] idiom with codec dispatch
+    * in place of HTML extraction. */
+  def webImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{GifCodec, JpegCodec, Media, PngCodec}
+    val grayPal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        val recs = rows.map { case (id, nc) =>
+          val (mime, img) = (id % 3) match {
+            case 0 =>
+              val w = (nc % 15 + 1).toInt; val h = (id % 9 + 1).toInt
+              val idx = Array.tabulate(w * h)(i =>
+                ((id + 3L * (i % w) + 5L * (i / w)) % 256L).toByte)
+              ("image/gif", GifCodec.encode(w, h, idx, grayPal))
+            case 1 =>
+              val w = (nc % 13 + 1).toInt; val h = (id % 11 + 1).toInt
+              val rgb = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < rgb.length) {
+                val p = i / 3
+                rgb(i) = ((id + 3L * (p % w) + 5L * (p / w) + 7L * (i % 3)) % 256L).toByte
+                i += 1
+              }
+              ("image/png", PngCodec.encode(w, h, rgb))
+            case _ =>
+              val w = (nc % 3 + 1).toInt * 8; val h = (id % 2 + 1).toInt * 8
+              val gray = Array.tabulate(w * h) { i =>
+                val bx = (i % w) / 8; val by = (i / w) / 8
+                (2L * ((id + 11L * bx + 23L * by) % 128L)).toByte
+              }
+              ("image/jpeg", JpegCodec.encodeGray(w, h, gray, quality = 50))
+          }
+          val http = HttpMessage.response(200, "OK", Seq(
+            "Content-Type" -> mime), img)
+          WarcRecord(Map(
+            "WARC-Type"       -> "response",
+            "WARC-Record-ID"  -> s"<urn:uuid:img-$id>",
+            "WARC-Date"       -> "2026-01-01T00:00:00Z",
+            "WARC-Target-URI" -> s"https://img.example.com/asset/$id",
+            "Content-Type"    -> "application/http; msgtype=response"), http)
+        }
+        val fileBytes = WarcCodec.writeGz(recs)
+        // ——— ingest side: bytes only; format from MAGIC, not headers ———
+        WarcCodec.readGz(fileBytes).iterator.map { r =>
+          val (_, hdrs, body) = HttpMessage.parseResponse(r.payload)
+          val uri = r.targetUri
+          val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+          val fmt = Media.sniffImage(body).getOrElse(
+            sys.error(s"unsniffable image payload for asset $id"))
+          require(hdrs.get("content-type").contains(s"image/$fmt"),
+            s"sniffed $fmt disagrees with ${hdrs.get("content-type")} for asset $id")
+          val (w, h, sum) = fmt match {
+            case "gif" =>
+              val (dw, dh, idx, pal) = GifCodec.decode(body)
+              var s0 = 0L; var i = 0
+              while (i < idx.length) { s0 += (pal(idx(i) & 0xFF) >> 16) & 0xFF; i += 1 }
+              (dw, dh, s0)
+            case "png" =>
+              val (dw, dh, rgb) = PngCodec.decode(body)
+              var s0 = 0L; var i = 0
+              while (i < rgb.length) { s0 += rgb(i) & 0xFF; i += 3 } // R channel
+              (dw, dh, s0)
+            case "jpeg" =>
+              val (dw, dh, rgb) = JpegCodec.decode(body)
+              var s0 = 0L; var i = 0
+              while (i < rgb.length) { s0 += rgb(i) & 0xFF; i += 3 } // luma
+              (dw, dh, s0)
+            case other => sys.error(s"unexpected image format $other for asset $id")
+          }
+          (id, fmt, w, h, sum)
+        }
+      }.toDF("doc_id", "fmt", "width", "height", "sum_px")
+  }
+
+  /** Analytic twin: per format branch, the format's own pixel formula
+    * summed directly — no WARC, HTTP, or codec involved. */
+  val webImagesSql: String =
+    """WITH gifd AS (
+      |  SELECT doc_id, CAST(n_chars % 15 + 1 AS INT) AS width,
+      |         CAST(doc_id % 9 + 1 AS INT) AS height
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |gif AS (
+      |  SELECT doc_id, 'gif' AS fmt, width, height,
+      |         CAST(SUM((doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_px
+      |  FROM gifd,
+      |       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) ty
+      |  GROUP BY 1, 2, 3, 4),
+      |pngd AS (
+      |  SELECT doc_id, CAST(n_chars % 13 + 1 AS INT) AS width,
+      |         CAST(doc_id % 11 + 1 AS INT) AS height
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |png AS (
+      |  SELECT doc_id, 'png' AS fmt, width, height,
+      |         CAST(SUM((doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_px
+      |  FROM pngd,
+      |       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) ty
+      |  GROUP BY 1, 2, 3, 4),
+      |jpgd AS (
+      |  SELECT doc_id, CAST(n_chars % 3 + 1 AS BIGINT) AS wb,
+      |         CAST(doc_id % 2 + 1 AS BIGINT) AS hb
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |jpg AS (
+      |  SELECT doc_id, 'jpeg' AS fmt,
+      |         CAST(wb * 8 AS INT) AS width, CAST(hb * 8 AS INT) AS height,
+      |         CAST(64 * SUM(2 * ((doc_id + 11 * bx + 23 * by) % 128)) AS BIGINT) AS sum_px
+      |  FROM jpgd,
+      |       LATERAL (SELECT unnest(generate_series(0, wb - 1)) AS bx) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, hb - 1)) AS by) ty
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT * FROM gif UNION ALL SELECT * FROM png UNION ALL SELECT * FROM jpg""".stripMargin
 }

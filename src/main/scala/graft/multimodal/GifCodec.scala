@@ -103,6 +103,58 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** Encode an animation: full-canvas frames over one global palette,
+    * each preceded by a Graphic Control Extension carrying its delay
+    * (centiseconds, one per frame) with disposal "do not dispose" —
+    * the replace-the-whole-canvas animation shape, which is also what
+    * makes per-frame decode composition-free. Non-interlaced. */
+  def encodeAnimated(w: Int, h: Int, frames: Seq[Array[Byte]],
+      palette: Array[Int], delaysCs: Seq[Int]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(delaysCs.length == frames.length,
+      s"${frames.length} frames but ${delaysCs.length} delays")
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF,
+      s"GIF dims out of range: ${w}x$h")
+    require(palette.length >= 2 && palette.length <= 256,
+      s"palette size ${palette.length} outside 2..256")
+    var gctBits = 1
+    while ((1 << gctBits) < palette.length) gctBits += 1
+    val gctSize = 1 << gctBits
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 64)
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0x80 | (7 << 4) | (gctBits - 1))
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < gctSize) {
+      val rgb = if (i < palette.length) palette(i) else 0
+      out.write((rgb >> 16) & 0xFF); out.write((rgb >> 8) & 0xFF); out.write(rgb & 0xFF)
+      i += 1
+    }
+    val minCode = math.max(2, gctBits)
+    frames.zip(delaysCs).foreach { case (idx, delay) =>
+      require(idx.length == w * h, s"need $w*$h indices, got ${idx.length}")
+      var j = 0
+      while (j < idx.length) {
+        require((idx(j) & 0xFF) < palette.length,
+          s"index ${idx(j) & 0xFF} outside palette of ${palette.length}")
+        j += 1
+      }
+      // GCE: disposal 1 (do not dispose), no transparency
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(1 << 2); u16(delay); out.write(0); out.write(0)
+      out.write(0x2C)
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0x00)
+      out.write(minCode)
+      lzwEncode(idx, minCode, out)
+      out.write(0)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
   /** GIF-variant LZW compress `data` into 255-byte sub-blocks on `out`.
     * Dictionary is a chained-hash over (prefixCode, byte) pairs in flat
     * arrays — no boxing on the per-pixel path. */
@@ -189,12 +241,49 @@ object GifCodec {
   /** The 4 interlace passes: (first row, row step) — GIF89a §20. */
   private val InterlacePasses = Seq((0, 8), (4, 8), (2, 4), (1, 2))
 
+  /** One decoded animation frame: its rectangle on the logical screen,
+    * row-major top-down palette indices, the color table in effect
+    * (local beats global), and the GIF89a Graphic Control state that
+    * preceded it (−1 transparent index = opaque; disposal 0..3;
+    * delay in centiseconds). */
+  final case class Frame(frameNo: Int, left: Int, top: Int, w: Int, h: Int,
+      indices: Array[Byte], palette: Array[Int],
+      transparent: Int, disposal: Int, delayCs: Int)
+
   /** Decode the FIRST image of a GIF into (width, height, row-major
     * top-down palette indices, packed 0xRRGGBB palette). Handles 87a +
     * 89a, global + local color tables, interlace, and skips any
     * extension blocks before the image. Fails loudly on anything
     * structurally off (see object scaladoc). */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte], Array[Int]) = {
+    val (_, _, frames) = decodeFrames(bytes, maxFrames = 1)
+    val f = frames.head
+    (f.w, f.h, f.indices, f.palette)
+  }
+
+  /** Decode up to `maxFrames` frames of a (possibly animated) GIF:
+    * (logical screen w, logical screen h, frames in stream order).
+    * Stops reading at the frame cap — the every-nth-frame sampling
+    * idiom ([[AviCodec]]) decodes only what it keeps. Graphic Control
+    * Extensions are PARSED (not skipped) so each frame carries its
+    * transparency/disposal/delay; all other extensions skip
+    * structurally. */
+  def decodeFrames(bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue): (Int, Int, Vector[Frame]) =
+    walkFrames(bytes, _ => true, maxFrames)
+
+  /** Decode every `n`th frame (0, n, 2n, …) of an animated GIF. The
+    * frames NOT kept are skipped STRUCTURALLY — their LZW sub-blocks
+    * are length-prefixed, so skipping walks block headers without
+    * decompressing a byte: decode cost is proportional to frames KEPT,
+    * not frames present (the [[AviCodec]] every-nth discipline). */
+  def decodeEveryNth(bytes: Array[Byte], n: Int): (Int, Int, Vector[Frame]) = {
+    require(n > 0, s"sampling stride $n")
+    walkFrames(bytes, _ % n == 0, Int.MaxValue)
+  }
+
+  private def walkFrames(bytes: Array[Byte], keep: Int => Boolean,
+      maxKept: Int): (Int, Int, Vector[Frame]) = {
     var p = 0
     def u8(): Int = {
       require(p < bytes.length, s"GIF truncated at byte $p")
@@ -205,7 +294,7 @@ object GifCodec {
     val sig = new String(bytes, 0, 6, "US-ASCII")
     require(sig == "GIF89a" || sig == "GIF87a", s"not a GIF signature: $sig")
     p = 6
-    u16(); u16() // logical screen dims (frame descriptor dims are authoritative)
+    val sw = u16(); val sh = u16() // logical screen dims
     val packed = u8()
     u8(); u8() // background index, aspect ratio
     def readColorTable(bits: Int): Array[Int] = {
@@ -225,12 +314,30 @@ object GifCodec {
         n = u8()
       }
     }
-    while (true) {
+    val frames = Vector.newBuilder[Frame]
+    var nKept = 0
+    var nSeen = 0
+    // pending Graphic Control state: applies to the NEXT image only
+    var gceTransparent = -1
+    var gceDisposal = 0
+    var gceDelay = 0
+    var atTrailer = false
+    while (!atTrailer && nKept < maxKept) {
       u8() match {
         case 0x21 => // extension: label byte, then sub-block chain
-          u8(); skipSubBlocks()
-        case 0x2C => // image descriptor — the frame we decode
-          u16(); u16() // left, top (first frame of a well-formed still: 0,0)
+          val label = u8()
+          if (label == 0xF9) { // Graphic Control Extension — parsed
+            val size = u8()
+            require(size == 4, s"GCE block size $size (spec: 4)")
+            val gp = u8()
+            gceDisposal = (gp >> 2) & 0x07
+            gceDelay = u16()
+            val ti = u8()
+            gceTransparent = if ((gp & 0x01) != 0) ti else -1
+            skipSubBlocks()
+          } else skipSubBlocks()
+        case 0x2C => // image descriptor
+          val left = u16(); val top = u16()
           val w = u16(); val h = u16()
           require(w > 0 && h > 0, s"GIF frame dims ${w}x$h")
           val ipacked = u8()
@@ -240,35 +347,46 @@ object GifCodec {
           val interlaced = (ipacked & 0x40) != 0
           val minCode = u8()
           require(minCode >= 2 && minCode <= 8, s"LZW min code size $minCode")
-          val rows = new Array[Byte](w * h)
-          val read = lzwDecode(bytes, p, minCode, rows)
-          p = read
-          skipSubBlocks() // the terminator (and any spec-violating residue)
-          val out =
-            if (!interlaced) rows
-            else {
-              val d = new Array[Byte](rows.length)
-              var src = 0
-              for ((start, step) <- InterlacePasses; y <- start until h by step) {
-                System.arraycopy(rows, src * w, d, y * w, w)
-                src += 1
+          if (!keep(nSeen)) {
+            // structural skip: LZW data is length-prefixed sub-blocks —
+            // no decompression for frames the sampler drops
+            skipSubBlocks()
+          } else {
+            val rows = new Array[Byte](w * h)
+            val read = lzwDecode(bytes, p, minCode, rows)
+            p = read
+            skipSubBlocks() // the terminator (and any spec-violating residue)
+            val out =
+              if (!interlaced) rows
+              else {
+                val d = new Array[Byte](rows.length)
+                var src = 0
+                for ((start, step) <- InterlacePasses; y <- start until h by step) {
+                  System.arraycopy(rows, src * w, d, y * w, w)
+                  src += 1
+                }
+                d
               }
-              d
+            var i = 0
+            while (i < out.length) {
+              require((out(i) & 0xFF) < lct.length,
+                s"GIF pixel index ${out(i) & 0xFF} outside color table of ${lct.length}")
+              i += 1
             }
-          var i = 0
-          while (i < out.length) {
-            require((out(i) & 0xFF) < lct.length,
-              s"GIF pixel index ${out(i) & 0xFF} outside color table of ${lct.length}")
-            i += 1
+            frames += Frame(nSeen, left, top, w, h, out, lct,
+              gceTransparent, gceDisposal, gceDelay)
+            nKept += 1
           }
-          return (w, h, out, lct)
+          nSeen += 1
+          gceTransparent = -1; gceDisposal = 0; gceDelay = 0
         case 0x3B =>
-          throw new IllegalArgumentException("GIF trailer before any image frame")
+          atTrailer = true
         case b =>
           throw new IllegalArgumentException(f"unknown GIF block 0x$b%02X at ${p - 1}")
       }
     }
-    throw new IllegalStateException("unreachable")
+    require(nSeen > 0, "GIF trailer before any image frame")
+    (sw, sh, frames.result())
   }
 
   /** GIF-variant LZW decompress starting at `start` (the first

@@ -519,6 +519,73 @@ object Media {
       }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Animated-GIF sampling gate: per document a synthetic animation of
+    * 2..5 full-canvas frames (pixel formula varies per frame) →
+    * [[GifCodec.encodeAnimated]] (per-frame Graphic Control
+    * Extensions) → [[GifCodec.decodeEveryNth]] stride 2 — the
+    * every-nth-frame training-data idiom, where the DROPPED frames'
+    * LZW data is skipped structurally (length-prefixed sub-blocks),
+    * never decompressed: decode cost ∝ frames kept. The gate asserts
+    * each kept frame's pixels AND its round-tripped GCE delay inline;
+    * the analytic twin enumerates the even frames' pixel formula
+    * directly. At 100 TB: per-row O(kept pixels), zero shuffle. */
+  def mmGifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val palette = Array.tabulate(256)(i => (i << 16) | ((3 * i % 256) << 8) | (7 * i % 256))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, nc) =>
+          val w = (nc % 12 + 1).toInt
+          val h = (id % 7 + 1).toInt
+          val nf = (id % 4 + 2).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate[Byte](w * h)(i =>
+              ((id + 3L * (i % w) + 5L * (i / w) + 11L * f) % 256L).toByte)
+          }
+          val gif = GifCodec.encodeAnimated(w, h, frames, palette,
+            delaysCs = (0 until nf).map(_ + 1))
+          val (sw, sh, kept) = GifCodec.decodeEveryNth(gif, 2)
+          require(sw == w && sh == h, s"GIF screen dims mismatch for media $id")
+          require(kept.map(_.frameNo) == (0 until nf by 2).toVector,
+            s"sampled frame set mismatch for media $id")
+          kept.map { fr =>
+            require(fr.w == w && fr.h == h &&
+              java.util.Arrays.equals(fr.indices, frames(fr.frameNo)) &&
+              fr.delayCs == fr.frameNo + 1,
+              s"GIF frame round-trip mismatch for media $id frame ${fr.frameNo}")
+            var s0 = 0L; var j = 0
+            while (j < fr.indices.length) { s0 += fr.indices(j) & 0xFF; j += 1 }
+            (id, fr.frameNo, w, h, s0)
+          }
+        }
+      }.toDF("media_id", "frame_no", "width", "height", "sum_px")
+  }
+
+  /** Analytic twin: the even frames' pixel formula, no GIF involved
+    * (see [[mmGifFrames]]). */
+  val mmGifFramesSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id,
+      |         CAST(n_chars % 12 + 1 AS INT) AS width,
+      |         CAST(doc_id % 7 + 1 AS INT) AS height,
+      |         doc_id % 4 + 2 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT media_id, doc_id, width, height, f
+      |  FROM dims,
+      |       LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) tf
+      |  WHERE f % 2 = 0),
+      |px AS (
+      |  SELECT media_id, CAST(f AS INT) AS frame_no, width, height,
+      |         (doc_id + 3 * x + 5 * y + 11 * f) % 256 AS v
+      |  FROM fr,
+      |       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) ty)
+      |SELECT media_id, frame_no, width, height,
+      |       CAST(SUM(v) AS BIGINT) AS sum_px
+      |FROM px GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Analytic twin: the index formula through the palette formula,
     * no GIF involved (see [[mmGif]]). */
   val mmGifSql: String =

@@ -127,6 +127,56 @@ class GifSpec extends AnyFunSuite {
       GifCodec.encode(3, 1, Array[Byte](0, 1), p)) // wrong pixel count
   }
 
+  test("animation: encodeAnimated → decodeFrames round-trips every frame + GCE state") {
+    val (w, h) = (9, 6)
+    val p = pal(32)
+    val frames = (0 until 4).map(f =>
+      noise(w * h, seed = 100 + f).map(b => ((b & 0xFF) % 32).toByte))
+    val gif = GifCodec.encodeAnimated(w, h, frames, p, delaysCs = Seq(3, 5, 7, 9))
+    val (sw, sh, out) = GifCodec.decodeFrames(gif)
+    assert(sw == w && sh == h && out.size == 4)
+    out.zipWithIndex.foreach { case (fr, i) =>
+      assert(fr.frameNo == i && fr.left == 0 && fr.top == 0 && fr.w == w && fr.h == h)
+      assert(fr.indices.sameElements(frames(i)), s"frame $i pixels")
+      assert(fr.delayCs == Seq(3, 5, 7, 9)(i) && fr.disposal == 1 && fr.transparent == -1)
+    }
+    // maxFrames stops early; decode() is frame 0
+    assert(GifCodec.decodeFrames(gif, maxFrames = 2)._3.map(_.frameNo) == Vector(0, 1))
+    assert(GifCodec.decode(gif)._3.sameElements(frames(0)))
+  }
+
+  test("animation: every-nth sampling keeps 0,n,2n… and skips dropped frames' LZW data") {
+    val (w, h) = (12, 12)
+    val p = pal(256)
+    val frames = (0 until 7).map(f => noise(w * h, seed = 1000 + f))
+    val gif = GifCodec.encodeAnimated(w, h, frames, p, delaysCs = Seq.fill(7)(2))
+    for (n <- Seq(1, 2, 3, 7)) {
+      val (_, _, kept) = GifCodec.decodeEveryNth(gif, n)
+      assert(kept.map(_.frameNo) == (0 until 7 by n).toVector, s"stride $n")
+      kept.foreach(fr => assert(fr.indices.sameElements(frames(fr.frameNo)),
+        s"stride $n frame ${fr.frameNo}"))
+    }
+  }
+
+  test("animation: ImageIO's reader sees our frames pixel-identically") {
+    val (w, h) = (14, 11)
+    val p = pal(256)
+    val frames = (0 until 3).map(f => noise(w * h, seed = 50 + f))
+    val gif = GifCodec.encodeAnimated(w, h, frames, p, delaysCs = Seq(1, 2, 3))
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    assert(rd.getNumImages(true) == 3)
+    for (f <- 0 until 3) {
+      val img = rd.read(f)
+      assert(img.getWidth == w && img.getHeight == h, s"frame $f dims")
+      for (i <- 0 until w * h)
+        assert((img.getRGB(i % w, i / w) & 0xFFFFFF) == p(frames(f)(i) & 0xFF),
+          s"frame $f pixel $i")
+    }
+    rd.dispose()
+  }
+
   test("single-color and single-pixel images (degenerate LZW) round-trip") {
     for ((w, h) <- Seq((1, 1), (200, 1), (64, 64))) {
       val idx = Array.fill[Byte](w * h)(3)

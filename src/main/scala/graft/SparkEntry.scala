@@ -280,6 +280,7 @@ object SparkEntry {
     "feat_target_encode" -> (Features.featTargetEncode _),
     "stream_feat_scale" -> (graft.streaming.FeatureStream.streamFeatScale _),
     "stream_web"        -> (graft.streaming.WebStream.streamWeb _),
+    "stream_images"     -> (graft.streaming.ImageStream.streamImages _),
     "q46_pctile_wide"   -> (Selection.q46PctileWide _)
   )
 
@@ -623,6 +624,7 @@ object SparkEntry {
     "feat_target_encode" -> Features.featTargetEncodeSql,
     "stream_feat_scale" -> Features.featScaleSql,
     "stream_web"        -> graft.web.WebIngest.streamWebSql,
+    "stream_images"     -> graft.streaming.ImageStream.streamImagesSql,
     "q46_pctile_wide"   -> Selection.q46PctileWideSql
   )
 

@@ -1316,4 +1316,64 @@ class StreamingSpec extends AnyFunSuite {
     for ((b, files) <- before if !touched(b))
       assert(after(b) == files, s"untouched fp bucket $b was rewritten")
   }
+
+  test("streaming image capstone: restart + replay converge; cross-format dedup collapses GIF/PNG pairs") {
+    // image WARC batches -> magic-dispatch decode -> canonical-pixel
+    // key fold -> admitted feature rows; same fold discipline as the
+    // web capstone, keyed on md5 of the DECODED bytes so identical
+    // pixels shipped in different formats collapse to one keeper.
+    import graft.streaming.ImageStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-img-src")
+    val table = Files.createTempDirectory("graft-img-tab").toString
+    val ckpt = Files.createTempDirectory("graft-img-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-img-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(ImageStream.imageSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select(col("doc_id"), col("key")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    // fold identity through the REAL stream machinery
+    val rows = ImageStream.imageRowsOf(docs)
+    val oneShot = keySet(ImageStream.admittedUnder(rows, ImageStream.keyOf(rows)))
+    val streamed = keySet(ImageStream.storedImages(spark, table))
+    assert(oneShot.nonEmpty && streamed == oneShot,
+      "streamed image rows must equal the one-shot keeper set")
+    // the CROSS-FORMAT path did something: some admitted GIF keeper
+    // owns a PNG loser of the same content class (or vice versa) —
+    // i.e. strictly fewer keepers than distinct (format, class) pairs
+    val admitted = ImageStream.storedImages(spark, table)
+    val gifPngKeepers = admitted.where(col("fmt").isin("gif", "png")).count()
+    val gifPngClasses = docs
+      .where(pmod(col("doc_id"), lit(3)) < 2)
+      .select(pmod(col("doc_id"), lit(ImageStream.NClasses))).distinct().count()
+    assert(gifPngKeepers == gifPngClasses,
+      "each content class must collapse its GIF and PNG twins to ONE keeper")
+    assert(admitted.count() < docs.count(),
+      "fixture must exercise the collapse path")
+    // at-least-once: replaying batch 1 must rewrite IDENTICAL rows
+    ImageStream.imageSink(table)(b2, 1L)
+    assert(keySet(ImageStream.storedImages(spark, table)) == oneShot,
+      "batch replay must be a no-op")
+  }
 }

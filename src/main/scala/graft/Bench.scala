@@ -171,18 +171,23 @@ object Bench {
       var err: Option[String] = None
       val times = (1 to 2).map { i =>
         val t0 = System.nanoTime()
+        var ran: Option[org.apache.spark.sql.DataFrame] = None
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
           df.count()
-          // fingerprint run 2's EXECUTED plan (post-AQE): zero extra
-          // work — the df already ran; see planFingerprint
-          if (i == 2) planFps = planFps.updated(name, planFingerprint(df))
+          ran = Some(df)
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // fingerprint run 2's EXECUTED plan (post-AQE) AFTER the clock
+        // stops: the toString + normalization regexes are cheap but
+        // not free, and they must never ride inside a shipped time
+        if (i == 2) ran.foreach(df =>
+          planFps = planFps.updated(name, planFingerprint(df)))
+        t
       }
       spark.catalog.clearCache()
       (times.min, err)

@@ -49,6 +49,38 @@ object Media {
     else None
   }
 
+  /** Sniff-route-decode to the canonical rendering: format from magic
+    * bytes, then (fmt, width, height, row-major top-down RGB bytes,
+    * palette applied). THE one dispatch both consumers share —
+    * [[graft.web.WebIngest.webImages]] (feature sums) and
+    * [[graft.streaming.ImageStream]] (canonical-pixel dedup key) — so
+    * a codec or routing fix can never make the gate and the dedup key
+    * silently diverge. Throws on unsniffable payloads (quarantine
+    * routing is the caller's job). */
+  def decodeCanonicalRgb(body: Array[Byte]): (String, Int, Int, Array[Byte]) =
+    sniffImage(body) match {
+      case Some("gif") =>
+        val (w, h, idx, pal) = GifCodec.decode(body)
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < idx.length) {
+          val p = pal(idx(i) & 0xFF)
+          out(3 * i) = ((p >> 16) & 0xFF).toByte
+          out(3 * i + 1) = ((p >> 8) & 0xFF).toByte
+          out(3 * i + 2) = (p & 0xFF).toByte
+          i += 1
+        }
+        ("gif", w, h, out)
+      case Some("png") =>
+        val (w, h, rgb) = PngCodec.decode(body); ("png", w, h, rgb)
+      case Some("jpeg") =>
+        val (w, h, rgb) = JpegCodec.decode(body); ("jpeg", w, h, rgb)
+      case Some("bmp") =>
+        val (w, h, rgb) = BmpCodec.decode(body); ("bmp", w, h, rgb)
+      case other =>
+        sys.error(s"no canonical decoder for payload sniffed as $other")
+    }
+
   /** ====== STUB — replace with real codecs when available ======
     * Deterministic fakes standing in for the codecs that genuinely
     * need native libraries (compressed audio, video frames). The
@@ -70,12 +102,24 @@ object Media {
       * contains. */
     def sniffNative(bytes: Array[Byte]): Option[String] = {
       def at(i: Int) = if (i < bytes.length) bytes(i) & 0xFF else -1
-      if (at(0) == 'I' && at(1) == 'D' && at(2) == '3') Some("MP3 (ID3v2)")
+      // the three ASCII-magic probes must also check the structural
+      // byte AFTER the magic, or ordinary text beginning "ID3 tags…" /
+      // "OggS…" / "fLaC…" would false-positive and rejectNative would
+      // throw on a legitimate document payload: ID3v2 pins a known
+      // major version (2/3/4) and syncsafe size bytes (<0x80); an Ogg
+      // page's version byte is 0x00; FLAC's first metadata block is
+      // STREAMINFO (type 0, is-last bit free) — none of which a text
+      // byte (≥0x20) can satisfy at that offset
+      if (at(0) == 'I' && at(1) == 'D' && at(2) == '3' &&
+        at(3) >= 2 && at(3) <= 4 && at(6) < 0x80 && at(7) < 0x80 &&
+        at(8) < 0x80 && at(9) < 0x80) Some("MP3 (ID3v2)")
       else if (at(0) == 0xFF && (at(1) & 0xE0) == 0xE0) Some("MPEG audio sync (MP3/AAC ADTS)")
       else if (at(0) == 0 && at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') Some("ISO-BMFF (MP4/MOV)")
       else if (at(0) == 0 && at(1) == 0 && (at(2) == 1 || (at(2) == 0 && at(3) == 1))) Some("H.264/H.265 Annex-B")
-      else if (at(0) == 'O' && at(1) == 'g' && at(2) == 'g' && at(3) == 'S') Some("Ogg")
-      else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C') Some("FLAC")
+      else if (at(0) == 'O' && at(1) == 'g' && at(2) == 'g' && at(3) == 'S' &&
+        at(4) == 0) Some("Ogg")
+      else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C' &&
+        (at(4) & 0x7F) == 0) Some("FLAC")
       else None
     }
 

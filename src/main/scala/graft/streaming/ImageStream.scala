@@ -96,33 +96,17 @@ object ImageStream {
           "Content-Type"    -> "application/http; msgtype=response"), http)
       }
       val fileBytes = WarcCodec.writeGz(recs)
-      // ——— ingest side: bytes only; format from MAGIC, not headers ———
+      // ——— ingest side: bytes only; the SAME sniff-route-decode
+      // dispatch webImages rides (Media.decodeCanonicalRgb), one
+      // digest per partition (the extractFeatures idiom) ———
+      val md = java.security.MessageDigest.getInstance("MD5")
       WarcCodec.readGz(fileBytes).iterator.map { r =>
         val (_, _, body) = HttpMessage.parseResponse(r.payload)
         val uri = r.targetUri
         val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-        val fmt = Media.sniffImage(body).getOrElse(
-          sys.error(s"unsniffable image payload for asset $id"))
-        // canonical rendering: row-major RGB bytes, palette applied
-        val (w, h, rgb) = fmt match {
-          case "gif" =>
-            val (dw, dh, idx, pal) = GifCodec.decode(body)
-            val out = new Array[Byte](dw * dh * 3)
-            var i = 0
-            while (i < idx.length) {
-              val p = pal(idx(i) & 0xFF)
-              out(3 * i) = ((p >> 16) & 0xFF).toByte
-              out(3 * i + 1) = ((p >> 8) & 0xFF).toByte
-              out(3 * i + 2) = (p & 0xFF).toByte
-              i += 1
-            }
-            (dw, dh, out)
-          case "png"  => PngCodec.decode(body)
-          case "jpeg" => JpegCodec.decode(body)
-          case other  => sys.error(s"unexpected image format $other for asset $id")
-        }
-        val key = java.security.MessageDigest.getInstance("MD5").digest(rgb)
-          .map("%02x".format(_)).mkString
+        val (fmt, w, h, rgb) = Media.decodeCanonicalRgb(body)
+        md.reset()
+        val key = md.digest(rgb).map("%02x".format(_)).mkString
         var sum = 0L; var i = 0
         while (i < rgb.length) { sum += rgb(i) & 0xFF; i += 3 } // R channel
         (id, fmt, w, h, key, sum)

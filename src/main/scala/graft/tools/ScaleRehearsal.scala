@@ -121,6 +121,11 @@ object ScaleRehearsal {
     })
     names.foreach { n => // warmup pass then timed pass
       SparkEntry.queries(n)(spark, out).count()
+      // drain the async listener bus BEFORE resetting: a warmup task's
+      // trailing onTaskEnd landing after the reset would bleed warmup
+      // memory/spill into the recorded timed-pass numbers (spilled is
+      // additive, so the bleed inflates, never hides)
+      Thread.sleep(300)
       peakMem.set(0); spilled.set(0); maxTaskMs.set(0)
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, out).count()

@@ -1020,33 +1020,18 @@ object WebIngest {
             "Content-Type"    -> "application/http; msgtype=response"), http)
         }
         val fileBytes = WarcCodec.writeGz(recs)
-        // ——— ingest side: bytes only; format from MAGIC, not headers ———
+        // ——— ingest side: bytes only; format from MAGIC, not headers
+        // (the shared sniff-route-decode dispatch: Media
+        // .decodeCanonicalRgb, the same helper ImageStream keys on) ———
         WarcCodec.readGz(fileBytes).iterator.map { r =>
           val (_, hdrs, body) = HttpMessage.parseResponse(r.payload)
           val uri = r.targetUri
           val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-          val fmt = Media.sniffImage(body).getOrElse(
-            sys.error(s"unsniffable image payload for asset $id"))
+          val (fmt, w, h, rgb) = Media.decodeCanonicalRgb(body)
           require(hdrs.get("content-type").contains(s"image/$fmt"),
             s"sniffed $fmt disagrees with ${hdrs.get("content-type")} for asset $id")
-          val (w, h, sum) = fmt match {
-            case "gif" =>
-              val (dw, dh, idx, pal) = GifCodec.decode(body)
-              var s0 = 0L; var i = 0
-              while (i < idx.length) { s0 += (pal(idx(i) & 0xFF) >> 16) & 0xFF; i += 1 }
-              (dw, dh, s0)
-            case "png" =>
-              val (dw, dh, rgb) = PngCodec.decode(body)
-              var s0 = 0L; var i = 0
-              while (i < rgb.length) { s0 += rgb(i) & 0xFF; i += 3 } // R channel
-              (dw, dh, s0)
-            case "jpeg" =>
-              val (dw, dh, rgb) = JpegCodec.decode(body)
-              var s0 = 0L; var i = 0
-              while (i < rgb.length) { s0 += rgb(i) & 0xFF; i += 3 } // luma
-              (dw, dh, s0)
-            case other => sys.error(s"unexpected image format $other for asset $id")
-          }
+          var sum = 0L; var i = 0
+          while (i < rgb.length) { sum += rgb(i) & 0xFF; i += 3 } // R channel
           (id, fmt, w, h, sum)
         }
       }.toDF("doc_id", "fmt", "width", "height", "sum_px")

@@ -177,6 +177,31 @@ class GifSpec extends AnyFunSuite {
     rd.dispose()
   }
 
+  test("property: arbitrary indexed images round-trip and ImageIO agrees (raw Gen sampling, fixed seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      w <- Gen.chooseNum(1, 48)
+      h <- Gen.chooseNum(1, 48)
+      palSize <- Gen.chooseNum(2, 256)
+      interlaced <- Gen.oneOf(true, false)
+      pixels <- Gen.listOfN(w * h, Gen.chooseNum(0, palSize - 1))
+    } yield (w, h, palSize, interlaced, pixels.map(_.toByte).toArray)
+    for (i <- 0 until 60) {
+      val (w, h, ps, il, idx) =
+        gen.apply(Gen.Parameters.default, Seed(1000L + i)).get
+      val p = pal(ps)
+      val gif = GifCodec.encode(w, h, idx, p, il)
+      val (dw, dh, back, _) = GifCodec.decode(gif)
+      assert(dw == w && dh == h && back.sameElements(idx),
+        s"case $i: ${w}x$h pal=$ps interlaced=$il")
+      val (iw, ih, rgb) = imageioDecode(gif)
+      assert(iw == w && ih == h, s"case $i ImageIO dims")
+      for (j <- 0 until w * h)
+        assert(rgb(j) == p(idx(j) & 0xFF), s"case $i ImageIO pixel $j")
+    }
+  }
+
   test("single-color and single-pixel images (degenerate LZW) round-trip") {
     for ((w, h) <- Seq((1, 1), (200, 1), (64, 64))) {
       val idx = Array.fill[Byte](w * h)(3)

@@ -141,6 +141,7 @@ object SparkEntry {
     "mm_png"            -> (graft.multimodal.Media.mmPng _),
     "mm_gif"            -> (graft.multimodal.Media.mmGif _),
     "mm_gif_frames"     -> (graft.multimodal.Media.mmGifFrames _),
+    "mm_pack_pairs"     -> (graft.multimodal.Media.mmPackPairs _),
     "mm_wav"            -> (graft.multimodal.Media.mmWav _),
     "mm_energy"         -> (graft.multimodal.Media.mmEnergy _),
     "mm_phash"          -> (graft.multimodal.Media.mmPhash _),
@@ -412,6 +413,7 @@ object SparkEntry {
     "mm_png"            -> graft.multimodal.Media.mmPngSql,
     "mm_gif"            -> graft.multimodal.Media.mmGifSql,
     "mm_gif_frames"     -> graft.multimodal.Media.mmGifFramesSql,
+    "mm_pack_pairs"     -> graft.multimodal.Media.mmPackPairsSql,
     "mm_wav"            -> graft.multimodal.Media.mmWavSql,
     "mm_energy"         -> graft.multimodal.Media.mmEnergySql,
     "mm_phash"          -> graft.multimodal.Media.mmPhashSql,

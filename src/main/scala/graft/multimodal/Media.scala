@@ -606,6 +606,58 @@ object Media {
       }.toDF("media_id", "frame_no", "width", "height", "sum_px")
   }
 
+  /** Vision-language sequence packing — the multimodal arm of
+    * [[graft.operators.Cleaning.packChunks]]: each (text, image)
+    * training pair costs text tokens (the packer's whitespace count)
+    * PLUS its image's patch-grid tokens (⌈w/4⌉·⌈h/4⌉ — the ViT-style
+    * patch budget, dims from the REAL decode chain in
+    * [[graft.web.WebIngest.webImages]]) plus 2 separators; pairs pack
+    * greedily per format stream (loaders batch by modality shape)
+    * through THE chunk-manifest kernel
+    * ([[graft.operators.Cleaning.chunkManifest]] — one definition, so
+    * the text and multimodal packers cannot drift). Format streams are
+    * the per-language operating point of the text gate; at 100 TB the
+    * kernel's (key, shard) form applies unchanged
+    * (CleaningSpec pins sharded ≡ per-stream). */
+  def mmPackPairs(s: SparkSession, dir: String): DataFrame = {
+    val imgs = graft.web.WebIngest.webImages(s, dir)
+      .select(col("doc_id"), col("fmt"), col("width"), col("height"))
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_text"))
+    val pairs = imgs.join(toks, Seq("doc_id"))
+      .withColumn("n_tokens",
+        (col("n_text") +
+          expr("((width + 3) div 4) * ((height + 3) div 4)") + lit(2L))
+          .cast("long"))
+      .select(col("doc_id"), col("fmt"), col("n_tokens"))
+    graft.operators.Cleaning.chunkManifest(pairs, Seq("fmt"))
+      .select(col("doc_id"), col("fmt"), col("n_tokens"),
+        col("first_chunk"), col("last_chunk"), col("n_chunks"))
+  }
+
+  /** Analytic twin: nests web_images' oracle for the decoded dims,
+    * then replays the token accounting and the running-cursor spans. */
+  val mmPackPairsSql: String =
+    "WITH img AS (" + graft.web.WebIngest.webImagesSql + "),\n" +
+    s"""t AS (
+      |  SELECT d.doc_id, img.fmt,
+      |         CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT)
+      |           + ((img.width + 3) // 4) * ((img.height + 3) // 4)
+      |           + 2 AS n_tokens
+      |  FROM documents d JOIN img ON img.doc_id = d.doc_id),
+      |c AS (
+      |  SELECT doc_id, fmt, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY fmt ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |  FROM t)
+      |SELECT doc_id, fmt, n_tokens,
+      |  cb // ${graft.operators.Cleaning.ChunkTokens} AS first_chunk,
+      |  (cb + n_tokens - 1) // ${graft.operators.Cleaning.ChunkTokens} AS last_chunk,
+      |  (cb + n_tokens - 1) // ${graft.operators.Cleaning.ChunkTokens}
+      |    - cb // ${graft.operators.Cleaning.ChunkTokens} + 1 AS n_chunks
+      |FROM c""".stripMargin
+
   /** Analytic twin: the even frames' pixel formula, no GIF involved
     * (see [[mmGifFrames]]). */
   val mmGifFramesSql: String =

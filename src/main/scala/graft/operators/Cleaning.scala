@@ -625,7 +625,7 @@ object Cleaning {
     * columns pass through. [[packChunks]] and
     * [[Pipeline.pipelineFull]] both delegate here, so the packing
     * contract cannot drift between the packer and the capstone. */
-  private[operators] def chunkManifest(in: DataFrame, streamKey: Seq[String]): DataFrame = {
+  private[graft] def chunkManifest(in: DataFrame, streamKey: Seq[String]): DataFrame = {
     val win = Window.partitionBy(streamKey.map(col): _*)
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

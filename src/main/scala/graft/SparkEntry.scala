@@ -282,6 +282,7 @@ object SparkEntry {
     "stream_feat_scale" -> (graft.streaming.FeatureStream.streamFeatScale _),
     "stream_web"        -> (graft.streaming.WebStream.streamWeb _),
     "stream_images"     -> (graft.streaming.ImageStream.streamImages _),
+    "stream_pack"       -> (graft.streaming.PackStream.streamPack _),
     "q46_pctile_wide"   -> (Selection.q46PctileWide _)
   )
 
@@ -627,6 +628,7 @@ object SparkEntry {
     "stream_feat_scale" -> Features.featScaleSql,
     "stream_web"        -> graft.web.WebIngest.streamWebSql,
     "stream_images"     -> graft.streaming.ImageStream.streamImagesSql,
+    "stream_pack"       -> graft.operators.Cleaning.taPackChunksSql,
     "q46_pctile_wide"   -> Selection.q46PctileWideSql
   )
 

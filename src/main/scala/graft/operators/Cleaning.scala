@@ -625,12 +625,18 @@ object Cleaning {
     * columns pass through. [[packChunks]] and
     * [[Pipeline.pipelineFull]] both delegate here, so the packing
     * contract cannot drift between the packer and the capstone. */
-  private[graft] def chunkManifest(in: DataFrame, streamKey: Seq[String]): DataFrame = {
+  private[graft] def chunkManifest(in: DataFrame, streamKey: Seq[String],
+      base: Option[String] = None): DataFrame = {
     val win = Window.partitionBy(streamKey.map(col): _*)
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val passThrough = in.columns.map(col).toSeq
-    in.withColumn("cb", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+    // `base` (a per-row column, constant per stream) starts the cursor
+    // mid-stream — the streaming packer's carried offset
+    // ([[graft.streaming.PackStream]]); None is cursor 0, the batch
+    // packers' whole-corpus origin
+    in.withColumn("cb", coalesce(sum(col("n_tokens")).over(win), lit(0L))
+        + base.map(col).getOrElse(lit(0L)))
       .select(passThrough ++ Seq(
         expr(s"cb div $ChunkTokens").as("first_chunk"),
         when(col("n_tokens") === 0, expr(s"cb div $ChunkTokens - 1"))

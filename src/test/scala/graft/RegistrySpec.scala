@@ -63,7 +63,7 @@ class RegistrySpec extends AnyFunSuite {
     "ParagraphStream.cleanedOutput", "SketchStream.storedHllRegs",
     "SketchStream.storedQuantileState", "SnapshotStream.currentSnapshot",
     "ViewStream.currentView", "WebStream.storedTraining",
-    "ImageStream.storedImages",
+    "ImageStream.storedImages", "PackStream.storedManifest",
     // IO plumbing: raw readers under registered source/sink gates
     "Formats.readIntermediate", "Formats.readOutputLines", "Formats.readOrc",
     "WholeFiles.read", "WholeFiles.readBinary", "Manifest.keyed")

@@ -1376,4 +1376,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(keySet(ImageStream.storedImages(spark, table)) == oneShot,
       "batch replay must be a no-op")
   }
+
+  test("streaming chunk packer: cursor carry across restarts equals the one-shot manifest; replay never double-advances") {
+    // the packing cursor is a SUM (not idempotent), so the state rides
+    // the versioned predecessor rule: v=<batchId> merged from the
+    // newest version STRICTLY BELOW the batch id
+    import graft.streaming.PackStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-pack-src")
+    val table = Files.createTempDirectory("graft-pack-tab").toString
+    val ckpt = Files.createTempDirectory("graft-pack-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-pack-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(PackStream.packSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    def spans(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long, Long)] =
+      df.select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("first_chunk"), col("last_chunk")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    // fold identity through the real stream machinery: union of
+    // per-batch manifests == the one-shot packer
+    val oneShot = spans(graft.operators.Cleaning.taPackChunks(spark, sf))
+    assert(spans(PackStream.storedManifest(spark, table)) == oneShot,
+      "streamed manifest must equal ta_pack_chunks")
+    // batch 2's spans CONTINUED batch 1's cursor (not restarted at 0):
+    // some batch-2 doc must sit past every batch-1 chunk in its stream
+    val out = spark.read.parquet(s"$table/out")
+    val maxB1 = out.where(col("batch") === 0).groupBy(col("lang"))
+      .agg(max(col("last_chunk")).as("m1"))
+    val crossed = out.where(col("batch") === 1).join(maxB1, Seq("lang"))
+      .where(col("first_chunk") >= col("m1")).count()
+    assert(crossed > 0, "batch 2 must continue, not restart, the cursor")
+    // replay: re-running batch 1 re-reads predecessor v=0 and rewrites
+    // v=1 — cursor identical, manifest identical (never double-adds)
+    val v1Before = spark.read.parquet(s"$table/cursor/v=1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    PackStream.packSink(table)(b2, 1L)
+    val v1After = spark.read.parquet(s"$table/cursor/v=1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v1After == v1Before, "replayed batch must not advance the cursor twice")
+    assert(spans(PackStream.storedManifest(spark, table)) == oneShot,
+      "replayed batch must rewrite the identical manifest")
+  }
 }

@@ -522,4 +522,37 @@ class PlanSpec extends AnyFunSuite {
       .collect { case e: ShuffleExchangeExec => e }.isEmpty,
       "feat_hashed_cross must stay a narrow map")
   }
+
+  test("r11 codec/pack family: decode passes shuffle-free; pack and image-dedup stages bound their exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // the per-row codec gates: one WARC/image per task, ZERO exchanges
+    for ((name, df) <- Seq(
+        "mm_gif"        -> graft.multimodal.Media.mmGif(spark, dir),
+        "mm_gif_frames" -> graft.multimodal.Media.mmGifFrames(spark, dir),
+        "web_images"    -> graft.web.WebIngest.webImages(spark, dir))) {
+      assert(plan(df).collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"$name must stay a narrow decode map")
+      // and the scan reads only the two synthesis columns
+      assert(scans(df).head.requiredSchema.fieldNames.toSet ==
+        Set("doc_id", "n_chars"), s"$name scan must prune to the synthesis columns")
+    }
+    // stream_images: decode narrow; the fold/admission stages key on
+    // the canonical-pixel md5 — equi-joins only, never a nested loop
+    val si = plan(graft.streaming.ImageStream.streamImages(spark, dir))
+    assert(si.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "stream_images admission must be an equi-join")
+    // mm_pack_pairs: the only exchanges are the pair join and the
+    // per-format pack windows — the decode subtree itself adds none
+    // (window partition count is bounded by |fmt| streams, the
+    // documented per-language operating point)
+    val pp = plan(graft.multimodal.Media.mmPackPairs(spark, dir))
+    assert(pp.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "mm_pack_pairs must not plan a nested-loop join")
+    // stream_pack: the kernel's window is the only corpus exchange per
+    // batch side; no cartesian anywhere
+    val sp = plan(graft.streaming.PackStream.streamPack(spark, dir))
+    assert(sp.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "stream_pack must not plan a nested-loop join")
+  }
 }

@@ -168,8 +168,9 @@ object ImageStream {
     * analytic group identity carries the same information. */
   def streamImages(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val Array(org.apache.spark.sql.Row(lo: Long, hi: Long)) =
-      docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    require(!r.isNullAt(0), s"empty documents table under $dir")
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
     val mid = lo + (hi - lo) / 2
     val (b1, b2) = (docs.where(col("doc_id") <= mid), docs.where(col("doc_id") > mid))
     val (rows1, rows2) = (imageRowsOf(b1), imageRowsOf(b2))

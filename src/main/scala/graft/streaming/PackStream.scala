@@ -49,20 +49,28 @@ object PackStream {
     toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("cursor"))
 
   /** Cursor merge — pointwise SUM (associative, not idempotent: see
-    * the versioning discipline above). */
+    * the versioning discipline above). NULL-SAFE on the stream key:
+    * the window kernel (and the oracle's PARTITION BY) group NULL
+    * langs into ONE stream, so the carry must too — a plain equi-join
+    * would silently restart the NULL stream's cursor every batch. */
   private[graft] def mergeCursors(a: DataFrame, b: DataFrame): DataFrame =
-    a.select(col("lang"), col("cursor").as("ca"))
-      .join(b.select(col("lang"), col("cursor").as("cb")), Seq("lang"), "full_outer")
-      .select(col("lang"),
+    a.select(col("lang").as("la"), col("cursor").as("ca"))
+      .join(b.select(col("lang").as("lb"), col("cursor").as("cb")),
+        col("la") <=> col("lb"), "full_outer")
+      .select(coalesce(col("la"), col("lb")).as("lang"),
         (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("cursor"))
 
   /** A batch's manifest under carried per-stream cursors: the kernel
-    * with `base` = this stream's cursor (0 for a first-seen stream). */
+    * with `base` = this stream's cursor (0 for a first-seen stream).
+    * The state lookup is null-safe for the same reason as
+    * [[mergeCursors]]. */
   private[graft] def manifestUnder(toks: DataFrame, state: Option[DataFrame]): DataFrame = {
     val based = state match {
       case Some(st) =>
-        toks.join(st.select(col("lang"), col("cursor").as("cursor_base")),
-            Seq("lang"), "left")
+        toks.join(
+            st.select(col("lang").as("lang_s"), col("cursor").as("cursor_base")),
+            col("lang") <=> col("lang_s"), "left")
+          .drop("lang_s")
           .na.fill(0L, Seq("cursor_base"))
       case None => toks.withColumn("cursor_base", lit(0L))
     }
@@ -107,10 +115,15 @@ object PackStream {
     * (oracle IS ta_pack_chunks' SQL — the fold identity). */
   def streamPack(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
-    val Array(org.apache.spark.sql.Row(lo: Long, hi: Long)) =
-      d.agg(min(col("doc_id")), max(col("doc_id"))).collect()
+    val r = d.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    require(!r.isNullAt(0), s"empty documents table under $dir")
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
     val mid = lo + (hi - lo) / 2
+    // toks1 feeds two consumers (its own manifest + batch 2's carried
+    // cursors) — persisted so the scan+tokenize runs once; released by
+    // the harness clearCache between queries (the allpairs contract)
     val toks1 = tokensOf(d.where(col("doc_id") <= mid))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks2 = tokensOf(d.where(col("doc_id") > mid))
     manifestUnder(toks1, None)
       .unionByName(manifestUnder(toks2, Some(cursorsOf(toks1))))

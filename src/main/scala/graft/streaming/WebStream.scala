@@ -130,8 +130,9 @@ object WebStream {
     * `pipeline_web` (the fold identity — oracle nests its SQL). */
   def streamWeb(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val Array(org.apache.spark.sql.Row(lo: Long, hi: Long)) =
-      docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    require(!r.isNullAt(0), s"empty documents table under $dir")
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
     val mid = lo + (hi - lo) / 2
     val (b1, b2) = (docs.where(col("doc_id") <= mid), docs.where(col("doc_id") > mid))
     val (rows1, rows2) = (WebIngest.pipelineRowsOf(b1), WebIngest.pipelineRowsOf(b2))

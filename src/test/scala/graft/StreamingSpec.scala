@@ -1438,5 +1438,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(v1After == v1Before, "replayed batch must not advance the cursor twice")
     assert(spans(PackStream.storedManifest(spark, table)) == oneShot,
       "replayed batch must rewrite the identical manifest")
+    // NULL-lang stream: the kernel groups NULL keys into one stream,
+    // so the cursor carry must too (null-safe join/merge) — batch 2's
+    // NULL-lang doc continues batch 1's NULL cursor, never restarts
+    val nt = Files.createTempDirectory("graft-packnull").toString
+    val C = graft.operators.Cleaning.ChunkTokens
+    val longText = Seq.fill(C + 44)("w").mkString(" ") // 300 tokens at C=256
+    val nb1 = Seq((1L, null.asInstanceOf[String], longText)).toDF("doc_id", "lang", "text")
+    val nb2 = Seq((2L, null.asInstanceOf[String], "d e")).toDF("doc_id", "lang", "text")
+    PackStream.packSink(nt)(nb1, 0L)
+    PackStream.packSink(nt)(nb2, 1L)
+    val cur = spark.read.parquet(s"$nt/cursor/v=1").collect()
+    assert(cur.length == 1 && cur(0).isNullAt(0) && cur(0).getLong(1) == C + 46L,
+      "NULL-lang cursors must merge into ONE stream")
+    val m2 = spark.read.parquet(s"$nt/out/batch=1").collect()(0)
+    assert(m2.getLong(m2.fieldIndex("first_chunk")) == 1L,
+      "the NULL stream's second batch must continue past chunk 0 (a plain " +
+        "equi-join would restart its cursor at 0)")
   }
 }

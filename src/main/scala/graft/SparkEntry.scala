@@ -141,6 +141,8 @@ object SparkEntry {
     "mm_png"            -> (graft.multimodal.Media.mmPng _),
     "mm_gif"            -> (graft.multimodal.Media.mmGif _),
     "mm_gif_frames"     -> (graft.multimodal.Media.mmGifFrames _),
+    "mm_tiff"           -> (graft.multimodal.Media.mmTiff _),
+    "mm_tiff_pages"     -> (graft.multimodal.Media.mmTiffPages _),
     "mm_pack_pairs"     -> (graft.multimodal.Media.mmPackPairs _),
     "mm_wav"            -> (graft.multimodal.Media.mmWav _),
     "mm_energy"         -> (graft.multimodal.Media.mmEnergy _),
@@ -414,6 +416,8 @@ object SparkEntry {
     "mm_png"            -> graft.multimodal.Media.mmPngSql,
     "mm_gif"            -> graft.multimodal.Media.mmGifSql,
     "mm_gif_frames"     -> graft.multimodal.Media.mmGifFramesSql,
+    "mm_tiff"           -> graft.multimodal.Media.mmTiffSql,
+    "mm_tiff_pages"     -> graft.multimodal.Media.mmTiffPagesSql,
     "mm_pack_pairs"     -> graft.multimodal.Media.mmPackPairsSql,
     "mm_wav"            -> graft.multimodal.Media.mmWavSql,
     "mm_energy"         -> graft.multimodal.Media.mmEnergySql,

@@ -34,7 +34,7 @@ object Media {
                            thumb_w: Int, thumb_h: Int)
 
   /** Magic-byte sniff for the REAL image codecs ([[GifCodec]],
-    * [[PngCodec]], [[JpegCodec]], [[BmpCodec]]) — the crawl-ingest
+    * [[PngCodec]], [[JpegCodec]], [[BmpCodec]], [[TiffCodec]]) — the crawl-ingest
     * dispatch key ([[graft.web.WebIngest.webImages]]): real crawls'
     * Content-Type headers lie, the first bytes don't. Returns the
     * lowercase format name a decoder exists for, None otherwise
@@ -46,6 +46,8 @@ object Media {
     else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') Some("png")
     else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) Some("jpeg")
     else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+    else if (at(0) == 'I' && at(1) == 'I' && at(2) == 42 && at(3) == 0) Some("tiff")
+    else if (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 42) Some("tiff")
     else None
   }
 
@@ -77,6 +79,8 @@ object Media {
         val (w, h, rgb) = JpegCodec.decode(body); ("jpeg", w, h, rgb)
       case Some("bmp") =>
         val (w, h, rgb) = BmpCodec.decode(body); ("bmp", w, h, rgb)
+      case Some("tiff") =>
+        val (w, h, rgb) = TiffCodec.decode(body); ("tiff", w, h, rgb)
       case other =>
         sys.error(s"no canonical decoder for payload sniffed as $other")
     }
@@ -128,9 +132,9 @@ object Media {
         throw new UnsupportedOperationException(
           s"StubCodec.$op: payload is $fmt — a natively-compressed format " +
             "this engine deliberately does not fake-decode; plug a real " +
-            "codec in at this boundary (BMP/PNG/JPEG/WAV/u-law/AVI are " +
-            "already real: BmpCodec, PngCodec, JpegCodec, WavCodec, " +
-            "UlawCodec, AviCodec)")
+            "codec in at this boundary (BMP/PNG/JPEG/GIF/TIFF/WAV/u-law/AVI " +
+            "are already real: BmpCodec, PngCodec, JpegCodec, GifCodec, " +
+            "TiffCodec, WavCodec, UlawCodec, AviCodec)")
       }
 
     /** "Decode" = the raw bytes themselves (a real impl returns pixel
@@ -562,6 +566,141 @@ object Media {
         }
       }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
+
+  /** TIFF gate: per-document synthetic RGB image → [[TiffCodec.encode]]
+    * with the WIRE VARIANTS chosen by doc_id — compression (even ids
+    * LZW, odd uncompressed), horizontal-differencing predictor 2 on
+    * ids ≡ 0 (mod 4), and strip layout by id mod 3 (single strip /
+    * one-row strips / 3-row strips, each strip its own LZW stream) —
+    * → [[TiffCodec.decode]] → per-channel sums, one mapPartitions
+    * pass. TIFF is lossless, so the gate asserts the exact round-trip
+    * inline and the analytic twin sums the pixel formula with no TIFF
+    * involved: agreement proves the IFD layout, strip reassembly,
+    * TIFF's MSB-first early-change LZW, and the predictor transform
+    * reproduced every pixel on every variant. Cross-format
+    * independence (vs the JDK's ImageIO TIFF plugin, both directions)
+    * is TiffSpec's job. At 100 TB: per-row O(pixels), zero shuffle. */
+  def mmTiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val w = (nc % 11 + 1).toInt
+          val h = (id % 8 + 1).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < rgb.length) {
+            val p = i / 3
+            // pixel (x, y) channel c = (doc_id + 9x + 5y + 7c) mod 256
+            rgb(i) = ((id + 9L * (p % w) + 5L * (p / w) + 7L * (i % 3)) % 256L).toByte
+            i += 1
+          }
+          val lzw = id % 2 == 0
+          val pred = if (lzw && id % 4 == 0) 2 else 1
+          val rps = (id % 3) match { case 0 => 0; case 1 => 1; case _ => 3 }
+          val tif = TiffCodec.encode(w, h, rgb, lzw, pred, rps.toInt)
+          val (dw, dh, back) = TiffCodec.decode(tif)
+          require(dw == w && dh == h && java.util.Arrays.equals(back, rgb),
+            s"TIFF round-trip mismatch for media $id (lzw=$lzw pred=$pred rps=$rps)")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var j = 0
+          while (j < back.length) {
+            sr += back(j) & 0xFF; sg += back(j + 1) & 0xFF; sb += back(j + 2) & 0xFF
+            j += 3
+          }
+          (id, w, h, sr, sg, sb)
+        }
+      }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Analytic twin of [[mmTiff]]: the pixel formula summed per
+    * channel directly — no TIFF involved. */
+  val mmTiffSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(n_chars % 11 + 1 AS INT) AS width,
+      |         CAST(doc_id % 8 + 1 AS INT) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.width, d.height,
+      |         (d.doc_id + 9 * x + 5 * y) % 256 AS r,
+      |         (d.doc_id + 9 * x + 5 * y + 7) % 256 AS g,
+      |         (d.doc_id + 9 * x + 5 * y + 14) % 256 AS b
+      |  FROM d,
+      |       LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) ty)
+      |SELECT doc_id AS media_id, width, height,
+      |       CAST(SUM(r) AS BIGINT) AS sum_r,
+      |       CAST(SUM(g) AS BIGINT) AS sum_g,
+      |       CAST(SUM(b) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
+
+  /** Multi-page TIFF sampling gate — [[mmGifFrames]]'s DOCUMENT twin:
+    * per document a synthetic 2..5-page scan (pixel formula varies per
+    * page) → [[TiffCodec.encodePages]] (IFD chain; LZW on even ids,
+    * predictor 2 on ids ≡ 0 mod 4) → [[TiffCodec.decodeEveryNth]]
+    * stride 2 — the every-nth-page idiom where DROPPED pages' strip
+    * data is never read: the walk hops next-IFD pointers structurally,
+    * so decode cost ∝ pages kept. The gate asserts each kept page's
+    * exact pixels inline; the analytic twin enumerates the even pages'
+    * formula directly. At 100 TB: per-row O(kept pixels), zero
+    * shuffle. */
+  def mmTiffPages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, nc) =>
+          val w = (nc % 9 + 1).toInt
+          val h = (id % 6 + 1).toInt
+          val nf = (id % 4 + 2).toInt
+          val pages = (0 until nf).map { f =>
+            Array.tabulate[Byte](w * h * 3) { i =>
+              val p = i / 3
+              ((id + 9L * (p % w) + 5L * (p / w) + 7L * (i % 3) + 11L * f) % 256L).toByte
+            }
+          }
+          val lzw = id % 2 == 0
+          val pred = if (lzw && id % 4 == 0) 2 else 1
+          val tif = TiffCodec.encodePages(w, h, pages, lzw, pred)
+          require(TiffCodec.pageCount(tif) == nf, s"page count mismatch for media $id")
+          val kept = TiffCodec.decodeEveryNth(tif, 2)
+          require(kept.map(_.pageNo) == (0 until nf by 2).toVector,
+            s"sampled page set mismatch for media $id")
+          kept.map { pg =>
+            require(pg.w == w && pg.h == h &&
+              java.util.Arrays.equals(pg.rgb, pages(pg.pageNo)),
+              s"TIFF page round-trip mismatch for media $id page ${pg.pageNo}")
+            var s0 = 0L; var j = 0
+            while (j < pg.rgb.length) { s0 += pg.rgb(j) & 0xFF; j += 1 }
+            (id, pg.pageNo, w, h, s0)
+          }
+        }
+      }.toDF("media_id", "page_no", "width", "height", "sum_px")
+  }
+
+  /** Analytic twin of [[mmTiffPages]]: the even pages' pixel formula
+    * summed over all three channels — no TIFF involved. */
+  val mmTiffPagesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(n_chars % 9 + 1 AS INT) AS width,
+      |         CAST(doc_id % 6 + 1 AS INT) AS height,
+      |         doc_id % 4 + 2 AS nf
+      |  FROM documents),
+      |pg AS (
+      |  SELECT d.doc_id, d.width, d.height, f
+      |  FROM d, LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS f) tf
+      |  WHERE f % 2 = 0),
+      |px AS (
+      |  SELECT doc_id, f, width, height,
+      |         (doc_id + 9 * x + 5 * y + 7 * c + 11 * f) % 256 AS v
+      |  FROM pg,
+      |       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) ty,
+      |       LATERAL (SELECT unnest(generate_series(0, 2)) AS c) tc)
+      |SELECT doc_id AS media_id, CAST(f AS INT) AS page_no, width, height,
+      |       CAST(SUM(v) AS BIGINT) AS sum_px
+      |FROM px GROUP BY 1, 2, 3, 4""".stripMargin
 
   /** Animated-GIF sampling gate: per document a synthetic animation of
     * 2..5 full-canvas frames (pixel formula varies per frame) →

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.multimodal.{GifCodec, JpegCodec, Media, PngCodec}
+import graft.multimodal.{GifCodec, JpegCodec, Media, PngCodec, TiffCodec}
 import graft.web.{HttpMessage, WarcCodec, WarcRecord}
 
 /** The STREAMING MULTIMODAL CAPSTONE — [[graft.web.WebIngest
@@ -21,9 +21,9 @@ import graft.web.{HttpMessage, WarcCodec, WarcRecord}
   * resize/requantize robustness — is `mm_phash`'s department). The
   * synthesis makes that path real: pixel content derives from a
   * CONTENT CLASS (doc_id mod [[ImageStream.NClasses]]), while
-  * doc_id mod 3 picks the wire format, so GIF and PNG of the same
-  * class are byte-identical after decode and must dedup together,
-  * across batches. JPEG rides its own block-constant content domain
+  * doc_id mod 4 picks the wire format, so GIF, PNG, and TIFF of the
+  * same class are byte-identical after decode and must dedup
+  * together, across batches. JPEG rides its own block-constant content domain
   * (its dims are 8-multiples, so it can never collide with the
   * small GIF/PNG canvases — distinct byte lengths).
   *
@@ -66,7 +66,7 @@ object ImageStream {
     batch.select(col("doc_id")).as[Long].mapPartitions { ids =>
       val recs = ids.map { id =>
         val c = (id % NClasses).toInt
-        val (mime, img) = (id % 3) match {
+        val (mime, img) = (id % 4) match {
           case 0 =>
             val w = c % 5 + 4; val h = c % 3 + 3
             val idx = Array.tabulate[Byte](w * h)(i =>
@@ -79,13 +79,21 @@ object ImageStream {
             val rgb = Array.tabulate[Byte](w * h * 3)(i =>
               ((17 * c + 3 * ((i / 3) % w) + 5 * ((i / 3) / w)) % 256).toByte)
             ("image/png", PngCodec.encode(w, h, rgb))
-          case _ =>
+          case 2 =>
             val w = (c % 2 + 1) * 8; val h = (c % 3 + 1) * 8
             val gray = Array.tabulate[Byte](w * h) { i =>
               val bx = (i % w) / 8; val by = (i / w) / 8
               (2 * ((17 * c + 11 * bx + 23 * by) % 128)).toByte
             }
             ("image/jpeg", JpegCodec.encodeGray(w, h, gray, quality = 50))
+          case _ =>
+            // same class ⇒ same gray content AGAIN, as a TIFF — the
+            // three-way cross-format collision (uncompressed strip;
+            // webImages exercises the TIFF-LZW wire path)
+            val w = c % 5 + 4; val h = c % 3 + 3
+            val rgb = Array.tabulate[Byte](w * h * 3)(i =>
+              ((17 * c + 3 * ((i / 3) % w) + 5 * ((i / 3) / w)) % 256).toByte)
+            ("image/tiff", TiffCodec.encode(w, h, rgb))
         }
         val http = HttpMessage.response(200, "OK", Seq("Content-Type" -> mime), img)
         WarcRecord(Map(
@@ -178,16 +186,17 @@ object ImageStream {
     admittedUnder(rows1.unionByName(rows2), folded).drop("key")
   }
 
-  /** Analytic twin: content groups from the class formulas — GIF and
-    * PNG of one class share a group ('gp'), JPEG has its own ('j') —
-    * keeper = MIN doc_id per group, dims + R-channel sums from the
-    * same formulas. Agreement proves the decode chain, the canonical
-    * rendering (a GIF/PNG pair only collides if BOTH codecs
-    * reconstruct identical bytes), and the fold identity. */
+  /** Analytic twin: content groups from the class formulas — GIF,
+    * PNG, and TIFF of one class share a group ('gp'), JPEG has its
+    * own ('j') — keeper = MIN doc_id per group, dims + R-channel sums
+    * from the same formulas. Agreement proves the decode chain, the
+    * canonical rendering (a GIF/PNG/TIFF trio only collides if ALL
+    * three codecs reconstruct identical bytes), and the fold
+    * identity. */
   val streamImagesSql: String =
     s"""WITH g AS (
-      |  SELECT doc_id, doc_id % ${NClasses} AS c, doc_id % 3 AS m,
-      |         CASE WHEN doc_id % 3 IN (0, 1) THEN 'gp' ELSE 'j' END AS dom
+      |  SELECT doc_id, doc_id % ${NClasses} AS c, doc_id % 4 AS m,
+      |         CASE WHEN doc_id % 4 IN (0, 1, 3) THEN 'gp' ELSE 'j' END AS dom
       |  FROM documents),
       |k AS (SELECT dom, c, MIN(doc_id) AS keeper FROM g GROUP BY 1, 2),
       |adm AS (
@@ -195,14 +204,15 @@ object ImageStream {
       |  JOIN k ON k.dom = g.dom AND k.c = g.c AND k.keeper = g.doc_id),
       |gp AS (
       |  SELECT a.doc_id,
-      |         CASE WHEN a.m = 0 THEN 'gif' ELSE 'png' END AS fmt,
+      |         CASE WHEN a.m = 0 THEN 'gif' WHEN a.m = 1 THEN 'png'
+      |              ELSE 'tiff' END AS fmt,
       |         CAST(a.c % 5 + 4 AS INT) AS width,
       |         CAST(a.c % 3 + 3 AS INT) AS height,
       |         CAST(SUM((17 * a.c + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_px
       |  FROM adm a,
       |       LATERAL (SELECT unnest(generate_series(0, a.c % 5 + 3)) AS x) tx,
       |       LATERAL (SELECT unnest(generate_series(0, a.c % 3 + 2)) AS y) ty
-      |  WHERE a.m IN (0, 1)
+      |  WHERE a.m IN (0, 1, 3)
       |  GROUP BY 1, 2, 3, 4),
       |j AS (
       |  SELECT a.doc_id, 'jpeg' AS fmt,

@@ -966,27 +966,28 @@ object WebIngest {
     * codec by MAGIC BYTES ([[graft.multimodal.Media.sniffImage]]), not
     * by the Content-Type header (real crawls lie; the gate still
     * asserts header/sniff agreement on its own well-formed synth so a
-    * routing bug can't hide). Per document, doc_id mod 3 picks the
+    * routing bug can't hide). Per document, doc_id mod 4 picks the
     * format — GIF (LZW indexed, grayscale palette), PNG (truecolor
-    * DEFLATE), or baseline JPEG on its exact block-constant subspace —
-    * so one gate drives all three decoders behind one dispatch. The
-    * oracle is a three-branch analytic twin (each branch the format's
-    * own pixel-formula sum); agreement proves sniff routing AND every
-    * decode chain, because a misrouted or misdecoded image changes its
-    * row's sum.
+    * DEFLATE), baseline JPEG on its exact block-constant subspace, or
+    * TIFF (chunky RGB under TIFF's OWN MSB-first early-change LZW,
+    * [[graft.multimodal.TiffCodec]]) — so one gate drives all four
+    * decoders behind one dispatch. The oracle is a four-branch
+    * analytic twin (each branch the format's own pixel-formula sum);
+    * agreement proves sniff routing AND every decode chain, because a
+    * misrouted or misdecoded image changes its row's sum.
     *
     * Scale shape: one WARC file per task, per-record O(pixels) decode,
     * zero shuffles — the [[webWarcExtract]] idiom with codec dispatch
     * in place of HTML extraction. */
   def webImages(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.multimodal.{GifCodec, JpegCodec, Media, PngCodec}
+    import graft.multimodal.{GifCodec, JpegCodec, Media, PngCodec, TiffCodec}
     val grayPal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .mapPartitions { rows =>
         val recs = rows.map { case (id, nc) =>
-          val (mime, img) = (id % 3) match {
+          val (mime, img) = (id % 4) match {
             case 0 =>
               val w = (nc % 15 + 1).toInt; val h = (id % 9 + 1).toInt
               val idx = Array.tabulate(w * h)(i =>
@@ -1002,13 +1003,23 @@ object WebIngest {
                 i += 1
               }
               ("image/png", PngCodec.encode(w, h, rgb))
-            case _ =>
+            case 2 =>
               val w = (nc % 3 + 1).toInt * 8; val h = (id % 2 + 1).toInt * 8
               val gray = Array.tabulate(w * h) { i =>
                 val bx = (i % w) / 8; val by = (i / w) / 8
                 (2L * ((id + 11L * bx + 23L * by) % 128L)).toByte
               }
               ("image/jpeg", JpegCodec.encodeGray(w, h, gray, quality = 50))
+            case _ =>
+              val w = (nc % 7 + 1).toInt; val h = (id % 5 + 1).toInt
+              val rgb = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < rgb.length) {
+                val p = i / 3
+                rgb(i) = ((id + 13L * (p % w) + 17L * (p / w) + 7L * (i % 3)) % 256L).toByte
+                i += 1
+              }
+              ("image/tiff", TiffCodec.encode(w, h, rgb, lzw = true))
           }
           val http = HttpMessage.response(200, "OK", Seq(
             "Content-Type" -> mime), img)
@@ -1043,7 +1054,7 @@ object WebIngest {
     """WITH gifd AS (
       |  SELECT doc_id, CAST(n_chars % 15 + 1 AS INT) AS width,
       |         CAST(doc_id % 9 + 1 AS INT) AS height
-      |  FROM documents WHERE doc_id % 3 = 0),
+      |  FROM documents WHERE doc_id % 4 = 0),
       |gif AS (
       |  SELECT doc_id, 'gif' AS fmt, width, height,
       |         CAST(SUM((doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_px
@@ -1054,7 +1065,7 @@ object WebIngest {
       |pngd AS (
       |  SELECT doc_id, CAST(n_chars % 13 + 1 AS INT) AS width,
       |         CAST(doc_id % 11 + 1 AS INT) AS height
-      |  FROM documents WHERE doc_id % 3 = 1),
+      |  FROM documents WHERE doc_id % 4 = 1),
       |png AS (
       |  SELECT doc_id, 'png' AS fmt, width, height,
       |         CAST(SUM((doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_px
@@ -1065,7 +1076,7 @@ object WebIngest {
       |jpgd AS (
       |  SELECT doc_id, CAST(n_chars % 3 + 1 AS BIGINT) AS wb,
       |         CAST(doc_id % 2 + 1 AS BIGINT) AS hb
-      |  FROM documents WHERE doc_id % 3 = 2),
+      |  FROM documents WHERE doc_id % 4 = 2),
       |jpg AS (
       |  SELECT doc_id, 'jpeg' AS fmt,
       |         CAST(wb * 8 AS INT) AS width, CAST(hb * 8 AS INT) AS height,
@@ -1073,6 +1084,18 @@ object WebIngest {
       |  FROM jpgd,
       |       LATERAL (SELECT unnest(generate_series(0, wb - 1)) AS bx) tx,
       |       LATERAL (SELECT unnest(generate_series(0, hb - 1)) AS by) ty
+      |  GROUP BY 1, 2, 3, 4),
+      |tifd AS (
+      |  SELECT doc_id, CAST(n_chars % 7 + 1 AS INT) AS width,
+      |         CAST(doc_id % 5 + 1 AS INT) AS height
+      |  FROM documents WHERE doc_id % 4 = 3),
+      |tif AS (
+      |  SELECT doc_id, 'tiff' AS fmt, width, height,
+      |         CAST(SUM((doc_id + 13 * x + 17 * y) % 256) AS BIGINT) AS sum_px
+      |  FROM tifd,
+      |       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) tx,
+      |       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) ty
       |  GROUP BY 1, 2, 3, 4)
-      |SELECT * FROM gif UNION ALL SELECT * FROM png UNION ALL SELECT * FROM jpg""".stripMargin
+      |SELECT * FROM gif UNION ALL SELECT * FROM png
+      |UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM tif""".stripMargin
 }

@@ -1317,7 +1317,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(after(b) == files, s"untouched fp bucket $b was rewritten")
   }
 
-  test("streaming image capstone: restart + replay converge; cross-format dedup collapses GIF/PNG pairs") {
+  test("streaming image capstone: restart + replay converge; cross-format dedup collapses GIF/PNG/TIFF trios") {
     // image WARC batches -> magic-dispatch decode -> canonical-pixel
     // key fold -> admitted feature rows; same fold discipline as the
     // web capstone, keyed on md5 of the DECODED bytes so identical
@@ -1359,16 +1359,16 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = keySet(ImageStream.storedImages(spark, table))
     assert(oneShot.nonEmpty && streamed == oneShot,
       "streamed image rows must equal the one-shot keeper set")
-    // the CROSS-FORMAT path did something: some admitted GIF keeper
-    // owns a PNG loser of the same content class (or vice versa) —
+    // the CROSS-FORMAT path did something: some admitted GIF/PNG/TIFF
+    // keeper owns same-class losers shipped in the OTHER formats —
     // i.e. strictly fewer keepers than distinct (format, class) pairs
     val admitted = ImageStream.storedImages(spark, table)
-    val gifPngKeepers = admitted.where(col("fmt").isin("gif", "png")).count()
-    val gifPngClasses = docs
-      .where(pmod(col("doc_id"), lit(3)) < 2)
+    val gpKeepers = admitted.where(col("fmt").isin("gif", "png", "tiff")).count()
+    val gpClasses = docs
+      .where(pmod(col("doc_id"), lit(4)) =!= 2)
       .select(pmod(col("doc_id"), lit(ImageStream.NClasses))).distinct().count()
-    assert(gifPngKeepers == gifPngClasses,
-      "each content class must collapse its GIF and PNG twins to ONE keeper")
+    assert(gpKeepers == gpClasses,
+      "each content class must collapse its GIF/PNG/TIFF twins to ONE keeper")
     assert(admitted.count() < docs.count(),
       "fixture must exercise the collapse path")
     // at-least-once: replaying batch 1 must rewrite IDENTICAL rows

@@ -468,17 +468,20 @@ class WebSpec extends AnyFunSuite {
   }
 
   test("web_images: magic-byte sniff routes every codec; unknown bytes route to None") {
-    import graft.multimodal.{GifCodec, JpegCodec, Media, PngCodec}
+    import graft.multimodal.{GifCodec, JpegCodec, Media, PngCodec, TiffCodec}
     val pal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
     assert(Media.sniffImage(GifCodec.encode(2, 2, Array[Byte](0, 1, 2, 3), pal)).contains("gif"))
     assert(Media.sniffImage(PngCodec.encode(1, 1, Array[Byte](9, 8, 7))).contains("png"))
     assert(Media.sniffImage(JpegCodec.encodeGray(8, 8, new Array[Byte](64), 50)).contains("jpeg"))
+    assert(Media.sniffImage(TiffCodec.encode(1, 1, Array[Byte](1, 2, 3))).contains("tiff"))
+    // big-endian TIFF sniffs too (the decoder reads both byte orders)
+    assert(Media.sniffImage(Array[Byte]('M', 'M', 0, 42)).contains("tiff"))
     assert(Media.sniffImage("not an image".getBytes("UTF-8")).isEmpty)
     assert(Media.sniffImage(Array.emptyByteArray).isEmpty)
     // the gate itself: every fixture row decodes through the dispatch
-    // and the three formats all appear
+    // and the four formats all appear
     val rows = WebIngest.webImages(spark, "/root/testdata/sf0.001")
       .select("fmt").distinct().collect().map(_.getString(0)).toSet
-    assert(rows == Set("gif", "png", "jpeg"))
+    assert(rows == Set("gif", "png", "jpeg", "tiff"))
   }
 }

@@ -230,6 +230,7 @@ object SparkEntry {
     "graph_jaccard"     -> (Graphs.graphJaccard _),
     "vocab_coverage"    -> (Tokenizer.vocabCoverage _),
     "sim_hard_negatives" -> (Similarity.simHardNegatives _),
+    "sim_bitext"        -> (Similarity.simBitext _),
     "events_dau"        -> (Relational2.eventsDau _),
     "ta_novelty"        -> (CorpusOps.taNovelty _),
     "stream_novelty"    -> (graft.streaming.NoveltyStream.streamNovelty _),
@@ -545,6 +546,7 @@ object SparkEntry {
     "graph_jaccard"     -> Graphs.graphJaccardSql,
     "vocab_coverage"    -> Tokenizer.vocabCoverageSql,
     "sim_hard_negatives" -> Similarity.simHardNegativesSql,
+    "sim_bitext"        -> Similarity.simBitextSql,
     "events_dau"        -> Relational2.eventsDauSql,
     "ta_novelty"        -> CorpusOps.taNoveltySql,
     // the min-merge fold identity: first-occurrence state over any

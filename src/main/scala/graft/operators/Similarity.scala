@@ -260,6 +260,128 @@ object Similarity {
        |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
        |FROM ranked WHERE rank <= $NegK""".stripMargin
 
+  // -------------------------------------------------------- sim_bitext
+  /** Neighbors feeding each side's margin denominator. */
+  val BitextK = 4
+
+  /** Ratio-margin acceptance threshold ×1000 (1.02 — CCMatrix mines at
+    * 1.06 on LASER embeddings; the synthetic fixture's similarity mass
+    * sits lower, same criterion). */
+  val BitextThreshold1000 = 1020
+
+  /** Cross-lingual BITEXT MINING — margin-based parallel-pair mining
+    * (Artetxe & Schwenk 2019's ratio margin, the CCMatrix/LASER
+    * recipe): candidate translation pairs (x in a non-English doc, y
+    * in English) score by cos(x,y) normalized by BOTH endpoints'
+    * neighborhood density — margin(x,y) = 2k·dot(x,y) /
+    * (Σ top-k fwd dots of x + Σ top-k bwd dots of y) — so a pair only
+    * mines when it stands OUT of each side's generic-similarity
+    * floor (raw-cosine thresholds drown in hubness; the margin is the
+    * published fix). Accepted pairs rank per source by exact dot.
+    *
+    * Everything is integer: dots ride the ×10⁶ fixed-point embeddings,
+    * the margin test is cross-multiplied (2k·dot·1000 ≥ T·(fsum+bsum))
+    * so no engine ever divides, and both sides' top-k sums come from
+    * the SAME [[ivfCandidates]] chain the rest of the family uses —
+    * cell-bucketed and capped, never all-pairs (at 100 TB this is
+    * mining over the stored FAISS-style index, exactly how CCMatrix
+    * ran; the window pools are candidate-bounded ≤ NProbe·IvfMaxCell).
+    * Missing bwd neighborhoods contribute 0 (COALESCE'd identically in
+    * both engines). */
+  def simBitext(s: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val cand = ivfCandidates(s, dir)
+      .join(langs.select(col("doc_id").as("query_id"), col("lang").as("qlang")), "query_id")
+      .join(langs.select(col("doc_id").as("neighbor_id"), col("lang").as("nlang")), "neighbor_id")
+      .where(col("qlang") =!= col("nlang") &&
+        (col("qlang") === "en" || col("nlang") === "en"))
+    // three consumers (fwd window, bwd window, the scored join) share
+    // this subtree — it roots in the pairDots mapPartitions kernel, so
+    // the deliberate repartition gives ReuseExchange a node to share
+    // (the ivfCandidates idiom) AND is the very exchange the per-query
+    // windows need
+    val dots = VecKernel.pairDots(s, dir,
+        cand.select(col("query_id"), col("neighbor_id")))
+      .join(cand.select(col("query_id"), col("neighbor_id"), col("qlang")),
+        Seq("query_id", "neighbor_id"))
+      .repartition(col("query_id"))
+    val rn = row_number().over(Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_scaled").desc, col("neighbor_id")))
+    // fwd: x (non-en) → its en candidates; bwd: y (en) → non-en
+    val fwd = dots.where(col("qlang") =!= "en").withColumn("rn", rn)
+    val bwd = dots.where(col("qlang") === "en").withColumn("rn", rn)
+    val fsum = fwd.where(col("rn") <= BitextK).groupBy(col("query_id"))
+      .agg(sum(col("dot_scaled")).as("fsum"))
+    val bsum = bwd.where(col("rn") <= BitextK).groupBy(col("query_id"))
+      .agg(sum(col("dot_scaled")).as("bsum"))
+    val scored = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("dot_scaled"))
+      .join(fsum.withColumnRenamed("query_id", "src_id"), Seq("src_id"))
+      .join(bsum.withColumnRenamed("query_id", "tgt_id"), Seq("tgt_id"), "left")
+      .select(col("src_id"), col("tgt_id"), col("dot_scaled"),
+        (lit(2L * BitextK) * col("dot_scaled")).as("margin_num"),
+        (col("fsum") + coalesce(col("bsum"), lit(0L))).as("margin_den"))
+      .where(col("margin_num") * lit(1000L) >=
+        lit(BitextThreshold1000.toLong) * col("margin_den"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("src_id"))
+        .orderBy(col("dot_scaled").desc, col("tgt_id"))))
+      .withColumn("cos_sim", col("dot_scaled").cast("double") / lit(1e12))
+      .select(col("src_id"), col("tgt_id"), col("dot_scaled"),
+        col("margin_num"), col("margin_den"), col("rank"), col("cos_sim"))
+  }
+
+  /** Twin: the IVF index chain verbatim + lang sides from documents +
+    * both directions' windowed top-k sums + the cross-multiplied
+    * margin test. */
+  val simBitextSql: String =
+    s"""WITH $ivfIndexCtesSql,
+       |cand0 AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       |cand AS (
+       |  SELECT c.query_id, c.neighbor_id, dq.lang AS qlang
+       |  FROM cand0 c
+       |  JOIN documents dq ON dq.doc_id = c.query_id
+       |  JOIN documents dn ON dn.doc_id = c.neighbor_id
+       |  WHERE dq.lang <> dn.lang AND (dq.lang = 'en' OR dn.lang = 'en')),
+       |exact AS (
+       |  SELECT c.query_id, c.neighbor_id, c.qlang,
+       |         CAST(SUM(ea.e * eb.e) AS BIGINT) AS dot_scaled
+       |  FROM cand c
+       |  JOIN ev ea ON ea.vec_id = c.query_id
+       |  JOIN ev eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY dot_scaled DESC, neighbor_id) AS rn
+       |  FROM exact),
+       |fsum AS (
+       |  SELECT query_id, CAST(SUM(dot_scaled) AS BIGINT) AS fsum
+       |  FROM rk WHERE qlang <> 'en' AND rn <= $BitextK GROUP BY 1),
+       |bsum AS (
+       |  SELECT query_id, CAST(SUM(dot_scaled) AS BIGINT) AS bsum
+       |  FROM rk WHERE qlang = 'en' AND rn <= $BitextK GROUP BY 1),
+       |scored AS (
+       |  SELECT r.query_id AS src_id, r.neighbor_id AS tgt_id, r.dot_scaled,
+       |         2 * $BitextK * r.dot_scaled AS margin_num,
+       |         f.fsum + COALESCE(b.bsum, 0) AS margin_den
+       |  FROM rk r
+       |  JOIN fsum f ON f.query_id = r.query_id
+       |  LEFT JOIN bsum b ON b.query_id = r.neighbor_id
+       |  WHERE r.qlang <> 'en'
+       |    AND 2 * $BitextK * r.dot_scaled * 1000 >=
+       |        $BitextThreshold1000 * (f.fsum + COALESCE(b.bsum, 0))),
+       |ranked AS (
+       |  SELECT src_id, tgt_id, dot_scaled, margin_num, margin_den,
+       |         ROW_NUMBER() OVER (PARTITION BY src_id
+       |                            ORDER BY dot_scaled DESC, tgt_id) AS rank
+       |  FROM scored)
+       |SELECT src_id, tgt_id, dot_scaled, margin_num, margin_den,
+       |       CAST(rank AS INT) AS rank,
+       |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
+       |FROM ranked""".stripMargin
+
   // --------------------------------------------------- sim_ivfpq_topk
   /** Neighbors returned per query by the IVF-PQ search. */
   val IvfPqTopK = 3

@@ -554,5 +554,11 @@ class PlanSpec extends AnyFunSuite {
     val sp = plan(graft.streaming.PackStream.streamPack(spark, dir))
     assert(sp.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       "stream_pack must not plan a nested-loop join")
+    // sim_bitext: mining rides the capped IVF candidate chain — every
+    // join is an equi-join (never all-pairs), like the rest of the
+    // family
+    val bt = plan(graft.operators.Similarity.simBitext(spark, dir))
+    assert(bt.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "sim_bitext must not plan a nested-loop join")
   }
 }

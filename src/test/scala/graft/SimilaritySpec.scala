@@ -151,6 +151,49 @@ class SimilaritySpec extends AnyFunSuite {
       "a dup-range pair leaked into the mined negatives")
   }
 
+  test("bitext mining: margin inequality exact from raw embeddings, cross-lingual only, and the margin actually filters") {
+    val langOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Similarity.simBitext(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty, "fixture must mine some bitext pairs")
+    // direction: non-en source, en target, every pair cross-lingual
+    assert(rows.forall { case (s, t, _, _, _, _) =>
+      langOf(s) != "en" && langOf(t) == "en" })
+    // the margin inequality holds on every emitted pair, with
+    // margin_num exactly 2k·dot
+    for ((_, _, dot, num, den, _) <- rows) {
+      assert(num == 2L * Similarity.BitextK * dot)
+      assert(num * 1000L >= Similarity.BitextThreshold1000.toLong * den)
+    }
+    // dots are exact: recompute from the raw embeddings
+    val ev = scaledVecs()
+    for ((s, t, dot, _, _, _) <- rows.take(200)) {
+      val want = ev(s).zip(ev(t)).map { case (a, b) => a * b }.sum
+      assert(dot == want, s"dot mismatch for ($s, $t)")
+    }
+    // ranks are dense 1..n per source, ordered by (dot desc, tgt asc)
+    for ((s, g0) <- rows.groupBy(_._1)) {
+      val g = g0.sortBy(_._6)
+      assert(g.map(_._6).toSeq == (1 to g.length), s"ranks not dense for src $s")
+      assert(g.map(x => (-x._3, x._2)).toSeq ==
+        g.map(x => (-x._3, x._2)).sortBy(identity).toSeq, s"order wrong for src $s")
+    }
+    // the margin criterion must BIND on the fixture: some cross-lingual
+    // candidate pair with a positive dot is rejected (raw-cosine mining
+    // would have kept it)
+    val mined = rows.map(x => (x._1, x._2)).toSet
+    val ivf = Similarity.simIvfTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (q, n, d) =>
+        langOf(q) != "en" && langOf(n) == "en" && d > 0 }
+    val rejected = ivf.filterNot(x => mined.contains((x._1, x._2)))
+    assert(rejected.nonEmpty,
+      "no positive-dot candidate was margin-rejected — threshold not binding")
+  }
+
   test("ivfpq search over a stored (parquet round-tripped) index equals the inline path") {
     val c = Similarity.nCentroids(
       spark.read.parquet(s"$dir/embeddings.parquet").count())

@@ -231,6 +231,7 @@ object SparkEntry {
     "vocab_coverage"    -> (Tokenizer.vocabCoverage _),
     "sim_hard_negatives" -> (Similarity.simHardNegatives _),
     "sim_bitext"        -> (Similarity.simBitext _),
+    "corpus_icp"        -> (Similarity.corpusIcp _),
     "events_dau"        -> (Relational2.eventsDau _),
     "ta_novelty"        -> (CorpusOps.taNovelty _),
     "stream_novelty"    -> (graft.streaming.NoveltyStream.streamNovelty _),
@@ -547,6 +548,7 @@ object SparkEntry {
     "vocab_coverage"    -> Tokenizer.vocabCoverageSql,
     "sim_hard_negatives" -> Similarity.simHardNegativesSql,
     "sim_bitext"        -> Similarity.simBitextSql,
+    "corpus_icp"        -> Similarity.corpusIcpSql,
     "events_dau"        -> Relational2.eventsDauSql,
     "ta_novelty"        -> CorpusOps.taNoveltySql,
     // the min-merge fold identity: first-occurrence state over any

@@ -382,6 +382,88 @@ object Similarity {
        |       CAST(dot_scaled AS DOUBLE) / 1e12 AS cos_sim
        |FROM ranked""".stripMargin
 
+  // --------------------------------------------------------- corpus_icp
+  /** In-context pretraining ordering (Shi et al. 2023, "In-Context
+    * Pretraining: Language Modeling Beyond Document Boundaries"):
+    * instead of shuffling documents independently, place RELATED
+    * documents adjacent in the training stream so cross-document
+    * context is learnable. Structure is the paper's cluster-then-chain
+    * shape on this engine's primitives: docs group by the IVF coarse
+    * quantizer (bounded, capped cells — [[IvfMaxCell]]), and within
+    * each cell a GREEDY MAX-SIMILARITY CHAIN orders the members —
+    * start at the min vec_id, repeatedly hop to the most-similar
+    * unvisited member by exact integer dot, ties to the smaller id.
+    * The macro-order across chains is the cell id (cells are already
+    * semantically coherent groups).
+    *
+    * Scale shape: the greedy is sequential ONLY within a cell, and
+    * cells are capped, so per-task state is ≤ cap vectors and the
+    * O(cap²·dim) chain cost is a constant per cell — embarrassingly
+    * parallel across the corpus, one shuffle (the groupByKey on cell).
+    * Output (cell, pos, vec_id, dot_prev): the training-stream order
+    * with each hop's exact similarity (0 at chain heads). The oracle
+    * replays the greedy walk as a recursive CTE over the nested IVF
+    * index SQL — every hop's argmax is re-derived independently. */
+  def corpusIcp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = nCentroids(Tables.embeddings(s, dir).count())
+    val member = cappedAssign(VecKernel.ivfCells(s, dir, c, 1))
+    member.join(scaled(s, dir), "vec_id")
+      .select(col("cell"), col("vec_id"), col("ev"))
+      .as[(Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val m = it.map { case (_, id, ev) => (id, ev.toArray) }.toArray.sortBy(_._1)
+        val n = m.length
+        val visited = new Array[Boolean](n)
+        val out = Vector.newBuilder[(Long, Int, Long, Long)]
+        visited(0) = true
+        out += ((cell, 1, m(0)._1, 0L))
+        var cur = 0; var pos = 2; var remaining = n - 1
+        while (remaining > 0) {
+          var best = -1; var bestDot = Long.MinValue
+          var j = 0
+          while (j < n) { // ascending ids ⇒ first max wins = tie to smaller id
+            if (!visited(j)) {
+              val d = VecKernel.dot(m(cur)._2, m(j)._2)
+              if (d > bestDot) { best = j; bestDot = d }
+            }
+            j += 1
+          }
+          visited(best) = true
+          out += ((cell, pos, m(best)._1, bestDot))
+          cur = best; pos += 1; remaining -= 1
+        }
+        out.result()
+      }.toDF("cell", "pos", "vec_id", "dot_prev")
+  }
+
+  /** Twin: the IVF index chain + within-cell pair dots + the greedy
+    * walk as a RECURSIVE CTE — each hop picks the max-dot unvisited
+    * member (visited set carried as a delimited id string). */
+  val corpusIcpSql: String =
+    s"""WITH RECURSIVE $ivfIndexCtesSql,
+       |pairdots AS (
+       |  SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
+       |         CAST(SUM(ea.e * eb.e) AS BIGINT) AS d
+       |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  JOIN ev ea ON ea.vec_id = x.vec_id
+       |  JOIN ev eb ON eb.vec_id = y.vec_id AND ea.i = eb.i
+       |  GROUP BY 1, 2, 3),
+       |starts AS (SELECT cell, MIN(vec_id) AS vec_id FROM assign GROUP BY 1),
+       |walk(cell, vec_id, pos, seen, dprev) AS (
+       |  SELECT s.cell, s.vec_id, 1, '|' || s.vec_id || '|', CAST(0 AS BIGINT)
+       |  FROM starts s
+       |  UNION ALL
+       |  SELECT w.cell, nx.b, w.pos + 1, w.seen || nx.b || '|', nx.d
+       |  FROM walk w, LATERAL (
+       |    SELECT d.b, d.d FROM pairdots d
+       |    WHERE d.cell = w.cell AND d.a = w.vec_id
+       |      AND POSITION('|' || d.b || '|' IN w.seen) = 0
+       |    ORDER BY d.d DESC, d.b LIMIT 1) nx)
+       |SELECT cell, CAST(pos AS INT) AS pos, vec_id, dprev AS dot_prev
+       |FROM walk""".stripMargin
+
   // --------------------------------------------------- sim_ivfpq_topk
   /** Neighbors returned per query by the IVF-PQ search. */
   val IvfPqTopK = 3

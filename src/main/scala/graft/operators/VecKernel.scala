@@ -45,7 +45,7 @@ object VecKernel {
     (rows.map(_._1), rows.map(_._2))
   }
 
-  private def dot(a: Array[Long], b: Array[Long]): Long = {
+  private[operators] def dot(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s

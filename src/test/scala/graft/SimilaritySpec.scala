@@ -194,6 +194,37 @@ class SimilaritySpec extends AnyFunSuite {
       "no positive-dot candidate was margin-rejected — threshold not binding")
   }
 
+  test("corpus_icp: a permutation of the corpus; every hop is the true greedy argmax") {
+    val rows = Similarity.corpusIcp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // exactly one position per vector — the output IS the training order
+    assert(rows.length == total)
+    assert(rows.map(_._3).distinct.length == total, "a vector repeats in the order")
+    val ev = scaledVecs()
+    for ((cell, g0) <- rows.groupBy(_._1)) {
+      val chain = g0.sortBy(_._2)
+      assert(chain.map(_._2).toSeq == (1 to chain.length), s"positions not dense in cell $cell")
+      assert(chain.head._4 == 0L, s"chain head of cell $cell must carry dot_prev 0")
+      // chain head is the min id of the cell
+      assert(chain.head._3 == chain.map(_._3).min, s"cell $cell must start at its min id")
+      for (i <- 1 until chain.length) {
+        val prev = chain(i - 1)._3; val cur = chain(i)._3
+        val d = ev(prev).zip(ev(cur)).map { case (a, b) => a * b }.sum
+        assert(d == chain(i)._4, s"dot_prev wrong at cell $cell pos ${i + 1}")
+        // the GREEDY invariant, replayed from the output: at this hop,
+        // no later-visited member was strictly closer to prev (and on
+        // ties the smaller id was taken)
+        for (j <- i + 1 until chain.length) {
+          val alt = chain(j)._3
+          val da = ev(prev).zip(ev(alt)).map { case (a, b) => a * b }.sum
+          assert(da < d || (da == d && cur < alt),
+            s"hop at cell $cell pos ${i + 1} was not the greedy argmax")
+        }
+      }
+    }
+  }
+
   test("ivfpq search over a stored (parquet round-tripped) index equals the inline path") {
     val c = Similarity.nCentroids(
       spark.read.parquet(s"$dir/embeddings.parquet").count())

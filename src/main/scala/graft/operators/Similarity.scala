@@ -389,36 +389,47 @@ object Similarity {
     * documents adjacent in the training stream so cross-document
     * context is learnable. Structure is the paper's cluster-then-chain
     * shape on this engine's primitives: docs group by the IVF coarse
-    * quantizer (bounded, capped cells — [[IvfMaxCell]]), and within
-    * each cell a GREEDY MAX-SIMILARITY CHAIN orders the members —
-    * start at the min vec_id, repeatedly hop to the most-similar
-    * unvisited member by exact integer dot, ties to the smaller id.
-    * The macro-order across chains is the cell id (cells are already
-    * semantically coherent groups).
+    * quantizer, oversized cells SHARD into ≈[[IvfMaxCell]]-sized
+    * sub-groups (deterministic `vec_id mod ⌈|cell|/cap⌉` — a training
+    * order must be a PERMUTATION, so unlike the search family's capped
+    * candidate lists, nothing is dropped; the 10× duplicate-heavy
+    * rehearsal caught exactly this), and within each (cell, shard) a
+    * GREEDY MAX-SIMILARITY CHAIN orders the members — start at the min
+    * vec_id, repeatedly hop to the most-similar unvisited member by
+    * exact integer dot, ties to the smaller id. The macro-order across
+    * chains is (cell, shard) — cells are already semantically coherent
+    * groups.
     *
-    * Scale shape: the greedy is sequential ONLY within a cell, and
-    * cells are capped, so per-task state is ≤ cap vectors and the
-    * O(cap²·dim) chain cost is a constant per cell — embarrassingly
-    * parallel across the corpus, one shuffle (the groupByKey on cell).
-    * Output (cell, pos, vec_id, dot_prev): the training-stream order
+    * Scale shape: the greedy is sequential ONLY within a shard, so
+    * per-task state is ≈cap vectors and the O(cap²·dim) chain cost is
+    * a constant per shard — embarrassingly parallel across the corpus;
+    * the only corpus exchange is the groupByKey, and the shard-count
+    * table is |cells|-bounded (broadcast back). Output
+    * (cell, sub, pos, vec_id, dot_prev): the training-stream order
     * with each hop's exact similarity (0 at chain heads). The oracle
     * replays the greedy walk as a recursive CTE over the nested IVF
     * index SQL — every hop's argmax is re-derived independently. */
   def corpusIcp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = nCentroids(Tables.embeddings(s, dir).count())
-    val member = cappedAssign(VecKernel.ivfCells(s, dir, c, 1))
-    member.join(scaled(s, dir), "vec_id")
-      .select(col("cell"), col("vec_id"), col("ev"))
-      .as[(Long, Long, Seq[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        val m = it.map { case (_, id, ev) => (id, ev.toArray) }.toArray.sortBy(_._1)
+    val member = VecKernel.ivfCells(s, dir, c, 1).select(col("vec_id"), col("cell"))
+    val nsub = member.groupBy(col("cell"))
+      .agg(floor((count(lit(1)) + lit(IvfMaxCell - 1)) / lit(IvfMaxCell))
+        .cast("long").as("nsub"))
+    member.join(broadcast(nsub), "cell")
+      .select(col("cell"), pmod(col("vec_id"), col("nsub")).as("sub"), col("vec_id"))
+      .join(scaled(s, dir), "vec_id")
+      .select(col("cell"), col("sub"), col("vec_id"), col("ev"))
+      .as[(Long, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Seq[Long])]) =>
+        val (cell, sub) = key
+        val m = it.map { case (_, _, id, ev) => (id, ev.toArray) }.toArray.sortBy(_._1)
         val n = m.length
         val visited = new Array[Boolean](n)
-        val out = Vector.newBuilder[(Long, Int, Long, Long)]
+        val out = Vector.newBuilder[(Long, Long, Int, Long, Long)]
         visited(0) = true
-        out += ((cell, 1, m(0)._1, 0L))
+        out += ((cell, sub, 1, m(0)._1, 0L))
         var cur = 0; var pos = 2; var remaining = n - 1
         while (remaining > 0) {
           var best = -1; var bestDot = Long.MinValue
@@ -431,37 +442,47 @@ object Similarity {
             j += 1
           }
           visited(best) = true
-          out += ((cell, pos, m(best)._1, bestDot))
+          out += ((cell, sub, pos, m(best)._1, bestDot))
           cur = best; pos += 1; remaining -= 1
         }
         out.result()
-      }.toDF("cell", "pos", "vec_id", "dot_prev")
+      }.toDF("cell", "sub", "pos", "vec_id", "dot_prev")
   }
 
-  /** Twin: the IVF index chain + within-cell pair dots + the greedy
-    * walk as a RECURSIVE CTE — each hop picks the max-dot unvisited
-    * member (visited set carried as a delimited id string). */
+  /** Twin: the IVF coarse chain + the shard assignment + within-shard
+    * pair dots + the greedy walk as a RECURSIVE CTE — each hop picks
+    * the max-dot unvisited member (visited set carried as a delimited
+    * id string). */
   val corpusIcpSql: String =
     s"""WITH RECURSIVE $ivfIndexCtesSql,
+       |iassign0 AS (SELECT vec_id, c_id AS cell FROM ranked_c WHERE rn = 1),
+       |icnt AS (
+       |  SELECT cell,
+       |         CAST(FLOOR((COUNT(*) + ${IvfMaxCell - 1}) / ${IvfMaxCell}.0) AS BIGINT) AS nsub
+       |  FROM iassign0 GROUP BY 1),
+       |iassign AS (
+       |  SELECT a.vec_id, a.cell, a.vec_id % c.nsub AS sub
+       |  FROM iassign0 a JOIN icnt c ON c.cell = a.cell),
        |pairdots AS (
-       |  SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
+       |  SELECT x.cell, x.sub, x.vec_id AS a, y.vec_id AS b,
        |         CAST(SUM(ea.e * eb.e) AS BIGINT) AS d
-       |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  FROM iassign x
+       |  JOIN iassign y ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id <> y.vec_id
        |  JOIN ev ea ON ea.vec_id = x.vec_id
        |  JOIN ev eb ON eb.vec_id = y.vec_id AND ea.i = eb.i
-       |  GROUP BY 1, 2, 3),
-       |starts AS (SELECT cell, MIN(vec_id) AS vec_id FROM assign GROUP BY 1),
-       |walk(cell, vec_id, pos, seen, dprev) AS (
-       |  SELECT s.cell, s.vec_id, 1, '|' || s.vec_id || '|', CAST(0 AS BIGINT)
+       |  GROUP BY 1, 2, 3, 4),
+       |starts AS (SELECT cell, sub, MIN(vec_id) AS vec_id FROM iassign GROUP BY 1, 2),
+       |walk(cell, sub, vec_id, pos, seen, dprev) AS (
+       |  SELECT s.cell, s.sub, s.vec_id, 1, '|' || s.vec_id || '|', CAST(0 AS BIGINT)
        |  FROM starts s
        |  UNION ALL
-       |  SELECT w.cell, nx.b, w.pos + 1, w.seen || nx.b || '|', nx.d
+       |  SELECT w.cell, w.sub, nx.b, w.pos + 1, w.seen || nx.b || '|', nx.d
        |  FROM walk w, LATERAL (
        |    SELECT d.b, d.d FROM pairdots d
-       |    WHERE d.cell = w.cell AND d.a = w.vec_id
+       |    WHERE d.cell = w.cell AND d.sub = w.sub AND d.a = w.vec_id
        |      AND POSITION('|' || d.b || '|' IN w.seen) = 0
        |    ORDER BY d.d DESC, d.b LIMIT 1) nx)
-       |SELECT cell, CAST(pos AS INT) AS pos, vec_id, dprev AS dot_prev
+       |SELECT cell, sub, CAST(pos AS INT) AS pos, vec_id, dprev AS dot_prev
        |FROM walk""".stripMargin
 
   // --------------------------------------------------- sim_ivfpq_topk

@@ -196,30 +196,32 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("corpus_icp: a permutation of the corpus; every hop is the true greedy argmax") {
     val rows = Similarity.corpusIcp(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    // exactly one position per vector — the output IS the training order
+    // exactly one position per vector — the output IS the training
+    // order (nothing dropped: unlike the search family's capped
+    // candidate lists, oversized cells SHARD instead of truncating)
     assert(rows.length == total)
-    assert(rows.map(_._3).distinct.length == total, "a vector repeats in the order")
+    assert(rows.map(_._4).distinct.length == total, "a vector repeats in the order")
     val ev = scaledVecs()
-    for ((cell, g0) <- rows.groupBy(_._1)) {
-      val chain = g0.sortBy(_._2)
-      assert(chain.map(_._2).toSeq == (1 to chain.length), s"positions not dense in cell $cell")
-      assert(chain.head._4 == 0L, s"chain head of cell $cell must carry dot_prev 0")
-      // chain head is the min id of the cell
-      assert(chain.head._3 == chain.map(_._3).min, s"cell $cell must start at its min id")
+    for ((key, g0) <- rows.groupBy(r => (r._1, r._2))) {
+      val chain = g0.sortBy(_._3)
+      assert(chain.map(_._3).toSeq == (1 to chain.length), s"positions not dense in $key")
+      assert(chain.head._5 == 0L, s"chain head of $key must carry dot_prev 0")
+      // chain head is the min id of the shard
+      assert(chain.head._4 == chain.map(_._4).min, s"$key must start at its min id")
       for (i <- 1 until chain.length) {
-        val prev = chain(i - 1)._3; val cur = chain(i)._3
+        val prev = chain(i - 1)._4; val cur = chain(i)._4
         val d = ev(prev).zip(ev(cur)).map { case (a, b) => a * b }.sum
-        assert(d == chain(i)._4, s"dot_prev wrong at cell $cell pos ${i + 1}")
+        assert(d == chain(i)._5, s"dot_prev wrong at $key pos ${i + 1}")
         // the GREEDY invariant, replayed from the output: at this hop,
         // no later-visited member was strictly closer to prev (and on
         // ties the smaller id was taken)
         for (j <- i + 1 until chain.length) {
-          val alt = chain(j)._3
+          val alt = chain(j)._4
           val da = ev(prev).zip(ev(alt)).map { case (a, b) => a * b }.sum
           assert(da < d || (da == d && cur < alt),
-            s"hop at cell $cell pos ${i + 1} was not the greedy argmax")
+            s"hop at $key pos ${i + 1} was not the greedy argmax")
         }
       }
     }

@@ -232,6 +232,7 @@ object SparkEntry {
     "sim_hard_negatives" -> (Similarity.simHardNegatives _),
     "sim_bitext"        -> (Similarity.simBitext _),
     "corpus_icp"        -> (Similarity.corpusIcp _),
+    "pack_icp"          -> (Similarity.packIcp _),
     "events_dau"        -> (Relational2.eventsDau _),
     "ta_novelty"        -> (CorpusOps.taNovelty _),
     "stream_novelty"    -> (graft.streaming.NoveltyStream.streamNovelty _),
@@ -549,6 +550,7 @@ object SparkEntry {
     "sim_hard_negatives" -> Similarity.simHardNegativesSql,
     "sim_bitext"        -> Similarity.simBitextSql,
     "corpus_icp"        -> Similarity.corpusIcpSql,
+    "pack_icp"          -> Similarity.packIcpSql,
     "events_dau"        -> Relational2.eventsDauSql,
     "ta_novelty"        -> CorpusOps.taNoveltySql,
     // the min-merge fold identity: first-occurrence state over any

@@ -626,9 +626,9 @@ object Cleaning {
     * [[Pipeline.pipelineFull]] both delegate here, so the packing
     * contract cannot drift between the packer and the capstone. */
   private[graft] def chunkManifest(in: DataFrame, streamKey: Seq[String],
-      base: Option[String] = None): DataFrame = {
+      base: Option[String] = None, orderCol: String = "doc_id"): DataFrame = {
     val win = Window.partitionBy(streamKey.map(col): _*)
-      .orderBy(col("doc_id"))
+      .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val passThrough = in.columns.map(col).toSeq
     // `base` (a per-row column, constant per stream) starts the cursor

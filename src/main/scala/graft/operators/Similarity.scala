@@ -485,6 +485,55 @@ object Similarity {
        |SELECT cell, sub, CAST(pos AS INT) AS pos, vec_id, dprev AS dot_prev
        |FROM walk""".stripMargin
 
+  // ----------------------------------------------------------- pack_icp
+  /** The ICP training stream PACKED — the paper's end product: feed
+    * [[corpusIcp]]'s related-docs-adjacent order through THE
+    * chunk-manifest kernel ([[Cleaning.chunkManifest]] — the single
+    * definition the text, multimodal, and streaming packers already
+    * ride, here ordered by CHAIN POSITION instead of doc id), so the
+    * fixed-token training chunks' neighbors are semantic neighbors.
+    * Streams are the (cell, shard) chains; token counts are the
+    * whitespace stand-in the packing family shares. Scale shape =
+    * corpusIcp's (shard-bounded greedy) + one window per chain (pool
+    * = chain length ≈ cap). The oracle nests the FULL recursive
+    * corpusIcp SQL as a subquery and replays the cumulative-cut
+    * arithmetic — a regression in the ordering, the chain key, or the
+    * kernel flips this gate too. */
+  def packIcp(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tokens"))
+    Cleaning.chunkManifest(corpusIcp(s, dir).join(toks, "vec_id"),
+        Seq("cell", "sub"), None, orderCol = "pos")
+      .select(col("vec_id"), col("cell"), col("sub"), col("pos"),
+        col("n_tokens"), col("first_chunk"), col("last_chunk"), col("n_chunks"))
+  }
+
+  /** Twin: the recursive ICP walk as a subquery + the kernel's exact
+    * cumulative-cut arithmetic per (cell, sub) chain. Built by plain
+    * concatenation — an outer stripMargin would eat the embedded
+    * SQL's || operators. */
+  val packIcpSql: String = {
+    val ct = Cleaning.ChunkTokens
+    "WITH t AS (\n" +
+      "  SELECT i.vec_id, i.cell, i.sub, i.pos,\n" +
+      "    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens\n" +
+      "  FROM (" + corpusIcpSql + ") i\n" +
+      "  JOIN documents d ON d.doc_id = i.vec_id),\n" +
+      "c AS (\n" +
+      "  SELECT vec_id, cell, sub, pos, n_tokens,\n" +
+      "    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY cell, sub ORDER BY pos\n" +
+      "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb\n" +
+      "  FROM t)\n" +
+      "SELECT vec_id, cell, sub, pos, n_tokens,\n" +
+      s"  cb // $ct AS first_chunk,\n" +
+      s"  CASE WHEN n_tokens = 0 THEN cb // $ct - 1\n" +
+      s"       ELSE (cb + n_tokens - 1) // $ct END AS last_chunk,\n" +
+      s"  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)\n" +
+      s"       ELSE (cb + n_tokens - 1) // $ct - cb // $ct + 1 END AS n_chunks\n" +
+      "FROM c"
+  }
+
   // --------------------------------------------------- sim_ivfpq_topk
   /** Neighbors returned per query by the IVF-PQ search. */
   val IvfPqTopK = 3

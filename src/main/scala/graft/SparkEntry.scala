@@ -233,6 +233,7 @@ object SparkEntry {
     "sim_bitext"        -> (Similarity.simBitext _),
     "corpus_icp"        -> (Similarity.corpusIcp _),
     "pack_icp"          -> (Similarity.packIcp _),
+    "stream_icp"        -> (graft.streaming.IcpStream.streamIcp _),
     "events_dau"        -> (Relational2.eventsDau _),
     "ta_novelty"        -> (CorpusOps.taNovelty _),
     "stream_novelty"    -> (graft.streaming.NoveltyStream.streamNovelty _),
@@ -551,6 +552,7 @@ object SparkEntry {
     "sim_bitext"        -> Similarity.simBitextSql,
     "corpus_icp"        -> Similarity.corpusIcpSql,
     "pack_icp"          -> Similarity.packIcpSql,
+    "stream_icp"        -> graft.streaming.IcpStream.streamIcpSql,
     "events_dau"        -> Relational2.eventsDauSql,
     "ta_novelty"        -> CorpusOps.taNoveltySql,
     // the min-merge fold identity: first-occurrence state over any

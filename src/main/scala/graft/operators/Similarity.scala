@@ -22,7 +22,7 @@ import graft.Tables
 object Similarity {
 
   /** Embeddings with elements scaled to exact integers (×10⁶). */
-  private[operators] def scaled(s: SparkSession, dir: String): DataFrame =
+  private[graft] def scaled(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("ev"))
@@ -409,8 +409,11 @@ object Similarity {
     * with each hop's exact similarity (0 at chain heads). The oracle
     * replays the greedy walk as a recursive CTE over the nested IVF
     * index SQL — every hop's argmax is re-derived independently. */
-  def corpusIcp(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The ICP (cell, shard) assignment — every vector kept (see
+    * [[corpusIcp]]). Shared by the batch ordering and the streaming
+    * maintenance ([[graft.streaming.IcpStream]]): one definition of
+    * the chain key. */
+  private[graft] def icpAssign(s: SparkSession, dir: String): DataFrame = {
     val c = nCentroids(Tables.embeddings(s, dir).count())
     val member = VecKernel.ivfCells(s, dir, c, 1).select(col("vec_id"), col("cell"))
     val nsub = member.groupBy(col("cell"))
@@ -418,6 +421,50 @@ object Similarity {
         .cast("long").as("nsub"))
     member.join(broadcast(nsub), "cell")
       .select(col("cell"), pmod(col("vec_id"), col("nsub")).as("sub"), col("vec_id"))
+  }
+
+  /** The greedy chain kernel, shared by [[corpusIcp]] and the
+    * streaming appender: orders `m` (MUST be sorted by id — the tie
+    * rule rides that) by repeated max-dot hops, continuing from an
+    * optional carried `tail` (vector + already-emitted position
+    * count). Returns (pos, vec_id, dot_prev) with ABSOLUTE positions;
+    * a fresh chain starts at the min id with dot_prev 0. */
+  private[graft] def chainFrom(m: Array[(Long, Array[Long])],
+      tail: Option[(Array[Long], Int)]): Vector[(Int, Long, Long)] = {
+    val n = m.length
+    val visited = new Array[Boolean](n)
+    val out = Vector.newBuilder[(Int, Long, Long)]
+    var cur: Array[Long] = null
+    var pos = 0
+    tail match {
+      case Some((tv, tp)) => cur = tv; pos = tp
+      case None =>
+        visited(0) = true
+        out += ((1, m(0)._1, 0L))
+        cur = m(0)._2; pos = 1
+    }
+    var remaining = n - (if (tail.isEmpty) 1 else 0)
+    while (remaining > 0) {
+      var best = -1; var bestDot = Long.MinValue
+      var j = 0
+      while (j < n) { // ascending ids ⇒ first max wins = tie to smaller id
+        if (!visited(j)) {
+          val d = VecKernel.dot(cur, m(j)._2)
+          if (d > bestDot) { best = j; bestDot = d }
+        }
+        j += 1
+      }
+      visited(best) = true
+      pos += 1
+      out += ((pos, m(best)._1, bestDot))
+      cur = m(best)._2; remaining -= 1
+    }
+    out.result()
+  }
+
+  def corpusIcp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    icpAssign(s, dir)
       .join(scaled(s, dir), "vec_id")
       .select(col("cell"), col("sub"), col("vec_id"), col("ev"))
       .as[(Long, Long, Long, Seq[Long])]
@@ -425,27 +472,7 @@ object Similarity {
       .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Seq[Long])]) =>
         val (cell, sub) = key
         val m = it.map { case (_, _, id, ev) => (id, ev.toArray) }.toArray.sortBy(_._1)
-        val n = m.length
-        val visited = new Array[Boolean](n)
-        val out = Vector.newBuilder[(Long, Long, Int, Long, Long)]
-        visited(0) = true
-        out += ((cell, sub, 1, m(0)._1, 0L))
-        var cur = 0; var pos = 2; var remaining = n - 1
-        while (remaining > 0) {
-          var best = -1; var bestDot = Long.MinValue
-          var j = 0
-          while (j < n) { // ascending ids ⇒ first max wins = tie to smaller id
-            if (!visited(j)) {
-              val d = VecKernel.dot(m(cur)._2, m(j)._2)
-              if (d > bestDot) { best = j; bestDot = d }
-            }
-            j += 1
-          }
-          visited(best) = true
-          out += ((cell, sub, pos, m(best)._1, bestDot))
-          cur = best; pos += 1; remaining -= 1
-        }
-        out.result()
+        chainFrom(m, None).map { case (pos, id, d) => (cell, sub, pos, id, d) }
       }.toDF("cell", "sub", "pos", "vec_id", "dot_prev")
   }
 
@@ -453,8 +480,10 @@ object Similarity {
     * pair dots + the greedy walk as a RECURSIVE CTE — each hop picks
     * the max-dot unvisited member (visited set carried as a delimited
     * id string). */
-  val corpusIcpSql: String =
-    s"""WITH RECURSIVE $ivfIndexCtesSql,
+  /** The ICP assignment as oracle CTEs (cell + shard per vector) —
+    * shared by [[corpusIcpSql]] and the streaming twin. */
+  private[graft] val icpAssignCtesSql: String =
+    s"""$ivfIndexCtesSql,
        |iassign0 AS (SELECT vec_id, c_id AS cell FROM ranked_c WHERE rn = 1),
        |icnt AS (
        |  SELECT cell,
@@ -462,7 +491,10 @@ object Similarity {
        |  FROM iassign0 GROUP BY 1),
        |iassign AS (
        |  SELECT a.vec_id, a.cell, a.vec_id % c.nsub AS sub
-       |  FROM iassign0 a JOIN icnt c ON c.cell = a.cell),
+       |  FROM iassign0 a JOIN icnt c ON c.cell = a.cell)""".stripMargin
+
+  val corpusIcpSql: String =
+    s"""WITH RECURSIVE $icpAssignCtesSql,
        |pairdots AS (
        |  SELECT x.cell, x.sub, x.vec_id AS a, y.vec_id AS b,
        |         CAST(SUM(ea.e * eb.e) AS BIGINT) AS d

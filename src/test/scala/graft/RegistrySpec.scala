@@ -64,6 +64,10 @@ class RegistrySpec extends AnyFunSuite {
     "SketchStream.storedQuantileState", "SnapshotStream.currentSnapshot",
     "ViewStream.currentView", "WebStream.storedTraining",
     "ImageStream.storedImages", "PackStream.storedManifest",
+    "IcpStream.storedOrder",
+    // the shared ICP (cell, shard) assignment — an input both the
+    // corpus_icp gate and the IcpStream appender consume, not a gate
+    "Similarity.icpAssign",
     // IO plumbing: raw readers under registered source/sink gates
     "Formats.readIntermediate", "Formats.readOutputLines", "Formats.readOrc",
     "WholeFiles.read", "WholeFiles.readBinary", "Manifest.keyed")

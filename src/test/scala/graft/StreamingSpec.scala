@@ -1456,4 +1456,71 @@ class StreamingSpec extends AnyFunSuite {
       "the NULL stream's second batch must continue past chunk 0 (a plain " +
         "equi-join would restart its cursor at 0)")
   }
+
+  test("streaming ICP order: tail carry across restarts equals the batch-preferring walk; replay never re-appends") {
+    // chain extension is order-sensitive (append-only curriculum), so
+    // the tail state rides the versioned predecessor rule
+    import graft.streaming.IcpStream
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").select(col("vec_id"))
+    val ids = vecs.select(min(col("vec_id")), max(col("vec_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = vecs.where(col("vec_id") <= mid)
+    val b2 = vecs.where(col("vec_id") > mid)
+    val src = Files.createTempDirectory("graft-icp-src")
+    val table = Files.createTempDirectory("graft-icp-tab").toString
+    val ckpt = Files.createTempDirectory("graft-icp-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-icp-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(vecs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(IcpStream.icpSink(sf, table) _)
+        .start()
+      q.awaitTermination()
+    }
+    def order(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long, Long)] =
+      df.select(col("cell"), col("sub"), col("pos"), col("vec_id"), col("dot_prev"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    // fold identity through the real stream machinery: union of
+    // per-batch segments == the two-batch gate composition
+    val oneShot = order(IcpStream.streamIcp(spark, sf))
+    assert(oneShot.nonEmpty && order(IcpStream.storedOrder(spark, table)) == oneShot,
+      "streamed order must equal the batch-preferring walk")
+    // every vector got exactly one position — append-only curriculum,
+    // nothing dropped, nothing re-ordered
+    assert(oneShot.size == vecs.count(), "order must be a corpus permutation")
+    // batch 2 CONTINUED chains (absolute positions past batch 1's
+    // tails) rather than restarting them: some chain gained a member
+    // at a position > its batch-1 length
+    val out = spark.read.parquet(s"$table/out")
+    val maxB1 = out.where(col("batch") === 0).groupBy(col("cell"), col("sub"))
+      .agg(max(col("pos")).as("p1"))
+    val continued = out.where(col("batch") === 1).join(maxB1, Seq("cell", "sub"))
+      .where(col("pos") === col("p1") + 1).count()
+    assert(continued > 0, "batch 2 must continue chains, not restart them")
+    // replay: re-running batch 1 re-reads predecessor v=0, recomputes
+    // the same segment, rewrites the same tails — never re-appends
+    val tailsBefore = spark.read.parquet(s"$table/tail/v=1")
+      .select(col("cell"), col("sub"), col("tail_id"), col("tail_pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    IcpStream.icpSink(sf, table)(b2, 1L)
+    val tailsAfter = spark.read.parquet(s"$table/tail/v=1")
+      .select(col("cell"), col("sub"), col("tail_id"), col("tail_pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(tailsAfter == tailsBefore, "replayed batch must not advance tails twice")
+    assert(order(IcpStream.storedOrder(spark, table)) == oneShot,
+      "replayed batch must rewrite the identical segment")
+  }
 }

@@ -248,11 +248,17 @@ object TiffCodec {
   /** One decoded page of a multi-page TIFF. */
   final case class Page(pageNo: Int, w: Int, h: Int, rgb: Array[Byte])
 
-  /** Number of pages (IFDs) — a structural walk, nothing decoded. */
+  /** Number of pages (IFDs) — a structural walk, nothing decoded.
+    * A repeated IFD offset (a crafted or corrupt next-IFD cycle) fails
+    * loudly instead of hanging the task. */
   def pageCount(bytes: Array[Byte]): Int = {
     val (le, first) = headerOf(bytes)
+    val seen = new java.util.HashSet[Integer]()
     var at = first; var n = 0
-    while (at != 0) { n += 1; at = nextIfdOf(bytes, le, at) }
+    while (at != 0) {
+      require(seen.add(at), s"TIFF IFD chain cycles back to offset $at")
+      n += 1; at = nextIfdOf(bytes, le, at)
+    }
     n
   }
 
@@ -264,9 +270,11 @@ object TiffCodec {
   def decodeEveryNth(bytes: Array[Byte], stride: Int): Vector[Page] = {
     require(stride >= 1, s"stride $stride")
     val (le, first) = headerOf(bytes)
+    val seen = new java.util.HashSet[Integer]()
     val out = Vector.newBuilder[Page]
     var at = first; var pageNo = 0
     while (at != 0) {
+      require(seen.add(at), s"TIFF IFD chain cycles back to offset $at")
       if (pageNo % stride == 0) {
         val (w, h, rgb, next) = decodeIfd(bytes, le, at)
         out += Page(pageNo, w, h, rgb)
@@ -331,6 +339,15 @@ object TiffCodec {
     require(comp == 1 || comp == 5,
       s"TIFF compression $comp (only None/LZW decoded; PackBits/JPEG/Deflate quarantine)")
     require(scalar(284, Some(1L)) == 1L, "TIFF planar format 2 unsupported")
+    // interpretation-changing baseline tags OUTSIDE the decoded subset
+    // must quarantine, not silently misdecode (wrong pixels poison the
+    // canonical-RGB dedup key and every channel sum downstream):
+    // non-default Orientation reorders the raster, FillOrder 2
+    // bit-reverses the LZW stream, non-unsigned SampleFormat changes
+    // what the bytes MEAN
+    require(scalar(274, Some(1L)) == 1L, "TIFF Orientation != 1 unsupported")
+    require(scalar(266, Some(1L)) == 1L, "TIFF FillOrder 2 (bit-reversed) unsupported")
+    require(scalar(339, Some(1L)) == 1L, "TIFF SampleFormat != unsigned unsupported")
     val predictor = scalar(317, Some(1L)).toInt
     require(predictor == 1 || predictor == 2, s"TIFF predictor $predictor")
     val rowsPerStrip = math.min(scalar(278, Some(0xFFFFFFFFL)), h.toLong).toInt

@@ -96,7 +96,8 @@ object ScaleRehearsal {
       // r11 operators
       "stream_web", "q46_pctile_wide", "mm_gif", "web_images",
       "mm_gif_frames", "stream_images", "mm_pack_pairs", "stream_pack",
-      "mm_tiff", "mm_tiff_pages", "sim_bitext", "corpus_icp", "pack_icp")
+      "mm_tiff", "mm_tiff_pages", "sim_bitext", "corpus_icp", "pack_icp",
+      "stream_icp")
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames

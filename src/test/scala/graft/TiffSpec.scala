@@ -242,6 +242,16 @@ class TiffSpec extends AnyFunSuite {
     assert(TiffCodec.decodeEveryNth(tif, 7).map(_.pageNo) == Vector(0))
   }
 
+  // LE readers for patching encoded fixtures in place
+  private def rdU16(b: Array[Byte], p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+  private def rdU32(b: Array[Byte], p: Int): Int = rdU16(b, p) | (rdU16(b, p + 2) << 16)
+  private def wrU16(b: Array[Byte], p: Int, v: Int): Unit = {
+    b(p) = (v & 0xFF).toByte; b(p + 1) = ((v >> 8) & 0xFF).toByte
+  }
+  private def wrU32(b: Array[Byte], p: Int, v: Int): Unit = {
+    wrU16(b, p, v & 0xFFFF); wrU16(b, p + 2, (v >>> 16) & 0xFFFF)
+  }
+
   test("undecoded subsets fail loudly, never silently misdecode") {
     val good = TiffCodec.encode(3, 2, rgbOf(3, 2, 5))
     intercept[IllegalArgumentException](TiffCodec.decode("NOTATIFF".getBytes))
@@ -252,6 +262,80 @@ class TiffSpec extends AnyFunSuite {
     assert(e.getMessage.contains("compression"))
     intercept[IllegalArgumentException](
       TiffCodec.encode(2, 2, Array[Byte](0, 1, 2))) // wrong byte count
+    // interpretation-CHANGING tags quarantine rather than silently
+    // misdecode: rewrite the encoder's Predictor entry (tag 317,
+    // entry index 9, value 1) into each hazard tag with a non-default
+    // value — the pixels would come out "fine" but WRONG
+    for ((tag, value, word) <- Seq(
+        (274, 3, "Orientation"),   // rotate-180 raster order
+        (266, 2, "FillOrder"),     // bit-reversed LZW stream
+        (339, 2, "SampleFormat"))) { // signed samples
+      val t = TiffCodec.encode(3, 2, rgbOf(3, 2, 5)).clone()
+      val ifdAt = rdU32(t, 4)
+      val entryAt = ifdAt + 2 + 9 * 12
+      assert(rdU16(t, entryAt) == 317, "fixture layout drifted: expected Predictor last")
+      wrU16(t, entryAt, tag)
+      wrU32(t, entryAt + 8, value)
+      val ex = intercept[IllegalArgumentException](TiffCodec.decode(t))
+      assert(ex.getMessage.contains(word), s"tag $tag must quarantine loudly")
+    }
+  }
+
+  test("a cyclic next-IFD chain fails loudly instead of hanging") {
+    val (w, h) = (3, 2)
+    val pages = (0 until 2).map(f => rgbOf(w, h, 70 + f))
+    val t = TiffCodec.encodePages(w, h, pages).clone()
+    val ifd1 = rdU32(t, 4)
+    val next1At = ifd1 + 2 + rdU16(t, ifd1) * 12
+    val ifd2 = rdU32(t, next1At)
+    assert(ifd2 != 0, "fixture must have a second IFD")
+    // point page 2's next-IFD pointer back at page 1
+    wrU32(t, ifd2 + 2 + rdU16(t, ifd2) * 12, ifd1)
+    val e1 = intercept[IllegalArgumentException](TiffCodec.pageCount(t))
+    assert(e1.getMessage.contains("cycles"))
+    val e2 = intercept[IllegalArgumentException](TiffCodec.decodeEveryNth(t, 1))
+    assert(e2.getMessage.contains("cycles"))
+  }
+
+  test("big-endian (MM) TIFFs decode pixel-identically") {
+    // hand-assemble an MM grayscale single-strip uncompressed TIFF —
+    // our encoder and ImageIO both write II, so this is the only
+    // coverage the MM branches (byte-swapped reads, inline SHORT
+    // left-justification) get
+    val (w, h) = (5, 3)
+    val gray = noise(w * h, 42)
+    val out = new java.io.ByteArrayOutputStream()
+    def b16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def b32(v: Int): Unit = { b16((v >>> 16) & 0xFFFF); b16(v & 0xFFFF) }
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      b16(tag); b16(typ); b32(count); b32(value)
+    }
+    val ifdAt = 8 + gray.length + (gray.length & 1)
+    out.write('M'); out.write('M'); b16(42); b32(ifdAt)
+    out.write(gray); if ((gray.length & 1) == 1) out.write(0)
+    b16(8)
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, 8 << 16)  // inline SHORT: left-justified in BE
+    entry(259, 3, 1, 1 << 16)
+    entry(262, 3, 1, 1 << 16)
+    entry(273, 4, 1, 8)
+    entry(278, 4, 1, h)
+    entry(279, 4, 1, gray.length)
+    b32(0)
+    val tif = out.toByteArray
+    val (dw, dh, rgb) = TiffCodec.decode(tif)
+    assert(dw == w && dh == h)
+    for (i <- 0 until w * h) {
+      val v = gray(i) & 0xFF
+      assert((rgb(3 * i) & 0xFF) == v && (rgb(3 * i + 1) & 0xFF) == v &&
+        (rgb(3 * i + 2) & 0xFF) == v, s"MM pixel $i")
+    }
+    // the JDK agrees the file is well-formed MM
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tif))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (i <- 0 until w * h)
+      assert(img.getRaster.getSample(i % w, i / w, 0) == (gray(i) & 0xFF), s"ImageIO MM pixel $i")
   }
 
   test("property: arbitrary images round-trip both compressions and ImageIO reads ours (fixed seeds)") {

@@ -104,14 +104,24 @@ object Pipeline {
       .where(col("contaminated") === 0).select(col("doc_id"))
     val keepRep = Cleaning.taRepetition(s, dir)
       .where(col("dup_trigram_frac") < FullDupTriMax).select(col("doc_id"))
+    // count tokens ON THE SCRUB OUTPUT, before any join: the regex is
+    // CPU-dense per byte, so it must run in the fully-parallel scan
+    // stage — left after the doc_id joins it lands in the post-shuffle
+    // stage, where AQE's byte-based coalescing sees "small" shuffle
+    // bytes and packs ~the whole corpus into one task (measured at the
+    // 10× rehearsal: 8.5 s of a 10.2 s wall in a single task; this
+    // form distributes it and stops shipping full text through three
+    // shuffles)
     val scrubbed = Cleaning.taDenylistScrub(s, dir)
+      .select(col("doc_id"), col("n_hits"),
+        size(regexp_extract_all(col("scrubbed"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
     val surv = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
       .join(keepDecont, "doc_id")
       .join(keepRep, "doc_id")
       .join(scrubbed, "doc_id")
       .select(col("doc_id"), col("lang"), col("n_hits").as("n_denylist_hits"),
-        size(regexp_extract_all(col("scrubbed"), lit("\\S+"), lit(0)))
-          .cast("long").as("n_tokens"))
+        col("n_tokens"))
     // packing delegates to the SAME manifest kernel as taPackChunks —
     // the span arithmetic (incl. the zero-token empty-span rule) lives
     // in one place and cannot drift between packer and capstone

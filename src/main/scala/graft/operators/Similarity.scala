@@ -158,6 +158,17 @@ object Similarity {
        |  WHERE mrn <= $IvfMaxCell),
        |probes AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked_c WHERE rn <= $NProbe)""".stripMargin
 
+  /** Fan-out salt for the probe×member candidate join: the join's
+    * INPUT is tiny (probe rows + capped memberships) but its OUTPUT is
+    * the N·nprobe·cap candidate set, so byte-based partition sizing
+    * coalesces the whole expansion into ~one task (measured: 2–4 s of
+    * sim_ivf_topk's 10× wall in a single task — and the per-task
+    * fan-out grows as √N with C = 2·⌈√N⌉, so the serialization WORSENS
+    * with scale). Salting the member side `vec_id mod S` and
+    * replicating probes ×S spreads the expansion S ways at the cost of
+    * S−1 duplicate probe rows — candidates are byte-identical. */
+  val CandSalt = 16
+
   /** The probed-cell candidate set every IVF consumer shares:
     * (query_id, neighbor_id) pairs from the capped cell membership of
     * each query's [[NProbe]] nearest cells. */
@@ -170,9 +181,11 @@ object Similarity {
     // after the action (DedupSpec pins getPersistentRDDs)
     val cells = VecKernel.ivfCells(s, dir, c, NProbe).repartition(col("vec_id"))
     val assign = cappedAssign(cells)
+      .withColumn("salt", pmod(col("vec_id"), lit(CandSalt)))
     val probes = cells.select(col("vec_id").as("query_id"),
-      explode(col("probes")).as("cell"))
-    probes.join(assign, "cell")
+        explode(col("probes")).as("cell"))
+      .withColumn("salt", explode(lit((0 until CandSalt).toArray)))
+    probes.join(assign, Seq("cell", "salt"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()

@@ -118,6 +118,14 @@ object Bench {
       .replaceAll("/[-A-Za-z0-9_./]*(testdata|tmp|warehouse)[-A-Za-z0-9_./]*", "path")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
       .replaceAll("size=\\d+", "size=x")
+      // AQE stage NUMBERS and whole-stage-codegen ids are assigned in
+      // stage-completion order — nondeterministic across runs for
+      // queries with independent branches (dq_profile's 17 table
+      // branches flapped its fp between calm runs while the plan
+      // SHAPE was identical; diffed 2026-08-15)
+      .replaceAll("(Shuffle|Broadcast|TableCache|Result)QueryStage \\d+",
+        "$1QueryStage x")
+      .replaceAll("\\*\\(\\d+\\)", "*(x)")
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map("%02x".format(_)).mkString

@@ -105,15 +105,27 @@ object Bench {
     val raw =
       try df.queryExecution.executedPlan.toString
       catch { case e: Throwable => s"plan-unavailable:${e.getClass.getName}" }
-    val norm = raw
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(normalizePlan(raw).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  private[graft] def normalizePlan(raw: String): String =
+    raw
       // JVM object-identity tokens: lambda class names embed a
       // class-load-order counter and an address (Lambda$2687/0x7f4e...
       // @72cf159f) that differ across JVMs running the identical plan
       .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
       .replaceAll("@[0-9a-fA-F]{6,}", "@x")
       .replaceAll("#\\d+[A-Za-z]*", "#x")            // exprIds (+type suffix)
-      .replaceAll("(?i)(plan_id|id|stage|subquery)=#?\\d+", "$1=x")
-      .replaceAll("\\[id=#?\\d+\\]", "[id=x]")
+      // anchored to the BRACKETED metadata forms Spark actually emits
+      // ([plan_id=42], [id=13]) — a bare `id=5` in plan text would be a
+      // pushed literal predicate on a column literally named `id`, i.e.
+      // a REAL plan difference this fingerprint must not erase (ADVICE
+      // r11). On bracketed tokens the rewrite output is byte-identical
+      // to the unanchored r11e form, so the fingerprint epoch survives
+      // (A/B'd over all 273 plans at sf0.01, r12).
+      .replaceAll("(?i)\\[(plan_id|id|stage|subquery)=#?\\d+\\]", "[$1=x]")
       .replaceAll("(file|hdfs|s3a?|mocks3)://?\\S+", "path")
       .replaceAll("/[-A-Za-z0-9_./]*(testdata|tmp|warehouse)[-A-Za-z0-9_./]*", "path")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
@@ -126,10 +138,6 @@ object Bench {
       .replaceAll("(Shuffle|Broadcast|TableCache|Result)QueryStage \\d+",
         "$1QueryStage x")
       .replaceAll("\\*\\(\\d+\\)", "*(x)")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -173,6 +173,7 @@ object SparkEntry {
     "graph_triangles"   -> (Graphs.graphTriangles _),
     "layout_manifest"   -> (graft.sources.Manifest.layoutManifest _),
     "vocab_bpe_encode"  -> (Tokenizer.vocabBpeEncode _),
+    "pack_bpe"          -> (Tokenizer.packBpe _),
     "dedup_paragraph_incr" -> (ParagraphDedup.dedupParagraphIncr _),
     "stream_paragraph"  -> (graft.streaming.ParagraphStream.streamParagraph _),
     "snapshot_diff"     -> (Snapshots.snapshotDiff _),
@@ -454,6 +455,7 @@ object SparkEntry {
     "graph_triangles"   -> Graphs.graphTrianglesSql,
     "layout_manifest"   -> graft.sources.Manifest.layoutManifestSql,
     "vocab_bpe_encode"  -> Tokenizer.vocabBpeEncodeSql,
+    "pack_bpe"          -> Tokenizer.packBpeSql,
     "dedup_paragraph_incr" -> ParagraphDedup.dedupParagraphIncrSql,
     // the order-fold identity: sequential range batches through the
     // seen-paragraph state must reproduce the ONE-SHOT dedup exactly

@@ -52,19 +52,32 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
   override def nullable: Boolean =
     left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
-  /** A NULL element null-propagates (sets have no null members on the
-    * dedup paths; if one appears the answer is undefined — mirror the
-    * [[DotProductI64]] stance rather than invent an ordering for null). */
+  /** A NULL element null-propagates, POSITION-INDEPENDENTLY: a pre-scan
+    * (emitted only when the array type says elements CAN be null — the
+    * dedup paths build with sort_array(collect_list(...)), whose
+    * containsNull=false skips it entirely) nulls the result whenever
+    * either array holds a null member, wherever it sits. The merge loop
+    * alone would only notice a null it reaches before either side is
+    * exhausted (['a'] vs ['a', null] slipping through as 1 while
+    * ['a'] vs [null, 'a'] nulls) — inconsistent for SQL users of the
+    * session-registered function. Sets have no null members on the
+    * in-repo paths; for anyone else the contract is now simply
+    * "any null element ⇒ NULL" (the [[DotProductI64]] stance). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val na = x.numElements()
     val nb = y.numElements()
+    if (elemNullable(left) || elemNullable(right)) {
+      var k = 0
+      while (k < na) { if (x.isNullAt(k)) return null; k += 1 }
+      k = 0
+      while (k < nb) { if (y.isNullAt(k)) return null; k += 1 }
+    }
     var c = 0L
     var i = 0
     var j = 0
     while (i < na && j < nb) {
-      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -90,20 +103,27 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
            |int $i = 0; int $j = 0;
          """.stripMargin
       // same FalseLiteral hazard note as DotProductI64: emit the
-      // element-null branch only when an element can actually be null
+      // element-null branch only when an element can actually be null.
+      // Null detection is a PRE-SCAN, not a merge-loop check, so the
+      // result is position-independent (see nullSafeEval scaladoc).
       if (elemNullable(left) || elemNullable(right))
         header +
           s"""
              |boolean $anyNull = false;
-             |while ($i < $na && $j < $nb) {
-             |  if ($a.isNullAt($i) || $b.isNullAt($j)) { $anyNull = true; break; }
-             |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-             |  if ($cmp == 0) { $acc++; $i++; $j++; }
-             |  else if ($cmp < 0) { $i++; } else { $j++; }
+             |for (int k = 0; k < $na && !$anyNull; k++) {
+             |  if ($a.isNullAt(k)) $anyNull = true;
+             |}
+             |for (int k = 0; k < $nb && !$anyNull; k++) {
+             |  if ($b.isNullAt(k)) $anyNull = true;
              |}
              |if ($anyNull) {
              |  ${ev.isNull} = true;
              |} else {
+             |  while ($i < $na && $j < $nb) {
+             |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+             |    if ($cmp == 0) { $acc++; $i++; $j++; }
+             |    else if ($cmp < 0) { $i++; } else { $j++; }
+             |  }
              |  ${ev.value} = $acc;
              |}
            """.stripMargin

@@ -85,13 +85,41 @@ object Media {
         sys.error(s"no canonical decoder for payload sniffed as $other")
     }
 
-  /** ====== STUB — replace with real codecs when available ======
+  /** ====== STUB — the codec boundary, closed out as a DECISION ======
     * Deterministic fakes standing in for the codecs that genuinely
     * need native libraries (compressed audio, video frames). The
     * interface (bytes in → pixels/samples out) is what a real codec
     * (e.g. ffmpeg bindings) would implement; BMP, PNG, baseline JPEG,
-    * and WAV/PCM (incl. resampling) are already real ([[BmpCodec]],
-    * [[PngCodec]], [[JpegCodec]], [[WavCodec]]). */
+    * GIF, TIFF, WAV/PCM (incl. resampling), µ-law and MJPEG-AVI are
+    * already real ([[BmpCodec]], [[PngCodec]], [[JpegCodec]],
+    * [[GifCodec]], [[TiffCodec]], [[WavCodec]], [[UlawCodec]],
+    * [[AviCodec]]).
+    *
+    * WHY MP3/AAC/H.26x STAY OUT (r12 close-out, the permanent stance):
+    * every real codec above ships with an INDEPENDENT cross-check —
+    * JDK ImageIO for the image formats, javax.sound.sampled for
+    * WAV/µ-law — and that differential is what makes the media gates'
+    * hashes trustworthy rather than self-certified. For MPEG audio and
+    * video no such oracle exists here: the bare JDK has no MPEG
+    * decoder (javax.sound's SPI set covers PCM/µ-law/A-law only,
+    * ImageIO has no video path), this environment has no native
+    * ffmpeg/mpg123, and no network egress to fetch ISO/IEC 11172-3
+    * conformance vectors. A hand-rolled Layer III decoder (~2 kLoC of
+    * Huffman tables, requantization, IMDCT, polyphase synthesis)
+    * checked only against itself would be EXACTLY the
+    * plausible-but-unverifiable class this repo's verification
+    * discipline exists to reject — a subtle window/butterfly bug
+    * would flow silently into every downstream fingerprint and dedup
+    * verdict while the self-differential stayed green. So the
+    * boundary's contract is sniff-and-quarantine, permanently:
+    * [[sniffNative]] detection is exact and MediaSpec-pinned to THROW
+    * on decode (compressed payloads can never flow through as
+    * garbage), the Spark-side plumbing (schema, batching,
+    * partitioning, frame/page sampling) is real and tested on the
+    * verifiable codecs, and a real decoder plugs in at this one seam
+    * the moment a verifiable implementation (native bindings, or a
+    * JVM decoder plus conformance vectors) is available to check it
+    * against. */
   object StubCodec {
 
     /** Magic-byte sniff for the natively-compressed formats this stub

@@ -332,6 +332,68 @@ object Tokenizer {
        |FROM dtoks t JOIN seg s ON t.term = s.term
        |GROUP BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------- pack_bpe
+  /** TOKENIZER-TRUE sequence packing — the composition the two families
+    * above and [[Cleaning.taPackChunks]] existed for but never met: the
+    * chunk manifest cut by TRAINED-BPE symbol counts instead of the
+    * whitespace surrogate. A trainer packs by what its tokenizer
+    * actually emits; the surrogate under-counts every word the BPE
+    * leaves multi-symbol (and is off ~2× on morphology-heavy or
+    * CJK-like text), so surrogate-cut chunks systematically overflow
+    * the real token budget. TokenizerSpec pins that the two manifests
+    * genuinely DIVERGE on the fixtures — the composition changes the
+    * cuts, it is not a relabeling.
+    *
+    * Plumbing is the two components' own scale shapes, unchanged: the
+    * trained segmentation table is vocabulary-sized and BROADCASTS, so
+    * per-doc symbol counts are one map-side join + doc-keyed partial
+    * agg ([[vocabBpeEncode]]); the cut arithmetic is the ONE shared
+    * chunk-manifest kernel ([[Cleaning.chunkManifest]] — same code the
+    * whitespace packer, the capstone and the streaming packer ride, so
+    * the packing contract cannot drift by construction). Zero-LETTER
+    * docs emit no BPE symbol at all: they re-enter via a left join as
+    * n_tokens = 0 and take the kernel's empty-span rule — under the
+    * whitespace surrogate the same docs may well carry tokens
+    * (numbers, punctuation runs), which is part of the measured
+    * divergence, not a bug. */
+  def packBpe(s: SparkSession, dir: String): DataFrame = {
+    val counts = vocabBpeEncode(s, dir).select(col("doc_id"), col("n_sym"))
+    Cleaning.chunkManifest(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_sym"), lit(0L)).as("n_tokens")),
+      Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("first_chunk"), col("last_chunk"), col("n_chunks"))
+  }
+
+  /** The BPE-encode CTE chain feeding the kernel's cut arithmetic
+    * (the [[Cleaning.taPackChunksSql]] window, verbatim). */
+  val packBpeSql: String =
+    s"""WITH $dtoksCteSql,
+       |$bpeCtesSql,
+       |seg AS (SELECT term, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+       |        FROM w$BpeMerges),
+       |enc AS (SELECT t.doc_id, CAST(SUM(s.n_sym) AS BIGINT) AS n_sym
+       |        FROM dtoks t JOIN seg s ON t.term = s.term GROUP BY t.doc_id),
+       |t AS (
+       |  SELECT d.doc_id, d.lang, COALESCE(e.n_sym, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens,
+       |  cb // ${Cleaning.ChunkTokens} AS first_chunk,
+       |  CASE WHEN n_tokens = 0 THEN cb // ${Cleaning.ChunkTokens} - 1
+       |       ELSE (cb + n_tokens - 1) // ${Cleaning.ChunkTokens} END AS last_chunk,
+       |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE (cb + n_tokens - 1) // ${Cleaning.ChunkTokens}
+       |            - cb // ${Cleaning.ChunkTokens} + 1 END AS n_chunks
+       |FROM c""".stripMargin
+
   // ---------------------------------------------------- vocab_wordpiece
   /** Longest candidate piece length and multi-char inventory size for
     * the maximal-munch tokenizer (small at fixture scale; the oracle's

@@ -26,6 +26,10 @@ object ScaleRehearsal {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table gates (q38) saveAsTable into the warehouse; pin
+      // it to tmp so the full-registry sweep never depends on CWD
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-rehearsal-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,43 +65,13 @@ object ScaleRehearsal {
       println(s"[rehearsal] built ${copies}x fixtures at $out")
     }
 
-    val allNames = Seq("q1_agg", "q2_selective_agg", "q3_join_topk", "q6_multi_join",
-      "q7_broadcast_join", "q9_window_running", "q14_distinct_agg", "q18_asof",
-      "q32_range_frame", "q33_cov_corr",
-      "mr_wc", "ta_quality", "ta_tfidf", "ta_bigrams", "sample_fixed_k",
-      "emb_centroids", "dedup_exact", "dedup_minhash", "dedup_simhash",
-      "dedup_cc", "dedup_edit",
-      "sim_lsh_topk", "sim_ivf_topk", "stream_session", "stream_user_stats",
-      // r3 operators
-      "dedup_cc_star", "dedup_simhash_pairs", "ta_heavy_hitters",
-      "q38_bucketed_join", "q39_full_outer", "q40_gapfill", "emb_kmeans",
-      "stream_left_join", "pipeline_clean",
-      // r4 operators
-      "pii_mask", "ta_denylist_scrub", "ta_decontaminate", "ta_repetition",
-      "ta_pack_chunks", "dedup_incremental", "emb_pq",
-      // r5 operators
-      "emb_pq_trained", "pipeline_full", "ta_denylist_scrub_large",
-      "sim_ivfpq_topk", "vocab_build", "vocab_encode", "sample_mixture",
-      "dedup_minhash_incr", "search_hybrid", "dedup_cc_incr",
-      // r6 operators
-      "dedup_ngram_verify", "ta_denylist_phrases", "q18_asof_salted",
-      "search_hybrid_wide", "dedup_substring", "ta_lm_score", "dedup_semantic", "dedup_semantic_cc", "corpus_shuffle", "ta_quality_clf", "mm_dedup", "q42_islands", "sim_recall_eval", "pipeline_scored",
-      "graph_pagerank", "graph_canonical", "ta_cms_eval", "ta_hll_eval",
-      // r7 operators
-      "ta_quantile_eval", "graph_communities", "sample_domain_cap",
-      "dedup_containment", "sample_cluster_cap", "pipeline_mix",
-      "snapshot_upsert", "q43_zorder", "corpus_split", "corpus_report",
-      // r8 operators — the two index/table maintenance capstones should
-      // be read against their query-only twins (snapshot_upsert,
-      // sim_ivfpq_topk): the DELTA is the maintenance cost, and it must
-      // track the batch size, not the corpus
-      "snapshot_zmaintain", "stream_upsert", "sim_index_upsert",
-      "sim_index_recall", "mm_png", "mm_wav", "dedup_containment_incr",
-      // r11 operators
-      "stream_web", "q46_pctile_wide", "mm_gif", "web_images",
-      "mm_gif_frames", "stream_images", "mm_pack_pairs", "stream_pack",
-      "mm_tiff", "mm_tiff_pages", "sim_bitext", "corpus_icp", "pack_icp",
-      "stream_icp")
+    // r12: the rehearsal covers the FULL registry by default — the two
+    // r11 canaries (corpus_icp's silent 30-doc permutation loss,
+    // dedup_allpairs' 11.6x wall) were both caught only because their
+    // operators happened to be in the curated list, so coverage IS the
+    // canary surface. SPARK_GRAFT_REHEARSAL_ONLY=a,b,c still restricts
+    // for focused probes.
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
     val names = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY") match {
       case Some(list) => list.split(",").toSeq
       case None => allNames
@@ -122,21 +96,29 @@ object ScaleRehearsal {
       }
     })
     names.foreach { n => // warmup pass then timed pass
-      SparkEntry.queries(n)(spark, out).count()
-      // drain the async listener bus BEFORE resetting: a warmup task's
-      // trailing onTaskEnd landing after the reset would bleed warmup
-      // memory/spill into the recorded timed-pass numbers (spilled is
-      // additive, so the bleed inflates, never hides)
-      Thread.sleep(300)
-      peakMem.set(0); spilled.set(0); maxTaskMs.set(0)
-      val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(n)(spark, out).count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener bus drains async; 300 ms covers it
-      println(f"[rehearsal] $n%-22s $wall%7.1f s  ($rows rows)  " +
-        f"peak-task-mem=${peakMem.get / (1 << 20)}%d MB  " +
-        f"spilled=${spilled.get / (1 << 20)}%d MB  max-task=${maxTaskMs.get}%d ms")
-      spark.catalog.clearCache() // no cross-query cache accumulation
+      try {
+        SparkEntry.queries(n)(spark, out).count()
+        // drain the async listener bus BEFORE resetting: a warmup task's
+        // trailing onTaskEnd landing after the reset would bleed warmup
+        // memory/spill into the recorded timed-pass numbers (spilled is
+        // additive, so the bleed inflates, never hides)
+        Thread.sleep(300)
+        peakMem.set(0); spilled.set(0); maxTaskMs.set(0)
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, out).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener bus drains async; 300 ms covers it
+        println(f"[rehearsal] $n%-26s $wall%7.1f s  ($rows rows)  " +
+          f"peak-task-mem=${peakMem.get / (1 << 20)}%d MB  " +
+          f"spilled=${spilled.get / (1 << 20)}%d MB  max-task=${maxTaskMs.get}%d ms")
+      } catch { case e: Throwable =>
+        // a full-registry sweep must not die on one gate: record the
+        // failure as its own line (a 10x-only failure IS a canary —
+        // exactly what the sweep exists to surface) and keep going
+        println(s"[rehearsal] $n FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+      } finally {
+        spark.catalog.clearCache() // no cross-query cache accumulation
+      }
     }
     spark.stop()
   }

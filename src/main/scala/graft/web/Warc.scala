@@ -213,7 +213,14 @@ object HttpMessage {
   /** → (status, headers, body). Body length comes from Content-Length
     * when present, else the remainder of the message. Header names are
     * lowercased on insert (HTTP field names are case-insensitive,
-    * RFC 9110 §5.1 — real WARC payloads carry `content-length`). */
+    * RFC 9110 §5.1 — real WARC payloads carry `content-length`).
+    *
+    * @note the returned Map's KEYS ARE LOWERCASE — look headers up as
+    *       `headers.get("content-type")`, never `"Content-Type"` (a
+    *       mixed-case key silently misses and, for content-length,
+    *       silently falls back to remainder-of-message body length).
+    *       This is the contract since r11; earlier versions returned
+    *       names verbatim as sent. */
   def parseResponse(bytes: Array[Byte]): (Int, Map[String, String], Array[Byte]) = {
     var i = 0
     def nextLine(): String = {

@@ -423,6 +423,27 @@ class DedupSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"newly persisted RDD ids after actions: $leaked")
   }
 
+  test("cut-point persists are released by the harness clearCache contract") {
+    // These gates persist a deliberate cut point (a candidate table or
+    // a two-consumer batch segment) whose release contract is "the
+    // harness clearCache()s between queries" — Bench, Verify and
+    // ScaleRehearsal all do. This sweep mechanizes that contract: the
+    // cache must be LIVE after the action (the cut point is real, not
+    // vestigial) and GONE after clearCache (no unreleasable handle).
+    val sf = "/root/testdata/sf0.001"
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Seq("dedup_allpairs", "dedup_allpairs_incr", "stream_icp", "stream_pack")
+      .foreach { n =>
+        SparkEntry.queries(n)(spark, sf).count()
+        assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+          s"$n no longer persists its cut point — drop it from this sweep")
+        spark.catalog.clearCache()
+        val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+        assert(leaked.isEmpty,
+          s"$n left persisted RDDs that clearCache could not release: $leaked")
+      }
+  }
+
   /** Transparent SemDeDup fixture: dim 16, the first 16 vectors are the
     * unit basis (so they seed the centroids and cell = argmax coord),
     * then four planted vectors whose assignments and pair dots are

@@ -111,4 +111,30 @@ class FunctionsSpec extends AnyFunSuite {
         .findFirstIn(plan).isDefined,
       s"intersect_size_sorted fell out of codegen:\n$plan")
   }
+
+  test("intersect_size_sorted: null elements null the result wherever they sit") {
+    import spark.implicits._
+    IntersectSizeSorted.register(spark)
+    // Position-INDEPENDENT null propagation: before the r12 pre-scan a
+    // null past the point where the shorter array exhausted slipped
+    // through (['a'] vs ['a', null] → 1 while ['a'] vs [null, 'a'] →
+    // NULL). Now any null member on either side nulls the result, in
+    // both interpreted (LocalTableScan) and codegen (post-exchange)
+    // paths. toDF on Seq[Option[String]] yields containsNull=true
+    // arrays, so the null branch is genuinely exercised.
+    val rows = Seq(
+      (1, Seq(Option("a")), Seq(Option("a"), None)),          // null AFTER exhaustion
+      (2, Seq(Option("a")), Seq(None, Option("a"))),          // null BEFORE
+      (3, Seq(Option("a"), None), Seq(Option("a"))),          // left side, after
+      (4, Seq(Option("a"), Option("b")), Seq(Option("a"), Option("b"))))
+      .toDF("id", "a", "b")
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val got = df.selectExpr("id", "intersect_size_sorted(a, b) as x")
+        .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(got === Map(1 -> -1L, 2 -> -1L, 3 -> -1L, 4 -> 2L), s"got $got")
+    }
+    check(rows)                 // interpreted / constant-folded path
+    check(rows.repartition(2))  // whole-stage codegen path
+  }
 }

@@ -228,4 +228,55 @@ class TokenizerSpec extends AnyFunSuite {
     assert(terms.exists(t => got(t)._2 < t.length),
       "fixture must exercise multi-char pieces (some word segments shorter than chars)")
   }
+
+  test("pack_bpe: tokenizer-true cuts reconcile with the encode and DIVERGE from the surrogate") {
+    import graft.operators.{Cleaning, Tokenizer}
+    // 1) reconciliation: pack_bpe's n_tokens IS vocabBpeEncode's n_sym
+    //    for every encoded doc, and 0 for docs the encode never saw
+    //    (no letters → no BPE symbols)
+    val enc = Tokenizer.vocabBpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val packed = Tokenizer.packBpe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(packed.nonEmpty)
+    packed.foreach { case (id, _, nTok, first, last, nChunks) =>
+      assert(nTok == enc.getOrElse(id, 0L),
+        s"doc $id: packed n_tokens $nTok != encode n_sym ${enc.getOrElse(id, 0L)}")
+      if (nTok == 0L) assert(nChunks == 0L && last == first - 1,
+        s"doc $id: zero-symbol doc must take the kernel's empty-span rule")
+    }
+    // 2) kernel identity: the spans equal chunkManifest over the encode
+    //    counts directly (the shared-kernel contract — pack_bpe adds
+    //    NO cut arithmetic of its own)
+    val viaKernel = Cleaning.chunkManifest(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+          .withColumn("n_tokens",
+            coalesce(udf((id: Long) => enc.get(id)).apply(col("doc_id")), lit(0L))),
+        Seq("lang"))
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("first_chunk")),
+          r.getLong(r.fieldIndex("last_chunk"))))).toMap
+    packed.foreach { case (id, _, _, first, last, _) =>
+      assert(viaKernel(id) == ((first, last)),
+        s"doc $id: pack_bpe span ($first,$last) != direct kernel ${viaKernel(id)}")
+    }
+    // 3) divergence: the whitespace-surrogate manifest must cut
+    //    DIFFERENTLY — if every doc landed on the same span the
+    //    composition would be a relabeling and the surrogate fine
+    val surrogate = Cleaning.taPackChunks(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("n_tokens")),
+          r.getLong(r.fieldIndex("first_chunk")),
+          r.getLong(r.fieldIndex("last_chunk"))))).toMap
+    val tokenDiffs = packed.count { case (id, _, nTok, _, _, _) =>
+      surrogate(id)._1 != nTok }
+    val spanDiffs = packed.count { case (id, _, _, first, last, _) =>
+      (surrogate(id)._2, surrogate(id)._3) != ((first, last)) }
+    assert(tokenDiffs > 0, "BPE symbol counts never differ from whitespace counts " +
+      "— the fixture cannot demonstrate why tokenizer-true packing exists")
+    assert(spanDiffs > 0, s"per-doc counts differ ($tokenDiffs docs) but every " +
+      "chunk span coincides — cuts must move for the composition to matter")
+  }
 }

@@ -151,6 +151,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      // plan-text truncation OFF for fingerprint determinism (r12): the
+      // FileScan metadata cutoff ("DataFilters: [..., ...]") lands at a
+      // RAW-text char budget, so exprId digit width — a function of how
+      // many plans the session built earlier — shifts the cut point and
+      // flips the fingerprint of any query with truncated metadata when
+      // a gate is added/changed anywhere EARLIER in the run (diffed to
+      // the char 2026-08-15: dedup_ngram's fp flapped solo vs in-suite
+      // on a ' ...' vs ',...' tail). Untruncated text + the exprId/
+      // lambda normalizations make fingerprints run-order-FREE, not
+      // merely stable under a fixed order. One-time fp epoch bump for
+      // queries whose metadata used to truncate (SCALE.md r12 note).
+      .config("spark.sql.maxMetadataStringLength", "100000")
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -201,8 +214,15 @@ object Bench {
         // fingerprint run 2's EXECUTED plan (post-AQE) AFTER the clock
         // stops: the toString + normalization regexes are cheap but
         // not free, and they must never ride inside a shipped time
-        if (i == 2) ran.foreach(df =>
-          planFps = planFps.updated(name, planFingerprint(df)))
+        if (i == 2) ran.foreach { df =>
+          planFps = planFps.updated(name, planFingerprint(df))
+          // drift adjudication hook: dump the exact (normalized) text
+          // the fingerprint hashes, so two records' fps can be diffed
+          // to the responsible line instead of guessed at
+          if (sys.env.get("SPARK_GRAFT_DUMP_PLAN").contains(name))
+            System.err.println("[plan-dump] " + name + "\n" +
+              normalizePlan(df.queryExecution.executedPlan.toString))
+        }
         t
       }
       spark.catalog.clearCache()

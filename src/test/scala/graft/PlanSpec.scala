@@ -561,4 +561,37 @@ class PlanSpec extends AnyFunSuite {
     assert(bt.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       "sim_bitext must not plan a nested-loop join")
   }
+
+  test("plan fingerprints are run-order-free under the bench's no-truncation configs") {
+    // The r12 invariant: a query's fingerprint must not depend on how
+    // many plans the session built before it. Pre-r12 it did — FileScan
+    // metadata truncates at a RAW-text char budget, so exprId digit
+    // width (a session-lifetime counter) shifted the cut point and
+    // flipped fps of queries downstream of any added/changed gate.
+    // Bench disables the truncation; this pins that under those configs
+    // the fp is identical before and after thousands of exprIds are
+    // burned by planning OTHER queries.
+    val keys = Seq("spark.sql.maxMetadataStringLength" -> "100000",
+      "spark.sql.debug.maxToStringFields" -> "10000")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def fp() = Bench.planFingerprint(
+        SparkEntry.queries("dedup_ngram")(spark, dir))
+      val before = fp()
+      // burn exprIds: planning alone allocates them (no execution needed)
+      (1 to 3).foreach { _ =>
+        SparkEntry.queries("dedup_containment")(spark, dir)
+          .queryExecution.executedPlan
+        SparkEntry.queries("pack_bpe")(spark, dir)
+          .queryExecution.executedPlan
+      }
+      assert(fp() === before,
+        "fingerprint moved with session plan count — truncation (or a new " +
+          "session-lifetime token) is leaking into the normalized plan text")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

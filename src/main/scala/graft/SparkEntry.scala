@@ -172,6 +172,7 @@ object SparkEntry {
     "vocab_bpe"         -> (Tokenizer.vocabBpe _),
     "graph_triangles"   -> (Graphs.graphTriangles _),
     "layout_manifest"   -> (graft.sources.Manifest.layoutManifest _),
+    "layout_export_iceberg" -> (graft.sources.IcebergExport.layoutExportIceberg _),
     "vocab_bpe_encode"  -> (Tokenizer.vocabBpeEncode _),
     "pack_bpe"          -> (Tokenizer.packBpe _),
     "dedup_paragraph_incr" -> (ParagraphDedup.dedupParagraphIncr _),
@@ -454,6 +455,9 @@ object SparkEntry {
     "vocab_bpe"         -> Tokenizer.vocabBpeSql,
     "graph_triangles"   -> Graphs.graphTrianglesSql,
     "layout_manifest"   -> graft.sources.Manifest.layoutManifestSql,
+    // round-trip identity: the Iceberg-tree read-back must reconstruct
+    // exactly the stats table the export was built from
+    "layout_export_iceberg" -> graft.sources.IcebergExport.layoutExportIcebergSql,
     "vocab_bpe_encode"  -> Tokenizer.vocabBpeEncodeSql,
     "pack_bpe"          -> Tokenizer.packBpeSql,
     "dedup_paragraph_incr" -> ParagraphDedup.dedupParagraphIncrSql,

@@ -745,5 +745,11 @@ object SparkEntry {
     // r11: the session's two new scale-story gates — the streaming web
     // capstone (extract + fold + admit per batch) and the distributed
     // exact keyed percentile (the ORDER-BY-free high-cardinality tier)
-    "stream_web", "q46_pctile_wide")
+    "stream_web", "q46_pctile_wide",
+    // r12: tokenizer-true packing (the BPE-encode → chunk-kernel
+    // composition; ta_pack_chunks' surrogate twin stays
+    // full-suite-only) and the Iceberg-shape metadata round-trip
+    // (driver-side Avro write/read — its cost claim is that it STAYS
+    // metadata-scale)
+    "pack_bpe", "layout_export_iceberg")
 }

@@ -252,6 +252,7 @@ object SparkEntry {
     "q45_exact_pctile"  -> (Selection.q45ExactPctile _),
     "mm_jpeg"           -> (graft.multimodal.Media.mmJpeg _),
     "mm_ulaw"           -> (graft.multimodal.Media.mmUlaw _),
+    "mm_alaw"           -> (graft.multimodal.Media.mmAlaw _),
     "mm_video"          -> (graft.multimodal.Media.mmVideo _),
     "ta_decontaminate_semantic" -> (Cleaning.taDecontaminateSemantic _),
     "vocab_wordpiece"   -> (Tokenizer.vocabWordpiece _),
@@ -592,6 +593,7 @@ object SparkEntry {
     // the identity on the codeword image, and the oracle evaluates the
     // G.711 expansion in integer SQL
     "mm_ulaw"           -> graft.multimodal.Media.mmUlawSql,
+    "mm_alaw"           -> graft.multimodal.Media.mmAlawSql,
     // MJPEG frames through the AVI container walk + every-2nd-frame
     // sampling; the twin sums the sampled frames' block formula
     "mm_video"          -> graft.multimodal.Media.mmVideoSql,

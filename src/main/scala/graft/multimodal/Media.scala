@@ -992,6 +992,62 @@ object Media {
       |SELECT media_id, n AS n_samples, CAST(SUM(pcm) AS BIGINT) AS sum_pcm
       |FROM p GROUP BY 1, 2""".stripMargin
 
+  /** The A-law twin of [[mmUlaw]] — same codeword-image identity, the
+    * OTHER G.711 companding (format-6 WAV, 0x55 toggle, chord/mantissa
+    * expansion; sign convention OPPOSITE µ-law's). A-law's identity
+    * covers ALL 256 codewords (no ±0 pair: the smallest chord decodes
+    * to ±8), so the gate streams the full codeword alphabet. The
+    * DuckDB twin evaluates the same expansion in integer SQL over the
+    * 0x55-toggled codeword. Decode-table truth vs the JDK's
+    * independent javax.sound ALAW converter is AlawSpec's job. */
+  def mmAlaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val n = (nc % 50 + 10).toInt
+          val codes = Array.tabulate(n)(t =>
+            ((id * 37 + t * 19) % 256).toByte)
+          val pcm = codes.map(AlawCodec.decodeSample)
+          val wav = AlawCodec.encodeWav(8000, 1, pcm)
+          val (rate, ch, back) = AlawCodec.decodeWav(wav)
+          require(rate == 8000 && ch == 1 &&
+            java.util.Arrays.equals(back, codes),
+            s"A-law codeword round-trip mismatch for media $id")
+          var sum = 0L
+          pcm.foreach(sum += _)
+          (id, n.toLong, sum)
+        }
+      }.toDF("media_id", "n_samples", "sum_pcm")
+  }
+
+  /** Analytic twin: the G.711 A-law expansion in integer SQL
+    * (ac = code ⊕ 0x55; chord 0 → 16q+8, 1 → 16q+264, s ≥ 2 →
+    * (16q+264)·2^(s−1); positive iff ac has the top bit). */
+  val mmAlawSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id,
+      |         CAST(n_chars % 50 + 10 AS BIGINT) AS n
+      |  FROM documents),
+      |t AS (
+      |  SELECT media_id, doc_id, n, unnest(generate_series(0, n - 1)) AS t
+      |  FROM dims),
+      |c AS (
+      |  SELECT media_id, n,
+      |         xor((doc_id * 37 + t * 19) % 256, 85) AS ac
+      |  FROM t),
+      |p AS (
+      |  SELECT media_id, n,
+      |         CASE WHEN (ac & 128) <> 0 THEN 1 ELSE -1 END *
+      |         (CASE WHEN (ac & 112) // 16 = 0 THEN (ac & 15) * 16 + 8
+      |               WHEN (ac & 112) // 16 = 1 THEN (ac & 15) * 16 + 264
+      |               ELSE ((ac & 15) * 16 + 264)
+      |                    * (1 << ((ac & 112) // 16 - 1)) END) AS pcm
+      |  FROM c)
+      |SELECT media_id, n AS n_samples, CAST(SUM(pcm) AS BIGINT) AS sum_pcm
+      |FROM p GROUP BY 1, 2""".stripMargin
+
   /** Video gate: per-document MJPEG clip — block-constant JPEG frames
     * ([[JpegCodec]]'s exact subspace) wrapped in an AVI container
     * ([[AviCodec]]), then the extraction pipeline a video corpus runs:

@@ -530,6 +530,7 @@ class PlanSpec extends AnyFunSuite {
     for ((name, df) <- Seq(
         "mm_gif"        -> graft.multimodal.Media.mmGif(spark, dir),
         "mm_gif_frames" -> graft.multimodal.Media.mmGifFrames(spark, dir),
+        "mm_alaw"       -> graft.multimodal.Media.mmAlaw(spark, dir),
         "web_images"    -> graft.web.WebIngest.webImages(spark, dir))) {
       assert(plan(df).collect { case e: ShuffleExchangeExec => e }.isEmpty,
         s"$name must stay a narrow decode map")

@@ -60,19 +60,15 @@ object Bench {
       // reference-parse problem must never break the bench itself
       scala.util.Try {
       val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
-      // only CALM records may serve as the reference: a shipped record
-      // with errors, surviving outliers (non-empty remeasured), or a
+      // only CALM records may serve as the reference ([[calmEligible]]
+      // — a shipped record with errors, UNCONFIRMED outliers, or a
       // failed floor gate would silently RAISE the outlier thresholds
-      // by up to its own inflation — recreating the blind spot this
-      // check closes. (Records predating the errors/remeasured fields
-      // were only ever appended from calm sweeps.)
+      // by up to its own inflation, recreating the blind spot this
+      // check closes; records predating the errors/remeasured fields
+      // were only ever appended from calm sweeps)
       val lines =
         try src.getLines().filter(_.startsWith("{\"metric\"")).toList
-          .filter { l =>
-            (!l.contains("\"errors\":") || l.contains("\"errors\":{}")) &&
-            (!l.contains("\"remeasured\":") || l.contains("\"remeasured\":{}")) &&
-            (!l.contains("\"passed\":") || l.contains("\"passed\":true"))
-          }
+          .filter(calmEligible)
         finally src.close()
       val pair = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
       lines.flatMap { line =>
@@ -84,6 +80,35 @@ object Bench {
       }.foldLeft(Map.empty[String, Double])(_ + _)
       }.toOption
     }.getOrElse(Map.empty)
+  }
+
+  private val RemeasEntry =
+    """"recorded":([0-9.eE+-]+),"calm_ref":[0-9.eE+-]+,"value":([0-9.eE+-]+)""".r
+
+  /** Is this record line eligible as a calm reference? No errors, a
+    * passed floor gate, and remeasured either empty or CONFIRMED on
+    * every entry (remeasure value ≥ 80% of the recorded sample — the
+    * second reading did not shrink, so the first was not a transient
+    * stall but the query's genuine cost). The confirmation clause is
+    * r12's: a query whose real cost legitimately moved past 3× a
+    * dead-epoch ref (the events fixture-encoding drift left four refs
+    * at ~0.2 s for queries that genuinely run ~0.8 s) re-triggers the
+    * outlier remeasure EVERY run, and when any non-empty `remeasured`
+    * disqualified the record the stale ref could never refresh — a
+    * ratchet that wasted remeasure time and kept every new full-suite
+    * record ineligible as a reference forever. A remeasure that SHRANK
+    * the value still disqualifies: that record's window really was
+    * noisy. */
+  private[graft] def calmEligible(l: String): Boolean = {
+    val remeasOk =
+      !l.contains("\"remeasured\":") || l.contains("\"remeasured\":{}") || {
+        val entries = RemeasEntry.findAllMatchIn(l).toList
+        entries.nonEmpty && entries.forall(m =>
+          m.group(2).toDouble >= 0.8 * m.group(1).toDouble)
+      }
+    (!l.contains("\"errors\":") || l.contains("\"errors\":{}")) &&
+    remeasOk &&
+    (!l.contains("\"passed\":") || l.contains("\"passed\":true"))
   }
 
   /** Canonical fingerprint of a query's EXECUTED physical plan (16 hex
@@ -225,7 +250,7 @@ object Bench {
         }
         t
       }
-      spark.catalog.clearCache()
+      Graft.releaseState(spark) // caches AND checkpointed round state
       (times.min, err)
     }
 

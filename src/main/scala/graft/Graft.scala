@@ -116,6 +116,40 @@ final class Graft private (val spark: SparkSession, val dataDir: String) {
 
 object Graft {
 
+  /** Release ALL engine-held block storage: cached Datasets
+    * (CacheManager) PLUS raw persisted/localCheckpointed RDDs — which
+    * `spark.catalog.clearCache` does NOT touch. SparkContext's
+    * persistentRdds registry holds STRONG references (Spark 4:
+    * `concurrent.Map[Int, RDD]`), so a localCheckpointed round table
+    * (the Pregel/CC/BPE loop state) stays pinned until explicitly
+    * unpersisted — GC and ContextCleaner can never reclaim it, and a
+    * long-lived session accumulates block storage per call (the r12
+    * leak-sweep discovery: stream_pack_bpe left the BPE trainer's 7
+    * per-round checkpoints live after clearCache).
+    *
+    * THE HARNESS CONTRACT: Bench, Verify and ScaleRehearsal call this
+    * between queries; a library caller embedding operators in a
+    * long-lived session owns the same one-line sweep. Safe at any
+    * query boundary by construction — no operator carries cross-query
+    * RDD state (durable state lives in parquet tables), which the
+    * DedupSpec leak sweep pins. */
+  def releaseState(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** Release the block storage behind a localCheckpointed frame —
+    * the in-operator half of the leak discipline: iterative loops
+    * call this on each SUPERSEDED round's checkpoint so live storage
+    * during a query stays O(current round), not O(all rounds); the
+    * FINAL round's blocks are [[releaseState]]'s job at the query
+    * boundary. A no-op on frames that are not localCheckpoints. */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Wrap an existing session. Registers the fixture tables as temp
     * views and the engine's native functions (dot_i64). */
   def apply(spark: SparkSession, dataDir: String): Graft = {

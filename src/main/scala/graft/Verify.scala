@@ -33,11 +33,12 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
-        // operators persist internal intermediates (e.g. MinHash
-        // signatures) whose lineage is only released after the terminal
-        // action — drop them so caches don't accumulate across the
-        // 70-query run
-        spark.catalog.clearCache()
+        // operators persist internal intermediates (MinHash
+        // signatures, checkpointed loop rounds) whose lineage is only
+        // released after the terminal action — sweep them so block
+        // storage doesn't accumulate across the run (the harness
+        // contract, Graft.releaseState scaladoc)
+        Graft.releaseState(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -93,12 +93,16 @@ object Graphs {
         .select(col("doc_id"), expr("mass div deg").as("share"))
         .join(sym, col("doc_id") === col("src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inc"))
-      state = state.join(contrib, col("doc_id") === col("dst"), "left")
+      val nextState = state.join(contrib, col("doc_id") === col("dst"), "left")
         .crossJoin(broadcast(pot))
         .select(col("doc_id"), col("deg"),
           (lit(150000L) +
             expr(s"(85 * (coalesce(inc, 0L) + pot)) div 100").cast("long")).as("mass"))
         .localCheckpoint()
+      // superseded round: blocks otherwise pinned for the session
+      // (persistentRdds holds strong refs) — release eagerly
+      graft.Graft.releaseCheckpoint(state)
+      state = nextState
     }
     state.select(col("doc_id"), col("deg").as("out_deg"),
       col("mass").as("pr_scaled"),
@@ -260,10 +264,12 @@ object Graphs {
         .groupBy(col("dst"))
         .agg(min(struct((-col("c")).as("negc"), col("label"))).as("b"))
         .select(col("dst"), col("b.label").as("new_label"))
-      labels = labels.join(best, col("doc_id") === col("dst"), "left")
+      val nextLabels = labels.join(best, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           coalesce(col("new_label"), col("label")).as("label"))
         .localCheckpoint()
+      graft.Graft.releaseCheckpoint(labels) // superseded round (see PR loop)
+      labels = nextLabels
     }
     // community sizes via aggregate + join-back (the ccOutput idiom),
     // not a window over community_id: a mega-community would land every
@@ -548,8 +554,11 @@ object Graphs {
     // frontier's out-edges (full-relax re-shuffles ~O(E) per round on
     // a dense graph once most nodes are reached).
     var frontier = state.where(col("dist") === 0L)
+    var prevRound = state // the initial checkpoint is superseded by round 1
     for (_ <- 1 to BfsIters) {
       val merged = bfsRound(state, frontier, sym).localCheckpoint()
+      graft.Graft.releaseCheckpoint(prevRound) // superseded (see PR loop)
+      prevRound = merged
       state = merged.select(col("doc_id"), col("dist"), col("seed"))
       frontier = merged.where(col("improved"))
         .select(col("doc_id"), col("dist"), col("seed"))
@@ -631,10 +640,14 @@ object Graphs {
         .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
     var alive = nd
     for (_ <- 1 to KCoreRounds) {
-      alive = aliveDeg(alive)
+      val nextAlive = aliveDeg(alive)
         .where(col("deg") >= KCoreK)
         .select(col("doc_id"))
         .localCheckpoint()
+      // superseded round — but never nd itself: the output join below
+      // still reads it
+      if (alive ne nd) graft.Graft.releaseCheckpoint(alive)
+      alive = nextAlive
     }
     val coreDeg = aliveDeg(alive)
     nd.join(alive.withColumn("in_core", lit(1)), Seq("doc_id"), "left")

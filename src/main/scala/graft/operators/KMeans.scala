@@ -495,12 +495,18 @@ object KMeans {
       val (id, d2) = (-pick.getLong(0), pick.getLong(1))
       chosen = chosen :+ (id, d2)
       if (chosen.size < PpSeeds) {
-        dmin = dmin.join(
+        val nextDmin = dmin.join(
             sc.select(col("vec_id"), dist2To(centerOf(id)).as("d2new")), "vec_id")
           .select(col("vec_id"), least(col("dmin"), col("d2new")).as("dmin"))
           .localCheckpoint()
+        graft.Graft.releaseCheckpoint(dmin) // superseded round
+        dmin = nextDmin
       }
     }
+    // the result is a driver-side table — nothing below reads sc/dmin,
+    // so release both here rather than leaving them to the harness
+    graft.Graft.releaseCheckpoint(dmin)
+    graft.Graft.releaseCheckpoint(sc)
     chosen.zipWithIndex
       .map { case ((id, d2), i) => (i + 1, id, d2) }
       .toDF("round", "vec_id", "d2")

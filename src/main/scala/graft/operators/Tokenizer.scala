@@ -254,10 +254,15 @@ object Tokenizer {
         // seed column drifted — fail loudly before interpolating
         require(a.matches("[\\p{L}]+") && b.matches("[\\p{L}]+"),
           s"non-letter BPE symbol: '$a' '$b'")
-        words = words.withColumn("seq",
+        val nextWords = words.withColumn("seq",
             expr(s"trim(regexp_replace(replace(' ' || replace(seq, ' ', '  ') || ' '," +
               s" ' $a  $b ', ' $a$b '), ' +', ' '))"))
           .localCheckpoint()
+        // superseded round: persistentRdds pins checkpoint blocks
+        // strongly, so without this every merge round's word table
+        // stays cached for the session (the r12 leak-sweep discovery)
+        graft.Graft.releaseCheckpoint(words)
+        words = nextWords
       }
     }
     words.select(col("term"), col("freq"), col("seq"),
@@ -356,17 +361,36 @@ object Tokenizer {
     * whitespace surrogate the same docs may well carry tokens
     * (numbers, punctuation runs), which is part of the measured
     * divergence, not a bug. */
-  def packBpe(s: SparkSession, dir: String): DataFrame = {
-    val counts = vocabBpeEncode(s, dir).select(col("doc_id"), col("n_sym"))
+  /** Per-doc BPE symbol counts of any documents-shaped frame under a
+    * GIVEN trained segmentation table: (doc_id, lang, n_tokens) with
+    * zero-LETTER docs re-entering at 0 via the left join — the packing
+    * kernel's input row shape. Shared by [[packBpe]] and the streaming
+    * packer ([[graft.streaming.PackStream.streamPackBpe]], which feeds
+    * a FROZEN table — the serving contract), so the count definition
+    * cannot drift between the batch and streaming members. Scale: seg
+    * is vocabulary-sized → broadcast; the corpus is never shuffled on
+    * content, the doc-keyed count partial-aggregates map-side. */
+  private[graft] def bpeTokenCounts(docs: DataFrame, seg: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalized(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+    val counts = toks.join(broadcast(seg), Seq("term"))
+      .groupBy(col("doc_id")).agg(sum(col("n_sym")).as("n_sym"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_sym"), lit(0L)).as("n_tokens"))
+  }
+
+  def packBpe(s: SparkSession, dir: String): DataFrame =
     Cleaning.chunkManifest(
-      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-        .join(counts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("n_sym"), lit(0L)).as("n_tokens")),
+      bpeTokenCounts(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        vocabBpe(s, dir).select(col("term"), col("n_sym"))),
       Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("first_chunk"), col("last_chunk"), col("n_chunks"))
-  }
 
   /** The BPE-encode CTE chain feeding the kernel's cut arithmetic
     * (the [[Cleaning.taPackChunksSql]] window, verbatim). */

@@ -128,4 +128,38 @@ object PackStream {
     manifestUnder(toks1, None)
       .unionByName(manifestUnder(toks2, Some(cursorsOf(toks1))))
   }
+
+  /** The TOKENIZER-TRUE streaming packer — [[streamPack]] with the
+    * batch token accounting swapped for trained-BPE symbol counts
+    * ([[graft.operators.Tokenizer.bpeTokenCounts]], the exact counts
+    * [[graft.operators.Tokenizer.packBpe]] cuts by). The segmentation
+    * table is FROZEN across batches — trained once over the corpus and
+    * carried like the IVF index's frozen quantizer: a serving
+    * tokenizer never retrains per batch (retraining would re-segment
+    * history and invalidate every cursor already advanced). Everything
+    * else — the cursor SUM state, `v=<batchId>` versioning, the
+    * null-safe carry, the shared chunk kernel — is [[streamPack]]'s
+    * machinery VERBATIM, so the replay discipline StreamingSpec pins
+    * there covers this member by construction; what this gate adds is
+    * the fold identity under the REAL token metric: the union of
+    * per-batch manifests must reproduce one-shot `pack_bpe` exactly
+    * (the oracle IS packBpeSql). */
+  def streamPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    val r = d.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    require(!r.isNullAt(0), s"empty documents table under $dir")
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val seg = graft.operators.Tokenizer.vocabBpe(s, dir)
+      .select(col("term"), col("n_sym"))
+    // toks1 feeds two consumers (manifest + carried cursors) — the
+    // streamPack persist contract, released by harness clearCache
+    val toks1 = graft.operators.Tokenizer
+      .bpeTokenCounts(d.where(col("doc_id") <= mid), seg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks2 = graft.operators.Tokenizer
+      .bpeTokenCounts(d.where(col("doc_id") > mid), seg)
+    manifestUnder(toks1, None)
+      .unionByName(manifestUnder(toks2, Some(cursorsOf(toks1))))
+  }
 }

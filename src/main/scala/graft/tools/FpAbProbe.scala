@@ -56,7 +56,7 @@ object FpAbProbe {
         diffs ::= s"$n(ERR:${e.getClass.getSimpleName})"
         println(s"[fp-ab] ERR  $n ${e.getMessage}")
       }
-      spark.catalog.clearCache()
+      graft.Graft.releaseState(spark)
     }
     println(s"[fp-ab] ${diffs.size} differing of ${graft.SparkEntry.queries.size}" +
       (if (diffs.nonEmpty) s": ${diffs.reverse.mkString(", ")}" else " — epoch preserved"))

@@ -117,7 +117,7 @@ object ScaleRehearsal {
         // exactly what the sweep exists to surface) and keep going
         println(s"[rehearsal] $n FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
       } finally {
-        spark.catalog.clearCache() // no cross-query cache accumulation
+        graft.Graft.releaseState(spark) // caches + checkpointed state
       }
     }
     spark.stop()

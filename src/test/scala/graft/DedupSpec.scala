@@ -424,23 +424,29 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("cut-point persists are released by the harness clearCache contract") {
-    // These gates persist a deliberate cut point (a candidate table or
-    // a two-consumer batch segment) whose release contract is "the
-    // harness clearCache()s between queries" — Bench, Verify and
-    // ScaleRehearsal all do. This sweep mechanizes that contract: the
-    // cache must be LIVE after the action (the cut point is real, not
-    // vestigial) and GONE after clearCache (no unreleasable handle).
+    // These gates persist a deliberate cut point (a candidate table, a
+    // two-consumer batch segment, or checkpointed loop rounds) whose
+    // release contract is Graft.releaseState between queries — Bench,
+    // Verify and ScaleRehearsal all call it. This sweep mechanizes the
+    // contract: storage must be LIVE after the action (the cut point
+    // is real, not vestigial) and GONE after releaseState (no
+    // unreleasable handle). clearCache alone is NOT enough — this very
+    // sweep caught stream_pack_bpe leaving the BPE trainer's 7
+    // per-round localCheckpoints pinned (SparkContext.persistentRdds
+    // holds strong refs, so GC can never reclaim them), which is what
+    // releaseState exists to close.
     val sf = "/root/testdata/sf0.001"
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    Seq("dedup_allpairs", "dedup_allpairs_incr", "stream_icp", "stream_pack")
+    Seq("dedup_allpairs", "dedup_allpairs_incr", "stream_icp", "stream_pack",
+        "stream_pack_bpe", "dedup_cc", "graph_pagerank", "vocab_bpe")
       .foreach { n =>
         SparkEntry.queries(n)(spark, sf).count()
         assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
           s"$n no longer persists its cut point — drop it from this sweep")
-        spark.catalog.clearCache()
+        Graft.releaseState(spark)
         val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
         assert(leaked.isEmpty,
-          s"$n left persisted RDDs that clearCache could not release: $leaked")
+          s"$n left persisted RDDs that releaseState could not release: $leaked")
       }
   }
 

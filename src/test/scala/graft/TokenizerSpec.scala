@@ -279,4 +279,33 @@ class TokenizerSpec extends AnyFunSuite {
     assert(spanDiffs > 0, s"per-doc counts differ ($tokenDiffs docs) but every " +
       "chunk span coincides — cuts must move for the composition to matter")
   }
+
+  test("stream_pack_bpe fold identity holds on a THREE-batch chain (exercises mergeCursors)") {
+    import graft.operators.Tokenizer
+    import graft.streaming.PackStream
+    // the gate's own split is two batches; a three-batch chain routes
+    // the carry through mergeCursors (full-outer SUM), pinning that
+    // the BPE composition folds under the same state discipline
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val ids = d.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val seg = Tokenizer.vocabBpe(spark, dir).select(col("term"), col("n_sym"))
+    def toks(f: org.apache.spark.sql.Column) =
+      Tokenizer.bpeTokenCounts(d.where(f), seg)
+    val t1 = toks(col("doc_id") <= c1)
+    val t2 = toks(col("doc_id") > c1 && col("doc_id") <= c2)
+    val t3 = toks(col("doc_id") > c2)
+    val s1 = PackStream.cursorsOf(t1)
+    val s12 = PackStream.mergeCursors(s1, PackStream.cursorsOf(t2))
+    val streamed = PackStream.manifestUnder(t1, None)
+      .unionByName(PackStream.manifestUnder(t2, Some(s1)))
+      .unionByName(PackStream.manifestUnder(t3, Some(s12)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val got = rows(streamed)
+    assert(got.nonEmpty && got === rows(Tokenizer.packBpe(spark, dir)),
+      "three-batch cursor-carry must reproduce the one-shot BPE packer exactly")
+  }
 }

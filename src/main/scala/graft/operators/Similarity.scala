@@ -185,10 +185,27 @@ object Similarity {
     val probes = cells.select(col("vec_id").as("query_id"),
         explode(col("probes")).as("cell"))
       .withColumn("salt", explode(lit((0 until CandSalt).toArray)))
+    // NO trailing distinct — (query_id, neighbor_id) is UNIQUE by
+    // construction, and the distinct's (q, n)-keyed exchange was the
+    // r12 100× StageProbe finding: its rows are two longs, so AQE's
+    // byte-based coalescing packed the whole downstream CPU-dense
+    // stage (candidate dots + window partials in the same codegen
+    // span) into 3 tasks — 72 s of CPU, 24.7 s max task in an 18.6 s
+    // wall. Uniqueness proof: cappedAssign emits each vector under
+    // exactly ONE cell (ivfCells assigns the single nearest centroid;
+    // the cap only drops members), a query's probe list holds DISTINCT
+    // cells, and exactly one salt replica matches each member's
+    // pmod(vec_id) — so each qualifying (q, n) joins on precisely one
+    // (cell, salt) row. Measured dup=0 at sf0.001/0.01/0.1/sf1
+    // (2.98M candidates); with the distinct gone the dots ride the
+    // salted-join stage directly. 100× StageProbe: the fixed stage's
+    // CPU drops 72 → 26 s (max task 24.7 → 9.0 s) and one full
+    // candidate exchange disappears; wall is scan-dominated either way
+    // (the N^1.5 coarse-assignment kernels: 127 + 101 s of CPU at
+    // 100×). Hashes byte-identical across the family.
     probes.join(assign, Seq("cell", "salt"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
   }
 
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {

@@ -23,7 +23,9 @@ import sys
 # notes — keep the two in sync.
 #   dedup_semantic_cc: 1.5–2.8 s swing across r10–r11 calm records
 #   (same fp each time; flagged by the judge two rounds running).
-KNOWN_VARIANCE_BAND_MAX = {"dedup_semantic_cc": 3.0}
+#   mm_video: 0.6–1.4 s swing (same fp; r12 full-suite sample 1.40 s
+#   remeasured calm at 0.63–0.91 s with controls drifting identically).
+KNOWN_VARIANCE_BAND_MAX = {"dedup_semantic_cc": 3.0, "mm_video": 1.5}
 
 
 def load(path):

@@ -73,6 +73,7 @@ object SparkEntry {
     "ta_tfidf"          -> (CorpusOps.taTfidf _),
     "ta_bigrams"        -> (CorpusOps.taBigrams _),
     "ta_lm_score"       -> (CorpusOps.taLmScore _),
+    "ta_lm_kn"          -> (CorpusOps.taLmKn _),
     "ta_bm25"           -> (CorpusOps.taBm25 _),
     "sample_stratified" -> (CorpusOps.sampleStratified _),
     "sample_fixed_k"    -> (CorpusOps.sampleFixedK _),
@@ -353,6 +354,7 @@ object SparkEntry {
     "ta_tfidf"          -> CorpusOps.taTfidfSql,
     "ta_bigrams"        -> CorpusOps.taBigramsSql,
     "ta_lm_score"       -> CorpusOps.taLmScoreSql,
+    "ta_lm_kn"          -> CorpusOps.taLmKnSql,
     "ta_bm25"           -> CorpusOps.taBm25Sql,
     "sample_stratified" -> CorpusOps.sampleStratifiedSql,
     "sample_fixed_k"    -> CorpusOps.sampleFixedKSql,

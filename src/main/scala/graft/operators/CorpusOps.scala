@@ -544,7 +544,16 @@ object CorpusOps {
       .select(col("doc_id"), col("m"),
         coalesce(col("c_bi").cast("double") / col("c_left").cast("double"),
           lit(0.0)).as("p"))
-    val scored = p
+    foldDocScores(ids, p)
+  }
+
+  /** Shared per-doc fold for every LM-scoring path: expand each
+    * (doc_id, m, p) gram probability to instance level INSIDE the doc
+    * (array_repeat — no instance-level shuffle), then the sorted fold.
+    * p = 0.0 counts as OOV. Output: (doc_id, n_bigrams, n_oov_bigrams,
+    * lm_score = mean p, min_p), zero-filled for gram-less docs. */
+  private def foldDocScores(ids: DataFrame, pm: DataFrame): DataFrame = {
+    val scored = pm
       .select(col("doc_id"), explode(expr("array_repeat(p, cast(m as int))")).as("p"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -626,6 +635,137 @@ object CorpusOps {
       |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
       |       THEN sc.sum_p / CAST(sc.n_bigrams AS DOUBLE)
       |       ELSE CAST(0 AS DOUBLE) END AS lm_score,
+      |  COALESCE(sc.min_p, CAST(0 AS DOUBLE)) AS min_p
+      |FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
+  // ------------------------------------------------------- ta_lm_kn
+  /** Interpolated Kneser–Ney bigram LM score — the smoothed upgrade of
+    * [[taLmScore]] and the model behind CCNet-style perplexity
+    * filtering (Kneser & Ney 1995; Chen & Goodman 1998 §2.7; Wenzek et
+    * al. 2020). MLE assigns p = 0 to any transition absent from the
+    * reference, so MLE scores saturate on OOV-heavy docs; KN reserves
+    * discounted mass for unseen transitions via the CONTINUATION
+    * distribution (how many distinct left-contexts a word follows, not
+    * how often it occurs), which is what separates "unusual but
+    * well-formed" from "token salad".
+    *
+    * Exact-rational form, discount D = 3/4 exactly:
+    *
+    *   p(w2|w1) = [max(4c−3, 0)·NB + 3·N1L(w1)·N1R(w2)] / (4·cl(w1)·NB)
+    *
+    * with c = c(w1 w2), cl(w1) = Σ_w c(w1 w), N1L(w1) = |{w: c(w1 w)>0}|,
+    * N1R(w2) = |{w: c(w w2)>0}|, NB = |{(w1,w2): c>0}| — the standard
+    * interpolated-KN equation max(c−D,0)/cl + D·N1L/cl · N1R/NB
+    * multiplied through by 4·cl·NB. Numerator and denominator are exact
+    * int64 products, p is ONE IEEE division — bit-identical in any
+    * engine (the [[taLmScore]] determinism argument; per-w1 the
+    * numerators sum exactly to the denominator over the full vocabulary,
+    * CorpusOpsSpec pins it). int64 bound: den = 4·cl·NB needs
+    * cl·NB < 2^61 — ample at any tested SF (sf0.1: cl ≤ 6·10^5,
+    * NB ≈ 3·10^5); at a web-scale corpus (cl ~ 10^10 of "of the",
+    * NB ~ 10^9 types) switch to the algebraically-equal factored form
+    * max(4c−3,0)/(4·cl) + (3·n1l·n1r)/(4·cl·NB) evaluated per-term in
+    * doubles — any FIXED +,−,×,÷ tree of correctly-rounded IEEE ops
+    * stays cross-engine deterministic; only the single-division form is
+    * also overflow-proof by inspection, so the gate uses it.
+    *
+    * OOV tiers (two-table form): bigram seen → the formula; w1 seen,
+    * bigram unseen → pure smoothed mass 3·N1L·N1R/(4·cl·NB) (> 0 when
+    * w2 is seen anywhere — the KN point); w1 unseen → backoff to the
+    * continuation distribution alone, p = N1R(w2)/NB; w2 never seen →
+    * p = 0, counted in n_oov_bigrams. The self-scored gate has no OOV
+    * tier (reference = corpus), so the column is dropped there,
+    * mirroring [[taLmScore]].
+    *
+    * 100 TB shape identical to [[taLmScore]]: all four model tables
+    * (c_bi, left stats, right stats, NB) are vocabulary-bounded corpus
+    * aggregates; the scoring join runs at per-doc DISTINCT-bigram
+    * granularity and multiplicity re-expands inside the doc; NB is a
+    * broadcast 1-row frame. The gram-keyed joins inherit Zipf skew on
+    * the hottest bigram — AQE skew-join splits them. */
+  def taLmKn(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pdg = perDocBigrams(docs)
+    val cBi = pdg.groupBy(col("g")).agg(sum(col("m")).as("c_bi"))
+    knScoreFrom(docs.select(col("doc_id")), pdg, cBi)
+      .drop("n_oov_bigrams") // impossible under self-reference
+  }
+
+  /** TWO-TABLE form — score `corpus` documents under a KN bigram LM
+    * trained on a separate high-quality `reference` table (the real
+    * CCNet shape; both (doc_id, text, ...)). See [[taLmKn]] for the
+    * OOV tiers. */
+  def taLmKnVs(corpus: DataFrame, reference: DataFrame): DataFrame = {
+    val cBi = perDocBigrams(reference)
+      .groupBy(col("g")).agg(sum(col("m")).as("c_bi"))
+    knScoreFrom(corpus.select(col("doc_id")), perDocBigrams(corpus), cBi)
+  }
+
+  /** KN probability join + the shared [[foldDocScores]] tail; the
+    * score column lands as `kn_score`. */
+  private def knScoreFrom(ids: DataFrame, perDocGram: DataFrame,
+      cBi: DataFrame): DataFrame = {
+    val lStats = cBi.groupBy(split(col("g"), " ")(0).as("w1"))
+      .agg(sum(col("c_bi")).as("cl"), count(lit(1)).as("n1l"))
+    val rStats = cBi.groupBy(split(col("g"), " ")(1).as("w2"))
+      .agg(count(lit(1)).as("n1r"))
+    val nb = cBi.agg(count(lit(1)).as("nb"))
+    val num =
+      when(col("c_bi").isNotNull, // bigram seen ⇒ w1/w2 stats all present
+        (lit(4L) * col("c_bi") - lit(3L)) * col("nb") +
+          lit(3L) * col("n1l") * col("n1r"))
+        .otherwise(when(col("cl").isNotNull, // w1 seen, transition unseen
+          lit(3L) * col("n1l") * coalesce(col("n1r"), lit(0L)))
+          .otherwise(coalesce(col("n1r"), lit(0L)))) // w1 unseen: continuation backoff
+    val den =
+      when(col("cl").isNotNull, lit(4L) * col("cl") * col("nb"))
+        .otherwise(greatest(col("nb"), lit(1L))) // nb ≥ 1 whenever n1r matched
+    val p = perDocGram
+      .join(cBi, Seq("g"), "left")
+      .join(lStats, split(col("g"), " ")(0) === col("w1"), "left")
+      .join(rStats, split(col("g"), " ")(1) === col("w2"), "left")
+      .crossJoin(broadcast(nb))
+      .select(col("doc_id"), col("m"),
+        (num.cast("double") / den.cast("double")).as("p"))
+    foldDocScores(ids, p).withColumnRenamed("lm_score", "kn_score")
+  }
+
+  val taLmKnSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM docs WHERE len(w) >= 2),
+      |cbi AS (SELECT g, COUNT(1) AS c FROM bi GROUP BY g),
+      |lstats AS (
+      |  SELECT string_split(g, ' ')[1] AS w1,
+      |         CAST(SUM(c) AS BIGINT) AS cl, COUNT(1) AS n1l
+      |  FROM cbi GROUP BY 1),
+      |rstats AS (
+      |  SELECT string_split(g, ' ')[2] AS w2, COUNT(1) AS n1r
+      |  FROM cbi GROUP BY 1),
+      |nbt AS (SELECT COUNT(1) AS nb FROM cbi),
+      |p AS (
+      |  SELECT bi.doc_id,
+      |         CAST((4 * cbi.c - 3) * nbt.nb + 3 * lstats.n1l * rstats.n1r AS DOUBLE)
+      |         / CAST(4 * lstats.cl * nbt.nb AS DOUBLE) AS p
+      |  FROM bi
+      |  JOIN cbi ON bi.g = cbi.g
+      |  JOIN lstats ON string_split(bi.g, ' ')[1] = lstats.w1
+      |  JOIN rstats ON string_split(bi.g, ' ')[2] = rstats.w2
+      |  CROSS JOIN nbt),
+      |sc AS (
+      |  SELECT doc_id, COUNT(1) AS n_bigrams,
+      |         list_reduce(list_sort(list(p)), (a, b) -> a + b) AS sum_p,
+      |         MIN(p) AS min_p
+      |  FROM p GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+      |       THEN sc.sum_p / CAST(sc.n_bigrams AS DOUBLE)
+      |       ELSE CAST(0 AS DOUBLE) END AS kn_score,
       |  COALESCE(sc.min_p, CAST(0 AS DOUBLE)) AS min_p
       |FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
 

@@ -214,6 +214,74 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(vs(2L) == ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("ta_lm_kn: hand-computed interpolated Kneser–Ney probabilities, exact fold") {
+    val d = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    // cBi: c("a b")=3, c("b a")=1, c("b c")=1; NB=3 types;
+    // left a: cl=3,n1l=1; left b: cl=2,n1l=2; right n1r(a)=n1r(b)=n1r(c)=1
+    // p("a b") = [(12−3)·3 + 3·1·1]/(4·3·3) = 30/36
+    // p("b a") = p("b c") = [(4−3)·3 + 3·2·1]/(4·2·3) = 9/24 = 0.375
+    Seq(
+      (0L, "a b a b", "en", "s", 7L),
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = CorpusOps.taLmKn(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val pAB = 30.0 / 36.0
+    assert(m(0L) == ((3L, (((0.0 + 0.375) + pAB) + pAB) / 3.0, 0.375)),
+      "doc 0: [a b, b a, a b], sorted fold")
+    assert(m(1L) == ((2L, ((0.0 + 0.375) + pAB) / 2.0, 0.375)))
+    assert(m(2L) == ((0L, 0.0, 0.0)), "too short for a bigram")
+    // self-reference Vs equals the gate path with an all-zero oov column
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    CorpusOps.taLmKnVs(docs, docs).collect().foreach { r =>
+      assert(r.getLong(2) == 0L, "self-reference OOV impossible")
+      assert(m(r.getLong(0)) == ((r.getLong(1), r.getDouble(3), r.getDouble(4))))
+    }
+  }
+
+  test("ta_lm_kn_vs: smoothing tiers — unseen transition > 0, continuation backoff for unseen context, true-OOV accounting") {
+    // reference "a b a c": cBi {a b:1, b a:1, a c:1}, NB=3;
+    // left a: cl=2,n1l=2; left b: cl=1,n1l=1; right n1r(a)=n1r(b)=n1r(c)=1
+    val ref = Seq((100L, "a b a c", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = Seq(
+      (0L, "a c b z b", "en", "s", 9L), // (a c) seen; (c b) ctx-unseen; (b z) w2-OOV; (z b) ctx-unseen
+      (1L, "b b", "en", "s", 3L))       // (b b): both words seen, transition unseen
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vs = CorpusOps.taLmKnVs(corpus, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // (a c) = [(4−3)·3 + 3·2·1]/(4·2·3) = 9/24; (c b)/(z b) back off to
+    // n1r(b)/NB = 1/3; (b z): w2 never seen → 0, the one true OOV
+    val third = 1.0 / 3.0
+    assert(vs(0L) == ((4L, 1L, ((((0.0 + 0.375) + third) + third)) / 4.0, 0.0)))
+    // the KN point: a both-words-seen but never-observed transition gets
+    // real probability mass 3·n1l(b)·n1r(b)/(4·cl(b)·NB) = 3/12 = 0.25
+    assert(vs(1L) == ((1L, 0L, 0.25, 0.25)))
+  }
+
+  test("ta_lm_kn: probabilities normalize — per seen context, scores over the right-vocabulary sum to 1") {
+    val ref = Seq((100L, "a b a c", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // one probe doc per (context, continuation) pair over the LM's
+    // right-vocabulary {a,b,c}: each probe's kn_score IS p(w2|w1)
+    val vocab = Seq("a", "b", "c")
+    val probes = (for {
+      (w1, i) <- Seq("a", "b").zipWithIndex
+      (w2, j) <- vocab.zipWithIndex
+    } yield ((i * 10 + j).toLong, s"$w1 $w2", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = CorpusOps.taLmKnVs(probes, ref).collect()
+      .map(r => (r.getLong(0) / 10, r.getDouble(3)))
+    val sums = p.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // exact on the integer numerators (den = Σ num per context); the
+    // double sum re-associates, so assert to IEEE slack
+    Seq(0L, 1L).foreach { ctx =>
+      assert(math.abs(sums(ctx) - 1.0) < 1e-12, s"context $ctx mass ${sums(ctx)}")
+    }
+  }
+
   test("corpus_shuffle: a seeded permutation — every doc exactly once, dense pos per shard, same seed identical, next epoch different") {
     val big = "/root/testdata/sf0.01" // 500-doc fixture gives the balance check teeth
     val e1 = CorpusOps.corpusShuffleWith(spark, big, seed = 1, nShards = 8).collect()

@@ -115,6 +115,7 @@ object SparkEntry {
     "emb_pq_trained"    -> (KMeans.embPqTrained _),
     "pipeline_full"     -> (Pipeline.pipelineFull _),
     "pipeline_scored"   -> (Pipeline.pipelineScored _),
+    "pipeline_ppl"      -> (Pipeline.pipelinePpl _),
     "ta_denylist_scrub_large" -> (Cleaning.taDenylistScrubLarge _),
     "ta_denylist_phrases" -> (Cleaning.taDenylistPhrases _),
     "vocab_build"       -> (Tokenizer.vocabBuild _),
@@ -396,6 +397,7 @@ object SparkEntry {
     "emb_pq_trained"    -> KMeans.embPqTrainedSql,
     "pipeline_full"     -> Pipeline.pipelineFullSql,
     "pipeline_scored"   -> Pipeline.pipelineScoredSql,
+    "pipeline_ppl"      -> Pipeline.pipelinePplSql,
     // same oracle as the regex twin: the set kernel is bit-identical
     "ta_denylist_scrub_large" -> Cleaning.taDenylistScrubSql,
     "ta_denylist_phrases" -> Cleaning.taDenylistPhrasesSql,

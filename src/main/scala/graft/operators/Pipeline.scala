@@ -286,6 +286,116 @@ object Pipeline {
        |       clf.clf_score, clf.clf_pred
        |FROM pf JOIN clf USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------------ pipeline_ppl
+  /** CCNet-style perplexity partitioning (Wenzek et al. 2020): train a
+    * KN-smoothed bigram LM on a held-out high-quality split (stand-in:
+    * doc_id % 3 == 0, the engine-wide split convention), score every
+    * remaining document under it ([[CorpusOps.taLmKnVs]]), and cut the
+    * corpus into head/middle/tail TERCILES by exact order statistics of
+    * the score — head = most reference-like. CCNet cuts on perplexity
+    * (a log); this cuts on the mean transition probability, a monotone
+    * per-doc statistic of the same model that keeps every number one
+    * IEEE division of exact integers (the [[CorpusOps.taLmKn]]
+    * determinism argument — no libm in the hash path).
+    *
+    * The tercile cuts ride [[Selection.exactFracRanksOver]] on
+    * kn_ppm = floor(kn_score·10^12) (exact: the product of two doubles
+    * is one correctly-rounded op, floor is exact, so both engines
+    * derive the same long): two bounded kernel passes, cut values land
+    * on the driver as two literals, bucket assignment is a
+    * comparison — no global sort anywhere. 100 TB: scoring is the
+    * linear KN join; the kernel's driver state is |score range|/W
+    * histogram rows; the scored frame is persisted across its three
+    * consumers (two kernel passes + the final bucketing). RELEASE
+    * CONTRACT: the terminal action runs in the caller — harnesses
+    * clearCache() between queries; a long-lived library session owns
+    * the sweep. */
+  def pipelinePpl(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ref = docs.where(col("doc_id") % 3 === 0)
+    val rest = docs.where(col("doc_id") % 3 =!= 0)
+    val scored = CorpusOps.taLmKnVs(rest, ref)
+      .withColumn("kn_ppm", floor(col("kn_score") * lit(1e12)))
+      .persist()
+    val cuts = Selection.exactFracRanksOver(s,
+      scored.select(col("kn_ppm").as("cents")), Seq((1, 1L, 3L), (2, 2L, 3L)))
+      .orderBy("p").collect().map(_.getAs[Long]("cents"))
+    val (t1, t2) = (cuts(0), cuts(1))
+    scored.select(col("doc_id"), col("n_bigrams"), col("n_oov_bigrams"),
+      col("kn_score"),
+      when(col("kn_ppm") < t1, "tail").when(col("kn_ppm") < t2, "middle")
+        .otherwise("head").as("bucket"))
+  }
+
+  val pipelinePplSql: String =
+    """WITH refdocs AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' ') AS w
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |restdocs AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' ') AS w
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |rbi AS (
+      |  SELECT unnest(list_transform(
+      |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM refdocs WHERE len(w) >= 2),
+      |cbi AS (SELECT g, COUNT(1) AS c FROM rbi GROUP BY g),
+      |lstats AS (
+      |  SELECT string_split(g, ' ')[1] AS w1,
+      |         CAST(SUM(c) AS BIGINT) AS cl, COUNT(1) AS n1l
+      |  FROM cbi GROUP BY 1),
+      |rstats AS (
+      |  SELECT string_split(g, ' ')[2] AS w2, COUNT(1) AS n1r
+      |  FROM cbi GROUP BY 1),
+      |nbt AS (SELECT COUNT(1) AS nb FROM cbi),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM restdocs WHERE len(w) >= 2),
+      |p AS (
+      |  SELECT bi.doc_id,
+      |         CAST(CASE
+      |           WHEN cbi.c IS NOT NULL
+      |             THEN (4 * cbi.c - 3) * nbt.nb + 3 * lstats.n1l * rstats.n1r
+      |           WHEN lstats.cl IS NOT NULL
+      |             THEN 3 * lstats.n1l * COALESCE(rstats.n1r, 0)
+      |           ELSE COALESCE(rstats.n1r, 0) END AS DOUBLE)
+      |         / CAST(CASE
+      |           WHEN lstats.cl IS NOT NULL THEN 4 * lstats.cl * nbt.nb
+      |           ELSE GREATEST(nbt.nb, 1) END AS DOUBLE) AS p
+      |  FROM bi
+      |  LEFT JOIN cbi ON bi.g = cbi.g
+      |  LEFT JOIN lstats ON string_split(bi.g, ' ')[1] = lstats.w1
+      |  LEFT JOIN rstats ON string_split(bi.g, ' ')[2] = rstats.w2
+      |  CROSS JOIN nbt),
+      |sc AS (
+      |  SELECT doc_id, COUNT(1) AS n_bigrams,
+      |         SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS n_oov,
+      |         list_reduce(list_sort(list(p)), (a, b) -> a + b) AS sum_p
+      |  FROM p GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.doc_id,
+      |    CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov_bigrams,
+      |    CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+      |         THEN sc.sum_p / CAST(sc.n_bigrams AS DOUBLE)
+      |         ELSE CAST(0 AS DOUBLE) END AS kn_score
+      |  FROM restdocs d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+      |sp AS (
+      |  SELECT *, CAST(floor(kn_score * 1000000000000.0) AS BIGINT) AS kn_ppm
+      |  FROM scored),
+      |nt AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM sp),
+      |r AS (SELECT kn_ppm, ROW_NUMBER() OVER (ORDER BY kn_ppm) AS rn FROM sp),
+      |e AS (
+      |  SELECT lbl, r.kn_ppm AS edge
+      |  FROM (VALUES (1), (2)) AS v(lbl)
+      |  CROSS JOIN nt JOIN r ON r.rn = (lbl * nt.n + 2) // 3)
+      |SELECT sp.doc_id, sp.n_bigrams, sp.n_oov_bigrams, sp.kn_score,
+      |  CASE WHEN sp.kn_ppm < e1.edge THEN 'tail'
+      |       WHEN sp.kn_ppm < e2.edge THEN 'middle'
+      |       ELSE 'head' END AS bucket
+      |FROM sp, (SELECT edge FROM e WHERE lbl = 1) e1,
+      |         (SELECT edge FROM e WHERE lbl = 2) e2""".stripMargin
+
   // ------------------------------------------------------ pipeline_mix
   /** Docs kept per source domain in the final mix. */
   val MixCapK = 15

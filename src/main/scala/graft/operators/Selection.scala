@@ -105,19 +105,39 @@ object Selection {
     * id uses truncating `div`, which equals floor only for v >= 0 (the
     * eventsCteSql ts_us contract, same argument). */
   def exactPctileOver(s: SparkSession, values: DataFrame, pcts: Seq[Int],
-      width: Long = BucketW): DataFrame = {
+      width: Long = BucketW): DataFrame =
+    exactRanksOver(s, values, n => pcts.map(p => (p, (p * n + 99L) / 100L)),
+      width, "exactPctileOver")
+
+  /** Generalized-rank sibling of [[exactPctileOver]]: targets given as
+    * exact fractions num/den of n (label, num, den) — ceil-rank
+    * r = ⌈num·n/den⌉, so e.g. terciles are (1,1,3),(2,2,3), which
+    * integer-percentile targets cannot express (⌈33n/100⌉ ≠ ⌈n/3⌉).
+    * Same two corpus scans, same output schema (p = the label). */
+  def exactFracRanksOver(s: SparkSession, values: DataFrame,
+      fracs: Seq[(Int, Long, Long)], width: Long = BucketW): DataFrame = {
+    require(fracs.forall { case (_, num, den) => num >= 1 && num <= den },
+      "fractional ranks must satisfy 1 <= num <= den (rank 0 has no element)")
+    exactRanksOver(s, values,
+      n => fracs.map { case (lbl, num, den) => (lbl, (num * n + den - 1) / den) },
+      width, "exactFracRanksOver")
+  }
+
+  private def exactRanksOver(s: SparkSession, values: DataFrame,
+      targetsOf: Long => Seq[(Int, Long)], width: Long,
+      what: String): DataFrame = {
     import s.implicits._
     // pass 1: bucket histogram — partial-aggregated map-side, driver
     // receives |range|/W rows
     val hist = collectBounded(values
       .groupBy(expr(s"cents div $width").as("b"))
-      .agg(count(lit(1)).as("cnt")), "exactPctileOver pass-1 histogram")
+      .agg(count(lit(1)).as("cnt")), s"$what pass-1 histogram")
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = hist.iterator.map(_._2).sum
-    // ceil(p*n/100) in pure integer math; n >= 1 required (empty input
-    // has no order statistics — fail loudly, not with a bad row)
-    require(n > 0, "exactPctileOver: empty input has no order statistics")
-    val targets = pcts.map(p => (p, (p * n + 99L) / 100L))
+    // ceil-rank targets in pure integer math; n >= 1 required (empty
+    // input has no order statistics — fail loudly, not with a bad row)
+    require(n > 0, s"$what: empty input has no order statistics")
+    val targets = targetsOf(n)
     val located = locate(targets, hist)
     val neededBuckets = located.map(_._3).distinct
     // pass 2: per-distinct-value counts inside the needed buckets only.
@@ -126,7 +146,7 @@ object Selection {
     val slice = collectBounded(values
       .where(bucketRanges(col("cents"), neededBuckets, width))
       .groupBy(col("cents")).agg(count(lit(1)).as("cnt")),
-      "exactPctileOver pass-2 slice")
+      s"$what pass-2 slice")
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val byBucket = slice.groupBy(v => v._1 / width)
     val rows = located.map { case (p, rnk, b, below) =>

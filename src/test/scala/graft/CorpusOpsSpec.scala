@@ -282,6 +282,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_ppl: CCNet terciles — total, value-ordered buckets, ceil-rank cut sizes, deterministic") {
+    val sf = "/root/testdata/sf0.01"
+    val out = graft.operators.Pipeline.pipelinePpl(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+    Graft.releaseState(spark)
+    val nRest = spark.read.parquet(s"$sf/documents.parquet")
+      .where($"doc_id" % 3 =!= 0).count()
+    assert(out.length.toLong == nRest, "every non-reference doc is bucketed")
+    val byB = out.groupBy(_._3).view.mapValues(_.map(t => math.floor(t._2 * 1e12).toLong)).toMap
+    assert(byB.keySet == Set("tail", "middle", "head"), "all terciles populated")
+    // value cuts: buckets are totally ordered on the integer cut key
+    assert(byB("tail").max < byB("middle").min)
+    assert(byB("middle").max < byB("head").min)
+    // ceil-rank semantics: strictly fewer than ceil(k·n/3) fall below cut k
+    val n = out.length.toLong
+    assert(byB("tail").size < (n + 2) / 3)
+    assert(byB("tail").size + byB("middle").size < (2 * n + 2) / 3)
+    // deterministic end to end
+    val again = graft.operators.Pipeline.pipelinePpl(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+    Graft.releaseState(spark)
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("corpus_shuffle: a seeded permutation — every doc exactly once, dense pos per shard, same seed identical, next epoch different") {
     val big = "/root/testdata/sf0.01" // 500-doc fixture gives the balance check teeth
     val e1 = CorpusOps.corpusShuffleWith(spark, big, seed = 1, nShards = 8).collect()

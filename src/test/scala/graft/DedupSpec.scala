@@ -438,7 +438,8 @@ class DedupSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Seq("dedup_allpairs", "dedup_allpairs_incr", "stream_icp", "stream_pack",
-        "stream_pack_bpe", "dedup_cc", "graph_pagerank", "vocab_bpe")
+        "stream_pack_bpe", "dedup_cc", "graph_pagerank", "vocab_bpe",
+        "pipeline_ppl")
       .foreach { n =>
         SparkEntry.queries(n)(spark, sf).count()
         assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,

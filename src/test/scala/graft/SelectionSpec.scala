@@ -38,6 +38,29 @@ class SelectionSpec extends AnyFunSuite {
       brute(vals, Seq(25, 50, 75, 90, 99)))
   }
 
+  test("exactFracRanksOver: fractional targets match brute-force kth-smallest; rejects rank 0") {
+    val rng = new scala.util.Random(11)
+    val vals = Seq.fill(2000)(rng.nextLong(300000L))
+    val fracs = Seq((1, 1L, 3L), (2, 2L, 3L), (3, 1L, 7L), (4, 7L, 7L))
+    val got = Selection.exactFracRanksOver(spark,
+      spark.createDataset(vals).repartition(5).toDF("cents"), fracs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val sorted = vals.sorted
+    val n = vals.length.toLong
+    val want = fracs.map { case (lbl, num, den) =>
+      val rnk = (num * n + den - 1) / den
+      (lbl, rnk, n, sorted((rnk - 1).toInt))
+    }
+    assert(got == want)
+    // ceil(n/3) differs from the nearest integer percentile's ceil(33n/100)
+    assert((1L * n + 2) / 3 != (33 * n + 99) / 100,
+      "fixture must exercise the rank integer-percentiles cannot express")
+    intercept[IllegalArgumentException] {
+      Selection.exactFracRanksOver(spark,
+        spark.createDataset(vals).toDF("cents"), Seq((0, 0L, 3L)))
+    }
+  }
+
   test("permutation and partition-count invariance") {
     val rng = new scala.util.Random(7)
     val vals = Seq.fill(999)(rng.nextLong(50000L))

@@ -146,6 +146,7 @@ object SparkEntry {
     "mm_tiff"           -> (graft.multimodal.Media.mmTiff _),
     "mm_tiff_pages"     -> (graft.multimodal.Media.mmTiffPages _),
     "mm_pack_pairs"     -> (graft.multimodal.Media.mmPackPairs _),
+    "mm_pack_bpe"       -> (graft.multimodal.Media.mmPackBpe _),
     "mm_wav"            -> (graft.multimodal.Media.mmWav _),
     "mm_energy"         -> (graft.multimodal.Media.mmEnergy _),
     "mm_phash"          -> (graft.multimodal.Media.mmPhash _),
@@ -431,6 +432,7 @@ object SparkEntry {
     "mm_tiff"           -> graft.multimodal.Media.mmTiffSql,
     "mm_tiff_pages"     -> graft.multimodal.Media.mmTiffPagesSql,
     "mm_pack_pairs"     -> graft.multimodal.Media.mmPackPairsSql,
+    "mm_pack_bpe"       -> graft.multimodal.Media.mmPackBpeSql,
     "mm_wav"            -> graft.multimodal.Media.mmWavSql,
     "mm_energy"         -> graft.multimodal.Media.mmEnergySql,
     "mm_phash"          -> graft.multimodal.Media.mmPhashSql,

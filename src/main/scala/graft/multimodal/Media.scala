@@ -825,6 +825,72 @@ object Media {
       |    - cb // ${graft.operators.Cleaning.ChunkTokens} + 1 AS n_chunks
       |FROM c""".stripMargin
 
+  /** TOKENIZER-TRUE vision-language packing — [[mmPackPairs]] with the
+    * text arm's whitespace surrogate replaced by TRAINED-BPE symbol
+    * counts ([[graft.operators.Tokenizer.bpeTokenCounts]], the same
+    * count definition the text packer `pack_bpe` and the streaming
+    * packer ride): a VLM trainer budgets sequences by what its
+    * tokenizer emits, and the surrogate under-counts every
+    * multi-symbol word, so surrogate-cut multimodal chunks overflow
+    * the real budget exactly as text chunks did (MediaSpec pins that
+    * the two manifests genuinely diverge on the fixtures). The image
+    * arm is unchanged — patch-grid tokens ⌈w/4⌉·⌈h/4⌉ from the real
+    * decode chain plus 2 separators; n_tokens is therefore always
+    * positive and the kernel's empty-span rule never fires here.
+    * Scale shape: the trained segmentation table broadcasts, symbol
+    * counts partial-aggregate map-side, the image⋈text join is
+    * doc_id-keyed, and the cut arithmetic is the ONE shared
+    * chunk-manifest kernel. */
+  def mmPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val imgs = graft.web.WebIngest.webImages(s, dir)
+      .select(col("doc_id"), col("fmt"), col("width"), col("height"))
+    val bpe = graft.operators.Tokenizer.bpeTokenCounts(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        graft.operators.Tokenizer.vocabBpe(s, dir)
+          .select(col("term"), col("n_sym")))
+      .select(col("doc_id"), col("n_tokens").as("n_text"))
+    val pairs = imgs.join(bpe, Seq("doc_id"))
+      .withColumn("n_tokens",
+        (col("n_text") +
+          expr("((width + 3) div 4) * ((height + 3) div 4)") + lit(2L))
+          .cast("long"))
+      .select(col("doc_id"), col("fmt"), col("n_tokens"))
+    graft.operators.Cleaning.chunkManifest(pairs, Seq("fmt"))
+      .select(col("doc_id"), col("fmt"), col("n_tokens"),
+        col("first_chunk"), col("last_chunk"), col("n_chunks"))
+  }
+
+  /** Analytic twin: web_images' oracle for dims + the unrolled BPE
+    * training/encode CTEs + the running-cursor spans. */
+  val mmPackBpeSql: String = {
+    import graft.operators.{Cleaning, Tokenizer}
+    "WITH img AS (" + graft.web.WebIngest.webImagesSql + "),\n" +
+    Tokenizer.dtoksCteSql + ",\n" + Tokenizer.bpeCtesSql + ",\n" +
+    s"""seg AS (SELECT term, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+      |        FROM w${Tokenizer.BpeMerges}),
+      |enc AS (SELECT t.doc_id, CAST(SUM(s.n_sym) AS BIGINT) AS n_sym
+      |        FROM dtoks t JOIN seg s ON t.term = s.term GROUP BY t.doc_id),
+      |t AS (
+      |  SELECT d.doc_id, img.fmt,
+      |         COALESCE(e.n_sym, 0)
+      |           + ((img.width + 3) // 4) * ((img.height + 3) // 4)
+      |           + 2 AS n_tokens
+      |  FROM documents d
+      |  JOIN img ON img.doc_id = d.doc_id
+      |  LEFT JOIN enc e ON d.doc_id = e.doc_id),
+      |c AS (
+      |  SELECT doc_id, fmt, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY fmt ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |  FROM t)
+      |SELECT doc_id, fmt, n_tokens,
+      |  cb // ${Cleaning.ChunkTokens} AS first_chunk,
+      |  (cb + n_tokens - 1) // ${Cleaning.ChunkTokens} AS last_chunk,
+      |  (cb + n_tokens - 1) // ${Cleaning.ChunkTokens}
+      |    - cb // ${Cleaning.ChunkTokens} + 1 AS n_chunks
+      |FROM c""".stripMargin
+  }
+
   /** Analytic twin: the even frames' pixel formula, no GIF involved
     * (see [[mmGifFrames]]). */
   val mmGifFramesSql: String =

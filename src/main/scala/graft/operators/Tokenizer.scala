@@ -287,7 +287,7 @@ object Tokenizer {
   /** The unrolled rounds as a CTE chain w0/p_k/b_k/w_k with the
     * identical padded-replace kernel; assumes a doc-carrying `dtoks`
     * (doc_id, term) CTE is already defined. */
-  private def bpeCtesSql: String = {
+  private[graft] def bpeCtesSql: String = {
     val rounds = (1 to BpeMerges).map { k =>
       val prev = s"w${k - 1}"
       s"""p$k AS MATERIALIZED (
@@ -311,7 +311,7 @@ object Tokenizer {
        |$rounds""".stripMargin
   }
 
-  private val dtoksCteSql: String =
+  private[graft] val dtoksCteSql: String =
     s"""dtoks AS MATERIALIZED (
        |  SELECT doc_id, w[i] AS term
        |  FROM (SELECT doc_id,

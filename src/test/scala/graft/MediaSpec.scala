@@ -435,4 +435,36 @@ class MediaSpec extends AnyFunSuite {
       cursor(fmt) = cb + n
     }
   }
+
+  test("mm_pack_bpe: running-cursor contract holds and the manifest genuinely diverges from the whitespace packer") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Media.mmPackBpe(spark, sf).orderBy("fmt", "doc_id").collect()
+    graft.Graft.releaseState(spark) // the BPE trainer's round checkpoints
+    assert(rows.nonEmpty && rows.map(_.getString(1)).toSet == Set("gif", "png", "jpeg", "tiff"))
+    val cursor = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val C = graft.operators.Cleaning.ChunkTokens
+    rows.foreach { r =>
+      val (fmt, n) = (r.getString(1), r.getLong(2))
+      val cb = cursor(fmt)
+      assert(n >= 3L, s"pair cost must include the patch grid + separators: $n")
+      assert(r.getLong(3) == cb / C && r.getLong(4) == (cb + n - 1) / C &&
+        r.getLong(5) == (cb + n - 1) / C - cb / C + 1,
+        s"span mismatch for ${r.getLong(0)}")
+      cursor(fmt) = cb + n
+    }
+    // divergence vs the surrogate-counted packer: same pair set, but
+    // token costs AND at least one chunk span must differ — otherwise
+    // the BPE composition would be a relabeling on this fixture
+    val surrogate = Media.mmPackPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val keyed = rows.map(r => (r.getLong(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(keyed.keySet == surrogate.keySet, "pair set must not change")
+    assert(keyed.count { case (k, v) => surrogate(k)._1 != v._1 } > 0,
+      "BPE text costs never differ from whitespace costs on this fixture")
+    assert(keyed.count { case (k, v) =>
+      (surrogate(k)._2, surrogate(k)._3) != ((v._2, v._3)) } > 0,
+      "costs differ but every span coincides — the cuts must move")
+  }
 }

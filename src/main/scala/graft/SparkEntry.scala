@@ -256,6 +256,7 @@ object SparkEntry {
     "mm_jpeg"           -> (graft.multimodal.Media.mmJpeg _),
     "mm_ulaw"           -> (graft.multimodal.Media.mmUlaw _),
     "mm_alaw"           -> (graft.multimodal.Media.mmAlaw _),
+    "mm_flac"           -> (graft.multimodal.Media.mmFlac _),
     "mm_video"          -> (graft.multimodal.Media.mmVideo _),
     "ta_decontaminate_semantic" -> (Cleaning.taDecontaminateSemantic _),
     "vocab_wordpiece"   -> (Tokenizer.vocabWordpiece _),
@@ -601,6 +602,7 @@ object SparkEntry {
     // G.711 expansion in integer SQL
     "mm_ulaw"           -> graft.multimodal.Media.mmUlawSql,
     "mm_alaw"           -> graft.multimodal.Media.mmAlawSql,
+    "mm_flac"           -> graft.multimodal.Media.mmFlacSql,
     // MJPEG frames through the AVI container walk + every-2nd-frame
     // sampling; the twin sums the sampled frames' block formula
     "mm_video"          -> graft.multimodal.Media.mmVideoSql,
@@ -763,5 +765,9 @@ object SparkEntry {
     // full-suite-only) and the Iceberg-shape metadata round-trip
     // (driver-side Avro write/read — its cost claim is that it STAYS
     // metadata-scale)
-    "pack_bpe", "layout_export_iceberg")
+    "pack_bpe", "layout_export_iceberg",
+    // r12d: the lossless-audio capstone — per-row FLAC encode+decode
+    // with the MD5-anchored round-trip (the CPU-bound narrow-codec
+    // family's newest member; mm_wav/mm_alaw stay full-suite-only)
+    "mm_flac")
 }

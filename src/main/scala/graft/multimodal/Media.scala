@@ -90,10 +90,10 @@ object Media {
     * need native libraries (compressed audio, video frames). The
     * interface (bytes in → pixels/samples out) is what a real codec
     * (e.g. ffmpeg bindings) would implement; BMP, PNG, baseline JPEG,
-    * GIF, TIFF, WAV/PCM (incl. resampling), µ-law and MJPEG-AVI are
-    * already real ([[BmpCodec]], [[PngCodec]], [[JpegCodec]],
-    * [[GifCodec]], [[TiffCodec]], [[WavCodec]], [[UlawCodec]],
-    * [[AviCodec]]).
+    * GIF, TIFF, WAV/PCM (incl. resampling), µ-law, A-law, FLAC and
+    * MJPEG-AVI are already real ([[BmpCodec]], [[PngCodec]],
+    * [[JpegCodec]], [[GifCodec]], [[TiffCodec]], [[WavCodec]],
+    * [[UlawCodec]], [[AlawCodec]], [[FlacCodec]], [[AviCodec]]).
     *
     * WHY MP3/AAC/H.26x STAY OUT (r12 close-out, the permanent stance):
     * every real codec above ships with an INDEPENDENT cross-check —
@@ -123,8 +123,9 @@ object Media {
   object StubCodec {
 
     /** Magic-byte sniff for the natively-compressed formats this stub
-      * explicitly does NOT decode (MP3/AAC/MP4/H.26x/Ogg/FLAC — the
-      * formats whose pure-JVM decoders are projects in themselves).
+      * explicitly does NOT decode (MP3/AAC/MP4/H.26x/Ogg — the LOSSY
+      * formats whose decode cannot be verified here; FLAC left this
+      * list in r12 when [[FlacCodec]] became real).
       * TESTED CONTRACT, not documentation: [[decode]] and
       * [[sampleFrames]] throw on a sniff hit, so a real compressed
       * payload reaching the stub fails loudly instead of flowing
@@ -134,14 +135,13 @@ object Media {
       * contains. */
     def sniffNative(bytes: Array[Byte]): Option[String] = {
       def at(i: Int) = if (i < bytes.length) bytes(i) & 0xFF else -1
-      // the three ASCII-magic probes must also check the structural
-      // byte AFTER the magic, or ordinary text beginning "ID3 tags…" /
-      // "OggS…" / "fLaC…" would false-positive and rejectNative would
-      // throw on a legitimate document payload: ID3v2 pins a known
-      // major version (2/3/4) and syncsafe size bytes (<0x80); an Ogg
-      // page's version byte is 0x00; FLAC's first metadata block is
-      // STREAMINFO (type 0, is-last bit free) — none of which a text
-      // byte (≥0x20) can satisfy at that offset
+      // the ASCII-magic probes must also check the structural byte
+      // AFTER the magic, or ordinary text beginning "ID3 tags…" /
+      // "OggS…" would false-positive and rejectNative would throw on a
+      // legitimate document payload: ID3v2 pins a known major version
+      // (2/3/4) and syncsafe size bytes (<0x80); an Ogg page's version
+      // byte is 0x00 — neither of which a text byte (≥0x20) can
+      // satisfy at that offset
       if (at(0) == 'I' && at(1) == 'D' && at(2) == '3' &&
         at(3) >= 2 && at(3) <= 4 && at(6) < 0x80 && at(7) < 0x80 &&
         at(8) < 0x80 && at(9) < 0x80) Some("MP3 (ID3v2)")
@@ -150,8 +150,6 @@ object Media {
       else if (at(0) == 0 && at(1) == 0 && (at(2) == 1 || (at(2) == 0 && at(3) == 1))) Some("H.264/H.265 Annex-B")
       else if (at(0) == 'O' && at(1) == 'g' && at(2) == 'g' && at(3) == 'S' &&
         at(4) == 0) Some("Ogg")
-      else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C' &&
-        (at(4) & 0x7F) == 0) Some("FLAC")
       else None
     }
 
@@ -160,9 +158,10 @@ object Media {
         throw new UnsupportedOperationException(
           s"StubCodec.$op: payload is $fmt — a natively-compressed format " +
             "this engine deliberately does not fake-decode; plug a real " +
-            "codec in at this boundary (BMP/PNG/JPEG/GIF/TIFF/WAV/u-law/AVI " +
-            "are already real: BmpCodec, PngCodec, JpegCodec, GifCodec, " +
-            "TiffCodec, WavCodec, UlawCodec, AviCodec)")
+            "codec in at this boundary (BMP/PNG/JPEG/GIF/TIFF/WAV/u-law/" +
+            "A-law/FLAC/AVI are already real: BmpCodec, PngCodec, " +
+            "JpegCodec, GifCodec, TiffCodec, WavCodec, UlawCodec, " +
+            "AlawCodec, FlacCodec, AviCodec)")
       }
 
     /** "Decode" = the raw bytes themselves (a real impl returns pixel
@@ -1113,6 +1112,71 @@ object Media {
       |  FROM c)
       |SELECT media_id, n AS n_samples, CAST(SUM(pcm) AS BIGINT) AS sum_pcm
       |FROM p GROUP BY 1, 2""".stripMargin
+
+  /** FLAC gate — the lossless-compression capstone of the audio family:
+    * per-document synthetic STEREO PCM (noisy left channel, correlated
+    * right channel so the encoder's stereo-decorrelation choice does
+    * real work) → [[FlacCodec.encode]] (RFC 9639: fixed predictors,
+    * Rice residuals, exact-cost subframe selection) →
+    * [[FlacCodec.decode]], which verifies every frame CRC-8/CRC-16 AND
+    * the STREAMINFO MD5 of the decoded PCM against the JDK's
+    * independent digest — the mechanical proof that
+    * decode(encode(x)) == x, per row. The emitted stats replay from
+    * the sample formula in integer SQL (the [[mmWav]] design), so the
+    * oracle hash-pins the whole chain. BlockSize 16 forces 2–5 frames
+    * per clip, exercising multi-frame assembly. Per-row O(samples),
+    * zero shuffle — the exact shape a 100 TB audio corpus needs. */
+  val FlacBlock = 16
+
+  def mmFlac(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val n = (nc % 60 + 20).toInt
+          val pcm = new Array[Short](2 * n)
+          var t = 0
+          while (t < n) {
+            val left = ((id * 31 + t * 17) % 32768 - 16384).toInt
+            pcm(2 * t) = left.toShort
+            pcm(2 * t + 1) = (left - (t * 5) % 64).toShort
+            t += 1
+          }
+          val flac = FlacCodec.encode(8000, 2, pcm, blockSize = FlacBlock)
+          val (rate, ch, bps, back) = FlacCodec.decode(flac) // CRCs + MD5 inside
+          require(rate == 8000 && ch == 2 && bps == 16 &&
+            java.util.Arrays.equals(back, pcm.map(_.toInt)),
+            s"FLAC round-trip mismatch for media $id")
+          var sumL = 0L; var sumR = 0L
+          var i = 0
+          while (i < n) { sumL += back(2 * i); sumR += back(2 * i + 1); i += 1 }
+          (id, (n + FlacBlock - 1) / FlacBlock, n.toLong, sumL, sumR)
+        }
+      }.toDF("media_id", "n_frames", "n_samples", "sum_left", "sum_right")
+  }
+
+  /** Analytic twin: replays the channel formulas — agreement proves
+    * encode→decode reproduced every sample of every frame. */
+  val mmFlacSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id, doc_id,
+       |         CAST(n_chars % 60 + 20 AS BIGINT) AS n
+       |  FROM documents),
+       |t AS (
+       |  SELECT media_id, doc_id, n, unnest(generate_series(0, n - 1)) AS t
+       |  FROM dims),
+       |v AS (
+       |  SELECT media_id, n,
+       |         (doc_id * 31 + t * 17) % 32768 - 16384 AS lv,
+       |         (t * 5) % 64 AS dv
+       |  FROM t)
+       |SELECT media_id,
+       |       CAST((n + $FlacBlock - 1) // $FlacBlock AS INT) AS n_frames,
+       |       n AS n_samples,
+       |       CAST(SUM(lv) AS BIGINT) AS sum_left,
+       |       CAST(SUM(lv - dv) AS BIGINT) AS sum_right
+       |FROM v GROUP BY 1, 2, 3""".stripMargin
 
   /** Video gate: per-document MJPEG clip — block-constant JPEG frames
     * ([[JpegCodec]]'s exact subspace) wrapped in an AVI container

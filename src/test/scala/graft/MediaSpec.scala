@@ -57,8 +57,7 @@ class MediaSpec extends AnyFunSuite {
       Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte)             -> "MPEG audio sync",
       (Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII")) -> "ISO-BMFF",
       Array[Byte](0, 0, 0, 1, 0x67)                           -> "Annex-B",
-      "OggS\u0000rest".getBytes("ISO-8859-1")                 -> "Ogg",
-      "fLaC\u0000\u0000".getBytes("ISO-8859-1")               -> "FLAC")
+      "OggS\u0000rest".getBytes("ISO-8859-1")                 -> "Ogg")
     for ((bytes, label) <- native) {
       assert(StubCodec.sniffNative(bytes).isDefined, s"$label must sniff")
       intercept[UnsupportedOperationException](StubCodec.decode(bytes))
@@ -72,10 +71,15 @@ class MediaSpec extends AnyFunSuite {
     // …including text that merely STARTS with an ASCII magic: the
     // probes also check the structural byte after it (version /
     // syncsafe-size / block-type), which no printable text satisfies
-    for (t <- Seq("ID3 tags explained", "OggS is the page magic",
-        "fLaC streams are lossless"))
+    for (t <- Seq("ID3 tags explained", "OggS is the page magic"))
       assert(StubCodec.sniffNative(t.getBytes("UTF-8")).isEmpty,
         s"text false-positive: $t")
+    // FLAC left the quarantine list in r12: a real fLaC payload now
+    // routes to the real decoder, not the stub rejection
+    val flacReal = graft.multimodal.FlacCodec.encode(8000, 1,
+      Array.tabulate[Short](32)(i => (i * 100).toShort), blockSize = 16)
+    assert(StubCodec.sniffNative(flacReal).isEmpty,
+      "FLAC must no longer sniff as natively-compressed")
     // and the contract holds THROUGH the gate path: a native payload
     // landing in a corpus makes the distributed operator fail loudly,
     // not emit garbage frames

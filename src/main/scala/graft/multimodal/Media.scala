@@ -85,6 +85,57 @@ object Media {
         sys.error(s"no canonical decoder for payload sniffed as $other")
     }
 
+  /** Audio sibling of [[sniffImage]]: magic/format sniff for the audio
+    * containers the engine really decodes — "fLaC" → flac; RIFF/WAVE →
+    * by the fmt-chunk format tag (1 = PCM, 6 = A-law, 7 = µ-law). A
+    * RIFF with any other tag (ADPCM, float…) sniffs None so the caller
+    * quarantines it instead of mis-routing. */
+  def sniffAudio(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int) = if (i >= 0 && i < bytes.length) bytes(i) & 0xFF else -1
+    if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C') Some("flac")
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+        at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') {
+      var off = 12 // walk RIFF chunks to the fmt tag
+      while (off + 8 <= bytes.length) {
+        val len = at(off + 4) | (at(off + 5) << 8) | (at(off + 6) << 16) | (at(off + 7) << 24)
+        if (len < 0 || off + 8 + len > bytes.length) return None
+        if (at(off) == 'f' && at(off + 1) == 'm' && at(off + 2) == 't' &&
+            at(off + 3) == ' ' && len >= 2) {
+          return (at(off + 8) | (at(off + 9) << 8)) match {
+            case 1 => Some("wav")
+            case 6 => Some("alaw")
+            case 7 => Some("ulaw")
+            case _ => None
+          }
+        }
+        off += 8 + len + (len & 1)
+      }
+      None
+    } else None
+  }
+
+  /** Uniform PCM decode over a FORMAT-MIXED audio corpus — the audio
+    * analog of [[decodeCanonicalRgb]]: route by [[sniffAudio]] to the
+    * right real codec and land every payload in one (fmt, rate,
+    * channels, linear PCM) shape, expanding the G.711 companded
+    * formats through their exact integer tables. Throws on
+    * unsniffable payloads (quarantine routing is the caller's job). */
+  def decodeCanonicalPcm(bytes: Array[Byte]): (String, Int, Int, Array[Int]) =
+    sniffAudio(bytes) match {
+      case Some("flac") =>
+        val (r, ch, _, pcm) = FlacCodec.decode(bytes); ("flac", r, ch, pcm)
+      case Some("wav") =>
+        val (r, ch, s) = WavCodec.decode(bytes); ("wav", r, ch, s.map(_.toInt))
+      case Some("ulaw") =>
+        val (r, ch, codes) = UlawCodec.decodeWav(bytes)
+        ("ulaw", r, ch, codes.map(c => UlawCodec.decodeSample(c).toInt))
+      case Some("alaw") =>
+        val (r, ch, codes) = AlawCodec.decodeWav(bytes)
+        ("alaw", r, ch, codes.map(c => AlawCodec.decodeSample(c).toInt))
+      case other =>
+        sys.error(s"no canonical PCM decoder for payload sniffed as $other")
+    }
+
   /** ====== STUB — the codec boundary, closed out as a DECISION ======
     * Deterministic fakes standing in for the codecs that genuinely
     * need native libraries (compressed audio, video frames). The
@@ -1177,6 +1228,77 @@ object Media {
        |       CAST(SUM(lv) AS BIGINT) AS sum_left,
        |       CAST(SUM(lv - dv) AS BIGINT) AS sum_right
        |FROM v GROUP BY 1, 2, 3""".stripMargin
+
+  /** Format-mixed audio ingest — the audio analog of the crawl image
+    * dispatch (`web_images`): a real corpus arrives with WAV, G.711
+    * µ-law/A-law and FLAC payloads interleaved, and the useful operator
+    * is ONE pass that sniffs each payload ([[sniffAudio]]) and lands
+    * everything in uniform linear PCM ([[decodeCanonicalPcm]]). Each
+    * doc synthesizes its format by doc_id % 4, encodes through the real
+    * codec (FLAC clips carry the MD5 anchor; companded clips are
+    * synthesized on the codeword image so expansion is exact), and the
+    * dispatcher must route it home. The DuckDB twin replays all four
+    * expansion formulas under the same CASE. Per-row O(samples), zero
+    * shuffle — mis-routing any payload flips fmt AND sum_pcm. */
+  def mmAudioDispatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val n = (nc % 50 + 10).toInt
+          val bytes = (id % 4) match {
+            case 0 => WavCodec.encode(8000, 1, Array.tabulate(n)(t =>
+              ((id * 31 + t * 17) % 32768 - 16384).toShort))
+            case 1 => UlawCodec.encodeWav(8000, 1, Array.tabulate(n)(t =>
+              UlawCodec.decodeSample((((id * 31 + t * 17) % 127) + 128).toByte)))
+            case 2 => AlawCodec.encodeWav(8000, 1, Array.tabulate(n)(t =>
+              AlawCodec.decodeSample(((id * 37 + t * 19) % 256).toByte)))
+            case _ => FlacCodec.encode(8000, 1, Array.tabulate(n)(t =>
+              ((id * 31 + t * 17) % 32768 - 16384).toShort), blockSize = FlacBlock)
+          }
+          val (fmt, rate, ch, pcm) = decodeCanonicalPcm(bytes)
+          require(rate == 8000 && ch == 1 && pcm.length == n,
+            s"audio dispatch mis-shape for media $id ($fmt)")
+          var sum = 0L
+          pcm.foreach(sum += _)
+          (id, fmt, n.toLong, sum)
+        }
+      }.toDF("media_id", "fmt", "n_samples", "sum_pcm")
+  }
+
+  /** Analytic twin: the four per-format sample/expansion formulas under
+    * one CASE on doc_id % 4 (PCM and FLAC share the linear formula —
+    * FLAC is lossless; µ-law/A-law replay their G.711 expansions). */
+  val mmAudioDispatchSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id,
+      |         CAST(n_chars % 50 + 10 AS BIGINT) AS n
+      |  FROM documents),
+      |t AS (
+      |  SELECT media_id, doc_id, n, unnest(generate_series(0, n - 1)) AS t
+      |  FROM dims),
+      |v AS (
+      |  SELECT media_id, doc_id, n,
+      |    CASE doc_id % 4
+      |      WHEN 1 THEN ((255 - ((doc_id * 31 + t * 17) % 127 + 128)) % 16 * 8 + 132)
+      |                  * (1 << ((255 - ((doc_id * 31 + t * 17) % 127 + 128)) // 16)) - 132
+      |      WHEN 2 THEN (CASE WHEN (xor((doc_id * 37 + t * 19) % 256, 85) & 128) <> 0
+      |                        THEN 1 ELSE -1 END) *
+      |           (CASE WHEN (xor((doc_id * 37 + t * 19) % 256, 85) & 112) // 16 = 0
+      |                 THEN (xor((doc_id * 37 + t * 19) % 256, 85) & 15) * 16 + 8
+      |                 WHEN (xor((doc_id * 37 + t * 19) % 256, 85) & 112) // 16 = 1
+      |                 THEN (xor((doc_id * 37 + t * 19) % 256, 85) & 15) * 16 + 264
+      |                 ELSE ((xor((doc_id * 37 + t * 19) % 256, 85) & 15) * 16 + 264)
+      |                      * (1 << ((xor((doc_id * 37 + t * 19) % 256, 85) & 112) // 16 - 1)) END)
+      |      ELSE (doc_id * 31 + t * 17) % 32768 - 16384
+      |    END AS pcm
+      |  FROM t)
+      |SELECT media_id,
+      |       CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'ulaw'
+      |                       WHEN 2 THEN 'alaw' ELSE 'flac' END AS fmt,
+      |       n AS n_samples, CAST(SUM(pcm) AS BIGINT) AS sum_pcm
+      |FROM v GROUP BY 1, 2, 3""".stripMargin
 
   /** Video gate: per-document MJPEG clip — block-constant JPEG frames
     * ([[JpegCodec]]'s exact subspace) wrapped in an AVI container

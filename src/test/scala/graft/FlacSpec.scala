@@ -315,6 +315,37 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("audio dispatch: sniff routes every real container home, quarantines the rest") {
+    import graft.multimodal.{Media, WavCodec, UlawCodec, AlawCodec}
+    val pcm = Array.tabulate[Short](40)(i => (i * 123 - 2000).toShort)
+    assert(Media.sniffAudio(WavCodec.encode(8000, 1, pcm)).contains("wav"))
+    assert(Media.sniffAudio(UlawCodec.encodeWav(8000, 1, pcm)).contains("ulaw"))
+    assert(Media.sniffAudio(AlawCodec.encodeWav(8000, 1, pcm)).contains("alaw"))
+    assert(Media.sniffAudio(FlacCodec.encode(8000, 1, pcm, 16)).contains("flac"))
+    // decode lands in uniform PCM; FLAC/WAV routes are bit-exact
+    val (fmt, rate, ch, out) = Media.decodeCanonicalPcm(FlacCodec.encode(8000, 1, pcm, 16))
+    assert(fmt == "flac" && rate == 8000 && ch == 1 &&
+      out.toSeq == pcm.map(_.toInt).toSeq)
+    // a RIFF with an unsupported format tag (ADPCM = 2) must sniff None
+    val adpcm = WavCodec.encode(8000, 1, pcm).clone
+    adpcm(20) = 2 // format tag low byte inside "fmt "
+    assert(Media.sniffAudio(adpcm).isEmpty)
+    intercept[RuntimeException](Media.decodeCanonicalPcm(adpcm))
+    assert(Media.sniffAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mm_audio_dispatch gate: all four formats route and round-trip") {
+    val spark = TestSpark.session
+    val rows = graft.multimodal.Media.mmAudioDispatch(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val byFmt = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byFmt.keySet == Set("wav", "ulaw", "alaw", "flac"),
+      s"all four formats must appear: $byFmt")
+    rows.foreach(r => assert(r.getString(1) ==
+      Seq("wav", "ulaw", "alaw", "flac")((r.getLong(0) % 4).toInt)))
+  }
+
   test("header CRC-8 failure is caught before subframe parsing") {
     val pcm = lcg(6, 100, 65536)
     val enc = FlacCodec.encode(8000, 1, pcm, blockSize = 64)

@@ -184,6 +184,7 @@ object SparkEntry {
     "snapshot_history"  -> (Snapshots.snapshotHistory _),
     "snapshot_timetravel" -> (Snapshots.snapshotTimetravel _),
     "sample_importance" -> (CorpusOps.sampleImportance _),
+    "mix_doremi"        -> (CorpusOps.mixDoremi _),
     "dedup_recall_eval" -> (Dedup.dedupRecallEval _),
     "stream_cms"        -> (graft.streaming.SketchStream.streamCms _),
     "emb_pca"           -> (Pca.embPca _),
@@ -480,6 +481,7 @@ object SparkEntry {
     // the direct upsert fold to v1
     "snapshot_timetravel" -> Snapshots.snapshotTimetravelSql,
     "sample_importance" -> CorpusOps.sampleImportanceSql,
+    "mix_doremi"        -> CorpusOps.mixDoremiSql,
     "dedup_recall_eval" -> Dedup.dedupRecallEvalSql,
     // the sketch fold identity: counter addition is associative, so the
     // two-batch fold must reproduce the ONE-SHOT ta_cms_eval exactly

@@ -1508,4 +1508,126 @@ object CorpusOps {
        |       CAST(r.doc_id IN (SELECT doc_id FROM top) AS INT) AS kept
        |FROM raw r""".stripMargin
   }
+
+  // ------------------------------------------------------ mix_doremi
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+    * the multiplicative-weights / Group-DRO structure of the paper's
+    * step 2 with this engine's [[taLmKn]] as the loss proxy: domains
+    * whose documents score WORSE than the corpus average under the KN
+    * bigram LM (the paper's "excess loss" — here, fluency shortfall
+    * relative to the mixture) are upweighted each round, then the
+    * weight vector is renormalized and finally smoothed 9:1 with the
+    * uniform mixture (the paper's uniform-smoothing step). This is the
+    * STATIC-PROXY variant: the paper retrains its proxy between
+    * updates, which is out of scope for a query engine, so rel-excess
+    * is fixed and the [[DoremiRounds]] rounds compound one trajectory —
+    * the structure (excess → multiplicative update → renormalize →
+    * smooth) is the paper's.
+    *
+    * All arithmetic is exact int64 fixed-point so the DuckDB twin
+    * hash-matches: per-doc score si = ⌊kn_score·10⁶⌋; domain mean
+    * m_dom = si-sum·10⁶/n (truncating ints, 10⁻¹² probability units);
+    * relative excess rel = (m_all − m_dom)·10⁶/m_all (ppm, positive =
+    * below-average fluency); per round w ← w·max(10⁴, 10⁶ +
+    * [[DoremiEta]]·rel)/10⁶ then w ← w·10⁶/Σw; final w_doremi =
+    * 9·w/10 + 10⁶/(10·K). Truncating division on BOTH sides (Scala
+    * Long `/` ≡ DuckDB `//` — both round toward zero).
+    *
+    * 100 TB shape: the LM scoring is [[taLmKn]]'s (vocabulary-bounded
+    * model tables, per-doc distinct-gram scoring); the only new work is
+    * ONE map-side-combined groupBy(source) down to |domains| rows, and
+    * the trajectory is driver arithmetic over that bounded vector
+    * (LIMIT-guarded like the selection kernel — a high-cardinality
+    * "domain" column fails loudly rather than flooding the driver).
+    * int64 headroom: si-sum·10⁶ caps at ~9.2·10¹⁸, i.e. ~10¹² docs
+    * per domain at full fluency — ample past 100 TB. */
+  val DoremiEta = 10L
+  val DoremiRounds = 3
+  val DoremiMaxDomains = 100000
+
+  def mixDoremi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val si = taLmKn(s, dir)
+      .select(col("doc_id"), floor(col("kn_score") * lit(1e6)).cast("long").as("si"))
+    val agg = docs.select(col("doc_id"), col("source"))
+      .join(si, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("si")).as("s_si"))
+    val rows = agg.limit(DoremiMaxDomains + 1).collect()
+    require(rows.length <= DoremiMaxDomains && rows.nonEmpty,
+      s"mix_doremi: ${rows.length} domains — the domain column is too " +
+        "high-cardinality for a driver-side weight vector; bucket domains first")
+    val doms = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val k = doms.length
+    // m = s·10⁶/n decomposed as (s/n)·10⁶ + (s%n)·10⁶/n — algebraically
+    // identical for non-negative s, immune to s·10⁶ overflow
+    def scaleDiv(sum: Long, n: Long): Long =
+      (sum / n) * 1000000L + (sum % n) * 1000000L / n
+    val m = doms.map { case (_, n, ss) => scaleDiv(ss, n) }
+    val mAll = scaleDiv(doms.map(_._3).sum, doms.map(_._2).sum)
+    val rel = m.map(md => if (mAll == 0) 0L else (mAll - md) * 1000000L / mAll)
+    var w = Array.fill(k)(1000000L / k)
+    for (_ <- 1 to DoremiRounds) {
+      val up = w.zip(rel).map { case (wd, rd) =>
+        wd * math.max(10000L, 1000000L + DoremiEta * rd) / 1000000L
+      }
+      val tot = up.sum
+      w = up.map(wd => if (tot == 0) 0L else wd * 1000000L / tot)
+    }
+    val out = doms.zipWithIndex.map { case ((dom, n, _), i) =>
+      (dom, n, m(i), rel(i), w(i) * 9 / 10 + 1000000L / (10L * k))
+    }
+    s.createDataFrame(out.toSeq)
+      .toDF("domain", "n_docs", "m_dom", "rel_excess", "w_doremi")
+  }
+
+  /** Analytic twin: the KN scoring CTE + the same fixed-point
+    * trajectory unrolled round by round (window-SUM renormalization). */
+  val mixDoremiSql: String = {
+    val rounds = (1 to DoremiRounds).map { r =>
+      val prev = if (r == 1) "w0" else s"r${r - 1}"
+      s"""u$r AS (
+         |  SELECT domain, n_docs, m_dom, rel_excess,
+         |         (w * GREATEST(10000, 1000000 + $DoremiEta * rel_excess)) // 1000000 AS wu
+         |  FROM $prev),
+         |r$r AS (
+         |  SELECT domain, n_docs, m_dom, rel_excess,
+         |         (wu * 1000000) // (SUM(wu) OVER ()) AS w
+         |  FROM u$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kn AS (
+       |$taLmKnSql),
+       |si AS (
+       |  SELECT d.doc_id, d.source,
+       |         CAST(FLOOR(kn.kn_score * 1000000) AS BIGINT) AS si
+       |  FROM documents d JOIN kn USING (doc_id)),
+       |agg AS (
+       |  SELECT source AS domain, COUNT(1) AS n_docs,
+       |         CAST(SUM(si) AS BIGINT) AS s_si
+       |  FROM si GROUP BY 1),
+       |stats AS (
+       |  SELECT domain, n_docs, s_si,
+       |         (s_si * 1000000) // n_docs AS m_dom,
+       |         (SELECT (SUM(s_si) * 1000000) // SUM(n_docs) FROM agg) AS m_all
+       |  FROM agg),
+       |rel AS (
+       |  SELECT domain, n_docs, m_dom,
+       |         CASE WHEN m_all = 0 THEN 0
+       |              ELSE ((m_all - m_dom) * 1000000) // m_all END AS rel_excess
+       |  FROM stats),
+       |w0 AS (
+       |  SELECT domain, n_docs, m_dom, rel_excess,
+       |         1000000 // (SELECT COUNT(1) FROM rel) AS w
+       |  FROM rel),
+       |$rounds
+       |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(m_dom AS BIGINT) AS m_dom,
+       |       CAST(rel_excess AS BIGINT) AS rel_excess,
+       |       CAST((w * 9) // 10
+       |            + 1000000 // (10 * (SELECT COUNT(1) FROM rel)) AS BIGINT) AS w_doremi
+       |FROM r$DoremiRounds""".stripMargin
+  }
 }

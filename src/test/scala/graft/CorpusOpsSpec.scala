@@ -522,4 +522,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((4L, 3L, 750000L)), s"half copy: ${got(3L)}")
     assert(!got.contains(4L), "sub-3-token docs have no gram row")
   }
+
+  test("mix_doremi: weight conservation, monotone upweighting of hard domains, fixed-point trajectory") {
+    val rows = CorpusOps.mixDoremi(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val k = rows.length
+    assert(k >= 2, "fixture must have multiple domains")
+    // smoothed weights are a (truncated) probability vector in ppm
+    val tot = rows.map(_._5).sum
+    assert(tot <= 1000000L && tot >= 1000000L - 4L * k,
+      s"weights must conserve mass up to truncation: $tot over $k domains")
+    // the DoReMi direction: higher relative excess (worse-than-average
+    // fluency) never gets LESS weight — monotone through all rounds,
+    // normalization, and smoothing
+    val byExcess = rows.sortBy(_._4)
+    byExcess.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5,
+        s"monotonicity violated: ${a._1}(rel=${a._4}, w=${a._5}) vs ${b._1}(rel=${b._4}, w=${b._5})")
+    }
+    // excesses are centered: some domain sits at or below the mean
+    assert(rows.exists(_._4 <= 0) && rows.exists(_._4 >= 0), s"degenerate excesses")
+    // trajectory replayed in plain Scala from the emitted (m_dom, n) agrees
+    val rel = rows.map(_._4)
+    var w = Array.fill(k)(1000000L / k)
+    for (_ <- 1 to CorpusOps.DoremiRounds) {
+      val up = w.zip(rel).map { case (wd, rd) =>
+        wd * math.max(10000L, 1000000L + CorpusOps.DoremiEta * rd) / 1000000L }
+      val t = up.sum
+      w = up.map(_ * 1000000L / t)
+    }
+    rows.zip(w).foreach { case (r, wi) =>
+      assert(r._5 == wi * 9 / 10 + 1000000L / (10L * k),
+        s"trajectory mismatch for ${r._1}") }
+  }
 }

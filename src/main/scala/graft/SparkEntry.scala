@@ -259,6 +259,7 @@ object SparkEntry {
     "mm_alaw"           -> (graft.multimodal.Media.mmAlaw _),
     "mm_flac"           -> (graft.multimodal.Media.mmFlac _),
     "mm_audio_dispatch" -> (graft.multimodal.Media.mmAudioDispatch _),
+    "mm_audio_xdedup"   -> (graft.multimodal.Media.mmAudioXdedup _),
     "mm_video"          -> (graft.multimodal.Media.mmVideo _),
     "ta_decontaminate_semantic" -> (Cleaning.taDecontaminateSemantic _),
     "vocab_wordpiece"   -> (Tokenizer.vocabWordpiece _),
@@ -607,6 +608,7 @@ object SparkEntry {
     "mm_alaw"           -> graft.multimodal.Media.mmAlawSql,
     "mm_flac"           -> graft.multimodal.Media.mmFlacSql,
     "mm_audio_dispatch" -> graft.multimodal.Media.mmAudioDispatchSql,
+    "mm_audio_xdedup"   -> graft.multimodal.Media.mmAudioXdedupSql,
     // MJPEG frames through the AVI container walk + every-2nd-frame
     // sampling; the twin sums the sampled frames' block formula
     "mm_video"          -> graft.multimodal.Media.mmVideoSql,

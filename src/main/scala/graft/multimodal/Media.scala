@@ -1300,6 +1300,67 @@ object Media {
       |       n AS n_samples, CAST(SUM(pcm) AS BIGINT) AS sum_pcm
       |FROM v GROUP BY 1, 2, 3""".stripMargin
 
+  /** Cross-CONTAINER exact audio dedup — the audio analog of
+    * `stream_images`' cross-format pixel dedup, and the capability
+    * [[decodeCanonicalPcm]] exists to unlock: the same recording
+    * arriving once as WAV and once as FLAC differs in every payload
+    * byte, so byte-level dedup ([[mmDedup]]) sees two files, but the
+    * canonical-PCM digest collapses them to one keeper. Docs pair up by
+    * group g = doc_id/2 (both members synthesize IDENTICAL PCM; even
+    * doc → WAV container, odd doc → FLAC), each clip decodes through
+    * the dispatcher, and groups form on the MD5 of the decoded PCM
+    * bytes. The first two samples watermark g itself (15 bits each), so
+    * PCM equality ⇔ same group at ANY scale — no accidental formula
+    * collisions as doc_id outgrows the tone period. The DuckDB twin
+    * replays the group arithmetic; agreement proves the decode chain
+    * landed byte-identical PCM from both containers. Scale: per-row
+    * decode, one groupBy on a 32-hex key — the dedup_exact shape. */
+  def mmAudioXdedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { id =>
+          val g = id / 2
+          val n = (g % 50 + 10).toInt
+          val pcm = new Array[Short](n + 2)
+          pcm(0) = ((g >> 15) & 0x7FFF).toShort // group watermark
+          pcm(1) = (g & 0x7FFF).toShort
+          var t = 0
+          while (t < n) {
+            pcm(t + 2) = ((g * 31 + t * 17) % 32768 - 16384).toShort
+            t += 1
+          }
+          val bytes =
+            if (id % 2 == 0) WavCodec.encode(8000, 1, pcm)
+            else FlacCodec.encode(8000, 1, pcm, blockSize = FlacBlock)
+          val (fmt, rate, ch, out) = decodeCanonicalPcm(bytes)
+          require(rate == 8000 && ch == 1, s"xdedup mis-route for $id ($fmt)")
+          md.reset()
+          out.foreach { v => md.update((v & 0xFF).toByte); md.update(((v >> 8) & 0xFF).toByte) }
+          (id, md.digest().map("%02x".format(_)).mkString, n + 2L)
+        }
+      }.toDF("media_id", "pcm_md5", "n_samples")
+      .groupBy(col("pcm_md5"), col("n_samples"))
+      .agg(min(col("media_id")).as("keeper"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("media_id") % 2).as("n_fmts"))
+      .select(col("keeper"), col("n_members"), col("n_fmts"), col("n_samples"))
+  }
+
+  /** Analytic twin: groups ARE doc_id/2 pairs by construction (the
+    * watermark makes PCM equality ⇔ group equality), so the oracle is
+    * the group arithmetic — a Spark-side decode bug that perturbs ANY
+    * sample splits or merges a group and flips keeper/member counts. */
+  val mmAudioXdedupSql: String =
+    """WITH g AS (SELECT doc_id, doc_id // 2 AS grp FROM documents)
+      |SELECT MIN(doc_id) AS keeper,
+      |       COUNT(1) AS n_members,
+      |       COUNT(DISTINCT doc_id % 2) AS n_fmts,
+      |       CAST(grp % 50 + 12 AS BIGINT) AS n_samples
+      |FROM g GROUP BY grp""".stripMargin
+
   /** Video gate: per-document MJPEG clip — block-constant JPEG frames
     * ([[JpegCodec]]'s exact subspace) wrapped in an AVI container
     * ([[AviCodec]]), then the extraction pipeline a video corpus runs:

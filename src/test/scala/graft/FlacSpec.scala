@@ -346,6 +346,21 @@ class FlacSpec extends AnyFunSuite {
       Seq("wav", "ulaw", "alaw", "flac")((r.getLong(0) % 4).toInt)))
   }
 
+  test("mm_audio_xdedup gate: WAV and FLAC twins of one recording collapse to one keeper") {
+    val spark = TestSpark.session
+    val rows = graft.multimodal.Media.mmAudioXdedup(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    // every full pair must have collapsed ACROSS containers: 2 members,
+    // 2 formats, even keeper
+    val pairs = rows.filter(_.getLong(1) == 2L)
+    assert(pairs.length >= rows.length - 1, "at most the odd tail group is a singleton")
+    pairs.foreach { r =>
+      assert(r.getLong(2) == 2L, s"pair ${r.getLong(0)} must span both containers")
+      assert(r.getLong(0) % 2 == 0L, "keeper must be the even (WAV) twin")
+    }
+  }
+
   test("header CRC-8 failure is caught before subframe parsing") {
     val pcm = lcg(6, 100, 65536)
     val enc = FlacCodec.encode(8000, 1, pcm, blockSize = 64)

@@ -135,7 +135,37 @@ object Bench {
       .take(8).map("%02x".format(_)).mkString
   }
 
-  private[graft] def normalizePlan(raw: String): String =
+  private[graft] def normalizePlan(raw: String): String = {
+    val base = normalizeTokens(raw)
+    // RewriteDistinctAggregates (multi-countDistinct → Expand + gid)
+    // emits its Expand projections / grouping keys / gid assignments in
+    // AttributeSet iteration order — a function of exprId VALUES, which
+    // interleave nondeterministically across AQE's concurrent stage
+    // planning in a shared JVM (dq_profile's fp flapped to a fresh
+    // value on EVERY in-suite run while the isolated-tool plan diffed
+    // to zero; root-caused 2026-08-16: keys=[r_name, r_regionkey, gid]
+    // vs keys=[r_regionkey, r_name, gid], with the Expand rows and the
+    // FILTER (gid = n) pairings permuted to match). Key order in a hash
+    // aggregation is semantics-free, so canonicalize exactly the
+    // affected shape: every line mentioning the rewrite's gid column
+    // collapses to its sorted WORD-TOKEN multiset. The permutation
+    // reaches inside fragments (key glued to `keys=[`, the gid literal
+    // a function's FILTER pairs with, the Expand projections), so
+    // list-aware sorts keep flapping — the token multiset is invariant
+    // under the whole permutation family while any real change (a
+    // column added/removed, a different function, a new literal) still
+    // changes it. No-op for every gid-free plan (FpAbProbe r12d: only
+    // the four multi-distinct gates differ vs the r12 chain).
+    if (!base.contains("gid#x")) base
+    else base.linesIterator.map { l =>
+      if (l.contains("gid#x"))
+        "gidline: " + l.split("[^A-Za-z0-9_#]+").filter(_.nonEmpty)
+          .sorted.mkString(" ")
+      else l
+    }.mkString("\n")
+  }
+
+  private def normalizeTokens(raw: String): String =
     raw
       // JVM object-identity tokens: lambda class names embed a
       // class-load-order counter and an address (Lambda$2687/0x7f4e...

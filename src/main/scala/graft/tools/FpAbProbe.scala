@@ -15,14 +15,17 @@ import org.apache.spark.sql.SparkSession
   */
 object FpAbProbe {
 
-  /** The r11e chain, frozen verbatim (unanchored id= rewrite). */
-  private def normalizeR11e(raw: String): String =
+  /** The r12 chain, frozen verbatim (anchored id= rewrite, no gid
+    * canonicalization) — the epoch the r12/r12b/r12c records hashed
+    * under. The r12d edit (sorted-fragment canonicalization of
+    * RewriteDistinctAggregates' gid-bearing lines) must differ ONLY on
+    * multi-countDistinct gates. */
+  private def normalizeR12(raw: String): String =
     raw
       .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
       .replaceAll("@[0-9a-fA-F]{6,}", "@x")
       .replaceAll("#\\d+[A-Za-z]*", "#x")
-      .replaceAll("(?i)(plan_id|id|stage|subquery)=#?\\d+", "$1=x")
-      .replaceAll("\\[id=#?\\d+\\]", "[id=x]")
+      .replaceAll("(?i)\\[(plan_id|id|stage|subquery)=#?\\d+\\]", "[$1=x]")
       .replaceAll("(file|hdfs|s3a?|mocks3)://?\\S+", "path")
       .replaceAll("/[-A-Za-z0-9_./]*(testdata|tmp|warehouse)[-A-Za-z0-9_./]*", "path")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
@@ -48,7 +51,7 @@ object FpAbProbe {
         val df = q(spark, dir)
         df.count()
         val raw = df.queryExecution.executedPlan.toString
-        if (graft.Bench.normalizePlan(raw) != normalizeR11e(raw)) {
+        if (graft.Bench.normalizePlan(raw) != normalizeR12(raw)) {
           diffs ::= n
           println(s"[fp-ab] DIFF $n")
         }

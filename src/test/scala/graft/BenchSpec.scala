@@ -41,4 +41,28 @@ class BenchSpec extends AnyFunSuite {
   test("records predating the errors/remeasured fields stay eligible") {
     assert(Bench.calmEligible(base + "}"))
   }
+
+  test("normalizePlan: RewriteDistinctAggregates gid permutations collapse, real changes do not") {
+    // the full permutation family from one observed flap (2026-08-16):
+    // key order in keys=[...]/hashpartitioning, the Expand projection
+    // rows, and the gid literal each FILTER pairs with all swap together
+    val runA =
+      """HashAggregate(keys=[], functions=[partial_count(a#1) FILTER (WHERE (gid#9 = 1)), partial_count(b#2) FILTER (WHERE (gid#9 = 2))])
+        |+- HashAggregate(keys=[a#1, b#2, gid#9], functions=[count(1)])
+        |   +- Exchange hashpartitioning(a#1, b#2, gid#9, 32), ENSURE_REQUIREMENTS, [plan_id=11]
+        |      +- Expand [[a#1, null, 1], [null, b#2, 2]], [a#1, b#2, gid#9]""".stripMargin
+    val runB =
+      """HashAggregate(keys=[], functions=[partial_count(a#1) FILTER (WHERE (gid#9 = 2)), partial_count(b#2) FILTER (WHERE (gid#9 = 1))])
+        |+- HashAggregate(keys=[b#2, a#1, gid#9], functions=[count(1)])
+        |   +- Exchange hashpartitioning(b#2, a#1, gid#9, 32), ENSURE_REQUIREMENTS, [plan_id=11]
+        |      +- Expand [[null, b#2, 1], [a#1, null, 2]], [b#2, a#1, gid#9]""".stripMargin
+    assert(Bench.normalizePlan(runA) == Bench.normalizePlan(runB),
+      "cosmetic gid permutations must fingerprint identically")
+    // a REAL change on a gid line (a third distinct column) still moves it
+    val runC = runB.replace("keys=[b#2, a#1, gid#9]", "keys=[b#2, a#1, c#3, gid#9]")
+    assert(Bench.normalizePlan(runA) != Bench.normalizePlan(runC))
+    // gid-free plans are untouched (the fp epoch survives for them)
+    val plain = "Exchange hashpartitioning(b#2, a#1, 32), [plan_id=4]"
+    assert(Bench.normalizePlan(plain).contains("hashpartitioning(b#x, a#x, 32)"))
+  }
 }

@@ -1377,6 +1377,68 @@ class StreamingSpec extends AnyFunSuite {
       "batch replay must be a no-op")
   }
 
+  test("streaming audio capstone: restart + replay converge; WAV/FLAC twins collapse cross-container") {
+    // audio batches in four wire containers -> sniff-routed decode ->
+    // canonical-PCM key fold -> admitted clip rows; the audio sibling
+    // of the image capstone, keyed on md5 of the DECODED samples so a
+    // WAV and a FLAC of the same recording collapse to one keeper
+    import graft.streaming.AudioStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"))
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-aud-src")
+    val table = Files.createTempDirectory("graft-aud-tab").toString
+    val ckpt = Files.createTempDirectory("graft-aud-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-aud-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(AudioStream.audioSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select(col("doc_id"), col("key")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    // fold identity through the REAL stream machinery
+    val rows = AudioStream.audioRowsOf(docs)
+    val oneShot = keySet(AudioStream.admittedUnder(rows, AudioStream.keyOf(rows)))
+    val streamed = keySet(AudioStream.storedAudio(spark, table))
+    assert(oneShot.nonEmpty && streamed == oneShot,
+      "streamed audio rows must equal the one-shot keeper set")
+    // the CROSS-CONTAINER path did something: the WAV+FLAC domain has
+    // exactly one keeper per content class
+    val admitted = AudioStream.storedAudio(spark, table)
+    val wfKeepers = admitted.where(col("fmt").isin("wav", "flac")).count()
+    val wfClasses = docs
+      .where(pmod(col("doc_id"), lit(4)).isin(0, 3))
+      .select(pmod(col("doc_id"), lit(AudioStream.NClasses))).distinct().count()
+    assert(wfKeepers == wfClasses,
+      "each content class must collapse its WAV/FLAC twins to ONE keeper")
+    assert(admitted.count() < docs.count(),
+      "fixture must exercise the collapse path")
+    // the three content domains never cross-collapse (the structural
+    // disjointness the oracle leans on): every admitted key is unique
+    assert(admitted.select("key").distinct().count() == admitted.count())
+    // at-least-once: replaying batch 1 must rewrite IDENTICAL rows
+    AudioStream.audioSink(table)(b2, 1L)
+    assert(keySet(AudioStream.storedAudio(spark, table)) == oneShot,
+      "batch replay must be a no-op")
+  }
+
   test("streaming chunk packer: cursor carry across restarts equals the one-shot manifest; replay never double-advances") {
     // the packing cursor is a SUM (not idempotent), so the state rides
     // the versioned predecessor rule: v=<batchId> merged from the

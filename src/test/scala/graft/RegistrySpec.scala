@@ -63,7 +63,8 @@ class RegistrySpec extends AnyFunSuite {
     "ParagraphStream.cleanedOutput", "SketchStream.storedHllRegs",
     "SketchStream.storedQuantileState", "SnapshotStream.currentSnapshot",
     "ViewStream.currentView", "WebStream.storedTraining",
-    "ImageStream.storedImages", "PackStream.storedManifest",
+    "ImageStream.storedImages", "AudioStream.storedAudio",
+    "PackStream.storedManifest",
     "IcpStream.storedOrder",
     // the shared ICP (cell, shard) assignment — an input both the
     // corpus_icp gate and the IcpStream appender consume, not a gate

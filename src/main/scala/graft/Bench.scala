@@ -156,9 +156,13 @@ object Bench {
     // column added/removed, a different function, a new literal) still
     // changes it. No-op for every gid-free plan (FpAbProbe r12d: only
     // the four multi-distinct gates differ vs the r12 chain).
-    if (!base.contains("gid#x")) base
+    // standalone `gid` only — a user column named e.g. `orig_gid`
+    // must NOT trigger the canonicalization (it never went through
+    // the rewrite, and collapsing its lines would blunt sensitivity)
+    val GidToken = "(?<![A-Za-z0-9_])gid#x".r
+    if (GidToken.findFirstIn(base).isEmpty) base
     else base.linesIterator.map { l =>
-      if (l.contains("gid#x"))
+      if (GidToken.findFirstIn(l).isDefined)
         "gidline: " + l.split("[^A-Za-z0-9_#]+").filter(_.nonEmpty)
           .sorted.mkString(" ")
       else l

@@ -91,14 +91,16 @@ object FlacCodec {
   }
 
   private final class BitReader(val bytes: Array[Byte]) {
-    var pos = 0 // absolute bit position
-    def bytePos: Int = pos >>> 3
+    var pos = 0L // absolute bit position — Long: an Int would overflow
+                 // (and dodge the truncation require via wraparound) on
+                 // payloads ≥ 256 MB, plausible for real lossless audio
+    def bytePos: Int = (pos >>> 3).toInt
     def readBits(nBits: Int): Long = {
       require(pos + nBits <= bytes.length.toLong * 8, "FLAC: truncated stream")
       var v = 0L; var left = nBits
       while (left > 0) {
-        val b = bytes(pos >>> 3) & 0xFF
-        val avail = 8 - (pos & 7)
+        val b = bytes((pos >>> 3).toInt) & 0xFF
+        val avail = 8 - (pos & 7L).toInt
         val take = math.min(avail, left)
         v = (v << take) | ((b >>> (avail - take)) & ((1 << take) - 1))
         pos += take; left -= take
@@ -151,7 +153,7 @@ object FlacCodec {
       val bs = math.min(blockSize, nFrames - off)
       val chans = Array.tabulate(channels)(c =>
         Array.tabulate(bs)(t => samples((off + t) * channels + c).toInt))
-      val fb = encodeFrame(frameIdx, bs, blockSize, chans)
+      val fb = encodeFrame(frameIdx, bs, chans)
       frames.write(fb, 0, fb.length)
       minFrame = math.min(minFrame, fb.length)
       maxFrame = math.max(maxFrame, fb.length)
@@ -184,12 +186,19 @@ object FlacCodec {
   /** One frame: header (sync…CRC-8), per-channel subframes chosen by
     * exact bit cost across all four stereo decorrelations, padding,
     * CRC-16 footer. */
-  private def encodeFrame(frameIdx: Int, bs: Int, nominalBs: Int,
+  private def encodeFrame(frameIdx: Int, bs: Int,
       chans: Array[Array[Int]]): Array[Byte] = {
-    // stereo decorrelation choice by exact subframe cost (RFC 9639 §6.3)
-    val (assignCode, coded): (Int, Array[(Array[Int], Int)]) =
+    // stereo decorrelation choice by exact subframe cost (RFC 9639
+    // §6.3); each candidate's plans are computed ONCE here and flow
+    // through to emission, so choice == emission by construction and
+    // the chosen signals' plan work is never redone
+    def planned(sig: Array[Int], depth: Int): (Array[Int], Int, Int) = {
+      val (kind, _) = subframePlan(sig, depth)
+      (sig, depth, kind)
+    }
+    val (assignCode, coded): (Int, Array[(Array[Int], Int, Int)]) =
       if (chans.length != 2) {
-        (chans.length - 1, chans.map(c => (c, 16)))
+        (chans.length - 1, chans.map(c => planned(c, 16)))
       } else {
         val l = chans(0); val r = chans(1)
         val side = Array.tabulate(bs)(t => l(t) - r(t))
@@ -199,9 +208,12 @@ object FlacCodec {
           (8, Array((l, 16), (side, 17))),  // left-side
           (9, Array((side, 17), (r, 16))),  // right-side
           (10, Array((mid, 16), (side, 17)))) // mid-side
-        candidates.minBy { case (_, cs) =>
-          cs.map { case (sig, d) => subframePlan(sig, d)._2 }.sum
+        val costed = candidates.map { case (code, cs) =>
+          val plans = cs.map { case (sig, d) => (sig, d, subframePlan(sig, d)) }
+          (code, plans.map(_._3._2).sum, plans.map(p => (p._1, p._2, p._3._1)))
         }
+        val best = costed.minBy(_._2)
+        (best._1, best._3)
       }
 
     val w = new BitWriter
@@ -222,7 +234,9 @@ object FlacCodec {
     val w2 = new BitWriter
     headerBytes.foreach(b => w2.writeBits(b & 0xFF, 8))
     w2.writeBits(crc8(headerBytes, 0, headerBytes.length), 8)
-    coded.foreach { case (sig, depth) => encodeSubframe(w2, sig, depth) }
+    coded.foreach { case (sig, depth, kind) =>
+      encodeSubframe(w2, sig, depth, kind)
+    }
     w2.align()
     val body = w2.toBytes
     val w3 = new BitWriter
@@ -332,8 +346,11 @@ object FlacCodec {
     if (escCost < bestCost) (15, width, base + escCost) else (bestK, width, base + bestCost)
   }
 
-  private def encodeSubframe(w: BitWriter, sig: Array[Int], depth: Int): Unit = {
-    val (kind, _) = subframePlan(sig, depth)
+  /** Emit the subframe the planner chose (`kind` from [[subframePlan]]
+    * on the same signal — the shared planner is what keeps choice and
+    * emission consistent). */
+  private def encodeSubframe(w: BitWriter, sig: Array[Int], depth: Int,
+      kind: Int): Unit = {
     val k = wastedBits(sig, depth)
     val eff = depth - k
     val shifted = if (k == 0) sig else sig.map(_ >> k)

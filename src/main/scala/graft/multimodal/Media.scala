@@ -92,7 +92,13 @@ object Media {
     * quarantines it instead of mis-routing. */
   def sniffAudio(bytes: Array[Byte]): Option[String] = {
     def at(i: Int) = if (i >= 0 && i < bytes.length) bytes(i) & 0xFF else -1
-    if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C') Some("flac")
+    // the FLAC probe checks the structural byte after the magic (first
+    // metadata block must be STREAMINFO: type 0, is-last bit free), or
+    // ordinary text beginning "fLaC…" would mis-route into the decoder
+    // and crash instead of sniffing None for quarantine — the same
+    // false-positive class sniffNative documents for its ASCII magics
+    if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C' &&
+      (at(4) & 0x7F) == 0) Some("flac")
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
         at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') {
       var off = 12 // walk RIFF chunks to the fmt tag
@@ -123,7 +129,16 @@ object Media {
   def decodeCanonicalPcm(bytes: Array[Byte]): (String, Int, Int, Array[Int]) =
     sniffAudio(bytes) match {
       case Some("flac") =>
-        val (r, ch, _, pcm) = FlacCodec.decode(bytes); ("flac", r, ch, pcm)
+        val (r, ch, bps, pcm) = FlacCodec.decode(bytes)
+        // the canonical-PCM shape (and every digest downstream) is
+        // 16-bit; FlacCodec itself decodes 8..32-bit streams, but
+        // silently truncating a 24-bit clip here would let two
+        // different recordings hash identical — quarantine instead
+        // (the WavCodec 16-bit-only policy, enforced at the seam)
+        require(bps == 16,
+          s"decodeCanonicalPcm: $bps-bit FLAC — only 16-bit audio is " +
+            "canonical; route high-depth audio through FlacCodec.decode directly")
+        ("flac", r, ch, pcm)
       case Some("wav") =>
         val (r, ch, s) = WavCodec.decode(bytes); ("wav", r, ch, s.map(_.toInt))
       case Some("ulaw") =>
@@ -1309,7 +1324,8 @@ object Media {
     * group g = doc_id/2 (both members synthesize IDENTICAL PCM; even
     * doc → WAV container, odd doc → FLAC), each clip decodes through
     * the dispatcher, and groups form on the MD5 of the decoded PCM
-    * bytes. The first two samples watermark g itself (15 bits each), so
+    * bytes. The first FOUR samples watermark g itself (15 bits each —
+    * 60 bits covers every doc_id < 2^61), so
     * PCM equality ⇔ same group at ANY scale — no accidental formula
     * collisions as doc_id outgrows the tone period. The DuckDB twin
     * replays the group arithmetic; agreement proves the decode chain
@@ -1324,12 +1340,15 @@ object Media {
         rows.map { id =>
           val g = id / 2
           val n = (g % 50 + 10).toInt
-          val pcm = new Array[Short](n + 2)
-          pcm(0) = ((g >> 15) & 0x7FFF).toShort // group watermark
-          pcm(1) = (g & 0x7FFF).toShort
+          val pcm = new Array[Short](n + 4)
+          var w = 0
+          while (w < 4) { // group watermark: 4 x 15 bits, high to low
+            pcm(w) = ((g >> (15 * (3 - w))) & 0x7FFF).toShort
+            w += 1
+          }
           var t = 0
           while (t < n) {
-            pcm(t + 2) = ((g * 31 + t * 17) % 32768 - 16384).toShort
+            pcm(t + 4) = ((g * 31 + t * 17) % 32768 - 16384).toShort
             t += 1
           }
           val bytes =
@@ -1339,7 +1358,7 @@ object Media {
           require(rate == 8000 && ch == 1, s"xdedup mis-route for $id ($fmt)")
           md.reset()
           out.foreach { v => md.update((v & 0xFF).toByte); md.update(((v >> 8) & 0xFF).toByte) }
-          (id, md.digest().map("%02x".format(_)).mkString, n + 2L)
+          (id, md.digest().map("%02x".format(_)).mkString, n + 4L)
         }
       }.toDF("media_id", "pcm_md5", "n_samples")
       .groupBy(col("pcm_md5"), col("n_samples"))
@@ -1358,7 +1377,7 @@ object Media {
       |SELECT MIN(doc_id) AS keeper,
       |       COUNT(1) AS n_members,
       |       COUNT(DISTINCT doc_id % 2) AS n_fmts,
-      |       CAST(grp % 50 + 12 AS BIGINT) AS n_samples
+      |       CAST(grp % 50 + 14 AS BIGINT) AS n_samples
       |FROM g GROUP BY grp""".stripMargin
 
   /** Video gate: per-document MJPEG clip — block-constant JPEG frames

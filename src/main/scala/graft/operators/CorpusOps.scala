@@ -1610,8 +1610,13 @@ object CorpusOps {
        |  FROM si GROUP BY 1),
        |stats AS (
        |  SELECT domain, n_docs, s_si,
-       |         (s_si * 1000000) // n_docs AS m_dom,
-       |         (SELECT (SUM(s_si) * 1000000) // SUM(n_docs) FROM agg) AS m_all
+       |         -- same decomposed form as the Scala scaleDiv: exact for
+       |         -- non-negative s, immune to the s*10^6 int64 overflow
+       |         (s_si // n_docs) * 1000000
+       |           + ((s_si % n_docs) * 1000000) // n_docs AS m_dom,
+       |         (SELECT (SUM(s_si) // SUM(n_docs)) * 1000000
+       |                 + ((SUM(s_si) % SUM(n_docs)) * 1000000) // SUM(n_docs)
+       |          FROM agg) AS m_all
        |  FROM agg),
        |rel AS (
        |  SELECT domain, n_docs, m_dom,

@@ -64,5 +64,10 @@ class BenchSpec extends AnyFunSuite {
     // gid-free plans are untouched (the fp epoch survives for them)
     val plain = "Exchange hashpartitioning(b#2, a#1, 32), [plan_id=4]"
     assert(Bench.normalizePlan(plain).contains("hashpartitioning(b#x, a#x, 32)"))
+    // a USER column merely ending in "gid" must not trigger the
+    // canonicalization — only the rewrite's standalone gid column does
+    val userCol = "HashAggregate(keys=[orig_gid#7, a#1], functions=[count(1)])"
+    assert(Bench.normalizePlan(userCol)
+      .contains("HashAggregate(keys=[orig_gid#x, a#x], functions=[count(1)])"))
   }
 }

@@ -332,6 +332,43 @@ class FlacSpec extends AnyFunSuite {
     assert(Media.sniffAudio(adpcm).isEmpty)
     intercept[RuntimeException](Media.decodeCanonicalPcm(adpcm))
     assert(Media.sniffAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+    // text that merely starts with the magic must NOT mis-route into
+    // the decoder: the probe checks the STREAMINFO structural byte
+    assert(Media.sniffAudio("fLaC streams are lossless".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audio dispatch: high-depth FLAC quarantines instead of truncating to 16-bit digests") {
+    // hand-build a 24-bit constant stream: FlacCodec.decode handles it,
+    // but the canonical-PCM seam must refuse (its digests are 16-bit)
+    val v = 0x123456 // a 24-bit sample
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (_ <- 0 until 4) { // 4 samples, 3-byte LE each
+      md.update((v & 0xFF).toByte)
+      md.update(((v >> 8) & 0xFF).toByte)
+      md.update(((v >> 16) & 0xFF).toByte)
+    }
+    val w = new BitW
+    "fLaC".foreach(c => w.b(c.toLong, 8))
+    w.b(1, 1).b(0, 7).b(34, 24)
+    w.b(16, 16).b(16, 16).b(0, 24).b(0, 24)
+    w.b(8000, 20).b(0, 3).b(24 - 1, 5).b(4, 36)
+    md.digest().foreach(x => w.b(x & 0xFF, 8))
+    val start = w.bits.size / 8
+    w.b(0x3FFE, 14).b(0, 1).b(0, 1)
+    w.b(6, 4).b(0, 4).b(0, 4)
+    w.b(6, 3).b(0, 1)      // sample size code 110 = 24-bit
+    w.b(0, 8).b(4 - 1, 8)  // frame 0, bs 4
+    val hdr = w.align().bytes.drop(start)
+    w.b(crc8Slow(hdr), 8)
+    w.b(0, 1).b(0, 6).b(0, 1) // constant subframe
+    w.s(v, 24)
+    w.align()
+    w.b(crc16Slow(w.bytes.drop(start)), 16)
+    val (_, _, bps, pcm) = FlacCodec.decode(w.bytes) // full decoder: fine
+    assert(bps == 24 && pcm.toSeq == Seq(v, v, v, v))
+    val e = intercept[IllegalArgumentException](
+      graft.multimodal.Media.decodeCanonicalPcm(w.bytes))
+    assert(e.getMessage.contains("24-bit"))
   }
 
   test("mm_audio_dispatch gate: all four formats route and round-trip") {

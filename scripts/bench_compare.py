@@ -78,6 +78,21 @@ def main():
     plan_moves = sorted(q for q in set(bp) & set(cp) if bp[q] != cp[q])
     if plan_moves:
         print(f"plans changed ({len(plan_moves)}): {', '.join(plan_moves)}")
+        # fingerprints from a gate-RETRY run are not comparable: the
+        # retry re-executes the whole suite inside the same JVM, which
+        # shifts exprId allocation history, and several rewrites render
+        # attribute collections in exprId order (the gid class, and a
+        # wider lambda/vector-family tail) — measured 2026-08-16: an
+        # attempt-2 full record flipped 22 fps that an attempt-1 re-run
+        # restored to the baseline byte-for-byte. Times remain valid;
+        # only the fp comparison is void.
+        for rec, name in ((base, "base"), (cand, "candidate")):
+            att = rec.get("floor_gate", {}).get("attempts", 1)
+            if att and att > 1:
+                print(f"NOTE: {name} record is a gate-retry run "
+                      f"(attempts={att}) — its plan fps reflect the "
+                      "re-run JVM context, not plan changes; re-measure "
+                      "attempt-1 before treating these as real")
     for q in sorted(set(cq) - set(bq)):
         print(f"added     {q}: {cq[q]:.2f}s")
     for q in sorted(set(bq) - set(cq)):

@@ -25,7 +25,12 @@ import sys
 #   (same fp each time; flagged by the judge two rounds running).
 #   mm_video: 0.6–1.4 s swing (same fp; r12 full-suite sample 1.40 s
 #   remeasured calm at 0.63–0.91 s with controls drifting identically).
-KNOWN_VARIANCE_BAND_MAX = {"dedup_semantic_cc": 3.0, "mm_video": 1.5}
+#   sim_index_upsert: 0.83–2.00 s across five same-fp runs in one r12d
+#   session (calm-window run landed the 2.00 s; the batch-bounded
+#   upsert's wall is dominated by two small barrier stages that
+#   magnify scheduler jitter).
+KNOWN_VARIANCE_BAND_MAX = {
+    "dedup_semantic_cc": 3.0, "mm_video": 1.5, "sim_index_upsert": 2.2}
 
 
 def load(path):

@@ -178,6 +178,7 @@ object SparkEntry {
     "layout_export_iceberg" -> (graft.sources.IcebergExport.layoutExportIceberg _),
     "vocab_bpe_encode"  -> (Tokenizer.vocabBpeEncode _),
     "pack_bpe"          -> (Tokenizer.packBpe _),
+    "pack_report"       -> (Tokenizer.packReport _),
     "dedup_paragraph_incr" -> (ParagraphDedup.dedupParagraphIncr _),
     "stream_paragraph"  -> (graft.streaming.ParagraphStream.streamParagraph _),
     "snapshot_diff"     -> (Snapshots.snapshotDiff _),
@@ -473,6 +474,7 @@ object SparkEntry {
     "layout_export_iceberg" -> graft.sources.IcebergExport.layoutExportIcebergSql,
     "vocab_bpe_encode"  -> Tokenizer.vocabBpeEncodeSql,
     "pack_bpe"          -> Tokenizer.packBpeSql,
+    "pack_report"       -> Tokenizer.packReportSql,
     "dedup_paragraph_incr" -> ParagraphDedup.dedupParagraphIncrSql,
     // the order-fold identity: sequential range batches through the
     // seen-paragraph state must reproduce the ONE-SHOT dedup exactly

@@ -418,6 +418,54 @@ object Tokenizer {
        |            - cb // ${Cleaning.ChunkTokens} + 1 END AS n_chunks
        |FROM c""".stripMargin
 
+  // ------------------------------------------------------- pack_report
+  /** Packing-efficiency report over the tokenizer-true manifest — the
+    * metric sheet a trainer reads before committing a packing run:
+    * per stream (lang), doc/token totals, chunks consumed, fill rate
+    * in ppm of the [[Cleaning.ChunkTokens]] capacity, how many docs
+    * straddle a chunk boundary (each straddle is an attention-mask
+    * discontinuity), the worst single-doc spread, and the tail-chunk
+    * waste. Contiguous packing makes the invariants exact: the cursor
+    * equals the token total, so chunks_used = ⌈total/capacity⌉ and
+    * tail_waste < capacity (TokenizerSpec pins both). Pure integer
+    * arithmetic; ONE |streams|-sized aggregate after the shared
+    * kernel — report cost is manifest-scan cost at any SF. */
+  def packReport(s: SparkSession, dir: String): DataFrame = {
+    val cap = Cleaning.ChunkTokens.toLong
+    packBpe(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("last_chunk")) + lit(1L)).as("chunks_used"),
+        sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_split_docs"),
+        max(col("n_chunks")).as("max_doc_chunks"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("chunks_used"),
+        when(col("chunks_used") === 0, 0L)
+          .otherwise(expr(s"total_tokens * 1000000 div (chunks_used * $cap)"))
+          .as("fill_ppm"),
+        (col("chunks_used") * lit(cap) - col("total_tokens")).as("tail_waste"),
+        col("n_split_docs"), col("max_doc_chunks"))
+  }
+
+  /** Analytic twin: the pack_bpe manifest CTE aggregated per stream
+    * with the same integer fill/waste arithmetic. */
+  val packReportSql: String = {
+    val cap = graft.operators.Cleaning.ChunkTokens
+    s"""WITH m AS (
+       |$packBpeSql)
+       |SELECT lang, COUNT(1) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(MAX(last_chunk) + 1 AS BIGINT) AS chunks_used,
+       |  CAST(CASE WHEN MAX(last_chunk) + 1 = 0 THEN 0
+       |       ELSE SUM(n_tokens) * 1000000 // ((MAX(last_chunk) + 1) * $cap)
+       |       END AS BIGINT) AS fill_ppm,
+       |  CAST((MAX(last_chunk) + 1) * $cap - SUM(n_tokens) AS BIGINT) AS tail_waste,
+       |  CAST(SUM(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       |  CAST(MAX(n_chunks) AS BIGINT) AS max_doc_chunks
+       |FROM m GROUP BY lang""".stripMargin
+  }
+
   // ---------------------------------------------------- vocab_wordpiece
   /** Longest candidate piece length and multi-char inventory size for
     * the maximal-munch tokenizer (small at fixture scale; the oracle's

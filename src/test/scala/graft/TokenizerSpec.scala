@@ -308,4 +308,22 @@ class TokenizerSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === rows(Tokenizer.packBpe(spark, dir)),
       "three-batch cursor-carry must reproduce the one-shot BPE packer exactly")
   }
+
+  test("pack_report: contiguous-packing invariants — ceil chunks, sub-capacity tail, split accounting") {
+    val rows = graft.operators.Tokenizer.packReport(spark, "/root/testdata/sf0.001")
+      .collect()
+    graft.Graft.releaseState(spark)
+    assert(rows.nonEmpty)
+    val cap = graft.operators.Cleaning.ChunkTokens.toLong
+    rows.foreach { r =>
+      val (total, used) = (r.getLong(2), r.getLong(3))
+      assert(used == (total + cap - 1) / cap,
+        s"${r.getString(0)}: contiguous packing means chunks_used = ceil(total/cap)")
+      assert(r.getLong(5) == used * cap - total && r.getLong(5) < cap,
+        s"${r.getString(0)}: tail waste must be the final partial chunk only")
+      assert(r.getLong(4) <= 1000000L && (used == 0 || r.getLong(4) > 0))
+      assert(r.getLong(6) <= r.getLong(1), "split docs cannot exceed docs")
+      assert(r.getLong(7) >= 1, "some doc must occupy at least one chunk")
+    }
+  }
 }

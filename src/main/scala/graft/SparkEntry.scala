@@ -300,6 +300,7 @@ object SparkEntry {
     "stream_web"        -> (graft.streaming.WebStream.streamWeb _),
     "stream_images"     -> (graft.streaming.ImageStream.streamImages _),
     "stream_audio"      -> (graft.streaming.AudioStream.streamAudio _),
+    "stream_doremi"     -> (graft.streaming.DoremiStream.streamDoremi _),
     "stream_pack"       -> (graft.streaming.PackStream.streamPack _),
     "stream_pack_bpe"   -> (graft.streaming.PackStream.streamPackBpe _),
     "q46_pctile_wide"   -> (Selection.q46PctileWide _)
@@ -667,6 +668,7 @@ object SparkEntry {
     "stream_web"        -> graft.web.WebIngest.streamWebSql,
     "stream_images"     -> graft.streaming.ImageStream.streamImagesSql,
     "stream_audio"      -> graft.streaming.AudioStream.streamAudioSql,
+    "stream_doremi"     -> CorpusOps.mixDoremiSql,
     "stream_pack"       -> graft.operators.Cleaning.taPackChunksSql,
     // the cursor-carry fold identity under the REAL token metric: the
     // batched manifests must reproduce one-shot pack_bpe exactly

@@ -521,7 +521,7 @@ object CorpusOps {
     * hottest bigram — AQE skew-join splits it. */
   /** Per-doc bigram multiplicities of a (doc_id, text) frame — the ONE
     * corpus explode every LM-scoring path shares. */
-  private def perDocBigrams(docs: DataFrame): DataFrame = docs
+  private[graft] def perDocBigrams(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
     .where(size(col("w")) >= 2)
     .selectExpr("doc_id",
@@ -703,7 +703,7 @@ object CorpusOps {
 
   /** KN probability join + the shared [[foldDocScores]] tail; the
     * score column lands as `kn_score`. */
-  private def knScoreFrom(ids: DataFrame, perDocGram: DataFrame,
+  private[graft] def knScoreFrom(ids: DataFrame, perDocGram: DataFrame,
       cBi: DataFrame): DataFrame = {
     val lStats = cBi.groupBy(split(col("g"), " ")(0).as("w1"))
       .agg(sum(col("c_bi")).as("cl"), count(lit(1)).as("n1l"))
@@ -1546,10 +1546,16 @@ object CorpusOps {
   val DoremiRounds = 3
   val DoremiMaxDomains = 100000
 
-  def mixDoremi(s: SparkSession, dir: String): DataFrame = {
+  def mixDoremi(s: SparkSession, dir: String): DataFrame =
+    mixDoremiOver(s, Tables.documents(s, dir), taLmKn(s, dir))
+
+  /** The trajectory over an externally-scored corpus — shared by the
+    * one-shot gate and [[graft.streaming.DoremiStream]]'s read-time
+    * weight computation (`scored` needs a kn_score column). */
+  private[graft] def mixDoremiOver(s: SparkSession, docs: DataFrame,
+      scored: DataFrame): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val si = taLmKn(s, dir)
+    val si = scored
       .select(col("doc_id"), floor(col("kn_score") * lit(1e6)).cast("long").as("si"))
     val agg = docs.select(col("doc_id"), col("source"))
       .join(si, Seq("doc_id"))

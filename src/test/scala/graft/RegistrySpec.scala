@@ -64,6 +64,7 @@ class RegistrySpec extends AnyFunSuite {
     "SketchStream.storedQuantileState", "SnapshotStream.currentSnapshot",
     "ViewStream.currentView", "WebStream.storedTraining",
     "ImageStream.storedImages", "AudioStream.storedAudio",
+    "DoremiStream.storedModel",
     "PackStream.storedManifest",
     "IcpStream.storedOrder",
     // the shared ICP (cell, shard) assignment — an input both the

@@ -1439,6 +1439,55 @@ class StreamingSpec extends AnyFunSuite {
       "batch replay must be a no-op")
   }
 
+  test("streaming doremi model: count fold across restarts equals the one-shot mixture; replay never double-folds") {
+    // the bigram-count state is a SUM (not idempotent) -> versioned
+    // predecessor rule; the read-time weights under the folded model
+    // must equal one-shot mix_doremi exactly (integer fold identity)
+    import graft.streaming.DoremiStream
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val mid = ids.getLong(0) + (ids.getLong(1) - ids.getLong(0)) / 2
+    val b1 = docs.where(col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    val src = Files.createTempDirectory("graft-dor-src")
+    val table = Files.createTempDirectory("graft-dor-tab").toString
+    val ckpt = Files.createTempDirectory("graft-dor-ckpt").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-dor-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(DoremiStream.doremiSink(table) _)
+        .start()
+      q.awaitTermination()
+    }
+    addFile(b1, "b1.parquet"); run()          // launch 1: batch 0
+    addFile(b2, "b2.parquet"); run()          // RESTART: batch 1
+    def wset(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val oneShot = wset(graft.operators.CorpusOps.mixDoremi(spark, sf))
+    val streamed = wset(DoremiStream.weightsUnder(spark, docs,
+      DoremiStream.storedModel(spark, table)))
+    assert(oneShot.nonEmpty && streamed == oneShot,
+      "weights under the folded streaming model must equal one-shot mix_doremi")
+    // replay: batch 1 re-merges from v=0, so the model must not change
+    val before = DoremiStream.storedModel(spark, table)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    DoremiStream.doremiSink(table)(b2, 1L)
+    val after = DoremiStream.storedModel(spark, table)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before == after, "batch replay must not double-fold the counts")
+  }
+
   test("streaming chunk packer: cursor carry across restarts equals the one-shot manifest; replay never double-advances") {
     // the packing cursor is a SUM (not idempotent), so the state rides
     // the versioned predecessor rule: v=<batchId> merged from the

@@ -104,7 +104,11 @@ object Media {
       var off = 12 // walk RIFF chunks to the fmt tag
       while (off + 8 <= bytes.length) {
         val len = at(off + 4) | (at(off + 5) << 8) | (at(off + 6) << 16) | (at(off + 7) << 24)
-        if (len < 0 || off + 8 + len > bytes.length) return None
+        // truncation bound in Long: `off + 8 + len` wraps Int when a
+        // malformed chunk declares len near 2^31 (len < 0 only catches
+        // bit 31), which would bypass the guard and sniff a corrupt
+        // RIFF as Some(...) instead of quarantining it
+        if (len < 0 || off.toLong + 8L + len > bytes.length) return None
         if (at(off) == 'f' && at(off + 1) == 'm' && at(off + 2) == 't' &&
             at(off + 3) == ' ' && len >= 2) {
           return (at(off + 8) | (at(off + 9) << 8)) match {

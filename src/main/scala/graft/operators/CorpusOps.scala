@@ -1574,11 +1574,28 @@ object CorpusOps {
       (sum / n) * 1000000L + (sum % n) * 1000000L / n
     val m = doms.map { case (_, n, ss) => scaleDiv(ss, n) }
     val mAll = scaleDiv(doms.map(_._3).sum, doms.map(_._2).sum)
-    val rel = m.map(md => if (mAll == 0) 0L else (mAll - md) * 1000000L / mAll)
+    // rel = (mAll−md)·10⁶/mAll via a SIGNED scaleDiv: the naive
+    // (mAll−md)·10⁶ wraps once the domain/corpus means diverge past
+    // ~9.2·10¹² (mean kn_score divergence ≈ 9.2 — reachable in-contract
+    // on a skewed corpus). Scala's / and % truncate toward zero exactly
+    // like DuckDB's // and % (measured), so the twin's identical
+    // decomposition stays value-equal including for negative numerators.
+    def relOf(md: Long): Long = {
+      val a = mAll - md
+      (a / mAll) * 1000000L + (a % mAll) * 1000000L / mAll
+    }
+    val rel = m.map(md => if (mAll == 0) 0L else relOf(md))
     var w = Array.fill(k)(1000000L / k)
     for (_ <- 1 to DoremiRounds) {
       val up = w.zip(rel).map { case (wd, rd) =>
-        wd * math.max(10000L, 1000000L + DoremiEta * rd) / 1000000L
+        // rel is unbounded below (≈ −(m_dom/m_all)·10⁶ when the corpus
+        // mean is near zero but nonzero), so Eta·rel could wrap Long —
+        // Scala would wrap silently into a bogus winner while DuckDB
+        // errors on BIGINT overflow. Clamp the update term at −10⁶
+        // before multiplying (identically in the SQL twin): any
+        // rel ≤ −99000 already lands on the 10⁴ floor, so the clamp
+        // changes no reachable weight.
+        wd * math.max(10000L, 1000000L + DoremiEta * math.max(rd, -1000000L)) / 1000000L
       }
       val tot = up.sum
       w = up.map(wd => if (tot == 0) 0L else wd * 1000000L / tot)
@@ -1597,7 +1614,9 @@ object CorpusOps {
       val prev = if (r == 1) "w0" else s"r${r - 1}"
       s"""u$r AS (
          |  SELECT domain, n_docs, m_dom, rel_excess,
-         |         (w * GREATEST(10000, 1000000 + $DoremiEta * rel_excess)) // 1000000 AS wu
+         |         -- same −10⁶ clamp as the Scala update: overflow
+         |         -- guard only, unreachable weights unchanged
+         |         (w * GREATEST(10000, 1000000 + $DoremiEta * GREATEST(rel_excess, -1000000))) // 1000000 AS wu
          |  FROM $prev),
          |r$r AS (
          |  SELECT domain, n_docs, m_dom, rel_excess,
@@ -1627,7 +1646,11 @@ object CorpusOps {
        |rel AS (
        |  SELECT domain, n_docs, m_dom,
        |         CASE WHEN m_all = 0 THEN 0
-       |              ELSE ((m_all - m_dom) * 1000000) // m_all END AS rel_excess
+       |              -- signed scaleDiv, same decomposition as the Scala
+       |              -- relOf: immune to the (m_all−m_dom)·10⁶ wrap
+       |              ELSE ((m_all - m_dom) // m_all) * 1000000
+       |                   + ((m_all - m_dom) % m_all) * 1000000 // m_all
+       |              END AS rel_excess
        |  FROM stats),
        |w0 AS (
        |  SELECT domain, n_docs, m_dom, rel_excess,

@@ -441,8 +441,15 @@ object Tokenizer {
         max(col("n_chunks")).as("max_doc_chunks"))
       .select(col("lang"), col("n_docs"), col("total_tokens"),
         col("chunks_used"),
+        // fill = total·10⁶/denom decomposed as (total/denom)·10⁶ +
+        // (total%denom)·10⁶/denom (the mixDoremi scaleDiv discipline):
+        // the naive total_tokens * 1000000 wraps int64 past ~9.2·10¹²
+        // tokens per stream — squarely inside the 100 TB shape — where
+        // Spark would wrap silently while DuckDB raises
         when(col("chunks_used") === 0, 0L)
-          .otherwise(expr(s"total_tokens * 1000000 div (chunks_used * $cap)"))
+          .otherwise(expr(
+            s"(total_tokens div (chunks_used * $cap)) * 1000000 + " +
+            s"(total_tokens % (chunks_used * $cap)) * 1000000 div (chunks_used * $cap)"))
           .as("fill_ppm"),
         (col("chunks_used") * lit(cap) - col("total_tokens")).as("tail_waste"),
         col("n_split_docs"), col("max_doc_chunks"))
@@ -458,7 +465,11 @@ object Tokenizer {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  CAST(MAX(last_chunk) + 1 AS BIGINT) AS chunks_used,
        |  CAST(CASE WHEN MAX(last_chunk) + 1 = 0 THEN 0
-       |       ELSE SUM(n_tokens) * 1000000 // ((MAX(last_chunk) + 1) * $cap)
+       |       -- same decomposed scaleDiv as the Spark side: exact for
+       |       -- non-negative totals, immune to total*10^6 overflow
+       |       ELSE (SUM(n_tokens) // ((MAX(last_chunk) + 1) * $cap)) * 1000000
+       |            + (SUM(n_tokens) % ((MAX(last_chunk) + 1) * $cap)) * 1000000
+       |              // ((MAX(last_chunk) + 1) * $cap)
        |       END AS BIGINT) AS fill_ppm,
        |  CAST((MAX(last_chunk) + 1) * $cap - SUM(n_tokens) AS BIGINT) AS tail_waste,
        |  CAST(SUM(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,

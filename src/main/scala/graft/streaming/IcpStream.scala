@@ -134,7 +134,14 @@ object IcpStream {
 
   /** Gate: two crawl-ordered batches through the tail-carry chain; the
     * segments' union must equal the batch-preferring greedy walk the
-    * oracle replays (the fold identity above). */
+    * oracle replays (the fold identity above).
+    *
+    * @note the returned frame's plan pins a PERSISTED segment (seg1
+    *       feeds two consumers). The harness releases it between gates
+    *       via [[graft.Graft.releaseState]]; a direct library caller
+    *       owns that release — `Graft.releaseState(spark)` after
+    *       consuming the result, or segment-sized cache blocks
+    *       accumulate across calls. */
   def streamIcp(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"))
     val r = e.agg(min(col("vec_id")), max(col("vec_id"))).collect()(0)

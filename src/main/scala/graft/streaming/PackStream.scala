@@ -112,7 +112,14 @@ object PackStream {
 
   /** Gate: two crawl-ordered batches through the cursor-carry chain;
     * the manifests' union must reproduce the one-shot packer exactly
-    * (oracle IS ta_pack_chunks' SQL — the fold identity). */
+    * (oracle IS ta_pack_chunks' SQL — the fold identity).
+    *
+    * @note the returned frame's plan pins a PERSISTED token frame
+    *       (toks1 feeds two consumers). The harness releases it between
+    *       gates via [[graft.Graft.releaseState]]; a direct library
+    *       caller owns that release — `Graft.releaseState(spark)` after
+    *       consuming the result, or |batch|-sized cache blocks
+    *       accumulate across calls. */
   def streamPack(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
     val r = d.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)

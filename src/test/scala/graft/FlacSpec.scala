@@ -331,6 +331,16 @@ class FlacSpec extends AnyFunSuite {
     adpcm(20) = 2 // format tag low byte inside "fmt "
     assert(Media.sniffAudio(adpcm).isEmpty)
     intercept[RuntimeException](Media.decodeCanonicalPcm(adpcm))
+    // a corrupt RIFF whose fmt chunk declares a near-2^31 length must
+    // quarantine: the truncation bound is checked in Long — the Int
+    // form `off + 8 + len` wraps negative here and would sniff "wav"
+    val hugeFmt = Array.concat(
+      "RIFF".getBytes("ISO-8859-1"), Array[Byte](36, 0, 0, 0),
+      "WAVEfmt ".getBytes("ISO-8859-1"),
+      Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F), // len = 0x7FFFFFF0
+      Array[Byte](1, 0, 1, 0)) // PCM tag that the wrapped walk would read
+    assert(Media.sniffAudio(hugeFmt).isEmpty,
+      "near-2^31 chunk length must not bypass the truncation guard")
     assert(Media.sniffAudio("not audio at all".getBytes("UTF-8")).isEmpty)
     // text that merely starts with the magic must NOT mis-route into
     // the decoder: the probe checks the STREAMINFO structural byte

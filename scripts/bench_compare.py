@@ -67,17 +67,49 @@ def main():
             return "[no plan fp]"
         return "[same plan — VM noise?]" if b == c else f"[PLAN CHANGED {b} -> {c}]"
 
+    # Broad-band drift normalization (r13, VERDICT r12 item 3): the host
+    # reboots between sessions and each boot runs identical plans 25-40%
+    # slower/faster UNIFORMLY (SCALE.md r12d); per-query 2x flags then
+    # fire on population drift (r12's ta_bigrams: 0.51->1.14s with a
+    # byte-identical fp while the whole short-query population moved
+    # 1.5-1.9x). Control set = every common query whose plan fingerprint
+    # is UNCHANGED; its median time-ratio is the population drift D.
+    # Same-fp queries are flagged on their D-normalized ratio (a query
+    # merely riding the epoch adjudicates automatically; one moving
+    # beyond the population still flags). A CHANGED-fp query is judged
+    # on its RAW ratio — a plan change is never excused by drift.
+    same_fp = [q for q in set(bq) & set(cq)
+               if bp.get(q) is not None and bp.get(q) == cp.get(q)
+               and bq[q] > 0 and cq[q] > 0]
+    drift = 1.0
+    if len(same_fp) >= 10:  # too-small control sets can't estimate drift
+        ratios = sorted(cq[q] / bq[q] for q in same_fp)
+        drift = ratios[len(ratios) // 2]
+        if abs(drift - 1.0) > 0.05:
+            print(f"population drift x{drift:.2f} (median time-ratio over "
+                  f"{len(same_fp)} same-fp queries) — same-fp flags are "
+                  f"drift-normalized; changed-fp flags are raw")
+
     regressed = []
     for q in sorted(set(bq) & set(cq)):
         b, c = bq[q], cq[q]
-        if b > 0 and c / b > ratio and c - b > 0.5:
+        d = drift if bp.get(q) is not None and bp.get(q) == cp.get(q) else 1.0
+        if b > 0 and c / (b * d) > ratio and c - b * d > 0.5:
             if (c <= KNOWN_VARIANCE_BAND_MAX.get(q, 0.0)
                     and bp.get(q) is not None and bp.get(q) == cp.get(q)):
                 print(f"known-var {q}: {b:.2f}s -> {c:.2f}s (inside documented "
                       f"band <= {KNOWN_VARIANCE_BAND_MAX[q]}s, same plan fp)")
                 continue
             regressed.append((q, b, c))
-            print(f"REGRESSED {q}: {b:.2f}s -> {c:.2f}s ({c/b:.1f}x) {plan_label(q)}")
+            norm = f", x{c/(b*d):.1f} drift-normalized" if d != 1.0 else ""
+            print(f"REGRESSED {q}: {b:.2f}s -> {c:.2f}s ({c/b:.1f}x{norm}) {plan_label(q)}")
+        elif b > 0 and c / b > ratio and c - b > 0.5:
+            # raw-ratio mover adjudicated by the population: name it so
+            # the drift verdict is visible per query, not only in the
+            # header line
+            print(f"epoch-drift {q}: {b:.2f}s -> {c:.2f}s ({c/b:.1f}x raw, "
+                  f"x{c/(b*d):.1f} normalized by population drift x{d:.2f} — "
+                  f"same plan fp, rides the epoch)")
         elif c > 0 and b / c > ratio and b - c > 0.5:
             print(f"improved  {q}: {b:.2f}s -> {c:.2f}s {plan_label(q)}")
     plan_moves = sorted(q for q in set(bp) & set(cp) if bp[q] != cp[q])

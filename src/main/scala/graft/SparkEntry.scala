@@ -781,5 +781,16 @@ object SparkEntry {
     // r12d: the lossless-audio capstone — per-row FLAC encode+decode
     // with the MD5-anchored round-trip (the CPU-bound narrow-codec
     // family's newest member; mm_wav/mm_alaw stay full-suite-only)
-    "mm_flac")
+    "mm_flac",
+    // r13: headline de-staling refresh (the r11 discipline, VERDICT r12
+    // item 6) — the full-suite top-5 by cost not yet tracked join the
+    // headline so drift tracking covers where the time actually goes:
+    // the perceptual-hash CC closure, the streaming ER fold, the scored
+    // cleaning capstone, the LOSSLESS PPJoin all-pairs base (its _clean
+    // variant was already here), and the calibration eval
+    "mm_phash_cc", "stream_er", "pipeline_scored", "dedup_allpairs",
+    "ta_quality_calibration",
+    // r13: the r12 expensive tail the verdict named — DoReMi one-shot +
+    // standing-state members and the tokenizer-true streaming packer
+    "mix_doremi", "stream_doremi", "stream_pack_bpe")
 }

@@ -50,6 +50,33 @@ import org.apache.spark.sql.types._
   * `file_size_in_bytes` is the modeled layout's deterministic
   * row-width estimate (documented surrogate — external readers use it
   * for split planning only; a physical writer would stat the files).
+  *
+  * EXTERNAL-READER VALIDATION — CLOSE-OUT (r13, the MP3 discipline).
+  * The remaining validation tier would be an actual third-party
+  * Iceberg planner walking `version-hint.text` → `vN.metadata.json` →
+  * manifest-list → manifests and producing a file/split plan to
+  * compare against the gate's pruning verdict — that would exercise
+  * the metadata-JSON surface (schema/partition-spec/snapshot
+  * serialization) that the round-trip gate reads back structurally
+  * but no independent implementation has consumed. No such
+  * implementation is obtainable in this environment (verified r13,
+  * zero-egress container): (1) `/opt/spark/jars` ships no
+  * org.apache.iceberg artifact; (2) the offline coursier mirror
+  * (COURSIER_MODE=offline) resolves no org.apache.iceberg
+  * coordinates — build-time resolution fails; (3) the driver-side
+  * DuckDB 1.0.0 `iceberg` extension is not preinstalled and
+  * `INSTALL iceberg` requires a network download (measured: IO Error,
+  * extension fetch refused). What stands instead is the strongest
+  * available independent check: the Avro container layer is decoded
+  * by Avro's own GenericDatumReader (not this writer's code), and the
+  * Iceberg-semantics layer (field ids, single-value bound encoding,
+  * truncate[w] transform, file layout) is pinned to the public spec's
+  * constants and verified by full reconstitution of the stats table
+  * from the decoded bytes against the DuckDB oracle. If an
+  * iceberg-core jar or the DuckDB iceberg extension ever becomes
+  * available offline here, wire the planner read and assert its
+  * planned file set equals the gate's pruning verdict — the tree
+  * layout was written for exactly that consumer.
   */
 object IcebergExport {
 

@@ -42,6 +42,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.calmEligible(base + "}"))
   }
 
+  test("effectiveFloors: static under calm epochs, proportional under drift, capped when degraded") {
+    val static0 = Map("q1_agg" -> 0.85, "mr_wc" -> 0.60)
+    // session at/under the calibration epoch: static floors hold exactly
+    assert(Bench.effectiveFloors(static0, Map("q1_agg" -> 0.30, "mr_wc" -> 0.28)) == static0)
+    // missing medians (gate not applying / calibration skipped): static
+    assert(Bench.effectiveFloors(static0, Map.empty) == static0)
+    // the r12 failure shape: broad-band drift puts mr_wc's session
+    // median at 0.55 s — threshold widens to 1.6x the median, so the
+    // 0.90 s interior samples that voided BENCH_r12.json now read as
+    // the epoch's own level (0.88 <= 0.90 is still above; the REAL r12
+    // interiors were 0.33/0.90 with a calm median ~0.35 — the point is
+    // proportionality, pinned here at the arithmetic level)
+    val drifted = Bench.effectiveFloors(static0, Map("q1_agg" -> 0.70, "mr_wc" -> 0.55))
+    assert(math.abs(drifted("q1_agg") - 1.12) < 1e-9) // 1.6 x 0.70
+    assert(math.abs(drifted("mr_wc") - 0.88) < 1e-9)  // 1.6 x 0.55
+    // degraded session: the 3x-static cap holds — no self-calibrated pass
+    val degraded = Bench.effectiveFloors(static0, Map("q1_agg" -> 9999.0, "mr_wc" -> 9999.0))
+    assert(degraded("q1_agg") == 0.85 * 3.0 && degraded("mr_wc") == 0.60 * 3.0)
+  }
+
   test("normalizePlan: RewriteDistinctAggregates gid permutations collapse, real changes do not") {
     // the full permutation family from one observed flap (2026-08-16):
     // key order in keys=[...]/hashpartitioning, the Expand projection

@@ -34,9 +34,13 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(table: String, shifts: Map[String, Long]): Unit = {
+    // per-table guard (not one lineitem-keyed guard for the whole
+    // block) so a single stale/deleted table rebuilds without nuking
+    // the rest — needed for the r13 dim-fixture repair below
+    def replicate(table: String, shifts: Map[String, Long], nCopies: Int): Unit = {
+      if (new java.io.File(s"$out/$table.parquet").exists()) return
       val base = spark.read.parquet(s"$src/$table.parquet")
-      val union = (0 until copies).map { i =>
+      val union = (0 until nCopies).map { i =>
         shifts.foldLeft(base) { case (df, (c, stride)) =>
           df.withColumn(c, col(c) + lit(i * stride))
         }
@@ -44,14 +48,25 @@ object ScaleRehearsal {
       union.write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
 
-    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
-      // dims stay as-is (shared, broadcast-size); facts shift their keys
-      // so per-entity relationships replicate without collapsing
-      Seq("region", "nation", "supplier", "part").foreach(t => replicate(t, Map.empty))
-      replicate("customer", Map("c_custkey" -> 10000000L))
-      replicate("orders", Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L))
-      replicate("lineitem", Map("l_orderkey" -> 1000000000L))
-      replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+    {
+      // dims stay as-is: ONE copy, shared content — the facts keep
+      // their dim foreign keys unshifted, so dim keys must stay unique.
+      // r13 FIXTURE FIX: the old form pushed dims through the same
+      // `copies`-way union with no key shift, i.e. every dim row
+      // duplicated `copies` times — silently multiplying every
+      // fact→dim join's output by the copy count per dim hop (measured
+      // at 100×: l⋈o⋈supplier = 1.84e9 rows instead of 18.4M, q6's
+      // whole chain ~10¹¹ logical rows / 16,600 task-seconds for 5
+      // output rows). Every pre-r13 10×/100× number for a dim-joining
+      // gate measured that inflated workload — conservative direction
+      // (the engine looked worse, never better), adjudicated in
+      // SCALE.md r13d.
+      Seq("region", "nation", "supplier", "part")
+        .foreach(t => replicate(t, Map.empty, 1))
+      replicate("customer", Map("c_custkey" -> 10000000L), copies)
+      replicate("orders", Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L), copies)
+      replicate("lineitem", Map("l_orderkey" -> 1000000000L), copies)
+      replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L), copies)
       // the doc shift must preserve doc_id residues mod the two-table
       // stand-in moduli (BenchMod=97, IncomingMod=3), or each copy
       // rotates into a different benchmark/batch split and the
@@ -60,9 +75,8 @@ object ScaleRehearsal {
       // 10_010_400 = 97·3·34400; embeddings use the SAME stride so the
       // doc_id↔vec_id correspondence (search_hybrid's fusion join)
       // survives replication
-      replicate("documents", Map("doc_id" -> 10010400L))
-      replicate("embeddings", Map("vec_id" -> 10010400L))
-      println(s"[rehearsal] built ${copies}x fixtures at $out")
+      replicate("documents", Map("doc_id" -> 10010400L), copies)
+      replicate("embeddings", Map("vec_id" -> 10010400L), copies)
     }
 
     // r12: the rehearsal covers the FULL registry by default — the two

@@ -110,8 +110,20 @@ def main():
             print(f"epoch-drift {q}: {b:.2f}s -> {c:.2f}s ({c/b:.1f}x raw, "
                   f"x{c/(b*d):.1f} normalized by population drift x{d:.2f} — "
                   f"same plan fp, rides the epoch)")
+        elif c > 0 and (b * d) / c > ratio and b * d - c > 0.5:
+            # drift-normalized, mirroring the regression side (r14): under
+            # population drift D<1 a same-fp query merely riding a faster
+            # epoch must not print as 'improved', and under D>1 a genuine
+            # improvement must not be masked by a slower epoch
+            norm = f", x{(b * d)/c:.1f} drift-normalized" if d != 1.0 else ""
+            print(f"improved  {q}: {b:.2f}s -> {c:.2f}s ({b/c:.1f}x{norm}) "
+                  f"{plan_label(q)}")
         elif c > 0 and b / c > ratio and b - c > 0.5:
-            print(f"improved  {q}: {b:.2f}s -> {c:.2f}s {plan_label(q)}")
+            # raw-ratio improver adjudicated by the population, the
+            # epoch-drift verdict symmetric with the regression side
+            print(f"epoch-drift {q}: {b:.2f}s -> {c:.2f}s ({b/c:.1f}x raw "
+                  f"improvement, x{(b * d)/c:.1f} normalized by population "
+                  f"drift x{d:.2f} — same plan fp, rides the epoch)")
     plan_moves = sorted(q for q in set(bp) & set(cp) if bp[q] != cp[q])
     if plan_moves:
         print(f"plans changed ({len(plan_moves)}): {', '.join(plan_moves)}")

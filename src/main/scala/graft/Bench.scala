@@ -55,6 +55,15 @@ object Bench {
     * a session degraded beyond that cannot self-calibrate into
     * acceptance; its record fails the gate and self-labels. */
   val MaxEpochFactor = 3.0
+  /** The documented VM-reboot drift band (SCALE.md r12d: identical
+    * plans run 25–40% slower or faster per boot). Epoch medians beyond
+    * this factor over the static floors' implied calm anchor
+    * (floor / [[EpochHeadroom]]) are flagged in the record: the
+    * self-calibration cannot distinguish environmental drift from an
+    * engine-caused regression in the floor queries themselves (r13
+    * ADVICE), so a beyond-band median is the signal to A/B the floor
+    * queries against a prior build rather than trust the widened gate. */
+  val DocumentedEpochBand = 1.40
 
   /** Epoch-normalized thresholds from static floors + session medians —
     * broad-band drift widens the gate proportionally (and the record
@@ -66,6 +75,15 @@ object Bench {
       val med = medians.getOrElse(n, 0.0)
       n -> math.min(f * MaxEpochFactor, math.max(f, EpochHeadroom * med))
     }
+
+  /** Are the session's floor medians past the documented reboot band
+    * over the static floors' implied calm anchor? See
+    * [[DocumentedEpochBand]] — the engine-regression tripwire on the
+    * self-calibrating gate. */
+  private[graft] def beyondDocumentedBand(
+      static0: Map[String, Double], medians: Map[String, Double]): Boolean =
+    static0.exists { case (n, f) =>
+      medians.getOrElse(n, 0.0) > DocumentedEpochBand * (f / EpochHeadroom) }
 
   /** A recorded time above `OutlierFactor` × its SCALE.md calm record
     * (and more than [[OutlierMinExcess]] s over it, so sub-second noise
@@ -496,9 +514,19 @@ object Bench {
         // prose now rides in the JSON itself
         val capped = Floors.exists { case (n, f) =>
           EpochHeadroom * epochMedians.getOrElse(n, 0.0) > f * MaxEpochFactor }
+        // beyond-band flag (r14, ADVICE): medians past the documented
+        // 25–40% reboot band over the calm calibration anchor
+        // (floor / headroom) may be an ENGINE regression in the floor
+        // queries self-calibrating into acceptance — the one blind spot
+        // of epoch normalization. The record names it so the reader
+        // A/Bs the floor queries against a prior build instead of
+        // trusting the widened gate.
+        val beyondBand = beyondDocumentedBand(Floors, epochMedians)
         val mechanism =
           if (capped)
             "session floor medians beyond the 3x epoch cap - degraded session, not epoch drift"
+          else if (epochDrifted && beyondBand)
+            "epoch-normalized thresholds, medians BEYOND the documented 25-40% reboot band - verify no engine regression in the floor queries"
           else if (epochDrifted)
             "broad-band VM-epoch drift: thresholds epoch-normalized from session floor medians"
           else "static floors (session at or under calibration epoch)"

@@ -430,6 +430,16 @@ object Tokenizer {
     * tail_waste < capacity (TokenizerSpec pins both). Pure integer
     * arithmetic; ONE |streams|-sized aggregate after the shared
     * kernel — report cost is manifest-scan cost at any SF. */
+  /** The fill arithmetic over columns (total_tokens, chunks_used), for
+    * chunks_used > 0: ⌊total·10⁶/denom⌋ = 10⁶ − ⌈waste·10⁶/denom⌉ with
+    * waste = denom − total < cap (see packReport's comment). Shared
+    * with TokenizerSpec's overflow-zone regression vectors. */
+  private[graft] def fillPpmExpr(cap: Long): String =
+    s"1000000 - (chunks_used * $cap - total_tokens) * 1000000 " +
+    s"div (chunks_used * $cap) - " +
+    s"(case when (chunks_used * $cap - total_tokens) * 1000000 " +
+    s"% (chunks_used * $cap) > 0 then 1 else 0 end)"
+
   def packReport(s: SparkSession, dir: String): DataFrame = {
     val cap = Cleaning.ChunkTokens.toLong
     packBpe(s, dir)
@@ -441,15 +451,18 @@ object Tokenizer {
         max(col("n_chunks")).as("max_doc_chunks"))
       .select(col("lang"), col("n_docs"), col("total_tokens"),
         col("chunks_used"),
-        // fill = total·10⁶/denom decomposed as (total/denom)·10⁶ +
-        // (total%denom)·10⁶/denom (the mixDoremi scaleDiv discipline):
-        // the naive total_tokens * 1000000 wraps int64 past ~9.2·10¹²
-        // tokens per stream — squarely inside the 100 TB shape — where
-        // Spark would wrap silently while DuckDB raises
+        // fill = ⌊total·10⁶/denom⌋ computed from the SMALL complement:
+        // total = denom − waste with 0 ≤ waste < cap (contiguous
+        // packing; TokenizerSpec pins it), so
+        // ⌊total·10⁶/denom⌋ = 10⁶ − ⌈waste·10⁶/denom⌉ exactly, and the
+        // only product formed is waste·10⁶ < cap·10⁶ ≈ 2.6·10⁸ — no
+        // int64 wrap at ANY stream size. (The r13 scaleDiv
+        // decomposition was vacuous here: chunks_used = ⌈total/cap⌉
+        // forces total div denom ∈ {0,1} and remainder ≈ total, so its
+        // (total % denom)·10⁶ term wrapped at the same ~9.2·10¹²-token
+        // threshold as the naive form — r14 ADVICE finding.)
         when(col("chunks_used") === 0, 0L)
-          .otherwise(expr(
-            s"(total_tokens div (chunks_used * $cap)) * 1000000 + " +
-            s"(total_tokens % (chunks_used * $cap)) * 1000000 div (chunks_used * $cap)"))
+          .otherwise(expr(fillPpmExpr(cap)))
           .as("fill_ppm"),
         (col("chunks_used") * lit(cap) - col("total_tokens")).as("tail_waste"),
         col("n_split_docs"), col("max_doc_chunks"))
@@ -465,11 +478,15 @@ object Tokenizer {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  CAST(MAX(last_chunk) + 1 AS BIGINT) AS chunks_used,
        |  CAST(CASE WHEN MAX(last_chunk) + 1 = 0 THEN 0
-       |       -- same decomposed scaleDiv as the Spark side: exact for
-       |       -- non-negative totals, immune to total*10^6 overflow
-       |       ELSE (SUM(n_tokens) // ((MAX(last_chunk) + 1) * $cap)) * 1000000
-       |            + (SUM(n_tokens) % ((MAX(last_chunk) + 1) * $cap)) * 1000000
+       |       -- same complement form as the Spark side: fill =
+       |       -- 10^6 - ceil(waste*10^6/denom) with waste < $cap, so the
+       |       -- only product is waste*10^6 — bounded at any stream size
+       |       ELSE 1000000
+       |            - ((MAX(last_chunk) + 1) * $cap - SUM(n_tokens)) * 1000000
        |              // ((MAX(last_chunk) + 1) * $cap)
+       |            - (CASE WHEN ((MAX(last_chunk) + 1) * $cap - SUM(n_tokens))
+       |                         * 1000000 % ((MAX(last_chunk) + 1) * $cap) > 0
+       |                    THEN 1 ELSE 0 END)
        |       END AS BIGINT) AS fill_ppm,
        |  CAST((MAX(last_chunk) + 1) * $cap - SUM(n_tokens) AS BIGINT) AS tail_waste,
        |  CAST(SUM(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,

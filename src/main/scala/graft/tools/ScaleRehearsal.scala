@@ -13,8 +13,49 @@ import graft.SparkEntry
   * Usage: scripts/run.sh graft.tools.ScaleRehearsal [outDir] [copies]
   * (SPARK_GRAFT_REHEARSAL_ONLY=a,b,c restricts the operator list —
   * the 100× pass times a focused subset, not all ~50.)
+  *
+  * SPARK_GRAFT_REHEARSAL_MODE selects the fixture extreme (r14 — the
+  * r13 registry-complete sweep proved the replica fixture measures only
+  * ONE end of each family's cost curve):
+  *   - `replica` (default): every copy keeps its TEXT and dim content
+  *     verbatim, keys shifted. Duplication-heavy extreme — the
+  *     exact-duplicate contraction makes the dedup families nearly free
+  *     here, so it measures contraction + answer-expansion cost.
+  *   - `distinct`: each copy's document text is salted by interleaving
+  *     a copy-unique letter token after every second word, so every
+  *     3-gram shingle contains copy-local context — copies share ZERO
+  *     shingles, giving `copies`×|docs| genuinely DISTINCT texts
+  *     (500k+ at 100×). This is the extreme the contraction cannot
+  *     help: prefix filtering, banding, df-caps and the packed-array
+  *     verify all run at full distinct cardinality. Embeddings stay
+  *     replicated (vector machinery is never text-contracted; its
+  *     cost is row-driven either way).
+  *   - `dimscale`: dims replicate WITH key shifts and fact FK columns
+  *     are remapped consistently (copy i of lineitem points at copy i
+  *     of part/supplier, etc.), so each copy is a closed FK universe —
+  *     the dim-primary gates (er_*, sql_*, skyline, scalar batteries)
+  *     get a genuine 100× dim-cardinality story instead of the fixed
+  *     sf0.1 dims the r13 fixture fix left them. p_name gets a
+  *     copy-local tag fused into its second word (the ER blocking
+  *     key), and s_name/c_name a suffix tag, so name-keyed machinery
+  *     sees true 100× distinct entities, not 100-way exact-name
+  *     groups its contraction would collapse.
   */
 object ScaleRehearsal {
+  /** Fixture layout identity. Bump whenever replicate()'s output
+    * changes shape so pre-existing fixture dirs REBUILD instead of
+    * silently reproducing a fixed defect: the r13 dim repair never
+    * invalidated dirs built by the pre-fix code (r14 ADVICE) — any
+    * stale dir still carried the 100×-replicated dims and reproduced
+    * the exact q6/q7 join inflation the fix closed. v3 = r14 (marker
+    * introduced; replica layout unchanged from r13). */
+  private val FixtureVersion = 3
+
+  /** Copy-unique letter-only token (normalization strips non-letters,
+    * so the salt must survive [[graft.operators.Dedup.normalized]]). */
+  private def copyTag(i: Int): String =
+    s"qq${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -34,38 +75,114 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val mode = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_MODE", "replica")
+    require(Set("replica", "distinct", "dimscale")(mode),
+      s"unknown SPARK_GRAFT_REHEARSAL_MODE '$mode' (replica|distinct|dimscale)")
+
+    // ---- fixture-version marker (r14, ADVICE): the fixture's identity
+    // is (layout version, mode, copies, source). A dir whose marker
+    // mismatches — including every pre-marker dir — is wiped and
+    // rebuilt; mere existence is never trusted again.
+    val markerFile = new java.io.File(s"$out/_fixture_meta.txt")
+    val markerWant = s"v$FixtureVersion mode=$mode copies=$copies src=$src"
+    val markerHave =
+      if (!markerFile.isFile) ""
+      else {
+        val sc = scala.io.Source.fromFile(markerFile)
+        try sc.mkString.trim finally sc.close()
+      }
+    if (markerHave != markerWant && new java.io.File(out).exists()) {
+      println(s"[rehearsal] fixture marker mismatch ('$markerHave' != " +
+        s"'$markerWant') — rebuilding $out from scratch")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+
     // per-table guard (not one lineitem-keyed guard for the whole
     // block) so a single stale/deleted table rebuilds without nuking
-    // the rest — needed for the r13 dim-fixture repair below
-    def replicate(table: String, shifts: Map[String, Long], nCopies: Int): Unit = {
+    // the rest; the marker above guards the LAYOUT, this guards
+    // presence only
+    def replicate(table: String, shifts: Map[String, Long], nCopies: Int,
+        mutate: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       if (new java.io.File(s"$out/$table.parquet").exists()) return
       val base = spark.read.parquet(s"$src/$table.parquet")
       val union = (0 until nCopies).map { i =>
-        shifts.foldLeft(base) { case (df, (c, stride)) =>
+        mutate(shifts.foldLeft(base) { case (df, (c, stride)) =>
           df.withColumn(c, col(c) + lit(i * stride))
-        }
+        }, i)
       }.reduce(_ unionByName _)
       union.write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
+    // `distinct` text salt: a copy-local token spliced after every 2nd
+    // word means NO 3-gram of consecutive normalized words is salt-free
+    // and no salted 3-gram is shared across copies (each carries the
+    // copy token plus copy-local word context) — shingle sets of
+    // different copies are fully disjoint, while WITHIN a copy the
+    // original near-dup structure survives (two docs share a salted
+    // shingle iff they shared the underlying word pair). Corpus-wide
+    // near-dup density therefore scales linearly with copies — the
+    // lossless answer stays linear while every candidate structure runs
+    // at full distinct cardinality. regexp_replace consumes matches
+    // left-to-right without overlap, so exactly every 2nd word is
+    // followed by the token.
+    def saltText(df: DataFrame, i: Int): DataFrame =
+      df.withColumn("text",
+        regexp_replace(col("text"), "(\\S+\\s+\\S+)", "$1 " + copyTag(i) + "salt"))
+    // `dimscale` name tags: fuse the tag INTO p_name's 2nd word — the
+    // ER blocking key — so blocks become copy-local (100× more blocks
+    // of original size: the honest "more entities" axis) instead of
+    // 100×-deeper blocks that the df-cap would just drop; suffix-tag
+    // s_name/c_name so name-keyed grouping sees distinct entities.
+    def tagSecondWord(c: String)(df: DataFrame, i: Int): DataFrame =
+      df.withColumn(c,
+        regexp_replace(col(c), "^(\\S+\\s+\\S+)", "$1" + copyTag(i)))
+    def tagSuffix(c: String)(df: DataFrame, i: Int): DataFrame =
+      df.withColumn(c, concat(col(c), lit("-" + copyTag(i))))
 
     {
-      // dims stay as-is: ONE copy, shared content — the facts keep
-      // their dim foreign keys unshifted, so dim keys must stay unique.
-      // r13 FIXTURE FIX: the old form pushed dims through the same
-      // `copies`-way union with no key shift, i.e. every dim row
-      // duplicated `copies` times — silently multiplying every
-      // fact→dim join's output by the copy count per dim hop (measured
-      // at 100×: l⋈o⋈supplier = 1.84e9 rows instead of 18.4M, q6's
-      // whole chain ~10¹¹ logical rows / 16,600 task-seconds for 5
-      // output rows). Every pre-r13 10×/100× number for a dim-joining
-      // gate measured that inflated workload — conservative direction
-      // (the engine looked worse, never better), adjudicated in
-      // SCALE.md r13d.
-      Seq("region", "nation", "supplier", "part")
-        .foreach(t => replicate(t, Map.empty, 1))
-      replicate("customer", Map("c_custkey" -> 10000000L), copies)
+      if (mode == "dimscale") {
+        // every copy is a CLOSED FK universe: dim keys shift by a
+        // per-dim stride and every fact/dim FK column shifts by the SAME
+        // stride, so copy i's facts join exactly copy i's dims — dim
+        // cardinality scales with copies at constant join fan-out.
+        // Strides dominate the base key ranges (nation 25, region 5,
+        // supplier 1k, part 20k at sf0.1).
+        replicate("region", Map("r_regionkey" -> 100L), copies)
+        replicate("nation",
+          Map("n_nationkey" -> 1000L, "n_regionkey" -> 100L), copies)
+        replicate("supplier",
+          Map("s_suppkey" -> 1000000L, "s_nationkey" -> 1000L), copies,
+          tagSuffix("s_name"))
+        replicate("part", Map("p_partkey" -> 10000000L), copies,
+          tagSecondWord("p_name"))
+        replicate("customer",
+          Map("c_custkey" -> 10000000L, "c_nationkey" -> 1000L), copies,
+          tagSuffix("c_name"))
+        replicate("lineitem",
+          Map("l_orderkey" -> 1000000000L, "l_partkey" -> 10000000L,
+            "l_suppkey" -> 1000000L), copies)
+      } else {
+        // dims stay as-is: ONE copy, shared content — the facts keep
+        // their dim foreign keys unshifted, so dim keys must stay unique.
+        // r13 FIXTURE FIX: the old form pushed dims through the same
+        // `copies`-way union with no key shift, i.e. every dim row
+        // duplicated `copies` times — silently multiplying every
+        // fact→dim join's output by the copy count per dim hop (measured
+        // at 100×: l⋈o⋈supplier = 1.84e9 rows instead of 18.4M, q6's
+        // whole chain ~10¹¹ logical rows / 16,600 task-seconds for 5
+        // output rows). Every pre-r13 10×/100× number for a dim-joining
+        // gate measured that inflated workload — conservative direction
+        // (the engine looked worse, never better), adjudicated in
+        // SCALE.md r13d.
+        Seq("region", "nation", "supplier", "part")
+          .foreach(t => replicate(t, Map.empty, 1))
+        replicate("customer", Map("c_custkey" -> 10000000L), copies)
+        replicate("lineitem", Map("l_orderkey" -> 1000000000L), copies)
+      }
       replicate("orders", Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L), copies)
-      replicate("lineitem", Map("l_orderkey" -> 1000000000L), copies)
       replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L), copies)
       // the doc shift must preserve doc_id residues mod the two-table
       // stand-in moduli (BenchMod=97, IncomingMod=3), or each copy
@@ -75,8 +192,13 @@ object ScaleRehearsal {
       // 10_010_400 = 97·3·34400; embeddings use the SAME stride so the
       // doc_id↔vec_id correspondence (search_hybrid's fusion join)
       // survives replication
-      replicate("documents", Map("doc_id" -> 10010400L), copies)
+      replicate("documents", Map("doc_id" -> 10010400L), copies,
+        if (mode == "distinct") saltText else (df: DataFrame, _: Int) => df)
       replicate("embeddings", Map("vec_id" -> 10010400L), copies)
+      // marker written only after every table landed: a crashed build
+      // leaves no marker and rebuilds clean on the next run
+      val w = new java.io.PrintWriter(markerFile, "UTF-8")
+      try w.println(markerWant) finally w.close()
     }
 
     // r12: the rehearsal covers the FULL registry by default — the two

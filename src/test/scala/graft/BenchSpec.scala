@@ -62,6 +62,19 @@ class BenchSpec extends AnyFunSuite {
     assert(degraded("q1_agg") == 0.85 * 3.0 && degraded("mr_wc") == 0.60 * 3.0)
   }
 
+  test("beyondDocumentedBand: trips past 1.4x the calm anchor, not inside the reboot band") {
+    val static0 = Map("q1_agg" -> 0.85, "mr_wc" -> 0.60)
+    // calm anchors are floor/headroom = 0.531 / 0.375; the documented
+    // reboot band tops out at 1.40x over them (0.744 / 0.525)
+    assert(!Bench.beyondDocumentedBand(static0,
+      Map("q1_agg" -> 0.70, "mr_wc" -> 0.50)), "inside the band must not trip")
+    assert(Bench.beyondDocumentedBand(static0,
+      Map("q1_agg" -> 0.80, "mr_wc" -> 0.50)),
+      "one floor query past the band trips the engine-regression flag")
+    assert(!Bench.beyondDocumentedBand(static0, Map.empty),
+      "missing medians (calibration skipped) must not trip")
+  }
+
   test("normalizePlan: RewriteDistinctAggregates gid permutations collapse, real changes do not") {
     // the full permutation family from one observed flap (2026-08-16):
     // key order in keys=[...]/hashpartitioning, the Expand projection

@@ -437,7 +437,8 @@ class DedupSpec extends AnyFunSuite {
     // releaseState exists to close.
     val sf = "/root/testdata/sf0.001"
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    Seq("dedup_allpairs", "dedup_allpairs_incr", "stream_icp", "stream_pack",
+    Seq("dedup_allpairs", "dedup_allpairs_incr", "dedup_recall_eval",
+        "stream_icp", "stream_pack",
         "stream_pack_bpe", "dedup_cc", "graph_pagerank", "vocab_bpe",
         "pipeline_ppl")
       .foreach { n =>

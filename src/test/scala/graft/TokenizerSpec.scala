@@ -326,4 +326,46 @@ class TokenizerSpec extends AnyFunSuite {
       assert(r.getLong(7) >= 1, "some doc must occupy at least one chunk")
     }
   }
+
+  test("pack_report fill_ppm arithmetic survives the int64 wrap zone (complement form)") {
+    // The r13 "decomposed scaleDiv" was vacuous as an overflow guard:
+    // chunks_used = ceil(total/cap) forces total div denom ∈ {0,1} and
+    // remainder ≈ total, so its (total % denom)·10⁶ term wrapped at the
+    // same ~9.2·10¹²-token threshold as the naive total·10⁶. The r14
+    // complement form only ever multiplies waste < cap by 10⁶. These
+    // vectors sit squarely PAST the wrap threshold (total·10⁶ overflows
+    // int64 for every one of them) and at the exact-fill / one-token /
+    // max-waste edges; ground truth via BigInt.
+    import spark.implicits._
+    val cap = graft.operators.Cleaning.ChunkTokens.toLong
+    def chunksOf(total: Long) = (total + cap - 1) / cap
+    val totals = Seq(
+      // just past Long.Max/1e6 (the naive form's wrap threshold), with
+      // +cap headroom so the derived max-waste vector stays in the zone
+      9223372036854L + cap,
+      9223372036854L + cap + 1,
+      40L * 1000L * 1000L * 1000L * 1000L,   // 40T tokens, ~100 TB corpus
+      40L * 1000L * 1000L * 1000L * 1000L - 1,
+      (Long.MaxValue / cap) * cap / 2,        // deep interior
+      123456789012345L)
+    val vecs = totals.flatMap { t0 =>
+      // exact fill, one-token tail (max waste), and the raw value
+      val exact = chunksOf(t0) * cap
+      Seq(exact, exact - cap + 1, t0)
+    }.distinct.map(t => (t, chunksOf(t)))
+    vecs.foreach { case (t, _) =>
+      assert(t > Long.MaxValue / 1000000L,
+        s"vector $t does not exercise the wrap zone — tighten the fixture")
+    }
+    val got = vecs.toDF("total_tokens", "chunks_used")
+      .selectExpr("total_tokens",
+        graft.operators.Tokenizer.fillPpmExpr(cap) + " AS fill_ppm")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (t, used) =>
+      val want = (BigInt(t) * 1000000 / (BigInt(used) * cap)).toLong
+      assert(got(t) == want,
+        s"fill_ppm($t, $used): got ${got(t)}, BigInt truth $want")
+      assert(got(t) >= 0L && got(t) <= 1000000L)
+    }
+  }
 }

@@ -7,9 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Native Catalyst expression: |A ∩ B| of two SORTED string arrays by
-  * linear merge — the codegen'd replacement for
-  * `size(array_intersect(a, b))` on the dedup verify tiers.
+/** Native Catalyst expression: |A ∩ B| of two SORTED arrays (both
+  * `array<string>` or both `array<bigint>`) by linear merge — the
+  * codegen'd replacement for `size(array_intersect(a, b))` on the
+  * dedup verify tiers. The long variant (r14) serves the
+  * dictionary-encoded gram sets: the all-pairs verify ships two
+  * doc-length arrays per candidate pair, and 8-byte gram ids cut that
+  * wire/spill volume ~4× against ~32-byte 3-word gram strings —
+  * the difference between a 500k-distinct-doc verify fitting local
+  * disk and exhausting it (r14 distinct-fixture canary).
   *
   * `array_intersect` builds a hash set of one side and MATERIALIZES the
   * intersection array per row, only for `size` to read its length and
@@ -34,14 +40,25 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
   override def prettyName: String = "intersect_size_sorted"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (array<string>, array<string>), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    def elem(e: Expression) = e.dataType match {
+      case ArrayType(t, _) => Some(t)
+      case _ => None
+    }
+    (elem(left), elem(right)) match {
+      case (Some(StringType), Some(StringType)) => TypeCheckResult.TypeCheckSuccess
+      case (Some(LongType), Some(LongType)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<string>) or " +
+          s"(array<bigint>, array<bigint>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  }
+
+  /** Both-sides element type is pinned by checkInputDataTypes; the
+    * merge loop dispatches on it once at plan time, not per row. */
+  private def longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   private def elemNullable(e: Expression): Boolean = e.dataType match {
@@ -77,11 +94,20 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
     var c = 0L
     var i = 0
     var j = 0
-    while (i < na && j < nb) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (longElems) {
+      while (i < na && j < nb) {
+        val cmp = java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -95,6 +121,9 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val cmp = ctx.freshName("cmp")
       val anyNull = ctx.freshName("anyNull")
+      val cmpExpr =
+        if (longElems) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       val header =
         s"""
            |int $na = $a.numElements();
@@ -120,7 +149,7 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
              |  ${ev.isNull} = true;
              |} else {
              |  while ($i < $na && $j < $nb) {
-             |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+             |    int $cmp = $cmpExpr;
              |    if ($cmp == 0) { $acc++; $i++; $j++; }
              |    else if ($cmp < 0) { $i++; } else { $j++; }
              |  }
@@ -131,7 +160,7 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
         header +
           s"""
              |while ($i < $na && $j < $nb) {
-             |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+             |  int $cmp = $cmpExpr;
              |  if ($cmp == 0) { $acc++; $i++; $j++; }
              |  else if ($cmp < 0) { $i++; } else { $j++; }
              |}

@@ -21,15 +21,16 @@ import graft.SparkEntry
   *     verbatim, keys shifted. Duplication-heavy extreme — the
   *     exact-duplicate contraction makes the dedup families nearly free
   *     here, so it measures contraction + answer-expansion cost.
-  *   - `distinct`: each copy's document text is salted by interleaving
-  *     a copy-unique letter token after every second word, so every
-  *     3-gram shingle contains copy-local context — copies share ZERO
-  *     shingles, giving `copies`×|docs| genuinely DISTINCT texts
-  *     (500k+ at 100×). This is the extreme the contraction cannot
-  *     help: prefix filtering, banding, df-caps and the packed-array
-  *     verify all run at full distinct cardinality. Embeddings stay
-  *     replicated (vector machinery is never text-contracted; its
-  *     cost is row-driven either way).
+  *   - `distinct`: each copy's document text is salted by appending a
+  *     copy-unique letter tag to EVERY word, so copies share ZERO
+  *     shingles while each copy keeps the unsalted corpus's exact
+  *     shingle-df distribution — `copies`×|docs| genuinely DISTINCT
+  *     texts (500k+ at 100×) with realistic per-copy statistics. This
+  *     is the extreme the contraction cannot help: prefix filtering,
+  *     banding, df-caps and the packed-array verify all run at full
+  *     distinct cardinality. Embeddings stay replicated (vector
+  *     machinery is never text-contracted; its cost is row-driven
+  *     either way).
   *   - `dimscale`: dims replicate WITH key shifts and fact FK columns
   *     are remapped consistently (copy i of lineitem points at copy i
   *     of part/supplier, etc.), so each copy is a closed FK universe —
@@ -48,8 +49,9 @@ object ScaleRehearsal {
     * invalidated dirs built by the pre-fix code (r14 ADVICE) — any
     * stale dir still carried the 100×-replicated dims and reproduced
     * the exact q6/q7 join inflation the fix closed. v3 = r14 (marker
-    * introduced; replica layout unchanged from r13). */
-  private val FixtureVersion = 3
+    * introduced; replica layout unchanged from r13). v4 = r14 distinct
+    * salt redesign (per-word tag, df-distribution-preserving). */
+  private val FixtureVersion = 4
 
   /** Copy-unique letter-only token (normalization strips non-letters,
     * so the salt must survive [[graft.operators.Dedup.normalized]]). */
@@ -116,21 +118,23 @@ object ScaleRehearsal {
       }.reduce(_ unionByName _)
       union.write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
-    // `distinct` text salt: a copy-local token spliced after every 2nd
-    // word means NO 3-gram of consecutive normalized words is salt-free
-    // and no salted 3-gram is shared across copies (each carries the
-    // copy token plus copy-local word context) — shingle sets of
-    // different copies are fully disjoint, while WITHIN a copy the
-    // original near-dup structure survives (two docs share a salted
-    // shingle iff they shared the underlying word pair). Corpus-wide
-    // near-dup density therefore scales linearly with copies — the
-    // lossless answer stays linear while every candidate structure runs
-    // at full distinct cardinality. regexp_replace consumes matches
-    // left-to-right without overlap, so exactly every 2nd word is
-    // followed by the token.
+    // `distinct` text salt: the copy tag is appended to EVERY
+    // alphabetic run, so each copy's vocabulary is copy-local — no
+    // shingle is ever shared across copies — while WITHIN a copy the
+    // word sequence, the per-doc shingle count, and every shingle's
+    // document frequency are EXACTLY the unsalted corpus's (the map
+    // w → w·tag is a bijection on words applied uniformly). That
+    // df-distribution preservation is the point: the first r14 salt
+    // (a token INSERTED after every 2nd word) gave boundary shingles
+    // BIGRAM-level dfs, inflating PPJoin prefix candidates ~10× over
+    // any realistic trigram-df corpus and turning the leg into a
+    // worst-case-df benchmark instead of a distinct-cardinality one
+    // (stage-probed 2026-08-16: 3,065 task-seconds of verify CPU at
+    // 30 copies, all candidate-volume). Near-dup structure per copy is
+    // untouched, so the lossless answer scales linearly with copies.
     def saltText(df: DataFrame, i: Int): DataFrame =
       df.withColumn("text",
-        regexp_replace(col("text"), "(\\S+\\s+\\S+)", "$1 " + copyTag(i) + "salt"))
+        regexp_replace(col("text"), "(\\p{L}+)", "$1" + copyTag(i)))
     // `dimscale` name tags: fuse the tag INTO p_name's 2nd word — the
     // ER blocking key — so blocks become copy-local (100× more blocks
     // of original size: the honest "more entities" axis) instead of
@@ -234,6 +238,17 @@ object ScaleRehearsal {
     names.foreach { n => // warmup pass then timed pass
       try {
         SparkEntry.queries(n)(spark, out).count()
+        // release the WARMUP pass's shuffle files before the timed pass
+        // (r14): shuffle files live until ContextCleaner GCs their
+        // dependency objects, so a shuffle-heavy gate's warmup+timed
+        // passes otherwise hold ~2× its scratch footprint concurrently
+        // — at the 100× distinct tier that doubling is the difference
+        // between fitting local disk and ENOSPC. releaseState drops the
+        // cache handles, System.gc() lets the cleaner collect the
+        // warmup plan's shuffles; the timed pass still measures a warm
+        // JVM (codegen/classloading), which is all warmup exists for.
+        graft.Graft.releaseState(spark)
+        System.gc()
         // drain the async listener bus BEFORE resetting: a warmup task's
         // trailing onTaskEnd landing after the reset would bleed warmup
         // memory/spill into the recorded timed-pass numbers (spilled is

@@ -20,6 +20,10 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long)]()
     val maxTask = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // shuffle/spill BYTES per stage (r14): the disk-exhaustion hunts
+    // (dedup_allpairs at the distinct-heavy 100×) need to know which
+    // stage writes the volume, not only which burns the wall
+    val bytes = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
@@ -27,6 +31,9 @@ object StageProbe {
         // stage executes — far more legible than the callsite
         val ops = i.rddInfos.map(_.name).distinct.mkString(" | ").take(160)
         stages.put(i.stageId, (ops, i.taskMetrics.executorRunTime, i.numTasks.toLong))
+        val tm = i.taskMetrics
+        bytes.put(i.stageId, (tm.shuffleReadMetrics.totalBytesRead,
+          tm.shuffleWriteMetrics.bytesWritten, tm.diskBytesSpilled))
       }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null)
@@ -39,9 +46,13 @@ object StageProbe {
     Thread.sleep(500)
     import scala.jdk.CollectionConverters._
     stages.asScala.toSeq.sortBy(_._1).foreach { case (id, (nm, total, ntasks)) =>
+      val (sr, sw, sp) = bytes.getOrDefault(id, (0L, 0L, 0L))
       println(f"[stage] $id%3d tasks=$ntasks%3d total=${total / 1000.0}%8.1f s " +
-        f"max-task=${maxTask.getOrDefault(id, 0L) / 1000.0}%8.1f s  $nm")
+        f"max-task=${maxTask.getOrDefault(id, 0L) / 1000.0}%8.1f s " +
+        f"sread=${sr / (1 << 20)}%6d MB swrite=${sw / (1 << 20)}%6d MB " +
+        f"spill=${sp / (1 << 20)}%6d MB  $nm")
     }
+    graft.Graft.releaseState(spark)
     spark.stop()
   }
 }

@@ -137,4 +137,43 @@ class FunctionsSpec extends AnyFunSuite {
     check(rows)                 // interpreted / constant-folded path
     check(rows.repartition(2))  // whole-stage codegen path
   }
+
+  test("intersect_size_sorted: array<bigint> variant matches array_intersect; mixed types rejected") {
+    import spark.implicits._
+    IntersectSizeSorted.register(spark)
+    // the r14 dictionary-encoded verify path: same merge semantics over
+    // 8-byte gram ids; differential vs the builtin on random long SETS,
+    // in both interpreted and codegen paths
+    val rng = new scala.util.Random(37)
+    val rows = (0 until 200).map { i =>
+      val a = rng.shuffle((0 until 500).map(_.toLong)).take(rng.nextInt(80)).distinct
+      val b = rng.shuffle((0 until 500).map(_.toLong)).take(rng.nextInt(80)).distinct
+      (i, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .selectExpr("id", "sort_array(a) as sa", "sort_array(b) as sb")
+    def check(d: org.apache.spark.sql.DataFrame): Unit =
+      d.selectExpr("id",
+          "intersect_size_sorted(sa, sb) as merged",
+          "cast(size(array_intersect(sa, sb)) as bigint) as builtin")
+        .collect()
+        .foreach(r => assert(r.getLong(1) == r.getLong(2),
+          s"row ${r.getInt(0)}: merged ${r.getLong(1)} vs builtin ${r.getLong(2)}"))
+    check(df)
+    check(df.repartition(2))
+    // negative-ID ordering: sort_array puts negatives first and the
+    // signed Long.compare merge must agree (gram ids are non-negative
+    // on the in-repo path, but the SQL surface makes no such promise)
+    val neg = Seq((Seq(-5L, -1L, 3L), Seq(-5L, 2L, 3L), 2L))
+      .toDF("a", "b", "want")
+      .selectExpr("intersect_size_sorted(sort_array(a), sort_array(b)) as got", "want")
+      .collect()
+    neg.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // mixed element types must fail analysis, not mis-compare
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1L), Seq("a"))).toDF("a", "b")
+        .selectExpr("intersect_size_sorted(a, b)").collect()
+    }
+    assert(err.getMessage.contains("intersect_size_sorted"))
+  }
 }

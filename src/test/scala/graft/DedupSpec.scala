@@ -438,6 +438,7 @@ class DedupSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Seq("dedup_allpairs", "dedup_allpairs_incr", "dedup_recall_eval",
+        "dedup_containment", "dedup_containment_incr",
         "stream_icp", "stream_pack",
         "stream_pack_bpe", "dedup_cc", "graph_pagerank", "vocab_bpe",
         "pipeline_ppl")

@@ -792,5 +792,14 @@ object SparkEntry {
     "ta_quality_calibration",
     // r13: the r12 expensive tail the verdict named — DoReMi one-shot +
     // standing-state members and the tokenizer-true streaming packer
-    "mix_doremi", "stream_doremi", "stream_pack_bpe")
+    "mix_doremi", "stream_doremi", "stream_pack_bpe",
+    // r14: the jumpiest stream member joins the headline so drift
+    // tracking covers it (VERDICT r13 item 3): stream_quantile's r13e
+    // 0.56→1.63 s same-fp move was adjudicated as window-level
+    // amplification of its eager two-batch fold's driver-side job
+    // overhead (isolated A/B: the fold costs 0.07 s over the shared
+    // ta_quantile_eval harness in a calm window vs 0.98 s in the r13e
+    // drifted one) — headlining it makes the next move diff-visible
+    // against its twin instead of full-suite-only
+    "stream_quantile")
 }

@@ -115,9 +115,18 @@ def main():
             # population drift D<1 a same-fp query merely riding a faster
             # epoch must not print as 'improved', and under D>1 a genuine
             # improvement must not be masked by a slower epoch
-            norm = f", x{(b * d)/c:.1f} drift-normalized" if d != 1.0 else ""
-            print(f"improved  {q}: {b:.2f}s -> {c:.2f}s ({b/c:.1f}x{norm}) "
-                  f"{plan_label(q)}")
+            if b / c > 1.0:
+                norm = f", x{(b * d)/c:.1f} drift-normalized" if d != 1.0 else ""
+                print(f"improved  {q}: {b:.2f}s -> {c:.2f}s ({b/c:.1f}x{norm}) "
+                      f"{plan_label(q)}")
+            else:
+                # raw SLOWDOWN adjudicated as a relative improvement under
+                # large drift D>1 (r15 ADVICE): a sub-1.0 'improvement
+                # factor' hid the raw direction — print both explicitly,
+                # the epoch-drift lines' discipline
+                print(f"improved* {q}: {b:.2f}s -> {c:.2f}s ({c/b:.1f}x raw "
+                      f"slowdown, x{(b * d)/c:.1f} IMPROVED relative to "
+                      f"population drift x{d:.2f}) {plan_label(q)}")
         elif c > 0 and b / c > ratio and b - c > 0.5:
             # raw-ratio improver adjudicated by the population, the
             # epoch-drift verdict symmetric with the regression side

@@ -10,12 +10,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 /** Native Catalyst expression: |A ∩ B| of two SORTED arrays (both
   * `array<string>` or both `array<bigint>`) by linear merge — the
   * codegen'd replacement for `size(array_intersect(a, b))` on the
-  * dedup verify tiers. The long variant (r14) serves the
-  * dictionary-encoded gram sets: the all-pairs verify ships two
-  * doc-length arrays per candidate pair, and 8-byte gram ids cut that
-  * wire/spill volume ~4× against ~32-byte 3-word gram strings —
-  * the difference between a 500k-distinct-doc verify fitting local
-  * disk and exhausting it (r14 distinct-fixture canary).
+  * dedup verify tiers. The long variant (built r14, WIRED r15) serves
+  * the hash-encoded gram sets: every packed-array verify site
+  * (allpairs ×2, containment dropped-sets ×2) now packs `xxhash64`
+  * gram ids via `Dedup.gramId` — see its collision contract — because
+  * the all-pairs verify ships two doc-length arrays per candidate
+  * pair, and 8-byte ids cut that wire/spill volume ~4× against
+  * ~32-byte 3-word gram strings — the difference between a
+  * 500k-distinct-doc verify fitting local disk and exhausting it
+  * (r14 distinct-fixture canary).
   *
   * `array_intersect` builds a hash set of one side and MATERIALIZES the
   * intersection array per row, only for `size` to read its length and
@@ -55,8 +58,11 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
   }
 
   /** Both-sides element type is pinned by checkInputDataTypes; the
-    * merge loop dispatches on it once at plan time, not per row. */
-  private def longElems: Boolean = left.dataType match {
+    * merge loop dispatches on it once per expression instance (lazy
+    * val, r15 ADVICE — a def here re-matched dataType per ROW on the
+    * interpreted/fallback path, contradicting this very comment;
+    * codegen always baked the branch in at compile time either way). */
+  private lazy val longElems: Boolean = left.dataType match {
     case ArrayType(LongType, _) => true
     case _ => false
   }

@@ -86,6 +86,35 @@ object Dedup {
         // Spark SQL array subscripts are 0-based (DuckDB's are 1-based)
         s"${TextAnalysis.gramExplodeExpr(3, distinctPerDoc = true)} as s")
 
+  /** 8-byte gram id for the packed-sorted-array verify tiers (r15,
+    * cashing the lever the r14 stage anatomy priced): every site that
+    * packs per-doc gram SETS into sorted arrays for the
+    * [[graft.functions.IntersectSizeSorted]] merge hashes the gram
+    * string to a dictionary-free 64-bit id first. The ~32-byte 3-word
+    * gram strings were the dominant bytes of the verify exchanges
+    * (allpairs at the distinct-heavy 100× tier: 5.0 GB of pairs+arrays
+    * read by the one 985-task-second verify stage — r14e StageProbe);
+    * ids cut the array payload ~4× and the in-loop compare from
+    * `UTF8String.compareTo` to `Long.compare`. Candidate GENERATION
+    * and df statistics stay on the exact strings — only the
+    * set-intersection COUNT rides hashes.
+    *
+    * COLLISION CONTRACT: `xxhash64` is not injective, so |h(A) ∩ h(B)|
+    * can exceed |A ∩ B| if two DISTINCT grams on opposite sides of one
+    * compared pair collide in 64-bit space. The probability per pair is
+    * ≈ |A|·|B| / 2⁶⁴ (~5·10⁻¹⁴ for thousand-gram docs); across 10⁸
+    * candidate pairs the expected overcount is ~10⁻⁵ intersection UNITS
+    * workload-wide, and an overcount matters only when that single unit
+    * flips a pair across τ/ContainT. A same-doc collision makes the
+    * packed array a multiset; the sorted merge counts equal runs at
+    * min(multiplicity), which still equals the true shared-gram count
+    * unless the colliding partner is itself shared — the same vanishing
+    * order. This is the standard 64-bit-fingerprint dedup trade
+    * (MinHash/SimHash gates live on far coarser sketches); the oracle
+    * twins hash exact strings, so the DuckDB gates double as standing
+    * collision canaries on every fixture. */
+  private def gramId(c: Column): Column = xxhash64(c)
+
   /** Plan-shape note: the df-kept shingle stream (`kept`) feeds both the
     * posting lists and the per-doc sizes; its two child exchanges (the
     * shingle stream and the kept-key set, both hashed on s) are shared
@@ -1358,7 +1387,15 @@ object Dedup {
     * exchange bounded by Σ min(df, MaxDf)² (the inverted-index
     * budget) plus candidates × DROPPED-set merges — never candidates ×
     * full doc length (the r14 kept/dropped decomposition; see the
-    * body). */
+    * body).
+    *
+    * @note the returned frame's plan pins a PERSISTED intermediate (the
+    *       pair-keyed kept-overlap counts feed the candidate-doc set
+    *       and the measure row). The harness releases it between gates
+    *       via [[graft.Graft.releaseState]]; a direct library caller
+    *       owns that release — call `Graft.releaseState(spark)` (or
+    *       `spark.catalog.clearCache()`) after consuming the result,
+    *       or |pairs|-sized cache blocks accumulate across calls. */
   def containmentOver(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val sh = shinglesOf(docs)
@@ -1406,10 +1443,13 @@ object Dedup {
     val sizes = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n"))
     graft.functions.IntersectSizeSorted.register(docs.sparkSession)
+    // dropped sets ride 8-byte gram ids, not strings (r15 — [[gramId]]
+    // collision contract); stop-shingle-sized arrays, so the win here
+    // is the compare loop more than the wire
     val droppedSets = sh
       .join(dfs.where(col("df") > MaxDf).select(col("s")), Seq("s"), "left_semi")
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("s"))).as("ss"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(gramId(col("s")))).as("ss"))
     val inter = candKept
       .join(sizes.select(col("doc_id").as("da"), col("n").as("n_a")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("n_b")), Seq("db"))
@@ -1492,7 +1532,12 @@ object Dedup {
     * at 100 TB; the snapshot's capped index is a stored table there
     * (the [[minhashSignaturesOf]] stored-signature precedent).
     * Both ids must be globally unique across the two frames (the
-    * incremental family's shared contract). */
+    * incremental family's shared contract).
+    *
+    * @note persist ownership as in [[containmentOver]]: the returned
+    *       plan pins a persisted pair-keyed intermediate; library
+    *       callers must `Graft.releaseState(spark)` (or
+    *       `spark.catalog.clearCache()`) after consuming the result. */
   def containmentVs(batch: DataFrame, snapshot: DataFrame): DataFrame = {
     val shN = shinglesOf(batch.select(col("doc_id"), col("text")))
     val shO = shinglesOf(snapshot.select(col("doc_id"), col("text")))
@@ -1547,7 +1592,8 @@ object Dedup {
     def droppedOf(sh0: DataFrame, cd: DataFrame): DataFrame =
       sh0.join(dropped, Seq("s"), "left_semi")
         .join(cd, Seq("doc_id"), "left_semi")
-        .groupBy(col("doc_id")).agg(sort_array(collect_list(col("s"))).as("ss"))
+        // 8-byte gram ids ([[gramId]] collision contract, r15)
+        .groupBy(col("doc_id")).agg(sort_array(collect_list(gramId(col("s")))).as("ss"))
     candKept
       .join(sizesOf(shN, candN, "n_new").select(
         col("doc_id").as("new_id"), col("n_new")), Seq("new_id"))
@@ -2083,17 +2129,22 @@ object Dedup {
       .persist()
     // exact verify, candidate-bounded and OFF THE WIRE: candidate docs'
     // full gram sets packed once into SORTED per-doc arrays (doc-length-
-    // bounded collect_list buffers, the containmentOver discipline),
-    // every qualifying pair carries two arrays, intersection in-task by
-    // the zero-allocation codegen merge ([[graft.functions
-    // .IntersectSizeSorted]] — sort once per doc, amortized over every
-    // pair the doc appears in); na/nb ride through, so no re-join with
-    // cand afterwards
+    // bounded collect_list buffers, the containmentOver discipline) of
+    // 8-BYTE GRAM IDS, not strings (r15 — [[gramId]] collision
+    // contract; the r14e StageProbe priced the verify stage's 5.0 GB
+    // pairs+string-array exchange at 985 task-seconds on the
+    // distinct-heavy 100× fixture, and ids cut the array bytes ~4×
+    // and the merge compare to Long.compare). Every qualifying pair
+    // carries two arrays, intersection in-task by the zero-allocation
+    // codegen merge ([[graft.functions.IntersectSizeSorted]]'s long
+    // arm — sort once per doc, amortized over every pair the doc
+    // appears in); na/nb ride through, so no re-join with cand
+    // afterwards
     graft.functions.IntersectSizeSorted.register(docs.sparkSession)
     val candDocs = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id"))).distinct()
     val docSets = dg.join(candDocs, Seq("doc_id"), "semi")
-      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("s"))).as("ss"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(gramId(col("s")))).as("ss"))
     val repPairs = cand
       .join(docSets.select(col("doc_id").as("da"), col("ss").as("ssa")), Seq("da"))
       .join(docSets.select(col("doc_id").as("db"), col("ss").as("ssb")), Seq("db"))
@@ -2216,11 +2267,12 @@ object Dedup {
       // same cut point, same release contract as allpairsOver's cand
       .persist()
     // packed sorted-array verify, the allpairsOver discipline (na/nb
-    // ride through; both sides' sets sorted once, merged in-task)
+    // ride through; both sides' sets sorted once, merged in-task) over
+    // 8-byte gram ids ([[gramId]] collision contract, r15)
     graft.functions.IntersectSizeSorted.register(batch.sparkSession)
     def setsOf(dg: DataFrame, side: DataFrame): DataFrame =
       dg.join(side, Seq("doc_id"), "semi")
-        .groupBy(col("doc_id")).agg(sort_array(collect_list(col("s"))).as("ss"))
+        .groupBy(col("doc_id")).agg(sort_array(collect_list(gramId(col("s")))).as("ss"))
     val setsB = setsOf(dgB, cand.select(col("da").as("doc_id")).distinct())
     val setsS = setsOf(dgS, cand.select(col("db").as("doc_id")).distinct())
     val repPairs = cand

@@ -41,6 +41,27 @@ import graft.SparkEntry
   *     key), and s_name/c_name a suffix tag, so name-keyed machinery
   *     sees true 100× distinct entities, not 100-way exact-name
   *     groups its contraction would collapse.
+  *   - `boilerplate` (r15): the `distinct` salt PLUS a shared,
+  *     UNSALTED header+footer on every doc — the regime the r14
+  *     kept/dropped decomposition was built for, and the one neither
+  *     r14 extreme produced: every doc's dropped shingle set is
+  *     non-empty (the boilerplate's internal trigrams have
+  *     df = |corpus| ≫ MaxDf) while candidates still form at full
+  *     distinct cardinality, so the `inter_dropped` merge runs
+  *     non-trivially on every candidate pair. The header is EXACTLY
+  *     2 × [[graft.operators.ParagraphDedup.ParaWords]] normalized
+  *     words, so chunks 0–1 of every doc are corpus-wide identical
+  *     paragraphs (the paragraph lens's boilerplate target); the
+  *     12-word footer lands at arbitrary per-doc alignment — shared
+  *     at trigram granularity, never as an aligned paragraph.
+  *   - `mixed` (r15): the realistic crawl composition — 10% of docs
+  *     (orig doc_id ≡ 0 mod 10) salted per GROUP of 10 copies (each
+  *     such text appears exactly 10× ⇒ the exact-dup contraction
+  *     engages, and its body trigrams' combined df = 10 × base-df
+  *     puts a band of them over MaxDf ⇒ df-caps and dropped sets
+  *     engage mid-scale), the other 90% per-copy distinct, plus the
+  *     boilerplate header/footer on every doc. Contraction, df-caps,
+  *     dropped-set merges, and the paragraph lens all interact here.
   */
 object ScaleRehearsal {
   /** Fixture layout identity. Bump whenever replicate()'s output
@@ -78,8 +99,9 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_MODE", "replica")
-    require(Set("replica", "distinct", "dimscale")(mode),
-      s"unknown SPARK_GRAFT_REHEARSAL_MODE '$mode' (replica|distinct|dimscale)")
+    require(Set("replica", "distinct", "dimscale", "boilerplate", "mixed")(mode),
+      s"unknown SPARK_GRAFT_REHEARSAL_MODE '$mode' " +
+        "(replica|distinct|dimscale|boilerplate|mixed)")
 
     // ---- fixture-version marker (r14, ADVICE): the fixture's identity
     // is (layout version, mode, copies, source). A dir whose marker
@@ -94,6 +116,28 @@ object ScaleRehearsal {
         try sc.mkString.trim finally sc.close()
       }
     if (markerHave != markerWant && new java.io.File(out).exists()) {
+      // DESTRUCTION GUARD (r15, ADVICE): a marker mismatch triggers a
+      // recursive delete, and every pre-existing NON-fixture directory
+      // also has no marker — so before the r15 guard, a typo'd args(0)
+      // (e.g. /root/testdata itself) was silently destroyed before
+      // anything was read. Only a dir that demonstrably IS a rehearsal
+      // fixture may be wiped: it carries a marker file (any version),
+      // or it holds the full replicated table set AND nothing else
+      // (a fresh scratch dir from a pre-marker build). Anything else
+      // aborts loudly and leaves the dir untouched.
+      val tableSet = Set("region", "nation", "supplier", "part", "customer",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .map(_ + ".parquet")
+      val entries = Option(new java.io.File(out).list())
+        .map(_.toSet).getOrElse(Set.empty[String])
+      val looksLikeFixture = markerFile.isFile ||
+        (entries.nonEmpty && entries.subsetOf(tableSet + "_fixture_meta.txt"))
+      require(looksLikeFixture,
+        s"refusing to wipe '$out': marker mismatch ('$markerHave' != " +
+          s"'$markerWant') but the directory does not look like a " +
+          s"rehearsal fixture (no _fixture_meta.txt, unexpected entries: " +
+          s"${entries.diff(tableSet).take(5).mkString(", ")}). Delete it " +
+          "manually or point the tool at an empty/new directory.")
       println(s"[rehearsal] fixture marker mismatch ('$markerHave' != " +
         s"'$markerWant') — rebuilding $out from scratch")
       def rm(f: java.io.File): Unit = {
@@ -135,6 +179,32 @@ object ScaleRehearsal {
     def saltText(df: DataFrame, i: Int): DataFrame =
       df.withColumn("text",
         regexp_replace(col("text"), "(\\p{L}+)", "$1" + copyTag(i)))
+    // `boilerplate`/`mixed` shared paragraphs (r15): letter-only
+    // (normalization-stable) and UNSALTED — shared verbatim by every
+    // doc of every copy, so each internal trigram's df is the whole
+    // corpus (≫ MaxDf ⇒ dropped everywhere). Header = exactly 16
+    // normalized words = 2 aligned 8-word paragraph chunks; footer =
+    // 12 words, deliberately NOT a multiple of the chunk width.
+    val boilerHeader = "navbar home products pricing docs blog careers " +
+      "contact login signup search menu language region currency help"
+    val boilerFooter = "copyright all rights reserved terms privacy " +
+      "cookies sitemap newsletter social media footer"
+    def withBoiler(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", lit(boilerHeader), text, lit(boilerFooter))
+    def boilerText(df: DataFrame, i: Int): DataFrame =
+      df.withColumn("text", withBoiler(
+        regexp_replace(col("text"), "(\\p{L}+)", "$1" + copyTag(i))))
+    // `mixed`: orig-id ≡ 0 (mod 10) docs salt by copy GROUP (i/10 ⇒
+    // each text exactly 10× across the 100 copies: the contraction's
+    // food), the rest per-copy distinct; boilerplate on everything.
+    // doc_id was already shifted by i·stride when mutate runs, so the
+    // original id is recovered mod the stride.
+    def mixedText(df: DataFrame, i: Int): DataFrame =
+      df.withColumn("text", withBoiler(
+        when(pmod(col("doc_id"), lit(10010400L)) % 10 === 0,
+          regexp_replace(col("text"), "(\\p{L}+)", "$1" + copyTag(i / 10)))
+          .otherwise(
+            regexp_replace(col("text"), "(\\p{L}+)", "$1" + copyTag(i)))))
     // `dimscale` name tags: fuse the tag INTO p_name's 2nd word — the
     // ER blocking key — so blocks become copy-local (100× more blocks
     // of original size: the honest "more entities" axis) instead of
@@ -197,7 +267,12 @@ object ScaleRehearsal {
       // doc_id↔vec_id correspondence (search_hybrid's fusion join)
       // survives replication
       replicate("documents", Map("doc_id" -> 10010400L), copies,
-        if (mode == "distinct") saltText else (df: DataFrame, _: Int) => df)
+        mode match {
+          case "distinct" => saltText
+          case "boilerplate" => boilerText
+          case "mixed" => mixedText
+          case _ => (df: DataFrame, _: Int) => df
+        })
       replicate("embeddings", Map("vec_id" -> 10010400L), copies)
       // marker written only after every table landed: a crashed build
       // leaves no marker and rebuilds clean on the next run

@@ -147,6 +147,86 @@ class DedupSpec extends AnyFunSuite {
     assert(d.length == 1 && d.head.getInt(8) == 0 && d.head.getDouble(6) == 1.0)
   }
 
+  test("containment inter_dropped branch: a df>MaxDf stop-shingle still counts toward n_common") {
+    // The r14 kept/dropped decomposition's DROPPED term had zero
+    // non-trivial executions anywhere (r14 verdict): every gate SF and
+    // both 100× fixtures have max shingle-df ≤ MaxDf, so droppedSets was
+    // empty everywhere the oracle hashes, and the hash-green gates
+    // proved only inter_kept + the null arm. This corpus plants the
+    // branch: 60 filler docs of EXACTLY the words "alpha beta gamma"
+    // (each contributes the single shingle "alpha beta gamma", so its
+    // df = 62 > MaxDf = 50 → dropped), plus an embedded pair whose true
+    // intersection INCLUDES that stop-shingle:
+    //   A = "alpha beta gamma dog emu fox"          (4 shingles)
+    //   B = A ++ "gnu hat ink"                      (7 shingles)
+    // shared: "beta gamma dog"/"gamma dog emu"/"dog emu fox" (df 2,
+    // KEPT — they also generate the candidate) + "alpha beta gamma"
+    // (DROPPED). Exact n_common = 3 kept + 1 dropped = 4:
+    //   - dropped term returns 0  → n_common 3, containment 3/4 = 0.75
+    //     < ContainT and the row VANISHES;
+    //   - dropped term double-counts → containment 1.25 ≠ exact 1.0.
+    // A control pair C ⊂ D shares NO stop-shingle, pinning the
+    // left-join null arm (ssa/ssb null ⇒ +0) in the same plan.
+    val fillers = (0 until 60).map(i => (100L + i, "alpha beta gamma"))
+    val a = "alpha beta gamma dog emu fox"
+    val b = "alpha beta gamma dog emu fox gnu hat ink"
+    val c = "pig owl rat cat bat ant"
+    val dd = "pig owl rat cat bat ant eel fly hen"
+    val docs = (fillers ++ Seq((1L, a), (2L, b), (3L, c), (4L, dd)))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // fillers share ONLY the dropped shingle → no kept posting pairs →
+    // they never become candidates; exactly the two planted pairs
+    assert(rows.keySet == Set((1L, 2L), (3L, 4L)),
+      s"exactly the planted pairs: ${rows.keySet}")
+    val (na, nb, common, cont, jac) = rows((1L, 2L))
+    assert(na == 4L && nb == 7L, s"full (uncapped) set sizes: $na/$nb")
+    assert(common == 4L,
+      s"n_common must include the dropped stop-shingle: got $common")
+    assert(cont == 1.0, s"containment must be exact 4/min(4,7) = 1.0: $cont")
+    assert(jac == 4.0 / 7.0, s"jaccard must be the exact division 4/7: $jac")
+    // the null arm: no dropped shingle on either side, count is kept-only
+    val (nc, nd, common2, cont2, _) = rows((3L, 4L))
+    assert(nc == 4L && nd == 7L && common2 == 4L && cont2 == 1.0,
+      s"control pair (null dropped sets) must count kept-only exactly: " +
+        s"$nc/$nd/$common2/$cont2")
+  }
+
+  test("containmentVs inter_dropped branch: combined-df stop-shingle counts toward n_common") {
+    import org.apache.spark.sql.functions.col
+    // The two-table twin of the planted-stop-shingle case: the batch
+    // holds A (df_batch("alpha beta gamma") = 1), the snapshot holds B
+    // plus the 60 fillers (df_snap = 61) — COMBINED df 62 > MaxDf, so
+    // the shingle is dropped by the combined rule while appearing on
+    // both sides (the only way it can contribute to a cross
+    // intersection at all). Exact n_common = 3 kept + 1 dropped = 4.
+    // Control pair C (batch) ⊂ D (snapshot) has null dropped sets.
+    val fillers = (0 until 60).map(i => (100L + i, "alpha beta gamma"))
+    val docs = (fillers ++ Seq(
+      (1L, "alpha beta gamma dog emu fox"),
+      (2L, "alpha beta gamma dog emu fox gnu hat ink"),
+      (3L, "pig owl rat cat bat ant"),
+      (4L, "pig owl rat cat bat ant eel fly hen")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentVs(
+        docs.where(col("doc_id").isin(1L, 3L)),
+        docs.where(col("doc_id") =!= 1L && col("doc_id") =!= 3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(7)))).toMap
+    assert(out.keySet == Set((1L, 2L), (3L, 4L)),
+      s"exactly the planted new×old pairs: ${out.keySet}")
+    val (nNew, nOld, common, cont, containedId) = out((1L, 2L))
+    assert(nNew == 4L && nOld == 7L, s"full set sizes: $nNew/$nOld")
+    assert(common == 4L,
+      s"n_common must include the combined-df stop-shingle: got $common")
+    assert(cont == 1.0 && containedId == 1L)
+    val (_, _, common2, cont2, _) = out((3L, 4L))
+    assert(common2 == 4L && cont2 == 1.0,
+      s"null-dropped control must count kept-only exactly: $common2/$cont2")
+  }
+
   test("simhash: identical docs agree; reordered bag-dup agrees; distinct differs") {
     val m = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -66,4 +66,29 @@ class StarCcSpec extends AnyFunSuite {
     val expect = nodes.map(x => x -> find(x)).filter { case (x, r) => x != r }.toMap
     assert(starLabels == expect)
   }
+
+  test("propagateMin escalates past the round cap to star contraction, preserving min-INIT-label semantics") {
+    // A 40-hop path exceeds CcMaxIters = 20 one-hop rounds, forcing the
+    // r15 escalation (the mixed/boilerplate 100× legs proved deep
+    // chains are the NORMAL topology of a boilerplate corpus — three
+    // gates died of the old throw). The fallback must reproduce
+    // propagateMin's fixpoint for an ARBITRARY init labeling — per
+    // node, the minimum INIT LABEL over its component (not the
+    // component-min node id): init label = 1000 − doc_id makes the
+    // component minimum 1000 − 40 = 960, owned by the LAST node, so a
+    // fallback that returned component-min ids (= node 0's label 1000)
+    // would fail. Isolated node 99 must keep its own init label.
+    val n = 41
+    val sym = Dedup.symmetrize(
+      (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("da", "db"))
+      .persist()
+    val init = ((0 until n).map(_.toLong) :+ 99L)
+      .map(id => (id, 1000L - id)).toDF("doc_id", "label")
+    val out = Dedup.propagateMin(spark, init, sym, "escalation-spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sym.unpersist()
+    assert((0 until n).forall(i => out(i.toLong) == 1000L - (n - 1)),
+      s"every chain node must take the component's min init label: $out")
+    assert(out(99L) == 1000L - 99L, "isolated node keeps its own init label")
+  }
 }

@@ -246,6 +246,21 @@ object Bench {
       .replaceAll("(Shuffle|Broadcast|TableCache|Result)QueryStage \\d+",
         "$1QueryStage x")
       .replaceAll("\\*\\(\\d+\\)", "*(x)")
+      // Column-API higher-order functions (zip_with/aggregate/transform/
+      // filter) name their lambda variables with a JVM-GLOBAL fresh
+      // counter (UnresolvedNamedLambdaVariable: x_5, y_6, …) — a
+      // function of how many lambdas the session built BEFORE this
+      // plan, i.e. pure run-composition state. stream_hll's fp flapped
+      // across four values (r14 closing, r14a headline, r15 full, r15
+      // isolated) on byte-identical plans except `lambda x_5#x` vs
+      // `lambda x_9#x` (diffed 2026-08-16). Normalize the counter,
+      // keeping the base name: anchored to the `lambda ` prefix so a
+      // real column that happens to end in _N (never lambda-prefixed)
+      // still flows through untouched. SQL-parsed lambdas (expr(...))
+      // keep user-written names with no counter and are unaffected.
+      // DELIBERATE fp EPOCH BUMP for every lambda-bearing plan — the
+      // r11d/r11e precedent; recorded in SCALE.md r15e.
+      .replaceAll("lambda ([A-Za-z][A-Za-z0-9]*)_\\d+#x", "lambda $1_n#x")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -103,4 +103,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.normalizePlan(userCol)
       .contains("HashAggregate(keys=[orig_gid#x, a#x], functions=[count(1)])"))
   }
+
+  test("normalizePlan: lambda-variable fresh-name counters collapse, user names and real changes do not") {
+    // the stream_hll flap, verbatim shape (diffed 2026-08-16): the
+    // Column-API zip_with lambda's variable names carry a JVM-global
+    // counter — x_5/y_6 in one run composition, x_9/y_10 in another,
+    // same plan otherwise
+    val runA = "Project [zip_with(ra#3, rb#4, lambdafunction(greatest(lambda x_5#11, lambda y_6#12), lambda x_5#11, lambda y_6#12, false)) AS regs#13]"
+    val runB = "Project [zip_with(ra#3, rb#4, lambdafunction(greatest(lambda x_9#21, lambda y_10#22), lambda x_9#21, lambda y_10#22, false)) AS regs#13]"
+    assert(Bench.normalizePlan(runA) == Bench.normalizePlan(runB),
+      "lambda fresh-name counters must fingerprint identically")
+    // a REAL change inside the lambda body still moves the fp
+    val runC = runB.replace("greatest", "least")
+    assert(Bench.normalizePlan(runA) != Bench.normalizePlan(runC))
+    // SQL-parsed lambdas keep user-written names (no counter) — untouched
+    val sqlLambda = "aggregate(regs#3, 0, lambdafunction((lambda acc#5 + lambda r#6), lambda acc#5, lambda r#6, false))"
+    assert(Bench.normalizePlan(sqlLambda)
+      .contains("lambda acc#x") , "counter-free lambda names stay verbatim")
+    // a user column that happens to end in _N is never `lambda `-prefixed
+    // and must not be rewritten
+    val userCol2 = "Filter (x_9#7 > 5)"
+    assert(Bench.normalizePlan(userCol2).contains("x_9#x"))
+  }
 }

@@ -29,8 +29,14 @@ import sys
 #   session (calm-window run landed the 2.00 s; the batch-bounded
 #   upsert's wall is dominated by two small barrier stages that
 #   magnify scheduler jitter).
+#   stream_frontier: 0.32–0.90 s across calm/drifted windows of one r15
+#   session (same fp byte-identical over four runs; three isolated
+#   re-runs in the drifted window read 0.67–0.87 s with the q1_agg
+#   control itself at 1.9x — the sim_index_upsert class: wall dominated
+#   by small streaming barrier stages that amplify epoch drift).
 KNOWN_VARIANCE_BAND_MAX = {
-    "dedup_semantic_cc": 3.0, "mm_video": 1.5, "sim_index_upsert": 2.2}
+    "dedup_semantic_cc": 3.0, "mm_video": 1.5, "sim_index_upsert": 2.2,
+    "stream_frontier": 1.0}
 
 
 def load(path):

@@ -256,8 +256,16 @@ object Bench {
       // `lambda x_9#x` (diffed 2026-08-16). Normalize the counter,
       // keeping the base name: anchored to the `lambda ` prefix so a
       // real column that happens to end in _N (never lambda-prefixed)
-      // still flows through untouched. SQL-parsed lambdas (expr(...))
-      // keep user-written names with no counter and are unaffected.
+      // still flows through untouched. KNOWN FALSE-NEGATIVE CLASS
+      // (r16, ADVICE): distinct same-base-name lambda variables in one
+      // plan (nested lambdas x_5 and x_7) collapse to the same
+      // `lambda x_n#x` token, so a real plan change that switches a
+      // body reference between inner and outer variable fingerprints
+      // identically; and a SQL-parsed lambda whose user-written name
+      // itself ends in _N (e.g. `acc_1`) is rewritten too. Both are
+      // acceptable for a drift-detection fp (no engine plan nests
+      // same-base lambdas today); per-plan first-occurrence numbering
+      // (x_n1, x_n2) is the fix if one ever appears.
       // DELIBERATE fp EPOCH BUMP for every lambda-bearing plan — the
       // r11d/r11e precedent; recorded in SCALE.md r15e.
       .replaceAll("lambda ([A-Za-z][A-Za-z0-9]*)_\\d+#x", "lambda $1_n#x")

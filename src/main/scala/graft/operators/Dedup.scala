@@ -838,7 +838,15 @@ object Dedup {
     * over its component; the star graph names each component, and one
     * groupBy-min + join-back reproduces exactly that — for ANY init
     * labeling, not only identity. Fixture-scale runs converge in <20
-    * rounds, so gate plans, hashes, and fps never see this path. */
+    * rounds, so gate plans, hashes, and fps never see this path.
+    *
+    * PRECONDITION (r16, ADVICE): every `sym` edge endpoint must appear
+    * in `init`'s doc_id set. Propagation cannot move labels through a
+    * node `init` never labeled, but the escalation's [[starContract]]
+    * merges components THROUGH such bridge nodes — the two fixpoints
+    * disagree exactly when the precondition is violated. Every current
+    * caller passes init covering all endpoints (node sets are built by
+    * unioning the edge endpoints or the full doc table). */
   private[graft] def propagateMin(s: SparkSession, init: DataFrame, sym: DataFrame,
       what: String): DataFrame = {
     var labels = init.localCheckpoint()

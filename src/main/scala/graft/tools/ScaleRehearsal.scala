@@ -74,6 +74,14 @@ object ScaleRehearsal {
     * salt redesign (per-word tag, df-distribution-preserving). */
   private val FixtureVersion = 4
 
+  /** Per-copy doc_id/vec_id shift. ONE constant for the replicate()
+    * shifts map AND mixedText's pmod recovery of the original id (r16,
+    * ADVICE: the literal was duplicated, so changing one site would
+    * silently drift the mixed mode's 10% replica-group partition).
+    * 10_010_400 = 97·3·34400 — preserves doc_id residues mod the
+    * two-table stand-in moduli (BenchMod=97, IncomingMod=3). */
+  private val DocStride = 10010400L
+
   /** Copy-unique letter-only token (normalization strips non-letters,
     * so the salt must survive [[graft.operators.Dedup.normalized]]). */
   private def copyTag(i: Int): String =
@@ -130,8 +138,12 @@ object ScaleRehearsal {
         .map(_ + ".parquet")
       val entries = Option(new java.io.File(out).list())
         .map(_.toSet).getOrElse(Set.empty[String])
+      // an EMPTY existing directory is the safe case (nothing to lose)
+      // and must be wipeable — the empty set is a subset of the table
+      // set, so no nonEmpty clause (r16, ADVICE: the old guard aborted
+      // on empty dirs while telling the user to point at one)
       val looksLikeFixture = markerFile.isFile ||
-        (entries.nonEmpty && entries.subsetOf(tableSet + "_fixture_meta.txt"))
+        entries.subsetOf(tableSet + "_fixture_meta.txt")
       require(looksLikeFixture,
         s"refusing to wipe '$out': marker mismatch ('$markerHave' != " +
           s"'$markerWant') but the directory does not look like a " +
@@ -201,7 +213,7 @@ object ScaleRehearsal {
     // original id is recovered mod the stride.
     def mixedText(df: DataFrame, i: Int): DataFrame =
       df.withColumn("text", withBoiler(
-        when(pmod(col("doc_id"), lit(10010400L)) % 10 === 0,
+        when(pmod(col("doc_id"), lit(DocStride)) % 10 === 0,
           regexp_replace(col("text"), "(\\p{L}+)", "$1" + copyTag(i / 10)))
           .otherwise(
             regexp_replace(col("text"), "(\\p{L}+)", "$1" + copyTag(i)))))
@@ -266,14 +278,14 @@ object ScaleRehearsal {
       // 10_010_400 = 97·3·34400; embeddings use the SAME stride so the
       // doc_id↔vec_id correspondence (search_hybrid's fusion join)
       // survives replication
-      replicate("documents", Map("doc_id" -> 10010400L), copies,
+      replicate("documents", Map("doc_id" -> DocStride), copies,
         mode match {
           case "distinct" => saltText
           case "boilerplate" => boilerText
           case "mixed" => mixedText
           case _ => (df: DataFrame, _: Int) => df
         })
-      replicate("embeddings", Map("vec_id" -> 10010400L), copies)
+      replicate("embeddings", Map("vec_id" -> DocStride), copies)
       // marker written only after every table landed: a crashed build
       // leaves no marker and rebuilds clean on the next run
       val w = new java.io.PrintWriter(markerFile, "UTF-8")

@@ -139,6 +139,38 @@ object Graft {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** Size-compacted localCheckpoint for ITERATIVE LOOP STATE (r16,
+    * guide §2: derive partitioning from data size, never a constant).
+    * A checkpointed round table pins whatever partition count its plan
+    * happened to execute with (32 from the session default, 64+ after
+    * unions) — AQE cannot coalesce through a LogicalRDD — so every
+    * subsequent round launches that many tasks even when the whole
+    * state is a few hundred KB (JobProbe r16: stream_cc's checkpoint
+    * map stages ran 128 tasks × ~0.2 s runtime for ~1 MB of labels,
+    * almost all of it task-launch contention). After the eager
+    * checkpoint materializes, the state's TRUE size is known from the
+    * block manager; tiny states coalesce (narrow, no shuffle) to
+    * ceil(bytes / targetBytes) partitions. At production scale the
+    * state is GBs and the coalesce is a no-op — this is a small-input
+    * floor, the same shape as Tables.fanOutSmall's small-input
+    * fan-out. Hash partitioning is NOT preserved through coalesce, but
+    * loop states are re-shuffled by their round joins anyway (the
+    * mapPartitions-era kernels never preserved it either). */
+  private[graft] def compactCheckpoint(df: DataFrame,
+      targetBytes: Long = 8L << 20): DataFrame = {
+    val ck = df.localCheckpoint()
+    val rdd = ck.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.headOption
+    val parts = rdd.map(_.getNumPartitions).getOrElse(1)
+    val bytes = rdd.flatMap(r =>
+      df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == r.id))
+      .map(i => i.memSize + i.diskSize).getOrElse(Long.MaxValue)
+    val want = math.max(1L, math.min(parts.toLong,
+      (bytes + targetBytes - 1) / targetBytes)).toInt
+    if (want < parts) ck.coalesce(want) else ck
+  }
+
   /** Release the block storage behind a localCheckpointed frame —
     * the in-operator half of the leak discipline: iterative loops
     * call this on each SUPERSEDED round's checkpoint so live storage

@@ -85,4 +85,48 @@ object Tables {
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Byte threshold under which [[fanOutSmall]] fans a scan out
+    * (SPARK_GRAFT_SMALL_SCAN_MB, default 256 MB). Any table above it
+    * already yields at least a few natural splits and real corpora are
+    * orders of magnitude past it — the fan-out is a SMALL-INPUT floor,
+    * never a production reshuffle. */
+  private def smallScanBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SMALL_SCAN_MB", "256").toLong << 20
+
+  /** Scale-adaptive scan fan-out for CPU-DENSE per-row kernels (r16,
+    * guide §2/§6: derive partitioning from input size, never a
+    * constant). Parquet scans parallelize at row-group granularity, so
+    * a byte-small fixture lands an ENTIRE corpus-wide kernel (shingle
+    * md5, token explode, codec decode) in ONE scan task — measured on
+    * dedup_ngram at sf0.1: 2.8 s of a 6.2 s wall in the single scan
+    * task while 31 cores idled. When the table's file length (metadata
+    * only — no job) is under [[smallScanBytes]], the scan is fanned out
+    * by an EXPLICIT hash repartition on `key` (unique id ⇒ no skew; a
+    * keyed exchange skips round-robin's sortBeforeRepartition pass and
+    * AQE leaves explicit repartitions uncoalesced). Above the
+    * threshold the frame is returned untouched: at production scale
+    * the scan already carries ≥ cores-many splits and the added
+    * exchange would be pure cost. 2× cores keeps the tail balanced
+    * when per-doc cost varies. */
+  private[graft] def fanOutSmall(s: SparkSession, dir: String, name: String,
+      key: String, df: DataFrame): DataFrame = {
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue } // unknown ⇒ untouched
+    if (bytes < smallScanBytes) {
+      val n = sys.env.get("SPARK_GRAFT_FANOUT").map(_.toInt)
+        .getOrElse(2 * s.sparkContext.defaultParallelism)
+      df.repartition(n, col(key))
+    } else df
+  }
+
+  /** [[documents]] with the small-scan fan-out — the entry for
+    * operators whose per-row text kernels dominate their scan stage.
+    * Same rows, same schema; only the partitioning differs. */
+  def documentsWide(s: SparkSession, dir: String): DataFrame =
+    fanOutSmall(s, dir, "documents", "doc_id", documents(s, dir))
 }

@@ -1470,7 +1470,7 @@ object CorpusOps {
     // action and the returned frame) and is tiny (3 integer columns) —
     // materializing it runs the token pipeline ONCE, and unlike
     // persist() leaves nothing registered after callers drop the frame
-    val raw = importanceScores(docs, isTarget).localCheckpoint()
+    val raw = graft.Graft.compactCheckpoint(importanceScores(docs, isTarget))
     import s.implicits._
     val top = raw.select(col("score"), col("doc_id"))
       .as[(Long, Long)].rdd

@@ -72,7 +72,7 @@ object Dedup {
   /** 3-gram token shingles, distinct per doc. Docs with <3 tokens have
     * no shingles (they surface with best_match_id = -1). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables.documents(s, dir))
+    shinglesOf(Tables.documentsWide(s, dir)) // fan the md5 kernel out (r16)
 
   /** The shingle kernel over any documents-shaped frame — ONE
     * definition shared by the ngram family and [[containmentOver]], so
@@ -849,26 +849,36 @@ object Dedup {
     * unioning the edge endpoints or the full doc table). */
   private[graft] def propagateMin(s: SparkSession, init: DataFrame, sym: DataFrame,
       what: String): DataFrame = {
-    var labels = init.localCheckpoint()
-    val changed = s.sparkContext.longAccumulator(s"cc_label_changes_$what")
+    var labels = graft.Graft.compactCheckpoint(init)
     var converged = false
     var it = 0
     while (!converged && it < CcMaxIters) {
-      import s.implicits._
-      changed.reset()
+      // r16 (guide §4): the round body is pure codegen expressions —
+      // the previous Dataset.mapPartitions closure forced a
+      // deserialize/serialize round-trip of every label row per round
+      // AND erased the join's hash(doc_id) output partitioning (fresh
+      // exprIds after SerializeFromObject), so every next round
+      // re-shuffled the label table twice. Convergence now rides an
+      // `observe` metric computed INSIDE the same localCheckpoint job
+      // (CollectMetrics — no extra pass, no extra job); like the old
+      // accumulator, a retried task can only over-count and a converged
+      // round counts 0 in every attempt, so the ==0 exit is retry-safe.
+      val obs = new org.apache.spark.sql.Observation() // UUID name: never collides
       val nbrMin = labels.join(sym, col("doc_id") === col("src"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"), col("label"), col("nbr"))
-        .as[(Long, Long, Option[Long])]
-        .mapPartitions(_.map { case (id, old, nbr) =>
-          val nl = math.min(old, nbr.getOrElse(old))
-          if (nl < old) changed.add(1L)
-          (id, nl)
-        })
-        .toDF("doc_id", "label")
-        .localCheckpoint()
-      converged = changed.value == 0L
+      val next = graft.Graft.compactCheckpoint(
+        labels.join(nbrMin, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (col("nbr") < col("label")).as("improved"))
+          .observe(obs,
+            sum(when(col("improved"), 1L).otherwise(0L)).as("changed"))
+          .select(col("doc_id"), col("label")))
+      converged = obs.getAsJava.getOrDefault("changed", 0L) match {
+        case null => true // empty label table: nothing can ever change
+        case n: java.lang.Long => n == 0L
+        case other => other.toString.toLong == 0L
+      }
       // the superseded round's blocks are pinned by persistentRdds
       // (strong map — GC never reclaims them); release eagerly so live
       // storage is O(current round), not O(rounds) (Graft.releaseState
@@ -878,7 +888,10 @@ object Dedup {
       it += 1
     }
     if (!converged) {
-      println(s"[graft] $what: min-label propagation hit $CcMaxIters rounds " +
+      // logger, not stdout (r15 VERDICT): a 100 TB operator's scale-path
+      // switch must be observable in job telemetry
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$what: min-label propagation hit $CcMaxIters rounds " +
         "(component diameter exceeds the bound) — escalating to " +
         "large-star/small-star contraction (same fixpoint, O(log n) rounds)")
       // component ids from the star fixpoint (isolated nodes are their
@@ -1126,19 +1139,37 @@ object Dedup {
     * Returns (star edges (u, v=component-min), rounds used).
     */
   private[graft] def starContract(edges0: DataFrame, maxIters: Int = 40): (DataFrame, Int) = {
+    // Σ hashes in DECIMAL(38,0): xxhash64 spans the full 64-bit range,
+    // so a LongType sum overflows (ANSI error); decimal sum is exact.
+    // r16: the signature rides an `observe` metric INSIDE the round's
+    // own localCheckpoint job (CollectMetrics) — the separate sig()
+    // aggregation job per round re-scanned the just-checkpointed edges
+    // and was one of the two actions every round paid.
+    def sigObserved(df: DataFrame): (DataFrame, () => (Long, String)) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = df.observe(obs, count(lit(1)).as("cnt"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("sg"))
+      (observed, () => {
+        val m = obs.getAsJava
+        val cnt = m.get("cnt") match {
+          case null => 0L; case n: java.lang.Long => n.longValue()
+          case other => other.toString.toLong
+        }
+        val sg = m.get("sg") match {
+          case null => "0"
+          case d: java.math.BigDecimal => d.toPlainString
+          case other => other.toString
+        }
+        (cnt, sg)
+      })
+    }
     // canonical undirected edges u > v, self-loops dropped
-    var edges = edges0
+    val (e0, sig0) = sigObserved(edges0
       .select(greatest(col("src"), col("dst")).as("u"),
               least(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    // Σ hashes in DECIMAL(38,0): xxhash64 spans the full 64-bit range,
-    // so a LongType sum overflows (ANSI error); decimal sum is exact
-    def sig(df: DataFrame): (Long, String) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
-      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
-    }
-    var prevSig = sig(edges)
+      .where(col("u") =!= col("v")).distinct())
+    var edges = graft.Graft.compactCheckpoint(e0)
+    var prevSig = sig0()
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -1157,15 +1188,16 @@ object Dedup {
         .where(col("u") =!= col("v")).distinct().persist()
       // small-star over edges oriented u > v
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(smins, "u")
+      val (smallObs, sigK) = sigObserved(large.join(smins, "u")
         .select(explode(array(
           struct(col("v").as("x"), col("m")),
           struct(col("u").as("x"), col("m")))).as("e"))
         .select(greatest(col("e.x"), col("e.m")).as("u"),
                 least(col("e.x"), col("e.m")).as("v"))
-        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+        .where(col("u") =!= col("v")).distinct())
+      val small = graft.Graft.compactCheckpoint(smallObs)
       large.unpersist()
-      val s = sig(small)
+      val s = sigK()
       converged = s == prevSig
       prevSig = s
       graft.Graft.releaseCheckpoint(edges) // superseded round (see propagateMin)
@@ -1420,7 +1452,7 @@ object Dedup {
     * any window. DedupSpec plants a doc-inside-doc case and pins that
     * Jaccard misses it while this flags it. */
   def dedupContainment(s: SparkSession, dir: String): DataFrame =
-    containmentOver(Tables.documents(s, dir))
+    containmentOver(Tables.documentsWide(s, dir)) // fan-out (r16)
 
   /** The operator over any documents-shaped frame (doc_id, text).
     *
@@ -2254,7 +2286,7 @@ object Dedup {
     * argument never used the a<b side constraint). Gate stand-in: the
     * engine-wide doc_id % 3 batch/snapshot split. */
   def dedupAllpairsIncr(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir) // fan-out (r16)
     allpairsVs(docs.where(col("doc_id") % 3 === 1),
       docs.where(col("doc_id") % 3 =!= 1))
   }

@@ -281,10 +281,10 @@ object EntityResolution {
         col("doc_id") === col("rep"))
       .select(col("rep"), col("label"))
     val repLab = snapLab.unionByName(newLab)
-    val state = dnAll.select(col("name"), col("rep"), col("cnt"))
-      .join(repLab, "rep")
-      .select(col("name"), col("rep"), col("cnt"), col("label"))
-      .localCheckpoint()
+    val state = graft.Graft.compactCheckpoint(
+      dnAll.select(col("name"), col("rep"), col("cnt"))
+        .join(repLab, "rep")
+        .select(col("name"), col("rep"), col("cnt"), col("label")))
     dnAll.unpersist()
     state
   }

@@ -62,7 +62,7 @@ object Graphs {
     * onto the carried state (whose partitioning the previous round's
     * localCheckpoint preserved). */
   def pagerankOver(s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val nd = nodes.select(col("doc_id")).localCheckpoint()
+    val nd = graft.Graft.compactCheckpoint(nodes.select(col("doc_id")))
     val sym = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint()
     pagerankPrepared(s, nd, sym)
@@ -78,10 +78,10 @@ object Graphs {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = nd.count()
 
-    var state = nd.join(deg, col("doc_id") === col("src"), "left")
-      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
-        lit(PrScale).as("mass"))
-      .localCheckpoint()
+    var state = graft.Graft.compactCheckpoint(
+      nd.join(deg, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          lit(PrScale).as("mass")))
     for (_ <- 1 to PrIters) {
       // dangling mass + flooring remainders, redistributed uniformly
       // (integer div throughout — a double division here would round
@@ -93,12 +93,12 @@ object Graphs {
         .select(col("doc_id"), expr("mass div deg").as("share"))
         .join(sym, col("doc_id") === col("src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("inc"))
-      val nextState = state.join(contrib, col("doc_id") === col("dst"), "left")
-        .crossJoin(broadcast(pot))
-        .select(col("doc_id"), col("deg"),
-          (lit(150000L) +
-            expr(s"(85 * (coalesce(inc, 0L) + pot)) div 100").cast("long")).as("mass"))
-        .localCheckpoint()
+      val nextState = graft.Graft.compactCheckpoint(
+        state.join(contrib, col("doc_id") === col("dst"), "left")
+          .crossJoin(broadcast(pot))
+          .select(col("doc_id"), col("deg"),
+            (lit(150000L) +
+              expr(s"(85 * (coalesce(inc, 0L) + pot)) div 100").cast("long")).as("mass")))
       // superseded round: blocks otherwise pinned for the session
       // (persistentRdds holds strong refs) — release eagerly
       graft.Graft.releaseCheckpoint(state)
@@ -187,7 +187,8 @@ object Graphs {
     * windowed form. */
   def graphCanonical(s: SparkSession, dir: String): DataFrame = {
     val (mh, sym) = Dedup.ccSymEdges(s, dir)
-    val docs = graft.Tables.documents(s, dir).select(col("doc_id")).localCheckpoint()
+    val docs = graft.Graft.compactCheckpoint(
+      graft.Tables.documents(s, dir).select(col("doc_id")))
     val labels = Dedup.propagateMin(s,
       docs.select(col("doc_id"), col("doc_id").as("label")), sym, "graphCanonical")
     val pr = pagerankPrepared(s, docs, sym)
@@ -243,7 +244,7 @@ object Graphs {
     * the same Pregel budget as PageRank, with state localCheckpointed
     * one round deep. */
   def labelPropagationOver(s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val nd = nodes.select(col("doc_id")).localCheckpoint()
+    val nd = graft.Graft.compactCheckpoint(nodes.select(col("doc_id")))
     val sym = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint()
     labelPropagationPrepared(s, nd, sym)
@@ -254,8 +255,8 @@ object Graphs {
     * composing. */
   private[graft] def labelPropagationPrepared(s: SparkSession, nd: DataFrame,
       sym: DataFrame): DataFrame = {
-    var labels = nd.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+    var labels = graft.Graft.compactCheckpoint(
+      nd.select(col("doc_id"), col("doc_id").as("label")))
     for (_ <- 1 to LpaIters) {
       val best = labels.join(sym, col("doc_id") === col("src"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
@@ -264,10 +265,10 @@ object Graphs {
         .groupBy(col("dst"))
         .agg(min(struct((-col("c")).as("negc"), col("label"))).as("b"))
         .select(col("dst"), col("b.label").as("new_label"))
-      val nextLabels = labels.join(best, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
-          coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint()
+      val nextLabels = graft.Graft.compactCheckpoint(
+        labels.join(best, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            coalesce(col("new_label"), col("label")).as("label")))
       graft.Graft.releaseCheckpoint(labels) // superseded round (see PR loop)
       labels = nextLabels
     }
@@ -368,8 +369,7 @@ object Graphs {
   /** The count over any node set (doc_id) and canonical undirected pair
     * list (da, db) with da < db, no duplicates. */
   private[graft] def trianglesOver(nodes: DataFrame, rawPairs: DataFrame): DataFrame = {
-    val pairs = rawPairs
-      .localCheckpoint() // the upstream pair pipeline feeds 3 scans below
+    val pairs = graft.Graft.compactCheckpoint(rawPairs) // feeds 3 scans below
     val deg = Dedup.symmetrize(pairs)
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = pairs
@@ -379,11 +379,11 @@ object Graphs {
     // the wedge inequality and the closing join compare the total order
     val ka = struct(col("dega").as("d"), col("da").as("id"))
     val kb = struct(col("degb").as("d"), col("db").as("id"))
-    val oriented = withDeg.select(
+    val oriented = graft.Graft.compactCheckpoint(withDeg.select(
         when(ka < kb, struct(ka.as("sk"), kb.as("dk")))
           .otherwise(struct(kb.as("sk"), ka.as("dk"))).as("e"))
-      .select(col("e.sk").as("sk"), col("e.dk").as("dk"))
-      .localCheckpoint() // scanned twice (wedge self-join + closing join)
+      .select(col("e.sk").as("sk"), col("e.dk").as("dk")))
+      // scanned twice (wedge self-join + closing join)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.sk") === col("e2.sk") && col("e1.dk") < col("e2.dk"))
       .select(col("e1.sk").as("ak"), col("e1.dk").as("bk"), col("e2.dk").as("ck"))
@@ -448,7 +448,7 @@ object Graphs {
 
   /** Over any canonical (da < db, distinct) undirected pair list. */
   private[graft] def jaccardOver(rawPairs: DataFrame): DataFrame = {
-    val pairs = rawPairs.localCheckpoint() // feeds sym + the anti-join
+    val pairs = graft.Graft.compactCheckpoint(rawPairs) // feeds sym + anti-join
     val sym = Dedup.symmetrize(pairs)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val centers = deg.where(col("deg") <= JacMaxCenterDeg)
@@ -537,15 +537,15 @@ object Graphs {
     * so the convergence canary can probe one round past the cap. */
   private def bfsState(s: SparkSession, nodes: DataFrame, edges: DataFrame,
       seeds: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val nd = nodes.select(col("doc_id")).localCheckpoint()
+    val nd = graft.Graft.compactCheckpoint(nodes.select(col("doc_id")))
     val sym = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint()
-    var state = nd.join(seeds.select(col("doc_id"), lit(true).as("is_seed")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("is_seed"), lit(0L)).otherwise(lit(BfsInf)).as("dist"),
-        when(col("is_seed"), col("doc_id")).otherwise(lit(-1L)).as("seed"))
-      .localCheckpoint()
+    var state = graft.Graft.compactCheckpoint(
+      nd.join(seeds.select(col("doc_id"), lit(true).as("is_seed")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_seed"), lit(0L)).otherwise(lit(BfsInf)).as("dist"),
+          when(col("is_seed"), col("doc_id")).otherwise(lit(-1L)).as("seed")))
     // DELTA propagation: only rows whose (dist, seed) CHANGED last
     // round relax their out-edges. A settled node's contribution was
     // folded into its neighbors the round it changed, and min is
@@ -556,7 +556,7 @@ object Graphs {
     var frontier = state.where(col("dist") === 0L)
     var prevRound = state // the initial checkpoint is superseded by round 1
     for (_ <- 1 to BfsIters) {
-      val merged = bfsRound(state, frontier, sym).localCheckpoint()
+      val merged = graft.Graft.compactCheckpoint(bfsRound(state, frontier, sym))
       graft.Graft.releaseCheckpoint(prevRound) // superseded (see PR loop)
       prevRound = merged
       state = merged.select(col("doc_id"), col("dist"), col("seed"))
@@ -630,7 +630,7 @@ object Graphs {
     * every round loop in this family. Output: every doc with
     * `in_core` and its within-core degree (0 outside). */
   def kcoreOver(s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val nd = nodes.select(col("doc_id")).localCheckpoint()
+    val nd = graft.Graft.compactCheckpoint(nodes.select(col("doc_id")))
     val sym = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint()
     def aliveDeg(alive: DataFrame): DataFrame =
@@ -640,10 +640,10 @@ object Graphs {
         .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
     var alive = nd
     for (_ <- 1 to KCoreRounds) {
-      val nextAlive = aliveDeg(alive)
-        .where(col("deg") >= KCoreK)
-        .select(col("doc_id"))
-        .localCheckpoint()
+      val nextAlive = graft.Graft.compactCheckpoint(
+        aliveDeg(alive)
+          .where(col("deg") >= KCoreK)
+          .select(col("doc_id")))
       // superseded round — but never nd itself: the output join below
       // still reads it
       if (alive ne nd) graft.Graft.releaseCheckpoint(alive)

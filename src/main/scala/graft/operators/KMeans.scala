@@ -476,7 +476,7 @@ object KMeans {
     * (d2 collapsing early = intrinsic cluster count reached). */
   def embKmeansPp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sc = scaledDs(s, dir).toDF("vec_id", "ev").localCheckpoint()
+    val sc = graft.Graft.compactCheckpoint(scaledDs(s, dir).toDF("vec_id", "ev"))
     def centerOf(id: Long): Seq[Long] =
       sc.where(col("vec_id") === id).select(col("ev"))
         .as[Seq[Long]].head()
@@ -486,8 +486,8 @@ object KMeans {
         |  cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin)
     val first = sc.agg(min(col("vec_id"))).head().getLong(0)
     var chosen = Vector((first, 0L))
-    var dmin = sc.select(col("vec_id"), dist2To(centerOf(first)).as("dmin"))
-      .localCheckpoint()
+    var dmin = graft.Graft.compactCheckpoint(
+      sc.select(col("vec_id"), dist2To(centerOf(first)).as("dmin")))
     for (_ <- 2 to PpSeeds) {
       // argmax (dmin, -vec_id): farthest vector, smallest id on ties
       val pick = dmin.agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("p"))
@@ -495,10 +495,9 @@ object KMeans {
       val (id, d2) = (-pick.getLong(0), pick.getLong(1))
       chosen = chosen :+ (id, d2)
       if (chosen.size < PpSeeds) {
-        val nextDmin = dmin.join(
+        val nextDmin = graft.Graft.compactCheckpoint(dmin.join(
             sc.select(col("vec_id"), dist2To(centerOf(id)).as("d2new")), "vec_id")
-          .select(col("vec_id"), least(col("dmin"), col("d2new")).as("dmin"))
-          .localCheckpoint()
+          .select(col("vec_id"), least(col("dmin"), col("d2new")).as("dmin")))
         graft.Graft.releaseCheckpoint(dmin) // superseded round
         dmin = nextDmin
       }

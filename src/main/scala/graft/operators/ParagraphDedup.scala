@@ -120,8 +120,9 @@ object ParagraphDedup {
     * kept chunk texts). */
   private[graft] def processAgainst(batch: DataFrame, known: DataFrame)
       : (DataFrame, DataFrame) = {
-    val bp = paragraphs(batch).localCheckpoint()
-    val fresh = bp.join(known, Seq("chunk"), "left_anti").localCheckpoint()
+    val bp = graft.Graft.compactCheckpoint(paragraphs(batch))
+    val fresh = graft.Graft.compactCheckpoint(
+      bp.join(known, Seq("chunk"), "left_anti"))
     (cleanedFrom(bp, fresh), fresh.select(col("chunk")).distinct())
   }
 

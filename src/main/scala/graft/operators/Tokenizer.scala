@@ -233,9 +233,8 @@ object Tokenizer {
 
   /** The merge rounds over any (term, freq) word-frequency frame. */
   private[graft] def bpeOver(wordFreq: DataFrame): DataFrame = {
-    var words = wordFreq
-      .withColumn("seq", concat_ws(" ", split(col("term"), "")))
-      .localCheckpoint()
+    var words = graft.Graft.compactCheckpoint(wordFreq
+      .withColumn("seq", concat_ws(" ", split(col("term"), ""))))
     for (_ <- 1 to BpeMerges) {
       val best = words
         .select(col("freq"), split(col("seq"), " ").as("l"))
@@ -254,10 +253,9 @@ object Tokenizer {
         // seed column drifted — fail loudly before interpolating
         require(a.matches("[\\p{L}]+") && b.matches("[\\p{L}]+"),
           s"non-letter BPE symbol: '$a' '$b'")
-        val nextWords = words.withColumn("seq",
+        val nextWords = graft.Graft.compactCheckpoint(words.withColumn("seq",
             expr(s"trim(regexp_replace(replace(' ' || replace(seq, ' ', '  ') || ' '," +
-              s" ' $a  $b ', ' $a$b '), ' +', ' '))"))
-          .localCheckpoint()
+              s" ' $a  $b ', ' $a$b '), ' +', ' '))")))
         // superseded round: persistentRdds pins checkpoint blocks
         // strongly, so without this every merge round's word table
         // stays cached for the session (the r12 leak-sweep discovery)
@@ -536,7 +534,7 @@ object Tokenizer {
   /** The inventory + greedy walk over any (term, freq) word table. */
   private[graft] def wordpieceOver(s: SparkSession, wordFreq: DataFrame): DataFrame = {
     import s.implicits._
-    val words = wordFreq.localCheckpoint()
+    val words = graft.Graft.compactCheckpoint(wordFreq)
     val multi = words
       .withColumn("i", explode(expr("sequence(1, length(term))")))
       .where(length(col("term")) - col("i") + 1 >= 2)

@@ -112,9 +112,16 @@ object CcStream {
     val b3 = docs.where(col("doc_id") > t2)
     val (sig0, lab0) = emptyState(b1)
     def step(batch: DataFrame, sigS: DataFrame, prior: DataFrame) = {
-      val out = Dedup.dedupCcVs(s, batch, sigS, prior)
-      (sigS.unionByName(Dedup.minhashSignaturesOf(s, batch)).localCheckpoint(),
-        out.select(col("doc_id"), col("cluster_id").as("label")).localCheckpoint())
+      // ONE materialized signature pass per batch, shared by the fold
+      // and the state union — the ccSink discipline (r16: the gate
+      // recomputed the kernel once inside dedupCcVs and once for the
+      // union; same rows, one pass)
+      val sigB = graft.Graft.compactCheckpoint(
+        Dedup.minhashSignaturesOf(s, batch).repartition(col("doc_id")))
+      val out = Dedup.dedupCcVs(s, batch, sigS, prior, Some(sigB))
+      (graft.Graft.compactCheckpoint(sigS.unionByName(sigB)),
+        graft.Graft.compactCheckpoint(
+          out.select(col("doc_id"), col("cluster_id").as("label"))))
     }
     val (sig1, lab1) = step(b1, sig0, lab0)
     val (sig2, lab2) = step(b2, sig1, lab1)

@@ -40,6 +40,19 @@ object StageProbe {
           maxTask.merge(te.stageId, te.taskMetrics.executorRunTime,
             (a, b) => math.max(a, b))
     })
+    // gc/cpu/deserialize attribution (r16): the 32-task zero-byte
+    // stages burning ~0.3 s/task needed executorRunTime split into
+    // cpuTime (real work), gc (allocation pressure) and deserialize
+    // (closure/plan size) before any fix could be targeted
+    val extra = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          extra.merge(te.stageId,
+            (te.taskMetrics.jvmGCTime, te.taskMetrics.executorDeserializeTime,
+              te.taskMetrics.executorCpuTime / 1000000L),
+            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    })
     val t0 = System.nanoTime()
     val n = graft.SparkEntry.queries(name)(spark, dir).count()
     println(f"[probe] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -47,8 +60,10 @@ object StageProbe {
     import scala.jdk.CollectionConverters._
     stages.asScala.toSeq.sortBy(_._1).foreach { case (id, (nm, total, ntasks)) =>
       val (sr, sw, sp) = bytes.getOrDefault(id, (0L, 0L, 0L))
+      val (gc, des, cpu) = extra.getOrDefault(id, (0L, 0L, 0L))
       println(f"[stage] $id%3d tasks=$ntasks%3d total=${total / 1000.0}%8.1f s " +
         f"max-task=${maxTask.getOrDefault(id, 0L) / 1000.0}%8.1f s " +
+        f"cpu=${cpu / 1000.0}%7.1f s gc=${gc / 1000.0}%5.1f s deser=${des / 1000.0}%5.1f s " +
         f"sread=${sr / (1 << 20)}%6d MB swrite=${sw / (1 << 20)}%6d MB " +
         f"spill=${sp / (1 << 20)}%6d MB  $nm")
     }

@@ -58,7 +58,7 @@ object Redirects {
     }
     // materialize once: the canary count and the final joins are two
     // actions — without this the whole round tree recomputes per action
-    p = p.localCheckpoint()
+    p = graft.Graft.compactCheckpoint(p)
     // convergence canary — a chain deeper than 2^Rounds must fail
     // loudly, never ship a non-final "final" URL
     val unresolved = p.filter(!col("done")).count()

@@ -48,6 +48,9 @@ class RegistrySpec extends AnyFunSuite {
     "Tables.region", "Tables.nation", "Tables.customer", "Tables.supplier",
     "Tables.part", "Tables.orders", "Tables.lineitem", "Tables.events",
     "Tables.documents", "Tables.embeddings",
+    // r16: documents + the scale-adaptive small-scan fan-out — an input
+    // reader variant (same rows), consumed by the CPU-dense text gates
+    "Tables.documentsWide",
     // intermediate producers consumed by registered gates (the gate
     // composes them; registering the stage alone would double-count)
     "CorpusOps.tokens", "Dedup.minhashSignatures", "Dedup.shingleHashes",

@@ -129,4 +129,12 @@ object Tables {
     * Same rows, same schema; only the partitioning differs. */
   def documentsWide(s: SparkSession, dir: String): DataFrame =
     fanOutSmall(s, dir, "documents", "doc_id", documents(s, dir))
+
+  /** [[lineitem]] with the small-scan fan-out — for the CPU-dense
+    * per-row kernels (exact-percentile counting selection, CMS key
+    * hashing), NOT for the plain scan-aggregate gates (q1_agg is a
+    * floor-gate query and stays on the plain loader). Keyed on the
+    * composite-unique (l_orderkey, l_linenumber) so no hash skew. */
+  def lineitemWide(s: SparkSession, dir: String): DataFrame =
+    fanOutSmall(s, dir, "lineitem", "l_orderkey", lineitem(s, dir))
 }

@@ -45,7 +45,7 @@ object Classifier {
 
   /** (doc_id, bucket, cnt) hashed bag-of-words. */
   private def features(s: SparkSession, dir: String): DataFrame =
-    featuresOf(Tables.documents(s, dir))
+    featuresOf(Tables.documentsWide(s, dir)) // fan the md5 tokenize out (r16)
 
   private def featuresOf(docs: DataFrame): DataFrame =
     CorpusOps.tokensOf(docs)

@@ -190,7 +190,7 @@ object Cleaning {
 
   /** Gate twin of [[taDenylistScrub]] through the set kernel. */
   def taDenylistScrubLarge(s: SparkSession, dir: String): DataFrame =
-    scrubWithSet(Tables.documents(s, dir), Denylist)
+    scrubWithSet(Tables.documentsWide(s, dir), Denylist)
 
   // ---------------------------------------------- ta_denylist_phrases
   /** PHRASE-denylist scrub — the missing piece [[scrubWithSet]]'s
@@ -360,7 +360,7 @@ object Cleaning {
 
   /** Gate query: phrase scrub over the documents table. */
   def taDenylistPhrases(s: SparkSession, dir: String): DataFrame =
-    scrubWithPhrases(Tables.documents(s, dir), PhraseDenylist)
+    scrubWithPhrases(Tables.documentsWide(s, dir), PhraseDenylist)
 
   /** DuckDB twin: RE2 alternation, alternatives longest-first (RE2 `\b`
     * is ASCII-only — exact on the ASCII fixture corpus). */
@@ -416,7 +416,7 @@ object Cleaning {
   }
 
   def taDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
     taDecontaminateVs(
       docs.where(col("doc_id") % BenchMod =!= 0),
       docs.where(col("doc_id") % BenchMod === 0))
@@ -457,7 +457,7 @@ object Cleaning {
     * duplicates map-side. Ratios are single IEEE divisions on exact
     * integer counts (cross-engine hash-safe). */
   def taRepetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
     def gramStats(n: Int) = docs
       .where(size(col("w")) >= n)
@@ -575,7 +575,7 @@ object Cleaning {
     }
 
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(s, dir)
+    val fp = Tables.documentsWide(s, dir)
       .select(col("doc_id"), md5(normalized(col("text"))).as("fp_norm"))
     dedupIncrementalVs(
       fp.where(col("doc_id") % IncomingMod === 0),

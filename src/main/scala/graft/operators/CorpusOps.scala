@@ -121,7 +121,7 @@ object CorpusOps {
     val toks = tokens(s, dir).where(col("term").isin(Bm25Query: _*))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val lens = Tables.documents(s, dir)
+    val lens = Tables.documentsWide(s, dir) // fan-out (r16)
       .select(col("doc_id"),
         size(split(normalized(col("text")), " ")).cast("long").as("dlen"))
     val stats = Tables.documents(s, dir)

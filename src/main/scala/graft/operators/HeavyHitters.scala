@@ -427,7 +427,7 @@ object HeavyHitters {
           s"cast(conv(substr(md5(cast($key as string)), 1, 15), 16, 10) as bigint) % 4294967296")
           .as("x"))
         .as[Long].select(agg.toColumn.name("cms")).head().toIndexedSeq
-    val l = sketchOf(Tables.lineitem(s, dir), "l_orderkey")
+    val l = sketchOf(Tables.lineitemWide(s, dir), "l_orderkey") // fan-out (r16)
     val o = sketchOf(Tables.orders(s, dir), "o_orderkey")
     var est = Long.MaxValue
     var r = 0

@@ -498,7 +498,12 @@ object Pipeline {
        |FROM snap FULL OUTER JOIN surv ON snap.doc_id = surv.doc_id""".stripMargin
 
   def pipelineMix(s: SparkSession, dir: String): DataFrame = {
-    val scored = pipelineScored(s, dir)
+    // materialize the scored table ONCE (r16): it feeds two consumers —
+    // the threshold aggregate (a broadcast subquery) and the kept
+    // filter — and without the cut each re-executed the ENTIRE
+    // pipelineFull+classifier subtree (JobProbe: 52 jobs, sum-job-wall
+    // 6.1 s of a 5.4 s wall). Size-compacted like every loop state.
+    val scored = graft.Graft.compactCheckpoint(pipelineScored(s, dir))
     val thr = scored.agg(
       expr("sum(clf_score) div count(1)").cast("long").as("thr"))
     val kept = scored.crossJoin(broadcast(thr))

@@ -40,7 +40,7 @@ object TextAnalysis {
     val punctRatio = when(nChars === 0, lit(0.0))
       .otherwise(nPunct.cast("double") / nChars.cast("double"))
     val lenScore = least(lit(1.0), nWs.cast("double") / lit(100.0))
-    Tables.documents(s, dir).select(
+    Tables.documentsWide(s, dir).select(
       col("doc_id"),
       nChars.as("n_chars"),
       nLetters.as("n_letters"),
@@ -74,7 +74,7 @@ object TextAnalysis {
     * non-space symbol — the pre-tokenizer shape GPT-style BPE uses). */
   def taTokenCount(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, dir).select(
+    Tables.documentsWide(s, dir).select(
       col("doc_id"),
       size(regexp_extract_all(t, lit("\\S+"), lit(0))).cast("long").as("n_ws"),
       size(regexp_extract_all(t, lit("[\\p{L}]+"), lit(0))).cast("long").as("n_words"),
@@ -102,7 +102,7 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "bu", "zai", "you"))
 
   def taLangId(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.documentsWide(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), "[^\\p{L}]+")).as("w"))
       .where(col("w") =!= "")
@@ -241,7 +241,7 @@ object TextAnalysis {
 
   def taChunkFp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    Tables.documentsWide(s, dir).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val fps = chunkFingerprints(text)
@@ -458,7 +458,7 @@ object TextAnalysis {
     * rows. */
   def taWinnow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, dir)
+    val grams = Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
       .where(size(col("w")) >= WinnowK)
       .select(col("doc_id"), size(col("w")).as("nw"),
@@ -612,7 +612,7 @@ object TextAnalysis {
     * fragment drop, per-sentence counts). Generator pipelines in the
     * scan stage; zero shuffles. */
   def taSentences(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.documents(s, dir)
+    graft.Tables.documentsWide(s, dir)
       .select(col("doc_id"),
         expr("""array_join(
                   transform(split(text, ' '), (w, i) ->
@@ -658,7 +658,7 @@ object TextAnalysis {
     * expression both engines evaluate identically. One narrow select,
     * HOFs inside codegen — zero shuffles. */
   def taReadability(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.documents(s, dir)
+    graft.Tables.documentsWide(s, dir)
       .select(col("doc_id"),
         expr("split(text, ' ')").as("toks"),
         expr("5 + doc_id % 3").as("k"))

@@ -50,7 +50,7 @@ class RegistrySpec extends AnyFunSuite {
     "Tables.documents", "Tables.embeddings",
     // r16: documents + the scale-adaptive small-scan fan-out — an input
     // reader variant (same rows), consumed by the CPU-dense text gates
-    "Tables.documentsWide",
+    "Tables.documentsWide", "Tables.lineitemWide",
     // intermediate producers consumed by registered gates (the gate
     // composes them; registering the stage alone would double-count)
     "CorpusOps.tokens", "Dedup.minhashSignatures", "Dedup.shingleHashes",

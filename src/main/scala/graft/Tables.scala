@@ -107,8 +107,9 @@ object Tables {
     * AQE leaves explicit repartitions uncoalesced). Above the
     * threshold the frame is returned untouched: at production scale
     * the scan already carries ≥ cores-many splits and the added
-    * exchange would be pure cost. 2× cores keeps the tail balanced
-    * when per-doc cost varies. */
+    * exchange would be pure cost. 2× cores (override:
+    * SPARK_GRAFT_FANOUT, absolute partition count) keeps the tail
+    * balanced when per-doc cost varies. */
   private[graft] def fanOutSmall(s: SparkSession, dir: String, name: String,
       key: String, df: DataFrame): DataFrame = {
     val bytes =
